@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory for the engine.
+  *
+  * Mirrors the reference job's environment setup
+  * (`/root/reference/src/main/java/com/weather/flink/weather/WeatherProcessingJob.java:52-63`:
+  * configuration merge, parallelism, watermark interval) re-expressed as
+  * Spark session conf. Scale posture:
+  *   - AQE on (runtime re-plan, skew-join splitting, coalesced shuffle
+  *     partitions) — on a real cluster this is what absorbs skew at 100 TB;
+  *   - shuffle partitions sized to the local core count (32) instead of the
+  *     200 default; on a cluster this would be ~2-3x total executor cores;
+  *   - UTC session timezone pinned for oracle parity;
+  *   - broadcast threshold left at default 10 MB — dimension tables
+  *     (region/nation/supplier/part at any SF we see) broadcast automatically.
+  */
+object EngineSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft-engine"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // streaming state store + checkpoint root for local runs
+      .config("spark.sql.streaming.checkpointLocation",
+              sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ckpt")
+
+  /** Shared session for tests/tools; honors an already-running session. */
+  def getOrCreate(appName: String = "graft-engine"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

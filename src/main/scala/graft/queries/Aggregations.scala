@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Q-agg-*: aggregation surface (SURVEY.md §2B).
+  *
+  * All group-bys rely on Spark's automatic partial (map-side) + final
+  * aggregation — at 100 TB the partial agg collapses each input partition to
+  * |groups| rows before the shuffle, so shuffle volume is bounded by group
+  * cardinality, not input size. `count(DISTINCT)` expands to the standard
+  * two-shuffle expand+agg plan; HLL (`approx_count_distinct`) is the
+  * single-shuffle scale path (Q-agg-04).
+  */
+object Aggregations {
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q-agg-01: TPC-H Q1 shape — multi-aggregate hash group-by
+    "Q-agg-01" -> { (s, d) =>
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Portable.r(Portable.dsum(col("l_quantity")), 2).as("sum_qty"),
+          Portable.r(Portable.dsum(col("l_extendedprice")), 2).as("sum_base"),
+          Portable.r(Portable.dsum(disc), 2).as("sum_disc"),
+          Portable.r(Portable.dsum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          Portable.davg(col("l_quantity"), 6).as("avg_qty"),
+          Portable.davg(col("l_extendedprice"), 4).as("avg_price"),
+          Portable.davg(col("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- Q-agg-02: global (no-group) aggregate incl. exact count distinct
+    "Q-agg-02" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        Portable.r(Portable.dsum(col("l_quantity")), 2).as("total_qty"),
+        Portable.r(min(col("l_extendedprice")), 4).as("min_price"),
+        Portable.r(max(col("l_extendedprice")), 4).as("max_price"))
+    },
+
+    // ---- Q-agg-03: ROLLUP with GROUPING()
+    "Q-agg-03" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          grouping(col("l_returnflag")).cast("bigint").as("g_rf"),
+          grouping(col("l_linestatus")).cast("bigint").as("g_ls"),
+          count(lit(1)).as("n"), Portable.r(Portable.dsum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("qty"))
+        .orderBy("g_rf", "g_ls", "rf", "ls")
+    },
+
+    // ---- Q-agg-03 (cube): CUBE over two dims
+    "Q-agg-03-cube" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+          grouping(col("o_orderstatus")).cast("bigint").as("g_st"),
+          grouping(col("o_orderpriority")).cast("bigint").as("g_pri"),
+          count(lit(1)).as("n"), Portable.r(Portable.dsum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pri"),
+          col("g_st"), col("g_pri"), col("n"), col("total"))
+        .orderBy("g_st", "g_pri", "st", "pri")
+    },
+
+    // ---- Q-agg-04: approx distinct (HLL) — the 100 TB path for distinct
+    // counts (single shuffle, bounded sketch). No SQL oracle (approximate):
+    // driver records rows-only; exactness is bounded vs Q-agg-02 in tests.
+    "Q-agg-04" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 4)
+            .as("p50_approx"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Q-agg-05: HAVING / post-aggregation filter
+    "Q-agg-05" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), Portable.r(Portable.dsum(col("o_totalprice")), 2).as("total"))
+        .filter(col("n") >= 12)
+        .orderBy("o_custkey")
+    },
+
+    // ---- Q-agg-07: exact percentiles (interpolated) per group
+    "Q-agg-07" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          Portable.r(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          Portable.r(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          Portable.r(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Q-agg-stats: moments & correlation (numerically matched by rounding)
+    "Q-agg-stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          Portable.r(var_samp(col("l_quantity")), 6).as("var_qty"),
+          Portable.r(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          Portable.r(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+          Portable.r(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
+        .orderBy("l_linestatus")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "Q-agg-01" ->
+      """SELECT l_returnflag, l_linestatus,
+                floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS sum_base,
+                floor((CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS sum_disc,
+                floor((CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS sum_charge,
+                floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_qty,
+                floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / count(*)) * 1e4 + 0.5) / 1e4 AS avg_price,
+                floor((CAST(sum(CAST(l_discount AS DECIMAL(30,10))) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS avg_disc,
+                count(*)::BIGINT AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "Q-agg-02" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                count(DISTINCT l_orderkey)::BIGINT AS n_orders,
+                count(DISTINCT l_partkey)::BIGINT AS n_parts,
+                floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total_qty,
+                floor((min(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS min_price,
+                floor((max(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS max_price
+         FROM lineitem""",
+    "Q-agg-03" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                coalesce(l_linestatus, 'ALL') AS ls,
+                grouping(l_returnflag)::BIGINT AS g_rf,
+                grouping(l_linestatus)::BIGINT AS g_ls,
+                count(*)::BIGINT AS n, floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY g_rf, g_ls, rf, ls""",
+    "Q-agg-03-cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+                coalesce(o_orderpriority, 'ALL') AS pri,
+                grouping(o_orderstatus)::BIGINT AS g_st,
+                grouping(o_orderpriority)::BIGINT AS g_pri,
+                count(*)::BIGINT AS n, floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY g_st, g_pri, st, pri""",
+    "Q-agg-05" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n,
+                floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS total
+         FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+         ORDER BY o_custkey""",
+    "Q-agg-07" ->
+      """SELECT l_returnflag,
+                floor((quantile_cont(l_extendedprice, 0.25)) * 1e4 + 0.5) / 1e4 AS p25,
+                floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+                floor((quantile_cont(l_extendedprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "Q-agg-stats" ->
+      """SELECT l_linestatus,
+                floor((var_samp(l_quantity)) * 1e6 + 0.5) / 1e6 AS var_qty,
+                floor((stddev_samp(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS sd_price,
+                floor((corr(l_quantity, l_extendedprice)) * 1e6 + 0.5) / 1e6 AS corr_qty_price,
+                floor((covar_samp(l_quantity, l_discount)) * 1e6 + 0.5) / 1e6 AS covar_qty_disc
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+  )
+}

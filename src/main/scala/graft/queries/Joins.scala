@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.RangeJoin
+
+/** Q-join-*: the join surface (SURVEY.md §2B).
+  *
+  * Scale notes (100 TB posture):
+  *  - fact-fact joins (orders x lineitem) shuffle on the join key — both
+  *    sides hash-partition, sort-merge join, AQE re-plans on skew;
+  *  - dimension joins (nation/region/supplier) are explicitly
+  *    `broadcast()`-hinted: no shuffle of the fact side at all;
+  *  - the range join goes through [[graft.operators.RangeJoin]] — an
+  *    equi-join on a time band instead of a broadcast-nested-loop;
+  *  - semi/anti joins use Spark's dedicated left_semi/left_anti types
+  *    (no row duplication, no post-dedup).
+  */
+object Joins {
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q-join-01: inner equi-join, fact x dimension-ish
+    "Q-join-01" -> { (s, d) =>
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Portable.r(Portable.dsum(col("o_totalprice")), 2).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- Q-join-02 (left): preserve unmatched customers
+    "Q-join-02-left" -> { (s, d) =>
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          Portable.r(coalesce(Portable.dsum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- Q-join-02 (full): full outer of two aggregates on distinct key domains
+    "Q-join-02-full" -> { (s, d) =>
+      val byCust = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("n_orders"))
+      val byUser = Tables.events(s, d).groupBy(col("user_id").as("k"))
+        .agg(count(lit(1)).as("n_events"))
+      byCust.join(byUser, Seq("k"), "full")
+        .select(col("k"), col("n_orders"), col("n_events"))
+        .orderBy("k")
+    },
+
+    // ---- Q-join-03: left-semi (EXISTS) + left-anti (NOT EXISTS)
+    "Q-join-03" -> { (s, d) =>
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), lit(true).as("has_orders"))
+      val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), lit(false).as("has_orders"))
+      semi.unionAll(anti).orderBy("c_custkey")
+    },
+
+    // ---- Q-join-04: broadcast-hinted star join over two dims
+    "Q-join-04" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), Portable.davg(col("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // ---- Q-join-05: time-range self-join via banded equi-join (no BNLJ)
+    "Q-join-05" -> { (s, d) =>
+      val ev = Tables.events(s, d).select("ts", "user_id", "event_type")
+      val joined = RangeJoin.timeBand(
+        ev, ev, "ts", "ts", deltaSeconds = 300,
+        extra = (a, b) => col("a_user_id") =!= col("b_user_id"))
+      joined.groupBy(col("a_event_type").as("a_type"), col("b_event_type").as("b_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("a_type", "b_type")
+    },
+
+    // ---- Q-join-07: multi-way join (TPC-H Q5 shape, 6 tables)
+    "Q-join-07" -> { (s, d) =>
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d); val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(l, o("o_orderkey") === l("l_orderkey"))
+        .join(broadcast(sup),
+          l("l_suppkey") === sup("s_suppkey") && c("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(n), sup("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(o("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                o("o_orderdate") <  to_timestamp(lit("1998-01-01")))
+        .groupBy("n_name")
+        .agg(
+          Portable.r(Portable.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "Q-join-01" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
+                floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "Q-join-02-left" ->
+      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
+                floor(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 0.0) * 1e2 + 0.5) / 1e2 AS total
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "Q-join-02-full" ->
+      """SELECT coalesce(o.k, e.k) AS k, o.n_orders, e.n_events
+         FROM (SELECT o_custkey AS k, count(*)::BIGINT AS n_orders
+               FROM orders GROUP BY 1) o
+         FULL JOIN (SELECT user_id AS k, count(*)::BIGINT AS n_events
+               FROM events GROUP BY 1) e ON o.k = e.k
+         ORDER BY k""",
+    "Q-join-03" ->
+      """SELECT c_custkey, TRUE AS has_orders FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         UNION ALL
+         SELECT c_custkey, FALSE AS has_orders FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "Q-join-04" ->
+      """SELECT r_name, n_name, count(*)::BIGINT AS n_cust,
+                floor(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) / count(*) * 1e4 + 0.5) / 1e4 AS avg_bal
+         FROM customer
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "Q-join-05" ->
+      """SELECT a.event_type AS a_type, b.event_type AS b_type,
+                count(*)::BIGINT AS n_pairs
+         FROM events a JOIN events b
+           ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 300 SECOND
+          AND a.user_id <> b.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "Q-join-07" ->
+      """SELECT n_name,
+                floor(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue,
+                count(*)::BIGINT AS n_lines
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1998-01-01'
+         GROUP BY n_name ORDER BY n_name"""
+  )
+}

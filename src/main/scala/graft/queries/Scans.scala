@@ -1,0 +1,91 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Q-scan-* / Q-sink-*: sources and sinks (SURVEY.md §2B "Scans").
+  *
+  * Parquet is the primary format (columnar at rest; Catalyst pushes filters
+  * and prunes columns into the scan). CSV/JSON are exercised round-trip with
+  * explicit schemas — schema inference is banned at 100 TB (it implies an
+  * extra full pass over the data).
+  */
+object Scans {
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q-scan-01: parquet scan over all 10 testdata tables
+    "Q-scan-01" -> { (s, d) =>
+      Tables.names.map { n =>
+        Tables.t(s, d, n)
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(n).as("tbl"), col("n_rows"))
+      }.reduce(_ unionAll _).orderBy("tbl")
+    },
+
+    // ---- Q-scan-02: CSV + JSON scan with explicit schema (round-trip)
+    "Q-scan-02" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_scan02").toString
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("header", "true").csv(s"$tmp/nation_csv")
+      Tables.region(s, d).write.mode("overwrite").json(s"$tmp/region_json")
+      val nation = s.read
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("header", "true").csv(s"$tmp/nation_csv")
+      val region = s.read
+        .schema("r_regionkey INT, r_name STRING").json(s"$tmp/region_json")
+      nation.join(region, nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_nations"))
+        .orderBy("r_name")
+    },
+
+    // ---- Q-sink-01: partitioned parquet sink, read back (round-trip)
+    "Q-sink-01" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_sink01").toString
+      Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 25)
+        .write.mode("overwrite").partitionBy("l_returnflag")
+        .parquet(s"$tmp/li_part")
+      s.read.parquet(s"$tmp/li_part")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), Portable.r(Portable.dsum(col("l_quantity")), 2).as("qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Q-sink-02: keyed JSON sink rows (the reference's egress shape:
+    // key = device/user, value = JSON body, event time carried in payload —
+    // WeatherPresenceSerializationSchema.java:30-35)
+    "Q-sink-02" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id").cast("string").as("key"),
+          to_json(struct(
+            col("event_id"),
+            col("event_type"),
+            unix_millis(col("ts")).as("ts_ms"))).as("value"))
+        .orderBy("key", "value")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "Q-scan-01" ->
+      Tables.names.map(n => s"SELECT '$n' AS tbl, count(*)::BIGINT AS n_rows FROM $n")
+        .mkString("", " UNION ALL ", " ORDER BY tbl"),
+    "Q-scan-02" ->
+      """SELECT r_name, count(*)::BIGINT AS n_nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "Q-sink-01" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n, floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS qty
+         FROM lineitem WHERE l_quantity >= 25
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "Q-sink-02" ->
+      """SELECT user_id::VARCHAR AS key,
+                '{"event_id":' || event_id || ',"event_type":"' || event_type ||
+                '","ts_ms":' || epoch_ms(ts) || '}' AS value
+         FROM events WHERE event_type = 'purchase'
+         ORDER BY key, value"""
+  )
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.EngineSession
+
+/** Sanity layer under the DuckDB oracle gate (SURVEY.md §5): every registered
+  * query must run and return rows at sf0.001, every oracle key must point at
+  * a registered query, and approximate ops stay within their error bounds.
+  * Value-level correctness is the driver's DuckDB hash-compare (and
+  * `tools/oracle_check.py` locally); this suite catches wiring breaks fast.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("oracleSql keys are a subset of queries keys") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, q) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name runs and returns rows at sf0.001") {
+      val df = q(spark, sf)
+      assert(df.count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("Q-agg-04 HLL stays within 5% of exact distinct counts") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("Q-agg-04")(spark, sf)
+      .select("l_returnflag", "approx_orders").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")
+    }
+  }
+}

@@ -18,7 +18,11 @@ object SparkEntry {
     (Scans.queries, Scans.oracle),
     (Projections.queries, Projections.oracle),
     (Joins.queries, Joins.oracle),
-    (Aggregations.queries, Aggregations.oracle)
+    (Aggregations.queries, Aggregations.oracle),
+    (Windows.queries, Windows.oracle),
+    (Sorts.queries, Sorts.oracle),
+    (SetOps.queries, SetOps.oracle),
+    (Functions.queries, Functions.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Q-fn-*: scalar function families (SURVEY.md §2B).
+  *
+  * Everything here is a Spark built-in (`org.apache.spark.sql.functions`) —
+  * codegen'd, whole-stage-fused, no UDFs. The oracle side uses the DuckDB
+  * dialect equivalent; where semantics diverge (dayofweek origin, ceil
+  * return type, list indexing) the query normalizes both sides explicitly.
+  */
+object Functions {
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q-fn-str-01: string family
+    "Q-fn-str-01" -> { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat(col("c_name"), lit("_"), col("c_mktsegment")).as("cat"),
+        substring(col("c_name"), 1, 8).as("sub"),
+        upper(col("c_mktsegment")).as("up"),
+        lower(col("c_name")).as("lo"),
+        lpad(col("c_name"), 25, "*").as("padded"),
+        length(col("c_name")).cast("bigint").as("len"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("repl"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"),
+        element_at(split(col("c_name"), "#"), 2).as("num_part"),
+        col("c_name").like("%1").as("ends_in_1"),
+        trim(lpad(col("c_mktsegment"), 15, " ")).as("trimmed"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- Q-fn-date-01: date/time family (UTC pinned)
+    "Q-fn-date-01" -> { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        year(col("o_orderdate")).cast("bigint").as("yr"),
+        month(col("o_orderdate")).cast("bigint").as("mo"),
+        dayofweek(col("o_orderdate")).cast("bigint").as("dow"), // 1=Sunday
+        date_add(col("o_orderdate"), 30).as("plus30"),
+        datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("bigint").as("days_since"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("epoch_millis"),
+        expr("from_unixtime(unix_millis(cast(o_orderdate AS timestamp)) DIV 1000)")
+          .as("formatted"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- Q-fn-math-01: math family
+    "Q-fn-math-01" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber").limit(2000)
+        .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25).as("abs_dev"),
+        ceil(col("l_extendedprice")).cast("bigint").as("ceiled"),
+        floor(col("l_extendedprice")).cast("bigint").as("floored"),
+        Portable.r(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        Portable.r(pow(col("l_discount") + 1.0, 3), 6).as("pow3"),
+        Portable.r(log(col("l_extendedprice")), 6).as("ln_price"),
+        Portable.r(log10(col("l_extendedprice")), 6).as("log10_price"),
+        signum(col("l_quantity") - 25).cast("bigint").as("sgn"),
+        pmod(col("l_orderkey"), lit(7)).cast("bigint").as("mod7"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- Q-fn-arr-01: array family incl. higher-order functions
+    "Q-fn-arr-01" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("words")).cast("bigint").as("n_words"),
+          array_contains(col("words"), "spark").as("has_spark"),
+          element_at(sort_array(col("words")), 1).as("first_sorted"),
+          slice(sort_array(col("words"), asc = false), 1, 3).as("top3_desc"),
+          transform(slice(col("words"), 1, 5), w => upper(w)).as("first5_upper"),
+          size(filter(col("words"), w => length(w) > 4)).cast("bigint").as("n_long_words"),
+          aggregate(transform(col("words"), w => length(w).cast("bigint")),
+            lit(0L), (acc, x) => acc + x).as("total_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-fn-map-01: map family (construct, keys/values, explode, lookup)
+    "Q-fn-map-01" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("m", from_json(col("props"), lit("map<string,bigint>")))
+        .select(
+          col("event_id"), col("m"),
+          map_keys(col("m")).as("keys"),
+          element_at(map_values(col("m")), 1).as("first_val"),
+          element_at(col("m"), "k").as("k_val"))
+        .withColumn("entry", explode(map_entries(col("m"))))
+        .drop("m")
+        .select(
+          col("event_id"), col("keys"), col("first_val"), col("k_val"),
+          col("entry.key").as("entry_key"), col("entry.value").as("entry_value"))
+        .orderBy("event_id")
+    },
+
+    // ---- Q-fn-json-01: JSON family over events.props
+    "Q-fn-json-01" -> { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k_num"),
+        from_json(col("props"), lit("k BIGINT")).getField("k").as("k_struct"),
+        json_tuple(col("props"), "k").as(Seq("k_tuple")),
+        to_json(struct(col("event_id").as("id"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))).as("rebuilt"))
+        .orderBy("event_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "Q-fn-str-01" ->
+      """SELECT c_custkey,
+                concat(c_name, '_', c_mktsegment) AS cat,
+                substring(c_name, 1, 8) AS sub,
+                upper(c_mktsegment) AS up,
+                lower(c_name) AS lo,
+                lpad(c_name, 25, '*') AS padded,
+                length(c_name)::BIGINT AS len,
+                regexp_replace(c_name, 'Customer', 'Cust', 'g') AS repl,
+                regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+                str_split(c_name, '#')[2] AS num_part,
+                c_name LIKE '%1' AS ends_in_1,
+                trim(lpad(c_mktsegment, 15, ' ')) AS trimmed
+         FROM customer ORDER BY c_custkey""",
+    "Q-fn-date-01" ->
+      """SELECT o_orderkey,
+                date_trunc('month', o_orderdate) AS month_start,
+                year(o_orderdate)::BIGINT AS yr,
+                month(o_orderdate)::BIGINT AS mo,
+                (dayofweek(o_orderdate) + 1)::BIGINT AS dow,
+                (o_orderdate + INTERVAL 30 DAY)::DATE AS plus30,
+                datediff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT AS days_since,
+                epoch_ms(o_orderdate) AS epoch_millis,
+                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
+         FROM orders ORDER BY o_orderkey""",
+    "Q-fn-math-01" ->
+      s"""SELECT l_orderkey, l_linenumber,
+                abs(l_quantity - 25) AS abs_dev,
+                ceil(l_extendedprice)::BIGINT AS ceiled,
+                floor(l_extendedprice)::BIGINT AS floored,
+                ${Portable.rSql("sqrt(l_extendedprice)", 6)} AS sqrt_price,
+                ${Portable.rSql("pow(l_discount + 1.0, 3)", 6)} AS pow3,
+                ${Portable.rSql("ln(l_extendedprice)", 6)} AS ln_price,
+                ${Portable.rSql("log10(l_extendedprice)", 6)} AS log10_price,
+                sign(l_quantity - 25)::BIGINT AS sgn,
+                (l_orderkey % 7)::BIGINT AS mod7
+         FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000)
+         ORDER BY l_orderkey, l_linenumber""",
+    "Q-fn-arr-01" ->
+      """SELECT doc_id,
+                len(words)::BIGINT AS n_words,
+                list_contains(words, 'spark') AS has_spark,
+                list_sort(words)[1] AS first_sorted,
+                list_reverse_sort(words)[1:3] AS top3_desc,
+                list_transform(words[1:5], w -> upper(w)) AS first5_upper,
+                len(list_filter(words, w -> length(w) > 4))::BIGINT AS n_long_words,
+                list_sum(list_transform(words, w -> length(w)))::BIGINT AS total_chars
+         FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+         ORDER BY doc_id""",
+    "Q-fn-map-01" ->
+      """SELECT event_id,
+                [k] AS keys,
+                v AS first_val,
+                v AS k_val,
+                k AS entry_key,
+                v AS entry_value
+         FROM (SELECT event_id,
+                      'k' AS k,
+                      json_extract_string(props, '$.k')::BIGINT AS v
+               FROM events)
+         ORDER BY event_id""",
+    "Q-fn-json-01" ->
+      """SELECT event_id,
+                json_extract_string(props, '$.k')::BIGINT AS k_num,
+                json_extract_string(props, '$.k')::BIGINT AS k_struct,
+                json_extract_string(props, '$.k') AS k_tuple,
+                '{"id":' || event_id || ',"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
+         FROM events ORDER BY event_id"""
+  )
+}

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.Tables
+
+/** Q-win-*: window functions (SURVEY.md §2B).
+  *
+  * Scale notes: a window partitioned by a key shuffles once on that key and
+  * sorts within partitions — same cost envelope as a groupBy + sort. The
+  * running sums are computed over DECIMAL so the result is independent of
+  * the engine's accumulation strategy (DuckDB uses segment trees; Spark
+  * accumulates sequentially — double addition order would differ).
+  * Every window ORDER BY carries a unique tiebreak column: ranking without
+  * a total order is nondeterministic in any engine.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q-win-01: ranking functions
+    "Q-win-01" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        row_number().over(w).cast("bigint").as("rn"),
+        rank().over(Window.partitionBy("o_custkey").orderBy(col("o_orderpriority")))
+          .cast("bigint").as("rk"),
+        dense_rank().over(Window.partitionBy("o_custkey").orderBy(col("o_orderpriority")))
+          .cast("bigint").as("drk"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- Q-win-02: analytic functions (lag/lead/first/last)
+    "Q-win-02" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        first(col("event_type")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_type"),
+        last(col("event_type")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("latest_type"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // ---- Q-win-03: frame specs — ROWS running sum + RANGE 7-day window
+    "Q-win-03" -> { (s, d) =>
+      val dayIdx = datediff(col("o_orderdate"), to_date(lit("1970-01-01")))
+      val wRows = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wRange = Window.partitionBy("o_custkey").orderBy(dayIdx)
+        .rangeBetween(-6, Window.currentRow)
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        Portable.r(sum(col("o_totalprice").cast(DecimalType(30, 10)))
+          .over(wRows).cast("double"), 2).as("running_total"),
+        Portable.r(sum(col("o_totalprice").cast(DecimalType(30, 10)))
+          .over(wRange).cast("double"), 2).as("weekly_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "Q-win-01" ->
+      """SELECT o_custkey, o_orderkey,
+                (row_number() OVER w)::BIGINT AS rn,
+                (rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority))::BIGINT AS rk,
+                (dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority))::BIGINT AS drk,
+                (ntile(4) OVER w)::BIGINT AS quartile
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "Q-win-02" ->
+      """SELECT user_id, event_id,
+                lag(value, 1) OVER w AS prev_value,
+                lead(value, 1) OVER w AS next_value,
+                first_value(event_type) OVER
+                  (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+                last_value(event_type) OVER
+                  (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_type
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, event_id""",
+    "Q-win-03" ->
+      s"""SELECT o_custkey, o_orderkey,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER " +
+                  "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)", 2)} AS running_total,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER " +
+                  "(PARTITION BY o_custkey ORDER BY datediff('day', DATE '1970-01-01', o_orderdate) " +
+                  "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)", 2)} AS weekly_total
+         FROM orders
+         ORDER BY o_custkey, o_orderkey"""
+  )
+}

@@ -22,7 +22,8 @@ object SparkEntry {
     (Windows.queries, Windows.oracle),
     (Sorts.queries, Sorts.oracle),
     (SetOps.queries, SetOps.oracle),
-    (Functions.queries, Functions.oracle)
+    (Functions.queries, Functions.oracle),
+    (CustomOps.queries, CustomOps.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

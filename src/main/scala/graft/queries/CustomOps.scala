@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.{CosineSim, WInput, WeightedStats}
+import graft.operators.AsOfJoin
+
+/** Custom-operator queries: as-of join, typed UDAF, cosine top-k
+  * (SURVEY.md §2B Q-join-06, Q-agg-06, Q-llm-03).
+  */
+object CustomOps {
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q-join-06: as-of join — for each purchase, the latest click at or
+    // before it by the same user (union + running-last; see AsOfJoin).
+    "Q-join-06" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.backward(purchases, clicks, on = "ts", by = "user_id",
+          payload = Seq("ts", "value"))
+        .select(
+          col("event_id"), col("user_id"),
+          col("right_ts").as("click_ts"),
+          col("right_value").as("click_value"))
+        .orderBy("event_id")
+    },
+
+    // ---- Q-agg-06: custom Aggregator — weighted mean + Welford variance
+    "Q-agg-06" -> { (s, d) =>
+      val wstats = udaf(WeightedStats)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(wstats(
+          col("l_extendedprice"), col("l_quantity"), col("l_discount")).as("ws"))
+        .select(
+          col("l_returnflag"),
+          Portable.r(col("ws.wmean"), 6).as("wmean_price"),
+          Portable.r(col("ws.var_v"), 9).as("var_disc"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Q-llm-03: brute-force exact cosine top-k via the codegen
+    // CosineSim expression. Query vectors (vec_id < 5) broadcast against the
+    // full corpus; per-query top-10 via ranking window. At 100 TB the corpus
+    // side stays partition-parallel: broadcast queries + partial top-k per
+    // partition before the final window (TakeOrdered pattern).
+    "Q-llm-03" -> { (s, d) =>
+      CosineSim.register(s)
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id"),
+          expr("cosine_sim(q_emb, embedding)").as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          Portable.r(col("sim"), 6).as("sim"), col("rk"))
+        .orderBy("query_id", "rk")
+    }
+  )
+
+  // DuckDB replicates the same sequential-double cosine algebra via
+  // generate_series, so sim values are bit-identical before rounding.
+  private val cosSql =
+    """list_sum(list_transform(generate_series(1, len(q.embedding)),
+       i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+       / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+            i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+        * sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+            i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))))"""
+
+  val oracle: Map[String, String] = Map(
+    "Q-join-06" ->
+      """SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY p.event_id""",
+    "Q-agg-06" ->
+      s"""SELECT l_returnflag,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,10))) AS DOUBLE)" +
+                  " / CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS wmean_price,
+                ${Portable.rSql("var_samp(l_discount)", 9)} AS var_disc
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "Q-llm-03" ->
+      s"""SELECT query_id, vec_id, ${Portable.rSql("sim", 6)} AS sim, rk
+         FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                  $cosSql AS sim,
+                  (row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY $cosSql DESC, e.vec_id))::BIGINT AS rk
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rk <= 10 ORDER BY query_id, rk"""
+  )
+}

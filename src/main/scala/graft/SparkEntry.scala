@@ -23,7 +23,8 @@ object SparkEntry {
     (Sorts.queries, Sorts.oracle),
     (SetOps.queries, SetOps.oracle),
     (Functions.queries, Functions.oracle),
-    (CustomOps.queries, CustomOps.oracle)
+    (CustomOps.queries, CustomOps.oracle),
+    (LlmOps.queries, LlmOps.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,379 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+import graft.multimodal.Multimodal
+import graft.operators.IvfIndex
+
+/** Q-llm-* / Q-mm-*: LLM-data-pipeline operators (SURVEY.md §2B + north
+  * star): dedup (exact, MinHash-LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force in CustomOps, IVF-ANN here), text analysis (lang-id,
+  * quality, token counting, fingerprinting), multimodal binary plumbing.
+  *
+  * Every hash is md5-based and every score is plain arithmetic, so the
+  * DuckDB oracle replicates the exact algebra (deterministic seeds — see
+  * SURVEY.md §2B Q-llm-02 note).
+  */
+object LlmOps {
+
+  private val BANDS = 6 // MinHash-LSH band count (R=1 rows/band)
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q-llm-01: exact dedup by content hash, keep lowest doc_id
+    "Q-llm-01" -> { (s, d) =>
+      val w = Window.partitionBy("h").orderBy("doc_id")
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("h")))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("h"), col("n_copies"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-02: MinHash-LSH near-dup candidates + exact Jaccard verify.
+    // shingle -> seeded minhash per band -> band-bucket self-join ->
+    // candidate pairs -> exact shingle-set Jaccard. All stages are
+    // equi-joins/groupBys on hash keys: linear shuffles, no pair explosion
+    // beyond actual bucket collisions.
+    "Q-llm-02" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = docs.select(col("doc_id"),
+          explode(shingles(words(col("text")), 3)).as("sh")).distinct()
+      val sigCols = (0 until BANDS).map(b => min(seededHash(b, col("sh"))).as(s"sig_$b"))
+      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val bands = sigs.select(col("doc_id"), explode(array(
+        (0 until BANDS).map(b =>
+          struct(lit(b).as("band_id"), col(s"sig_$b").as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+      cand
+        .join(inter, Seq("a", "b"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+        .select(col("a"), col("b"),
+          Portable.r(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6)
+            .as("jaccard"))
+        .orderBy("a", "b")
+    },
+
+    // ---- Q-llm-04: text stats per language
+    "Q-llm-04" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), size(words(col("text"))).cast("bigint").as("n_words"),
+          col("n_chars"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          Portable.r(sum("n_words").cast("double") / count(lit(1)), 6).as("avg_words"),
+          Portable.r(sum("n_chars").cast("double") / count(lit(1)), 6).as("avg_chars"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- Q-llm-04 (hist): document length histogram (100-char buckets)
+    "Q-llm-04-hist" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(((col("n_chars") / 100).cast("bigint") * 100).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
+    // ---- Q-llm-05: UDTF shape — explode docs into (doc_id, idx, word)
+    "Q-llm-05" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), posexplode(words(col("text"))))
+        .select(col("doc_id"), col("pos").cast("bigint").as("idx"),
+          col("col").as("word"))
+        .orderBy("doc_id", "idx")
+    },
+
+    // ---- Q-llm-06: 16-bit SimHash per document + collision count
+    "Q-llm-06" -> { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+        .withColumn("h", md5(col("w")))
+      val bits = tok
+        .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
+        .withColumn("digit",
+          expr("CAST(conv(substring(h, CAST(1 + j DIV 4 AS INT), 1), 16, 10) AS BIGINT)"))
+        .withColumn("bit", expr("shiftright(digit, CAST(3 - j % 4 AS INT)) % 2"))
+        .groupBy("doc_id", "j")
+        .agg(sum(col("bit") * 2 - 1).as("balance"))
+        .withColumn("bit_j", (col("balance") > 0).cast("bigint"))
+      val sims = bits.groupBy("doc_id")
+        .agg(sum(expr("bit_j * CAST(shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)) AS BIGINT)"))
+          .as("simhash"))
+      sims
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy("simhash")).cast("bigint"))
+        .select("doc_id", "simhash", "n_same")
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-07: exact n-gram Jaccard for consecutive doc pairs
+    "Q-llm-07" -> { (s, d) =>
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        explode(shingles(words(col("text")), 3)).as("sh")).distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val a = sh.select(col("doc_id").as("a"), col("sh"))
+      val b = sh.select(col("doc_id").as("b"), col("sh"))
+      val inter = a.join(b, a("a") + 1 === b("b") && a("sh") === b("sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+      sizes.select(col("doc_id").as("a"), col("n_sh").as("na"))
+        .join(sizes.select((col("doc_id") - 1).as("a"), col("n_sh").as("nb")), "a")
+        .join(inter, Seq("a"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .select(col("a"), (col("a") + 1).as("b"),
+          Portable.r(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6)
+            .as("jaccard"))
+        .orderBy("a")
+    },
+
+    // ---- Q-llm-08: IVF-Flat ANN (approximate => rows-only for the driver;
+    // recall vs the exact Q-llm-03 is asserted in LlmOpsSpec)
+    "Q-llm-08" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      IvfIndex.search(emb, qs, "vec_id", "embedding", "query_id", "q_emb",
+          nlist = 16, nprobe = 4, k = 10)
+        .select(col("query_id"), col("vec_id"), Portable.r(col("sim"), 6).as("sim"),
+          col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
+    // ---- Q-llm-09: language-ID via character-n-gram marker scoring
+    "Q-llm-09" -> { (s, d) =>
+      def occ(marker: String) =
+        ((length(col("text")) - length(replace(col("text"), lit(marker), lit(""))))
+          / marker.length).cast("bigint")
+      Tables.documents(s, d)
+        .withColumn("score_en", occ("the") + occ("and") + occ("ing"))
+        .withColumn("score_de", occ("sch") + occ("der") + occ("ein"))
+        .withColumn("score_fr", occ("le ") + occ("ent") + occ("eau"))
+        .withColumn("score_es", occ("os ") + occ("ar ") + occ("el "))
+        .withColumn("predicted",
+          when(col("score_en") >= greatest(col("score_de"), col("score_fr"), col("score_es")), "en")
+          .when(col("score_de") >= greatest(col("score_fr"), col("score_es")), "de")
+          .when(col("score_fr") >= col("score_es"), "fr")
+          .otherwise("es"))
+        .select(col("doc_id"), col("score_en"), col("score_de"), col("score_fr"),
+          col("score_es"), col("predicted"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-10: quality scoring (length/uniqueness/stopword ratios)
+    "Q-llm-10" -> { (s, d) =>
+      val ws = words(col("text"))
+      val nw = size(ws).cast("double")
+      val stopHits = size(filter(ws,
+        w => w.isin("the", "a", "of", "to", "and"))).cast("double")
+      val uniqRatio = size(array_distinct(ws)).cast("double") / nw
+      val lenScore = least(nw / lit(100.0), lit(1.0))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(ws).cast("bigint").as("n_words"),
+          Portable.r(stopHits / nw, 6).as("stopword_ratio"),
+          Portable.r(uniqRatio, 6).as("unique_ratio"),
+          Portable.r(lit(0.3) * lenScore + lit(0.4) * uniqRatio
+            + lit(0.3) * (stopHits / nw), 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-11: token counting — whitespace, BPE-ish regex, chars/4
+    "Q-llm-11" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("bigint").as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("bigint").as("re_tokens"),
+          ceil(col("n_chars") / lit(4.0)).cast("bigint").as("est_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-12: winnowing-style document fingerprint — min rolling
+    // 8-gram hash (docs shorter than 8 words -> null fingerprint)
+    "Q-llm-12" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val fp = docs.select(col("doc_id"),
+          explode(shingles(words(col("text")), 8)).as("gram"))
+        .groupBy("doc_id").agg(min(md5(col("gram"))).as("fingerprint"))
+      docs.select("doc_id").join(fp, Seq("doc_id"), "left")
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-mm-01: multimodal binary-column plumbing (stubbed decode)
+    "Q-mm-01" -> { (s, d) =>
+      Multimodal.featuresFromDocuments(s, Tables.documents(s, d))
+        .orderBy("asset_id")
+    }
+  )
+
+  // shared SQL fragments (DuckDB dialect)
+  private val wordsSql = "str_split(text, ' ')"
+  private def shinglesSql(n: Int) =
+    s"""CASE WHEN len(ws) >= $n THEN list_transform(
+          generate_series(1, len(ws) - ${n - 1}),
+          i -> ${(0 until n).map(k => s"ws[i + $k]").mkString(" || ' ' || ")})
+        ELSE [] END"""
+
+  val oracle: Map[String, String] = Map(
+    "Q-llm-01" ->
+      """SELECT doc_id, h, n_copies FROM (
+           SELECT doc_id, md5(text) AS h,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+                  count(*) OVER (PARTITION BY md5(text)) AS n_copies
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+    "Q-llm-02" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(${shinglesSql(3)}) AS sh
+             FROM (SELECT doc_id, $wordsSql AS ws FROM documents))),
+         sigs AS (
+           SELECT doc_id, b, min(md5(b || ':' || sh)) AS key
+           FROM sh, (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b)
+           GROUP BY doc_id, b),
+         cand AS (
+           SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM sigs x JOIN sigs y
+             ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.a, c.b, count(*) AS n_inter
+           FROM cand c
+           JOIN sh sa ON sa.doc_id = c.a
+           JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+           GROUP BY c.a, c.b)
+         SELECT c.a, c.b,
+                ${Portable.rSql(
+                  "coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))", 6)}
+                  AS jaccard
+         FROM cand c
+         LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+         JOIN sizes za ON za.doc_id = c.a
+         JOIN sizes zb ON zb.doc_id = c.b
+         ORDER BY c.a, c.b""",
+    "Q-llm-04" ->
+      s"""SELECT lang, count(*)::BIGINT AS n_docs,
+                ${Portable.rSql("CAST(sum(len(str_split(text,' '))) AS DOUBLE) / count(*)", 6)} AS avg_words,
+                ${Portable.rSql("CAST(sum(n_chars) AS DOUBLE) / count(*)", 6)} AS avg_chars,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "Q-llm-04-hist" ->
+      """SELECT (n_chars // 100) * 100 AS bucket, count(*)::BIGINT AS n
+         FROM documents GROUP BY 1 ORDER BY bucket""",
+    "Q-llm-05" ->
+      s"""SELECT doc_id, (i - 1)::BIGINT AS idx, ws[i] AS word
+         FROM (SELECT doc_id, $wordsSql AS ws FROM documents WHERE doc_id < 50),
+              (SELECT unnest(generate_series(1, 1000)) AS i)
+         WHERE i <= len(ws)
+         ORDER BY doc_id, idx""",
+    "Q-llm-06" ->
+      """WITH tok AS (
+           SELECT doc_id, md5(unnest(str_split(text, ' '))) AS h FROM documents),
+         bits AS (
+           SELECT doc_id, j,
+                  CASE WHEN sum(2 * ((instr('0123456789abcdef',
+                         substring(h, CAST(1 + j // 4 AS INT), 1)) - 1
+                         >> (3 - j % 4)) & 1) - 1) > 0
+                       THEN 1::BIGINT ELSE 0::BIGINT END AS bit_j
+           FROM tok, (SELECT unnest(generate_series(0, 15)) AS j)
+           GROUP BY doc_id, j),
+         sims AS (
+           SELECT doc_id, sum(bit_j * (1::BIGINT << j))::BIGINT AS simhash
+           FROM bits GROUP BY doc_id)
+         SELECT doc_id, simhash,
+                (count(*) OVER (PARTITION BY simhash))::BIGINT AS n_same
+         FROM sims ORDER BY doc_id""",
+    "Q-llm-07" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(${shinglesSql(3)}) AS sh
+             FROM (SELECT doc_id, $wordsSql AS ws FROM documents))),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS a, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.doc_id + 1 = b.doc_id AND a.sh = b.sh
+           GROUP BY a.doc_id)
+         SELECT za.doc_id AS a, za.doc_id + 1 AS b,
+                ${Portable.rSql(
+                  "coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))", 6)}
+                  AS jaccard
+         FROM sizes za
+         JOIN sizes zb ON zb.doc_id = za.doc_id + 1
+         LEFT JOIN inter i ON i.a = za.doc_id
+         ORDER BY a""",
+    "Q-llm-09" ->
+      """SELECT doc_id,
+                ((length(text) - length(replace(text, 'the', ''))) / 3
+               + (length(text) - length(replace(text, 'and', ''))) / 3
+               + (length(text) - length(replace(text, 'ing', ''))) / 3)::BIGINT AS score_en,
+                ((length(text) - length(replace(text, 'sch', ''))) / 3
+               + (length(text) - length(replace(text, 'der', ''))) / 3
+               + (length(text) - length(replace(text, 'ein', ''))) / 3)::BIGINT AS score_de,
+                ((length(text) - length(replace(text, 'le ', ''))) / 3
+               + (length(text) - length(replace(text, 'ent', ''))) / 3
+               + (length(text) - length(replace(text, 'eau', ''))) / 3)::BIGINT AS score_fr,
+                ((length(text) - length(replace(text, 'os ', ''))) / 3
+               + (length(text) - length(replace(text, 'ar ', ''))) / 3
+               + (length(text) - length(replace(text, 'el ', ''))) / 3)::BIGINT AS score_es,
+                CASE WHEN score_en >= greatest(score_de, score_fr, score_es) THEN 'en'
+                     WHEN score_de >= greatest(score_fr, score_es) THEN 'de'
+                     WHEN score_fr >= score_es THEN 'fr'
+                     ELSE 'es' END AS predicted,
+                lang
+         FROM documents ORDER BY doc_id""",
+    "Q-llm-10" ->
+      s"""SELECT doc_id,
+                len(ws)::BIGINT AS n_words,
+                ${Portable.rSql(
+                  "CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and'))) AS DOUBLE)" +
+                  " / len(ws)", 6)} AS stopword_ratio,
+                ${Portable.rSql(
+                  "CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)", 6)} AS unique_ratio,
+                ${Portable.rSql(
+                  "0.3 * least(len(ws) / 100.0, 1.0)" +
+                  " + 0.4 * (CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws))" +
+                  " + 0.3 * (CAST(len(list_filter(ws, w -> w IN ('the','a','of','to','and'))) AS DOUBLE) / len(ws))",
+                  6)} AS quality
+         FROM (SELECT doc_id, $wordsSql AS ws FROM documents)
+         ORDER BY doc_id""",
+    "Q-llm-11" ->
+      """SELECT doc_id,
+                len(string_split_regex(trim(text), '\s+'))::BIGINT AS ws_tokens,
+                len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS re_tokens,
+                ceil(n_chars / 4.0)::BIGINT AS est_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "Q-llm-12" ->
+      s"""SELECT d.doc_id, f.fingerprint
+         FROM documents d LEFT JOIN (
+           SELECT doc_id, min(md5(gram)) AS fingerprint FROM (
+             SELECT doc_id, unnest(${shinglesSql(8).replace("ws", "str_split(text, ' ')")}) AS gram
+             FROM documents)
+           GROUP BY doc_id) f ON f.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "Q-mm-01" ->
+      """SELECT doc_id AS asset_id,
+                length(text)::BIGINT AS n_bytes,
+                md5(text) AS content_hash,
+                (length(text) % 640)::BIGINT AS fake_width,
+                (length(text) * 7 % 256)::BIGINT AS fake_brightness,
+                (length(text) // 1000 + 1)::BIGINT AS frame_count
+         FROM documents ORDER BY asset_id"""
+  )
+}

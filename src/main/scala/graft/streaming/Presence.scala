@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Per-device presence detection — the reference's eponymous purpose
+  * (`WeatherProcessingJob.java:93` `getDronePresenceProducer`, sink topic
+  * `WeatherPresenceEvent` at `:87`): derive online/offline transition events
+  * from a keyed telemetry stream with a TTL.
+  *
+  * Semantics: a device is ONLINE from its first event; if the gap to the
+  * next event exceeds `ttlMillis`, it went OFFLINE at `last_seen + ttl` and
+  * comes ONLINE again at the next event. Only data-derived transitions are
+  * emitted (the trailing timeout needs a later watermark advance to be
+  * observable — deterministic replay keeps to what the data proves).
+  *
+  * Scale: state is ONE long per device (last-seen), evicted by event-time
+  * timeout on a cluster run; a flooding device costs O(its events in the
+  * batch) sorted in memory — bounded by micro-batch size, spillable via
+  * maxFilesPerTrigger/maxOffsetsPerTrigger admission control.
+  */
+object Presence {
+
+  case class DeviceEvent(device_id: Long, ts_ms: Long)
+  case class PresenceEvent(device_id: Long, state: String, ts_ms: Long)
+  case class DeviceState(lastSeenMs: Long)
+
+  def transitions(ttlMillis: Long)(
+      deviceId: Long,
+      events: Iterator[DeviceEvent],
+      state: GroupState[DeviceState]): Iterator[PresenceEvent] = {
+    // micro-batch rows arrive unsorted: order by event time within the batch
+    val sorted = events.toSeq.sortBy(_.ts_ms)
+    if (sorted.isEmpty) return Iterator.empty
+    val out = Seq.newBuilder[PresenceEvent]
+    var last: Option[Long] = state.getOption.map(_.lastSeenMs)
+    for (e <- sorted) {
+      last match {
+        case None =>
+          out += PresenceEvent(deviceId, "online", e.ts_ms)
+        case Some(prev) if e.ts_ms - prev > ttlMillis =>
+          out += PresenceEvent(deviceId, "offline", prev + ttlMillis)
+          out += PresenceEvent(deviceId, "online", e.ts_ms)
+        case _ => () // still online
+      }
+      last = Some(e.ts_ms)
+    }
+    state.update(DeviceState(last.get))
+    out.result().iterator
+  }
+
+  /** Wire the stateful operator over a (device_id, ts) stream. */
+  def detect(spark: SparkSession, events: DataFrame, ttlMillis: Long): Dataset[PresenceEvent] = {
+    import spark.implicits._
+    events
+      .select(col("device_id"), col("ts_ms"))
+      .as[DeviceEvent]
+      .groupByKey(_.device_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(transitions(ttlMillis))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.Tables
+
+/** Batch-equivalence replay harness (SURVEY.md §5.2): run a Structured
+  * Streaming query over a file source with `Trigger.AvailableNow`, drain it
+  * into a memory sink, and return the sink table as a batch DataFrame. The
+  * driver's DuckDB oracle then checks the streaming result against the
+  * batch rendering of the same semantics.
+  *
+  * This mirrors how the reference job would be validated: its Kafka source
+  * (`WeatherProcessingJob.java:65-77`) replaced by a replayable file source,
+  * everything downstream identical.
+  */
+object Replay {
+
+  private val counter = new AtomicInteger(0)
+
+  /** Events table as an unbounded stream. Schema comes from the static
+    * footer (ts surfaces as long nanos — see Tables.t) and is converted to
+    * an event-time TIMESTAMP column exactly like the batch path. */
+  private val streamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The streaming parquet source requires a DIRECTORY; testdata tables are
+    * single files. Expose `events.parquet` through a symlinked temp dir
+    * (created once per sf dir). */
+  private def eventsDir(dir: String): String =
+    streamDirs.computeIfAbsent(dir, { _ =>
+      val tmp = Files.createTempDirectory("graft_events_stream")
+      Files.createSymbolicLink(
+        tmp.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      tmp.toString
+    })
+
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(Tables.path(dir, "events")) // schema only
+    spark.readStream
+      .schema(raw.schema)
+      .parquet(eventsDir(dir))
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Drain a streaming DataFrame via AvailableNow into a memory sink;
+    * returns the materialized result. */
+  def run(streamDf: DataFrame, outputMode: String,
+          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val spark = streamDf.sparkSession
+    val name = s"replay_${counter.incrementAndGet()}"
+    val q = streamDf.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft_ckpt_$name").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Like `run` but also reports watermark drops. The caller controls
+    * micro-batch granularity via the SOURCE option `maxFilesPerTrigger`
+    * (late-data tests split on-time/late rows into separate files).
+    * Returns (result, numRowsDroppedByWatermark summed over batches). */
+  def runWithDropCount(streamDf: DataFrame, outputMode: String): (DataFrame, Long) = {
+    val spark = streamDf.sparkSession
+    val name = s"replay_${counter.incrementAndGet()}"
+    val q = streamDf.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .option("checkpointLocation",
+        Files.createTempDirectory(s"graft_ckpt_$name").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dropped = Option(q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+        .recentProgress)
+      .map(_.flatMap(p => Option(p.stateOperators).toSeq.flatten
+        .map(_.numRowsDroppedByWatermark)).sum)
+      .getOrElse(0L)
+    (spark.table(name), dropped)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.codec.AvroEnvelope
+import graft.codec.AvroEnvelope.WeatherReading
+import graft.core.EngineSession
+
+/** Codec + stateful-op properties (SURVEY.md §5.3): envelope round-trip
+  * identity, poison-pill tolerance (drop, never throw — mirroring
+  * WeatherKafkaAvroDeserializerSchema.java:65-67), schema-name guard
+  * (:47-50), and writer->reader schema resolution (:53-63).
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+
+  val genReading: Gen[WeatherReading] = for {
+    dev <- Gen.alphaNumStr.suchThat(_.nonEmpty)
+    ts <- Gen.chooseNum(0L, 2000000000000L)
+    t <- Gen.option(Gen.chooseNum(-50.0, 50.0))
+    h <- Gen.option(Gen.chooseNum(0.0, 100.0))
+    w <- Gen.option(Gen.chooseNum(0.0, 80.0))
+    p <- Gen.option(Gen.chooseNum(900.0, 1100.0))
+  } yield WeatherReading(dev, ts, t, h, w, p)
+
+  test("envelope round-trip is the identity under the v2 writer") {
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val rs = Gen.listOfN(20, genReading)
+        .apply(Gen.Parameters.default, Seed(seed)).get
+      val enc = rs.map(r => AvroEnvelope.encode(r, 2, AvroEnvelope.defaultRegistry))
+      val out = AvroEnvelope.decode(spark, spark.createDataset(enc)).collect().toList
+      assert(out.sortBy(r => (r.deviceId, r.timestamp)) ==
+             rs.sortBy(r => (r.deviceId, r.timestamp)), s"seed=$seed")
+    }
+  }
+
+  test("v1-written records resolve to the v2 reader with defaulted pressure") {
+    import spark.implicits._
+    val r = WeatherReading("dev", 42L, Some(1.5), None, Some(3.0), Some(999.0))
+    val enc = AvroEnvelope.encode(r, 1, AvroEnvelope.defaultRegistry) // v1: no pressure field
+    val out = AvroEnvelope.decode(spark, spark.createDataset(Seq(enc))).collect()
+    assert(out.length == 1)
+    assert(out.head == r.copy(pressure = None)) // resolution fills the default
+  }
+
+  test("corrupt payloads and unknown magics drop, never throw") {
+    import spark.implicits._
+    val good = AvroEnvelope.encode(
+      WeatherReading("ok", 1L, None, None, None, None), 2, AvroEnvelope.defaultRegistry)
+    val corrupted = good.take(3) ++ Array[Byte](127, -1, 0) // truncated/garbage body
+    val unknownMagic = 42.toByte +: good.tail
+    val empty = Array.empty[Byte]
+    val out = AvroEnvelope.decode(spark,
+      spark.createDataset(Seq(good, corrupted, unknownMagic, empty))).collect()
+    assert(out.map(_.deviceId).toSeq == Seq("ok"))
+  }
+
+  test("schema-name guard drops alien-named records (ref :47-50)") {
+    import spark.implicits._
+    val alien = AvroEnvelope.encode(
+      WeatherReading("alien", 7L, None, None, None, None), 9, AvroEnvelope.defaultRegistry)
+    val out = AvroEnvelope.decode(spark, spark.createDataset(Seq(alien))).collect()
+    assert(out.isEmpty)
+  }
+
+  test("presence transitions on a hand fixture") {
+    import graft.streaming.Presence._
+    val events = Iterator(
+      DeviceEvent(1, 1000L), DeviceEvent(1, 2000L), DeviceEvent(1, 100000L))
+    val state = new TestGroupState[DeviceState]
+    val out = transitions(ttlMillis = 10000L)(1L, events, state).toList
+    assert(out == List(
+      PresenceEvent(1, "online", 1000L),
+      PresenceEvent(1, "offline", 12000L), // 2000 + ttl
+      PresenceEvent(1, "online", 100000L)))
+    assert(state.value.contains(DeviceState(100000L)))
+  }
+}
+
+/** Minimal GroupState stub for pure-function tests of the state logic. */
+class TestGroupState[T] extends org.apache.spark.sql.streaming.GroupState[T] {
+  var value: Option[T] = None
+  override def exists: Boolean = value.isDefined
+  override def get: T = value.get
+  override def getOption: Option[T] = value
+  override def update(v: T): Unit = value = Some(v)
+  override def remove(): Unit = value = None
+  override def hasTimedOut: Boolean = false
+  override def setTimeoutDuration(ms: Long): Unit = ()
+  override def setTimeoutDuration(d: String): Unit = ()
+  override def setTimeoutTimestamp(ms: Long): Unit = ()
+  override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+  override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+  override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+  override def getCurrentWatermarkMs(): Long = 0L
+  override def getCurrentProcessingTimeMs(): Long = 0L
+}

@@ -73,10 +73,18 @@ object AvroEnvelope {
   val readerSchemaJson: String = v2SchemaJson
 
   // ---------------------------------------------------------------- encode
+  // Parsed-schema cache: encode() sits in a per-record hot path (Q-scan-04
+  // encodes the whole events table); re-parsing the JSON per record would
+  // dominate the runtime. Schema instances are immutable/thread-safe.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Schema]()
+  private def parsedSchema(json: String): Schema =
+    schemaCache.computeIfAbsent(json, j => new Schema.Parser().parse(j))
+
   /** Encode one record under the given writer schema version (test/fixture
     * side; the reference's producers live outside its repo). */
   def encode(r: WeatherReading, magic: Byte, registry: Map[Byte, String]): Array[Byte] = {
-    val schema = new Schema.Parser().parse(registry(magic))
+    val schema = parsedSchema(registry(magic))
     val rec = new GenericData.Record(schema)
     rec.put("deviceId", r.deviceId)
     rec.put("timestamp", r.timestamp)

@@ -41,8 +41,13 @@ object LlmOps {
     // beyond actual bucket collisions.
     "Q-llm-02" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // the shingle set feeds four downstream plans (signatures, sizes, and
+      // both sides of the intersection join) — persist it once instead of
+      // re-running explode+distinct per consumer (on a cluster: a persisted
+      // or checkpointed intermediate dataset)
       val sh = docs.select(col("doc_id"),
           explode(shingles(words(col("text")), 3)).as("sh")).distinct()
+        .persist()
       val sigCols = (0 until BANDS).map(b => min(seededHash(b, col("sh"))).as(s"sig_$b"))
       val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val bands = sigs.select(col("doc_id"), explode(array(

@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.core.EngineSession
+
+/** Dev tool: assert the physical plans have the scale-critical shapes —
+  * filter/column pushdown into the parquet scan, broadcast joins for dims,
+  * TakeOrderedAndProject for global top-k, whole-stage codegen coverage.
+  * Prints PLAN-OK / PLAN-BAD lines; run after plan-affecting changes.
+  */
+object ExplainCheck {
+
+  def main(args: Array[String]): Unit = {
+    val s = EngineSession.getOrCreate("explain-check")
+    val d = "/root/testdata/sf0.001"
+
+    def plan(name: String): String = {
+      val df = SparkEntry.queries(name)(s, d)
+      df.queryExecution.executedPlan.toString
+    }
+
+    def check(name: String, what: String, pred: String => Boolean): Unit = {
+      val p = plan(name)
+      val ok = pred(p)
+      println(s"${if (ok) "PLAN-OK " else "PLAN-BAD"} $name: $what")
+      if (!ok) println(p.linesIterator.take(40).mkString("\n"))
+    }
+
+    // predicate pushdown reaches the parquet scan
+    check("Q-filt-01", "PushedFilters on orders scan",
+      _.contains("PushedFilters: [") )
+    // column pruning: Q-proj-01 must not read all 11 lineitem columns
+    check("Q-proj-01", "pruned ReadSchema (no l_shipdate in scan)",
+      p => p.contains("ReadSchema") && !p.contains("l_shipdate"))
+    // dim joins broadcast
+    check("Q-join-04", "BroadcastHashJoin for nation/region",
+      _.contains("BroadcastHashJoin"))
+    check("Q-join-07", "BroadcastHashJoin present in 6-table join",
+      _.contains("BroadcastHashJoin"))
+    // global top-k plans as TakeOrderedAndProject
+    check("Q-sort-02", "TakeOrderedAndProject",
+      _.contains("TakeOrderedAndProject"))
+    // range join is an equi-join (shuffle/broadcast hash), NOT a BNLJ
+    check("Q-join-05", "no BroadcastNestedLoopJoin",
+      p => !p.contains("BroadcastNestedLoopJoin"))
+    // cosine expression stays inside whole-stage codegen (execute first:
+    // under AQE the final plan only materializes after an action)
+    locally {
+      val df = SparkEntry.queries("Q-llm-03")(s, d)
+      df.collect() // finalize the AQE plan on THIS DataFrame's execution
+      val p = df.queryExecution.executedPlan.toString
+      // codegen stages render as "*(n) Project ..." in the simple plan
+      val ok = p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")) &&
+        !p.contains("CodegenFallback")
+      println(s"${if (ok) "PLAN-OK " else "PLAN-BAD"} Q-llm-03: " +
+        "cosine_sim projection inside a WholeStageCodegen stage")
+      if (!ok) println(p.linesIterator.take(40).mkString("\n"))
+      // the auto partial top-k is the 100 TB safeguard: only k rows per
+      // partition reach the rank shuffle
+      val gl = p.contains("WindowGroupLimit") && p.contains("Partial")
+      println(s"${if (gl) "PLAN-OK " else "PLAN-BAD"} Q-llm-03: " +
+        "partial WindowGroupLimit before exchange")
+    }
+    // partial aggregation before the shuffle (map-side combine)
+    check("Q-agg-01", "partial HashAggregate before exchange",
+      p => p.contains("HashAggregate") && p.contains("Exchange"))
+    s.stop()
+  }
+}

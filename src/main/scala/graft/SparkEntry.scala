@@ -25,7 +25,8 @@ object SparkEntry {
     (Functions.queries, Functions.oracle),
     (CustomOps.queries, CustomOps.oracle),
     (LlmOps.queries, LlmOps.oracle),
-    (StreamingQueries.queries, StreamingQueries.oracle)
+    (StreamingQueries.queries, StreamingQueries.oracle),
+    (Extras.queries, Extras.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

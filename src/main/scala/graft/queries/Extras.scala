@@ -1,0 +1,167 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.IvfIndex
+
+/** Completeness extensions beyond SURVEY §2B's initial list:
+  *  - Q-llm-13: embedding-cosine near-dup dedup (the 5th dedup mode) —
+  *    IVF-centroid blocking + exact cosine verification;
+  *  - Q-sub-01/02: correlated scalar / EXISTS / IN subqueries (Catalyst
+  *    decorrelation, SURVEY §4);
+  *  - Q-scan-05: ORC round-trip (second columnar format);
+  *  - Q-mm-02: multimodal resize + frame-sample stages.
+  */
+object Extras {
+
+  // bit-exact sequential-double cosine between two DuckDB list columns
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)),
+        i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+             i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+             i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))"""
+
+  val queries: Map[String, Q] = Map(
+    // ---- Q-llm-13: embedding-cosine near-dup. Blocking by shared IVF
+    // centroid keeps the pair space O(sum of cell^2) instead of O(n^2);
+    // candidates are verified with the exact codegen cosine. The oracle
+    // replicates the same centroid assignment, so results hash-match even
+    // though blocking is approximate (scale path: same-cell pair
+    // generation is a per-cell equi-join, partitionable by centroid_id).
+    "Q-llm-13" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = IvfIndex.centroids(emb, "vec_id", "embedding", nlist = 16)
+      val assigned = IvfIndex.assign(emb, cents, "vec_id", "embedding")
+      val x = assigned.select(col("centroid_id"), col("vec_id").as("a"),
+        col("embedding").as("ea"))
+      val y = assigned.select(col("centroid_id"), col("vec_id").as("b"),
+        col("embedding").as("eb"))
+      graft.functions.CosineSim.register(s)
+      x.join(y, Seq("centroid_id"))
+        .filter(col("a") < col("b"))
+        .withColumn("sim", expr("cosine_sim(ea, eb)"))
+        .filter(col("sim") >= 0.4)
+        .select(col("a"), col("b"), Portable.r(col("sim"), 6).as("sim"))
+        .orderBy("a", "b")
+    },
+
+    // ---- Q-sub-01: correlated scalar subquery (TPC-H Q17 flavor)
+    "Q-sub-01" -> { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(s"""
+        SELECT l.l_partkey, count(*) AS n,
+               ${Portable.rSql(
+                 "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS small_rev
+        FROM lineitem l
+        WHERE l.l_quantity < (
+          SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                        / count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey ORDER BY l.l_partkey""")
+    },
+
+    // ---- Q-sub-02: EXISTS / IN / NOT IN subqueries (decorrelated)
+    "Q-sub-02" -> { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c_custkey,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 150000) AS has_big_order,
+               c_custkey IN (SELECT user_id FROM events
+                             WHERE event_type = 'purchase') AS is_purchaser
+        FROM customer c ORDER BY c_custkey""")
+    },
+
+    // ---- Q-scan-05: ORC round-trip (columnar format #2)
+    "Q-scan-05" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_scan05").toString
+      Tables.orders(s, d).filter(col("o_totalprice") > 50000)
+        .write.mode("overwrite").orc(s"$tmp/orders_orc")
+      s.read.orc(s"$tmp/orders_orc")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- Q-mm-02: multimodal resize + frame-sample stages over the
+    // decoded features (deterministic stub arithmetic; the real pipeline
+    // swaps only the kernel, the partition-parallel shape is identical)
+    "Q-mm-02" -> { (s, d) =>
+      val feats = graft.multimodal.Multimodal
+        .featuresFromDocuments(s, Tables.documents(s, d))
+      feats.select(
+          col("asset_id"),
+          col("fake_width"),
+          (col("fake_width") / lit(2)).cast("bigint").as("resized_w"),
+          least(col("fake_width"), lit(224)).as("crop_w"),
+          col("frame_count"),
+          ((col("frame_count") + 3) / lit(4)).cast("bigint").as("sampled_frames"))
+        .orderBy("asset_id")
+    }
+  )
+
+  private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
+
+  val oracle: Map[String, String] = Map(
+    "Q-llm-13" ->
+      s"""WITH cents AS (
+           SELECT (vec_id // $centStep)::INT AS centroid_id, embedding AS cv
+           FROM embeddings
+           WHERE vec_id % $centStep = 0 AND vec_id // $centStep < 16),
+         scored AS (
+           SELECT e.vec_id, e.embedding, c.centroid_id,
+                  ${cosSql("e.embedding", "c.cv")} AS sim_c
+           FROM embeddings e, cents c),
+         assigned AS (
+           SELECT vec_id, embedding, centroid_id FROM (
+             SELECT vec_id, embedding, centroid_id,
+                    row_number() OVER (PARTITION BY vec_id
+                      ORDER BY sim_c DESC, centroid_id) AS rn
+             FROM scored) WHERE rn = 1),
+         pairs AS (
+           SELECT x.vec_id AS a, y.vec_id AS b,
+                  ${cosSql("x.embedding", "y.embedding")} AS sim
+           FROM assigned x JOIN assigned y
+             ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id)
+         SELECT a, b, ${Portable.rSql("sim", 6)} AS sim
+         FROM pairs WHERE sim >= 0.4 ORDER BY a, b""",
+    "Q-sub-01" ->
+      s"""SELECT l.l_partkey, count(*)::BIGINT AS n,
+               ${Portable.rSql(
+                 "CAST(sum(CAST(l.l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS small_rev
+         FROM lineitem l
+         WHERE l.l_quantity < (
+           SELECT 0.5 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                         / count(*))
+           FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+         GROUP BY l.l_partkey ORDER BY l.l_partkey""",
+    "Q-sub-02" ->
+      """SELECT c_custkey,
+               EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 150000) AS has_big_order,
+               c_custkey IN (SELECT user_id FROM events
+                             WHERE event_type = 'purchase') AS is_purchaser
+         FROM customer c ORDER BY c_custkey""",
+    "Q-scan-05" ->
+      s"""SELECT o_orderstatus, count(*)::BIGINT AS n,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS total
+         FROM orders WHERE o_totalprice > 50000
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "Q-mm-02" ->
+      """SELECT doc_id AS asset_id,
+                (length(text) % 640)::BIGINT AS fake_width,
+                ((length(text) % 640) // 2)::BIGINT AS resized_w,
+                least((length(text) % 640), 224)::BIGINT AS crop_w,
+                (length(text) // 1000 + 1)::BIGINT AS frame_count,
+                ((length(text) // 1000 + 1 + 3) // 4)::BIGINT AS sampled_frames
+         FROM documents ORDER BY asset_id"""
+  )
+}

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.CosineSim
+
+/** Library install hook: `spark.sql.extensions=graft.GraftExtensions`
+  * registers the engine's native expressions on every session (the
+  * idiomatic deployment path for a Spark-native library — no per-session
+  * imperative registration required).
+  *
+  * Usage:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  *     ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(
+        classOf[CosineSim].getName, null, "cosine_sim",
+        "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSim(exprs.head, exprs(1))))
+  }
+}

@@ -102,13 +102,23 @@ object AvroEnvelope {
 
   // ---------------------------------------------------------------- decode
   /** Decode a Dataset of envelope byte arrays; bad records are dropped
-    * (poison-pill tolerance, ref :65-67). */
+    * (poison-pill tolerance, ref :65-67). The reference logs each drop
+    * (`:48,66`); here drops are counted distributedly in an accumulator —
+    * `decodeWithMetrics` exposes it for monitoring/alerting. */
   def decode(
       spark: SparkSession,
       envelopes: Dataset[Array[Byte]],
-      registry: Map[Byte, String] = defaultRegistry): Dataset[WeatherReading] = {
+      registry: Map[Byte, String] = defaultRegistry): Dataset[WeatherReading] =
+    decodeWithMetrics(spark, envelopes, registry)._1
+
+  def decodeWithMetrics(
+      spark: SparkSession,
+      envelopes: Dataset[Array[Byte]],
+      registry: Map[Byte, String] = defaultRegistry)
+      : (Dataset[WeatherReading], org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
-    envelopes.mapPartitions { it =>
+    val dropped = spark.sparkContext.longAccumulator("graft.codec.dropped")
+    val decoded = envelopes.mapPartitions { it =>
       // per-partition init: parse schemas once, build one reader per writer
       // schema, reuse the BinaryDecoder across records (ref :26,52)
       val parser = new Schema.Parser()
@@ -125,13 +135,14 @@ object AvroEnvelope {
 
       it.flatMap { bytes =>
         try {
-          if (bytes == null || bytes.length < 2) None
+          if (bytes == null || bytes.length < 2) { dropped.add(1); None }
           else {
             val magic = bytes(0)
             readers.get(magic) match {
-              case None => None // unknown version: drop (ref logs + drops)
+              case None => // unknown version: drop (ref logs + drops)
+                dropped.add(1); None
               case Some(_) if writerNames(magic) != reader.getName =>
-                None // schema-name guard (ref :47-50)
+                dropped.add(1); None // schema-name guard (ref :47-50)
               case Some(r) =>
                 decoder = DecoderFactory.get()
                   .binaryDecoder(bytes, 1, bytes.length - 1, decoder)
@@ -146,10 +157,12 @@ object AvroEnvelope {
             }
           }
         } catch {
-          case NonFatal(_) => None // corrupt body: drop, don't fail the job
+          case NonFatal(_) => // corrupt body: drop, don't fail the job
+            dropped.add(1); None
         }
       }
     }
+    (decoded, dropped)
   }
 
   /** DataFrame variant over a binary column named `value`. */

@@ -103,6 +103,39 @@ object Extras {
           col("frame_count"),
           ((col("frame_count") + 3) / lit(4)).cast("bigint").as("sampled_frames"))
         .orderBy("asset_id")
+    },
+
+    // ---- Q-agg-08: PIVOT (explicit value list => no extra distinct scan)
+    "Q-agg-08" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(Portable.r(Portable.dsum(col("l_quantity")), 2))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Q-agg-09: UNPIVOT / melt
+    "Q-agg-09" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber").limit(2000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure")
+    },
+
+    // ---- Q-join-10: salted skew-resistant join — must produce EXACTLY the
+    // plain join's result (the oracle is the unsalted join)
+    "Q-join-10" -> { (s, d) =>
+      val joined = graft.operators.SaltedJoin.inner(
+        Tables.events(s, d), Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+          .withColumnRenamed("c_custkey", "user_id"),
+        key = "user_id", probeSaltExpr = col("event_id"), buckets = 8)
+      joined.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("value")), 2).as("val_sum"))
+        .orderBy("c_mktsegment")
     }
   )
 
@@ -162,6 +195,30 @@ object Extras {
                 least((length(text) % 640), 224)::BIGINT AS crop_w,
                 (length(text) // 1000 + 1)::BIGINT AS frame_count,
                 ((length(text) // 1000 + 1 + 3) // 4)::BIGINT AS sampled_frames
-         FROM documents ORDER BY asset_id"""
+         FROM documents ORDER BY asset_id""",
+    "Q-agg-08" ->
+      s"""SELECT l_returnflag,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) FILTER (l_linestatus = 'F') AS DOUBLE)", 2)} AS F,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) FILTER (l_linestatus = 'O') AS DOUBLE)", 2)} AS O
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "Q-agg-09" ->
+      """SELECT l_orderkey, l_linenumber, measure, val FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+           FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000)
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+           FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000)
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+           FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000))
+         ORDER BY l_orderkey, l_linenumber, measure""",
+    "Q-join-10" ->
+      s"""SELECT c_mktsegment, count(*)::BIGINT AS n,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS val_sum
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
   )
 }

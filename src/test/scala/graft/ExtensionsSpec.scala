@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.EngineSession
+
+/** GraftExtensions: the library's SparkSessionExtensions install path, and
+  * batch==streaming equivalence inside Spark itself (SURVEY §5.2-3) — the
+  * DuckDB oracle already checks both against SQL; this asserts the two
+  * Spark execution modes agree with each other bit-for-bit.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("cosine_sim is available on a session built with GraftExtensions") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      val sim = Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b")
+        .selectExpr("cosine_sim(a, b) AS s").head.getDouble(0)
+      assert(math.abs(sim - 1.0) < 1e-12)
+    } finally {
+      prev.foreach { p =>
+        SparkSession.setDefaultSession(p)
+        SparkSession.setActiveSession(p)
+      }
+    }
+  }
+
+  test("streaming tumbling-window replay == batch computation (Spark vs Spark)") {
+    val spark = EngineSession.getOrCreate("graft-test")
+    val sf = "/root/testdata/sf0.001"
+    val streaming = SparkEntry.queries("Q-str-01")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.core.Tables.events(spark, sf)
+      .groupBy(
+        (floor(unix_timestamp(col("ts")) / 10) * 10).as("ws_sec"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        graft.queries.Portable.r(
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(30, 10)))
+            .cast("double"), 2).as("val_sum"))
+      .collect().map(_.toSeq).toSet
+    assert(streaming == batch)
+  }
+
+  test("streaming dedup == batch distinct (Spark vs Spark)") {
+    val spark = EngineSession.getOrCreate("graft-test")
+    val sf = "/root/testdata/sf0.001"
+    val streaming = SparkEntry.queries("Q-str-06")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.core.Tables.events(spark, sf)
+      .select("user_id", "event_type").distinct()
+      .collect().map(_.toSeq).toSet
+    assert(streaming == batch)
+  }
+}

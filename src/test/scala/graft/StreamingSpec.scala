@@ -55,9 +55,11 @@ class StreamingSpec extends AnyFunSuite {
     val corrupted = good.take(3) ++ Array[Byte](127, -1, 0) // truncated/garbage body
     val unknownMagic = 42.toByte +: good.tail
     val empty = Array.empty[Byte]
-    val out = AvroEnvelope.decode(spark,
-      spark.createDataset(Seq(good, corrupted, unknownMagic, empty))).collect()
+    val (ds, dropped) = AvroEnvelope.decodeWithMetrics(spark,
+      spark.createDataset(Seq(good, corrupted, unknownMagic, empty)))
+    val out = ds.collect()
     assert(out.map(_.deviceId).toSeq == Seq("ok"))
+    assert(dropped.value == 3) // corrupt + unknown magic + empty, all counted
   }
 
   test("schema-name guard drops alien-named records (ref :47-50)") {

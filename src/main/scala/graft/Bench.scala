@@ -33,6 +33,8 @@ object Bench {
     "Q-llm-03",   // brute-force cosine top-k (codegen expression)
     "Q-llm-08",   // IVF-ANN
     "Q-llm-11",   // token counting
+    "Q-llm-13",   // embedding-cosine near-dup (IVF-blocked)
+    "Q-sub-01",   // correlated scalar subquery (decorrelated)
     "Q-scan-04",  // Avro envelope encode+decode round-trip
     "Q-str-01",   // streaming tumbling-window replay
     "Q-str-05"    // streaming presence detection

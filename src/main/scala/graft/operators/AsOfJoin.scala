@@ -47,8 +47,12 @@ object AsOfJoin {
       .withColumn("__side", lit(1))
       .unionByName(r2, allowMissingColumns = true)
 
+    // __r as the final sort key: among right rows tied on (key, ts) the
+    // greatest payload struct wins deterministically (matches the
+    // max-struct reference semantics; without it the winner would depend
+    // on sort stability)
     val w = Window.partitionBy(by)
-      .orderBy(col(on), col("__side"))
+      .orderBy(col(on), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matched = l2

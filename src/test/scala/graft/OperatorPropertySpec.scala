@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.EngineSession
+import graft.operators.{AsOfJoin, RangeJoin, SaltedJoin}
+
+/** Equivalence properties for the custom join operators on seeded random
+  * data: each scale-oriented implementation must produce EXACTLY the result
+  * of its naive reference composition (SURVEY §5.3).
+  */
+class OperatorPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+  import spark.implicits._
+
+  private def randomEvents(seed: Long, n: Int) = {
+    val g = for {
+      uid <- Gen.chooseNum(0L, 5L)
+      off <- Gen.chooseNum(0L, 3600L)
+    } yield (uid, off)
+    Gen.listOfN(n, g).apply(Gen.Parameters.default, Seed(seed)).get
+      .zipWithIndex
+      .map { case ((uid, off), i) =>
+        (i.toLong, uid, new java.sql.Timestamp(1700000000000L + off * 1000L))
+      }
+      .toDF("id", "uid", "ts")
+  }
+
+  test("RangeJoin.timeBand == naive theta join (5 random datasets)") {
+    for (seed <- 1L to 5L) {
+      val ev = randomEvents(seed, 300)
+      val banded = RangeJoin.timeBand(ev, ev, "ts", "ts", deltaSeconds = 300,
+          extra = (_, _) => col("a_uid") =!= col("b_uid"))
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val a = ev.toDF("a_id", "a_uid", "a_ts")
+      val b = ev.toDF("b_id", "b_uid", "b_ts")
+      val naive = a.join(b,
+          col("b_ts") > col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 300 SECONDS") &&
+          col("a_uid") =!= col("b_uid"))
+        .select(col("a_id"), col("b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(banded == naive, s"seed=$seed")
+    }
+  }
+
+  test("AsOfJoin.backward == window-based reference (5 random datasets)") {
+    for (seed <- 1L to 5L) {
+      val ev = randomEvents(seed, 200)
+      val left = ev.filter(col("id") % 2 === 0).select("id", "uid", "ts")
+      val right = ev.filter(col("id") % 2 === 1)
+        .select(col("uid"), col("ts"), col("id").as("rid"))
+      val got = AsOfJoin.backward(left, right, on = "ts", by = "uid",
+          payload = Seq("rid"))
+        .select("id", "right_rid")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // naive reference: per left row, the max-(ts, rid) right row at/before
+      val naive = left.as("l").join(right.as("r"),
+          col("l.uid") === col("r.uid") && col("r.ts") <= col("l.ts"), "left")
+        .groupBy(col("l.id"))
+        .agg(max(struct(col("r.ts"), col("r.rid"))).as("m"))
+        .select(col("id"), col("m.rid"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(got == naive, s"seed=$seed")
+    }
+  }
+
+  test("SaltedJoin.inner == plain inner join (5 random datasets)") {
+    for (seed <- 1L to 5L) {
+      val probe = randomEvents(seed, 400).select(col("id"), col("uid"))
+      val build = (0L to 5L).map(u => (u, s"seg$u")).toDF("uid", "seg")
+      val got = SaltedJoin.inner(probe, build, "uid", col("id"), buckets = 8)
+        .select("id", "seg").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val plain = probe.join(build, Seq("uid"))
+        .select("id", "seg").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == plain, s"seed=$seed")
+    }
+  }
+}

@@ -161,7 +161,8 @@ object StreamingQueries {
     // ---- Q-str-05: presence detection (the reference's purpose) — TTL 1 h
     "Q-str-05" -> { (s, d) =>
       val stream = Replay.eventsStream(s, d)
-        .select(col("user_id").as("device_id"), unix_millis(col("ts")).as("ts_ms"))
+        .select(col("user_id").cast("string").as("device_id"),
+          unix_millis(col("ts")).as("ts_ms"))
       Replay.run(
         Presence.detect(s, stream, ttlMillis = 3600000L).toDF(),
         "append").orderBy("device_id", "ts_ms", "state")
@@ -282,7 +283,7 @@ object StreamingQueries {
          GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
     "Q-str-05" ->
       """WITH e AS (
-           SELECT user_id AS device_id, epoch_ms(ts) AS ts_ms,
+           SELECT user_id::VARCHAR AS device_id, epoch_ms(ts) AS ts_ms,
                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
            FROM events)
          SELECT device_id, 'online' AS state, ts_ms

@@ -22,12 +22,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Presence {
 
-  case class DeviceEvent(device_id: Long, ts_ms: Long)
-  case class PresenceEvent(device_id: Long, state: String, ts_ms: Long)
+  case class DeviceEvent(device_id: String, ts_ms: Long)
+  case class PresenceEvent(device_id: String, state: String, ts_ms: Long)
   case class DeviceState(lastSeenMs: Long)
 
   def transitions(ttlMillis: Long)(
-      deviceId: Long,
+      deviceId: String,
       events: Iterator[DeviceEvent],
       state: GroupState[DeviceState]): Iterator[PresenceEvent] = {
     // micro-batch rows arrive unsorted: order by event time within the batch

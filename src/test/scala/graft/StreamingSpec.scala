@@ -73,13 +73,13 @@ class StreamingSpec extends AnyFunSuite {
   test("presence transitions on a hand fixture") {
     import graft.streaming.Presence._
     val events = Iterator(
-      DeviceEvent(1, 1000L), DeviceEvent(1, 2000L), DeviceEvent(1, 100000L))
+      DeviceEvent("d1", 1000L), DeviceEvent("d1", 2000L), DeviceEvent("d1", 100000L))
     val state = new TestGroupState[DeviceState]
-    val out = transitions(ttlMillis = 10000L)(1L, events, state).toList
+    val out = transitions(ttlMillis = 10000L)("d1", events, state).toList
     assert(out == List(
-      PresenceEvent(1, "online", 1000L),
-      PresenceEvent(1, "offline", 12000L), // 2000 + ttl
-      PresenceEvent(1, "online", 100000L)))
+      PresenceEvent("d1", "online", 1000L),
+      PresenceEvent("d1", "offline", 12000L), // 2000 + ttl
+      PresenceEvent("d1", "online", 100000L)))
     assert(state.value.contains(DeviceState(100000L)))
   }
 }

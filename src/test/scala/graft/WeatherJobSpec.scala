@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.AvroEnvelope
+import graft.core.{EngineConfig, EngineSession}
+import graft.streaming.Supervisor
+
+/** End-to-end run of the completed reference job (WeatherJob): envelope
+  * files -> decode -> presence plan -> keyed JSON egress, plus the config
+  * and restart-supervision bootstrap pieces.
+  */
+class WeatherJobSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+
+  test("EngineConfig: args override system properties, all forms parse") {
+    System.setProperty("graft.test.key", "fromProps")
+    val c = EngineConfig(Array(
+      "--graft.test.key", "fromArgs", "--flag", "--a=1", "b=2"))
+    assert(c.getOrElse("graft.test.key", "?") == "fromArgs")
+    assert(c.getOrElse("flag", "?") == "true")
+    assert(c.getOrElse("a", "?") == "1")
+    assert(c.getOrElse("b", "?") == "2")
+    System.clearProperty("graft.test.key")
+    assert(EngineConfig(Array.empty[String]).get("graft.test.key").isEmpty)
+  }
+
+  test("Supervisor: backoff schedule matches the reference strategy") {
+    val b = Supervisor.Backoff() // 15 s, x1.5, max 360 s (ref :54-58)
+    assert(Supervisor.delayMs(b, 0) == 15000L)
+    assert(Supervisor.delayMs(b, 1) == 22500L)
+    assert(Supervisor.delayMs(b, 2) == 33750L)
+    assert(Supervisor.delayMs(b, 20) == 360000L) // capped
+    // jitter stays within +-50%
+    for (n <- 0 to 5) {
+      val d = Supervisor.jitteredDelayMs(b, n, seed = 7L)
+      val base = Supervisor.delayMs(b, n)
+      assert(d >= base / 2 && d <= base * 3 / 2)
+    }
+  }
+
+  test("Supervisor: restarts the body with injected sleep, then succeeds") {
+    var calls = 0
+    val slept = collection.mutable.ArrayBuffer[Long]()
+    val restarts = Supervisor.supervise(
+      maxRestarts = 5, seed = 1L, sleep = slept.append(_)) { () =>
+      calls += 1
+      if (calls < 3) throw new RuntimeException(s"boom $calls")
+    }
+    assert(calls == 3 && restarts == 2 && slept.size == 2)
+  }
+
+  test("Supervisor: rethrows after maxRestarts") {
+    intercept[RuntimeException] {
+      Supervisor.supervise(maxRestarts = 1, sleep = _ => ()) { () =>
+        throw new RuntimeException("always")
+      }
+    }
+  }
+
+  test("WeatherJob end-to-end: envelopes -> presence JSON (file source, memory sink)") {
+    import spark.implicits._
+    // build an envelope parquet dir: device A with a 2-hour gap (one
+    // offline+online cycle at TTL 1 h), device B continuous
+    val t0 = 1700000000000L
+    val rows = Seq(
+      ("A", t0), ("A", t0 + 60000L), ("A", t0 + 7260000L), // gap of ~2 h
+      ("B", t0), ("B", t0 + 1800000L), ("B", t0 + 3000000L)) // gaps < 1 h
+    val envelopes = rows.map { case (dev, ts) =>
+      AvroEnvelope.encode(
+        AvroEnvelope.WeatherReading(dev, ts, Some(20.0), None, None, None),
+        2, AvroEnvelope.defaultRegistry)
+    }
+    val srcDir = Files.createTempDirectory("graft_wjob_src").toString
+    envelopes.toDF("value").coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    WeatherJob.main(Array(
+      "--source", "file", "--source.path", srcDir,
+      "--sink", "memory", "--sink.table", "wjob_presence",
+      "--once", "true", "--stopSession", "false",
+      "--presence.ttl.ms", "3600000"))
+
+    val out = spark.table("wjob_presence")
+      .selectExpr("key", "get_json_object(value, '$.state') AS state",
+        "get_json_object(value, '$.ts_ms') AS ts_ms")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2).toLong))
+      .sortBy(t => (t._1, t._3, t._2))
+    val expected = Array(
+      ("A", "online", t0),
+      ("A", "offline", t0 + 60000L + 3600000L),
+      ("A", "online", t0 + 7260000L),
+      ("B", "online", t0)).sortBy(t => (t._1, t._3, t._2))
+    assert(out.toSeq == expected.toSeq)
+  }
+}

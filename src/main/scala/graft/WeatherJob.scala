@@ -50,15 +50,37 @@ object WeatherJob {
       col("device_id").cast("string").as("key"),
       to_json(struct(col("device_id"), col("state"), col("ts_ms"))).as("value"))
 
+  /** The reference's logging map (`WeatherProcessingJob.java:81-84`) is dead
+    * code (its stream is never consumed); its evident intent — per-record
+    * visibility — is realized Spark-first as `observe()` metrics surfaced
+    * through a StreamingQueryListener (no per-record logging cost). */
+  private class MetricsListener
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: QueryProgressEvent): Unit = {
+      val obs = e.progress.observedMetrics
+      if (obs.containsKey("graft_ingest"))
+        System.err.println(
+          s"[weatherjob] batch=${e.progress.batchId} " +
+          s"in=${e.progress.numInputRows} decoded=${obs.get("graft_ingest").getLong(0)}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val conf = EngineConfig(args)
     val spark = EngineSession.getOrCreate("weatherProcessingJob")
+    spark.streams.addListener(new MetricsListener)
     val ttl = conf.getLong("presence.ttl.ms", 3600000L)
 
     val run: () => Unit = () => {
       import spark.implicits._
       val raw = SourceProvider(spark, conf)
       val readings = AvroEnvelope.decode(spark, raw.select("value").as[Array[Byte]])
+        .toDF()
+        .observe("graft_ingest", count(lit(1)).as("decoded_rows"))
+        .as[AvroEnvelope.WeatherReading]
       val out = sinkProjection(plan(spark, readings, ttl))
       val writer = out.writeStream
         .option("checkpointLocation", conf.getOrElse("checkpoint",

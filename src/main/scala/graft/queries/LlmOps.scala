@@ -41,15 +41,17 @@ object LlmOps {
     // beyond actual bucket collisions.
     "Q-llm-02" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      // the shingle set feeds four downstream plans (signatures, sizes, and
-      // both sides of the intersection join) — persist it once instead of
-      // re-running explode+distinct per consumer (on a cluster: a persisted
-      // or checkpointed intermediate dataset)
-      val sh = docs.select(col("doc_id"),
-          explode(shingles(words(col("text")), 3)).as("sh")).distinct()
-        .persist()
-      val sigCols = (0 until BANDS).map(b => min(seededHash(b, col("sh"))).as(s"sig_$b"))
-      val sigs = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // raw (non-distinct) shingles: MIN-based signatures are unaffected by
+      // duplicates, so signatures AND distinct-set sizes come from ONE
+      // groupBy over the raw explode (min x6 + countDistinct) — no separate
+      // distinct shuffle on that path. The distinct set itself is only
+      // needed by the intersection join; persist it once for its two sides.
+      val rawSh = docs.select(col("doc_id"),
+        explode(shingles(words(col("text")), 3)).as("sh"))
+      val sh = rawSh.distinct().persist()
+      val sigCols = (0 until BANDS).map(b => min(seededHash(b, col("sh"))).as(s"sig_$b")) :+
+        countDistinct(col("sh")).as("n_sh")
+      val sigs = rawSh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
       val bands = sigs.select(col("doc_id"), explode(array(
         (0 until BANDS).map(b =>
           struct(lit(b).as("band_id"), col(s"sig_$b").as("key"))): _*)).as("bk"))
@@ -58,7 +60,7 @@ object LlmOps {
           col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val sizes = sigs.select(col("doc_id"), col("n_sh"))
       val inter = cand
         .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
         .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))

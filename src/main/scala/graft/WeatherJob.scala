@@ -88,7 +88,7 @@ object WeatherJob {
         .outputMode("append")
       val trigger =
         if (conf.getOrElse("once", "false") == "true") Trigger.AvailableNow()
-        else Trigger.ProcessingTime(conf.getOrElse("trigger.ms", "1000").toLong + "milliseconds")
+        else Trigger.ProcessingTime(conf.getLong("trigger.ms", 1000L))
       val q = (conf.getOrElse("sink", "file") match {
         case "kafka" => writer.format("kafka")
           .option("kafka.bootstrap.servers", conf.getOrElse("kafka.servers", "localhost:9092"))

@@ -49,13 +49,16 @@ object LlmOps {
       val rawSh = docs.select(col("doc_id"),
         explode(shingles(words(col("text")), 3)).as("sh"))
       val sh = rawSh.distinct().persist()
-      val sigCols = (0 until BANDS).map(b => min(seededHash(b, col("sh"))).as(s"sig_$b")) :+
-        countDistinct(col("sh")).as("n_sh")
-      val sigs = rawSh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val bands = sigs.select(col("doc_id"), explode(array(
-        (0 until BANDS).map(b =>
-          struct(lit(b).as("band_id"), col(s"sig_$b").as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band_id"), col("bk.key"))
+      // one-buffer K-band signature (TypedImperativeAggregate) + distinct
+      // size in a single groupBy; identical algebra to K separate
+      // min(md5(...)) aggregates (asserted in LlmOpsSpec)
+      graft.functions.MinHashSig.register(s)
+      val sigs = rawSh.groupBy("doc_id").agg(
+        expr(s"minhash_sig(sh, $BANDS)").as("sig"),
+        countDistinct(col("sh")).as("n_sh"))
+      val bands = sigs
+        .select(col("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos").as("band_id"), col("col").as("key"))
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -29,6 +29,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall too low: $recall")
   }
 
+  test("MinHashSig aggregate == K separate min(md5) aggregates") {
+    import graft.functions.TextFunctions._
+    graft.functions.MinHashSig.register(spark)
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(shingles(words(col("text")), 3)).as("sh"))
+    val viaAgg = sh.groupBy("doc_id")
+      .agg(expr("minhash_sig(sh, 6)").as("sig"))
+      .select(col("doc_id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val sigCols = (0 until 6).map(b => min(seededHash(b, col("sh"))).as(s"s$b"))
+    val viaCols = sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 6).map(r.getString).toList).toMap
+    assert(viaAgg == viaCols)
+  }
+
   test("MinHash signatures are invariant under row permutation") {
     import graft.functions.TextFunctions._
     val docs = Tables.documents(spark, sf)

@@ -125,6 +125,35 @@ object Extras {
         .orderBy("l_orderkey", "l_linenumber", "measure")
     },
 
+    // ---- Q-join-11: bucketed co-located join. Both fact tables are
+    // written bucketed+sorted by the join key (8 buckets) into the
+    // warehouse; the sort-merge join then needs NO shuffle on either side
+    // (asserted in ExplainCheck) — at 100 TB this is the difference between
+    // re-shuffling both tables per join and reading co-located buckets.
+    "Q-join-11" -> { (s, d) =>
+      // external tables on a fresh path: the embedded metastore does not
+      // survive across JVMs but the warehouse dir does — a managed table
+      // would hit LOCATION_ALREADY_EXISTS on the next run
+      s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+      s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+      val tmp = Files.createTempDirectory("graft_bucketed").toString
+      Tables.lineitem(s, d)
+        .write.mode("overwrite").option("path", s"$tmp/li")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_li_bucketed")
+      Tables.orders(s, d)
+        .write.mode("overwrite").option("path", s"$tmp/ord")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_ord_bucketed")
+      val li = s.table("graft_li_bucketed")
+      val o = s.table("graft_ord_bucketed")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("l_extendedprice")), 2).as("rev"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- Q-join-10: salted skew-resistant join — must produce EXACTLY the
     // plain join's result (the oracle is the unsalted join)
     "Q-join-10" -> { (s, d) =>
@@ -214,6 +243,12 @@ object Extras {
            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
            FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000))
          ORDER BY l_orderkey, l_linenumber, measure""",
+    "Q-join-11" ->
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS n,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS rev
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "Q-join-10" ->
       s"""SELECT c_mktsegment, count(*)::BIGINT AS n,
                 ${Portable.rSql(

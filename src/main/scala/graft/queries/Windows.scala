@@ -28,7 +28,9 @@ object Windows {
           .cast("bigint").as("rk"),
         dense_rank().over(Window.partitionBy("o_custkey").orderBy(col("o_orderpriority")))
           .cast("bigint").as("drk"),
-        ntile(4).over(w).cast("bigint").as("quartile"))
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        Portable.r(percent_rank().over(w), 6).as("pct_rank"),
+        Portable.r(cume_dist().over(w), 6).as("cdist"))
         .orderBy("o_custkey", "o_orderkey")
     },
 
@@ -70,7 +72,9 @@ object Windows {
                 (row_number() OVER w)::BIGINT AS rn,
                 (rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority))::BIGINT AS rk,
                 (dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority))::BIGINT AS drk,
-                (ntile(4) OVER w)::BIGINT AS quartile
+                (ntile(4) OVER w)::BIGINT AS quartile,
+                floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS pct_rank,
+                floor((cume_dist() OVER w) * 1e6 + 0.5) / 1e6 AS cdist
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, o_orderkey""",

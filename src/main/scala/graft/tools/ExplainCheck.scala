@@ -64,6 +64,31 @@ object ExplainCheck {
     // partial aggregation before the shuffle (map-side combine)
     check("Q-agg-01", "partial HashAggregate before exchange",
       p => p.contains("HashAggregate") && p.contains("Exchange"))
+    // bucketed co-located join: the SMJ consumes bucketed scans directly —
+    // no hashpartitioning Exchange feeding the join (the only exchange in
+    // the plan is the one for the final groupBy)
+    locally {
+      // at tiny SF Catalyst prefers broadcast (also shuffle-free); disable
+      // it to surface the bucketed sort-merge path this check is about
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = SparkEntry.queries("Q-join-11")(s, d)
+        df.collect()
+        // final AQE plan only (the printed "Initial Plan" section would
+        // false-positive the exchange scan)
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        // everything upstream of the join must be exchange-free: the only
+        // allowed hashpartitioning exchange is the post-join groupBy one
+        val joinUp = p.substring(p.indexOf("SortMergeJoin"))
+        val ok = p.contains("SortMergeJoin") &&
+          p.contains("Bucketed: true") &&
+          !joinUp.contains("Exchange hashpartitioning")
+        println(s"${if (ok) "PLAN-OK " else "PLAN-BAD"} Q-join-11: " +
+          "bucketed SMJ, no join-side shuffle (broadcast disabled)")
+        if (!ok) println(p.linesIterator.take(40).mkString("\n"))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
     s.stop()
   }
 }

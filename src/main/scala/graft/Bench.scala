@@ -44,14 +44,22 @@ object Bench {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    val dt = (System.nanoTime() - t0) / 1e9
+    // each run builds a fresh DataFrame, so any persist() inside a query
+    // creates a new cache entry per run — drop them so runs are independent
+    // and later queries don't inherit this one's storage/GC pressure
+    spark.catalog.clearCache()
+    dt
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev knob: SPARK_GRAFT_ONLY="Q-a,Q-b" benches a subset while iterating
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = EngineSession.getOrCreate("graft-bench")
 
-    val results = headline.map { name =>
+    val results = headline.filter(q => only.forall(_(q))).map { name =>
       try {
         runOnce(spark, name, sfDir) // warm-up
         val times = (1 to 3).map(_ => runOnce(spark, name, sfDir)).sorted

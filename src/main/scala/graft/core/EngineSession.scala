@@ -30,6 +30,12 @@ object EngineSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (TypedImperativeAggregate path, e.g.
+      // minhash_sig) falls back to sort-based after only 128 distinct keys
+      // per partition by default — our group counts (one per doc_id) are
+      // far higher and fit comfortably; keep the hash path
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+              "10000000")
       // streaming state store + checkpoint root for local runs
       .config("spark.sql.streaming.checkpointLocation",
               sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ckpt")

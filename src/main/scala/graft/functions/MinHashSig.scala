@@ -38,19 +38,33 @@ case class MinHashSig(
     Array.fill[String](bands)(null)
 
   @transient private lazy val md = MessageDigest.getInstance("MD5")
+  // per-band "b:" prefixes, precomputed once per task
+  @transient private lazy val bandPrefix: Array[Array[Byte]] =
+    Array.tabulate(bands)(b => s"$b:".getBytes("UTF-8"))
 
-  private def md5hex(s: String): String = {
-    md.reset()
-    md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private val HEX = "0123456789abcdef".toCharArray
+
+  private def hex(digest: Array[Byte]): String = {
+    val c = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      c(2 * i) = HEX((digest(i) >> 4) & 0xf)
+      c(2 * i + 1) = HEX(digest(i) & 0xf)
+      i += 1
+    }
+    new String(c)
   }
 
   override def update(buf: Array[String], input: InternalRow): Array[String] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
+      val sb = v.asInstanceOf[UTF8String].getBytes
       var b = 0
       while (b < bands) {
-        val h = md5hex(s"$b:$s")
+        md.reset()
+        md.update(bandPrefix(b))
+        md.update(sb)
+        val h = hex(md.digest())
         if (buf(b) == null || h < buf(b)) buf(b) = h
         b += 1
       }

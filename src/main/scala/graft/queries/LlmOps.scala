@@ -41,21 +41,27 @@ object LlmOps {
     // beyond actual bucket collisions.
     "Q-llm-02" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      // raw (non-distinct) shingles: MIN-based signatures are unaffected by
-      // duplicates, so signatures AND distinct-set sizes come from ONE
-      // groupBy over the raw explode (min x6 + countDistinct) — no separate
-      // distinct shuffle on that path. The distinct set itself is only
-      // needed by the intersection join; persist it once for its two sides.
-      val rawSh = docs.select(col("doc_id"),
-        explode(shingles(words(col("text")), 3)).as("sh"))
-      val sh = rawSh.distinct().persist()
-      // one-buffer K-band signature (TypedImperativeAggregate) + distinct
-      // size in a single groupBy; identical algebra to K separate
-      // min(md5(...)) aggregates (asserted in LlmOpsSpec)
+      // the distinct shingle set feeds every downstream plan: signatures +
+      // sizes (one groupBy) and both sides of the intersection join —
+      // persist it once. Aggregating over the DISTINCT set (not the raw
+      // explode) keeps both aggregates non-distinct, so Catalyst plans ONE
+      // hash aggregation with no Expand-based distinct rewrite; min over
+      // the distinct set equals min over raw, and count(*) here equals
+      // countDistinct over raw.
+      val sh = shingleRows(docs, "doc_id", "text", 3)
+        .distinct().persist()
+      // eager: the three consumers below (signature agg + both sides of the
+      // intersection join) otherwise race to compute uncached partitions in
+      // parallel stages of the one job, re-running the shingle pipeline ~3x.
+      // On a cluster this intermediate would be checkpointed the same way.
+      sh.count()
+      // one-buffer K-band signature (TypedImperativeAggregate) + set size
+      // in a single groupBy; identical algebra to K separate min(md5(...))
+      // aggregates (asserted in LlmOpsSpec)
       graft.functions.MinHashSig.register(s)
-      val sigs = rawSh.groupBy("doc_id").agg(
+      val sigs = sh.groupBy("doc_id").agg(
         expr(s"minhash_sig(sh, $BANDS)").as("sig"),
-        countDistinct(col("sh")).as("n_sh"))
+        count(lit(1)).as("n_sh"))
       val bands = sigs
         .select(col("doc_id"), posexplode(col("sig")))
         .select(col("doc_id"), col("pos").as("band_id"), col("col").as("key"))
@@ -136,8 +142,7 @@ object LlmOps {
 
     // ---- Q-llm-07: exact n-gram Jaccard for consecutive doc pairs
     "Q-llm-07" -> { (s, d) =>
-      val sh = Tables.documents(s, d).select(col("doc_id"),
-        explode(shingles(words(col("text")), 3)).as("sh")).distinct()
+      val sh = shingleRows(Tables.documents(s, d), "doc_id", "text", 3).distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val a = sh.select(col("doc_id").as("a"), col("sh"))
       val b = sh.select(col("doc_id").as("b"), col("sh"))
@@ -219,9 +224,8 @@ object LlmOps {
     // 8-gram hash (docs shorter than 8 words -> null fingerprint)
     "Q-llm-12" -> { (s, d) =>
       val docs = Tables.documents(s, d)
-      val fp = docs.select(col("doc_id"),
-          explode(shingles(words(col("text")), 8)).as("gram"))
-        .groupBy("doc_id").agg(min(md5(col("gram"))).as("fingerprint"))
+      val fp = shingleRows(docs, "doc_id", "text", 8)
+        .groupBy("doc_id").agg(min(md5(col("sh"))).as("fingerprint"))
       docs.select("doc_id").join(fp, Seq("doc_id"), "left")
         .orderBy("doc_id")
     },

@@ -73,6 +73,12 @@ object WeatherJob {
     val spark = EngineSession.getOrCreate("weatherProcessingJob")
     spark.streams.addListener(new MetricsListener)
     val ttl = conf.getLong("presence.ttl.ms", 3600000L)
+    // --state.store rocksdb: per-device state at fleet scale outlives
+    // executor heap; RocksDB keeps it on local disk with incremental
+    // checkpoints (verified equivalent in StreamingSpec)
+    if (conf.getOrElse("state.store", "hdfs") == "rocksdb")
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
     val run: () => Unit = () => {
       import spark.implicits._

@@ -36,6 +36,13 @@ object EngineSession {
       // far higher and fit comfortably; keep the hash path
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
               "10000000")
+      // runtime bloom-filter joins (Q-join-13): the default gate requires a
+      // 10 GB application-side scan, which local SFs never reach — drop the
+      // gate so the local plans exercise the same runtime-filter path a
+      // 100 TB fact table would take (cluster deployments keep the default)
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter" +
+              ".applicationSideScanSizeThreshold", "0")
       // streaming state store + checkpoint root for local runs
       .config("spark.sql.streaming.checkpointLocation",
               sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ckpt")

@@ -154,6 +154,45 @@ object Extras {
         .orderBy("o_orderpriority")
     },
 
+    // ---- Q-join-12: dynamic partition pruning. The fact side is written
+    // partitioned by event_type; the join's dim side carries a selective
+    // filter, so at runtime Spark turns the dim's key set into a partition
+    // filter on the fact scan (dynamicpruningexpression, asserted in
+    // ExplainCheck) — at 100 TB the scan reads 2/5 of the partitions
+    // instead of all of them, before any row is materialized.
+    "Q-join-12" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_dpp").toString
+      Tables.events(s, d).write.mode("overwrite")
+        .partitionBy("event_type").parquet(s"$tmp/ev")
+      val fact = s.read.parquet(s"$tmp/ev")
+      val dim = Tables.events(s, d).select("event_type").distinct()
+        .filter(col("event_type").isin("purchase", "signup"))
+      fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("value")), 2).as("val_sum"))
+        .orderBy("event_type")
+    },
+
+    // ---- Q-join-13: runtime bloom-filter join. The selective dim filter is
+    // turned into a bloom filter evaluated on the fact side BEFORE its
+    // shuffle (bloom_filter_might_contain, asserted in ExplainCheck), so at
+    // 100 TB the shuffle moves only rows that can match instead of the whole
+    // fact table. SHUFFLE_MERGE hint: at local SFs the dim would broadcast
+    // (where a bloom filter is redundant); on a cluster a 10 GB+ fact side
+    // takes this path naturally.
+    "Q-join-13" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      li.join(o.hint("SHUFFLE_MERGE"), li("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("l_extendedprice")), 2).as("rev"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- Q-join-10: salted skew-resistant join — must produce EXACTLY the
     // plain join's result (the oracle is the unsalted join)
     "Q-join-10" -> { (s, d) =>
@@ -249,6 +288,17 @@ object Extras {
                   "CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS rev
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "Q-join-12" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("value"), 2)} AS val_sum
+         FROM events WHERE event_type IN ('purchase', 'signup')
+         GROUP BY event_type ORDER BY event_type""",
+    "Q-join-13" ->
+      s"""SELECT l_returnflag, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("l_extendedprice"), 2)} AS rev
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "Q-join-10" ->
       s"""SELECT c_mktsegment, count(*)::BIGINT AS n,
                 ${Portable.rSql(

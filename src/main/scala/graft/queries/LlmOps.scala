@@ -19,7 +19,9 @@ import graft.operators.IvfIndex
   */
 object LlmOps {
 
-  private val BANDS = 6 // MinHash-LSH band count (R=1 rows/band)
+  private val BANDS = 6      // MinHash-LSH band count (R=1 rows/band)
+  private val LSH_BITS = 6   // hyperplane-LSH bucket bits (Q-llm-14)
+  private val LSH_TABLES = 4 // hyperplane-LSH independent tables (Q-llm-14)
 
   val queries: Map[String, Q] = Map(
     // ---- Q-llm-01: exact dedup by content hash, keep lowest doc_id
@@ -168,6 +170,21 @@ object LlmOps {
           nlist = 16, nprobe = 4, k = 10)
         .select(col("query_id"), col("vec_id"), Portable.r(col("sim"), 6).as("sim"),
           col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
+    // ---- Q-llm-14: random-hyperplane LSH ANN (second ANN scale path
+    // beside IVF). Deterministic planes are literal constants in BOTH the
+    // Spark plan and the oracle SQL, so even this approximate operator
+    // hash-matches (the oracle replicates the same bucket algebra).
+    "Q-llm-14" -> { (s, d) =>
+      val ps = graft.operators.LshIndex.planes(
+        dim = 64, nBits = LSH_BITS, nTables = LSH_TABLES)
+      graft.operators.LshIndex
+        .search(Tables.embeddings(s, d), "vec_id", "embedding",
+          qPred = col("vec_id") < 5, ps, nBits = LSH_BITS, k = 10)
+        .select(col("query_id"), col("vec_id"),
+          Portable.r(col("sim"), 6).as("sim"), col("rk"))
         .orderBy("query_id", "rk")
     },
 
@@ -332,6 +349,41 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = za.doc_id + 1
          LEFT JOIN inter i ON i.a = za.doc_id
          ORDER BY a""",
+    "Q-llm-14" -> {
+      val ps = graft.operators.LshIndex.planes(
+        dim = 64, nBits = LSH_BITS, nTables = LSH_TABLES)
+      val planesVals = graft.operators.LshIndex.planesSqlValues(ps, LSH_BITS)
+      val probeList = "bucket" +:
+        (0 until LSH_BITS).map(j => s"xor(bucket, ${1 << j})")
+      s"""WITH planes AS (
+           SELECT * FROM (VALUES
+             $planesVals) AS pt(t, bit, pv)),
+         b AS (
+           SELECT e.vec_id, p.t,
+                  sum(CASE WHEN ${Portable.cosSql("e.embedding", "p.pv")} >= 0
+                           THEN 1 << p.bit ELSE 0 END)::INT AS bucket
+           FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.t),
+         probes AS (
+           SELECT vec_id AS query_id, t,
+                  unnest([${probeList.mkString(", ")}]) AS bucket
+           FROM b WHERE vec_id < 5),
+         cand AS (
+           SELECT DISTINCT p.query_id, c.vec_id
+           FROM probes p JOIN b c USING (t, bucket)
+           WHERE c.vec_id <> p.query_id),
+         scored AS (
+           SELECT cd.query_id, cd.vec_id,
+                  ${Portable.cosSql("q.embedding", "e.embedding")} AS sim
+           FROM cand cd
+           JOIN embeddings q ON q.vec_id = cd.query_id
+           JOIN embeddings e ON e.vec_id = cd.vec_id)
+         SELECT query_id, vec_id, ${Portable.rSql("sim", 6)} AS sim, rk FROM (
+           SELECT query_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, vec_id) AS rk
+           FROM scored) WHERE rk <= 10
+         ORDER BY query_id, rk"""
+    },
     "Q-llm-09" ->
       """SELECT doc_id,
                 ((length(text) - length(replace(text, 'the', ''))) / 3

@@ -49,6 +49,17 @@ object Portable {
   def dsumSql(x: String): String =
     s"CAST(sum(CAST(($x) AS DECIMAL(30,10))) AS DOUBLE)"
 
+  /** DuckDB text of the bit-exact sequential-double cosine between two
+    * list expressions — mirrors `graft.functions.CosineSim`'s accumulation
+    * order exactly (proven hash-matching by Q-llm-13/Q-llm-14). */
+  def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)),
+        i -> $a[i]::DOUBLE * $b[i]::DOUBLE))
+        / (sqrt(list_sum(list_transform(generate_series(1, len($a)),
+             i -> $a[i]::DOUBLE * $a[i]::DOUBLE)))
+         * sqrt(list_sum(list_transform(generate_series(1, len($b)),
+             i -> $b[i]::DOUBLE * $b[i]::DOUBLE)))))"""
+
   /** Order-independent mean: exact decimal sum / count, rounded portably. */
   def davg(c: Column, digits: Int): Column =
     r(dsum(c) / count(lit(1)), digits)

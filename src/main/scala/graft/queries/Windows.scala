@@ -63,6 +63,24 @@ object Windows {
         Portable.r(sum(col("o_totalprice").cast(DecimalType(30, 10)))
           .over(wRange).cast("double"), 2).as("weekly_total"))
         .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- Q-win-04: BATCH session windows (30 s gap) per user —
+    // session_window works in batch groupBy too, where it plans as a plain
+    // hash aggregation after a per-key sort (no state store). The streaming
+    // twin is Q-str-03; this one has no watermark cutoff, so every session
+    // (including each user's trailing one) is emitted.
+    "Q-win-04" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 seconds"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("value")), 2).as("val_sum"))
+        .select(
+          col("user_id"),
+          unix_millis(col("session_window.start")).as("start_ms"),
+          unix_millis(col("session_window.end")).as("end_ms"),
+          col("n"), col("val_sum"))
+        .orderBy("user_id", "start_ms")
     }
   )
 
@@ -100,6 +118,24 @@ object Windows {
                   "(PARTITION BY o_custkey ORDER BY datediff('day', DATE '1970-01-01', o_orderdate) " +
                   "RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)", 2)} AS weekly_total
          FROM orders
-         ORDER BY o_custkey, o_orderkey"""
+         ORDER BY o_custkey, o_orderkey""",
+    "Q-win-04" ->
+      s"""WITH marked AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 30 THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         islands AS (
+           SELECT user_id, ts, value,
+                  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM marked)
+         SELECT user_id,
+                epoch_ms(min(ts)) AS start_ms,
+                epoch_ms(max(ts)) + 30000 AS end_ms,
+                count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("value"), 2)} AS val_sum
+         FROM islands GROUP BY user_id, island
+         ORDER BY user_id, start_ms"""
   )
 }

@@ -61,6 +61,29 @@ object ExplainCheck {
       println(s"${if (gl) "PLAN-OK " else "PLAN-BAD"} Q-llm-03: " +
         "partial WindowGroupLimit before exchange")
     }
+    // dynamic partition pruning: the fact scan must carry a runtime
+    // partition filter fed by the dim side
+    check("Q-join-12", "dynamicpruning on partitioned fact scan",
+      _.toLowerCase.contains("dynamicpruning"))
+    // runtime bloom-filter join: the selective dim filter becomes a bloom
+    // filter applied to the fact side before its shuffle
+    locally {
+      // injection is size-gated: a dim small enough to broadcast never gets
+      // a bloom filter (the broadcast join already filters). Disable
+      // broadcast to emulate the 100 TB shuffle-join shape the filter is for.
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = SparkEntry.queries("Q-join-13")(s, d)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        // renders as might_contain(<bloom_filter_agg subquery>) on the fact
+        // side's pre-shuffle Filter
+        val ok = p.contains("might_contain") && p.contains("bloom_filter_agg")
+        println(s"${if (ok) "PLAN-OK " else "PLAN-BAD"} Q-join-13: " +
+          "bloom might_contain on fact side before shuffle (broadcast disabled)")
+        if (!ok) println(p.linesIterator.take(40).mkString("\n"))
+      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
     // partial aggregation before the shuffle (map-side combine)
     check("Q-agg-01", "partial HashAggregate before exchange",
       p => p.contains("HashAggregate") && p.contains("Exchange"))

@@ -29,6 +29,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall too low: $recall")
   }
 
+  test("Q-llm-14 hyperplane-LSH ANN: recall@10 vs exact brute force") {
+    // sf0.01 (500 vectors): at sf0.001's 50 vectors the 64 buckets are
+    // near-singletons and recall measures corpus sparsity, not the index
+    val sfLsh = "/root/testdata/sf0.01"
+    val exact = SparkEntry.queries("Q-llm-03")(spark, sfLsh)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("Q-llm-14")(spark, sfLsh)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"LSH recall@10 = $recall")
+    // 4 tables x 6 bits, Hamming-1 multi-probe (observed 0.68; planes are
+    // fixed constants so recall is deterministic). Correctness of the
+    // bucket algebra itself is hash-checked by the DuckDB oracle — this
+    // asserts the approximation is useful, not just well-defined
+    assert(recall >= 0.5, s"recall too low: $recall")
+  }
+
   test("MinHashSig aggregate == K separate min(md5) aggregates") {
     import graft.functions.TextFunctions._
     graft.functions.MinHashSig.register(spark)

@@ -82,6 +82,22 @@ class StreamingSpec extends AnyFunSuite {
       PresenceEvent("d1", "online", 100000L)))
     assert(state.value.contains(DeviceState(100000L)))
   }
+
+  test("presence replay under RocksDB state store matches the default provider") {
+    // at 100 TB per-device presence state outlives executor heap; RocksDB
+    // keeps it on local disk with incremental checkpointing. Same query,
+    // same results — only the state backend swaps.
+    val d = "/root/testdata/sf0.001"
+    val expected = SparkEntry.queries("Q-str-05")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = SparkEntry.queries("Q-str-05")(spark, d)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
 
 /** Minimal GroupState stub for pure-function tests of the state logic. */

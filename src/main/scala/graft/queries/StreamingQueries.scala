@@ -231,6 +231,59 @@ object StreamingQueries {
         "append")
         .select("p_id", "c_id", "p_user")
         .orderBy("p_id", "c_id")
+    },
+
+    // ---- Q-str-08: stream-stream LEFT OUTER interval join. Outer
+    // (null-extended) rows only emit once the watermark proves no future
+    // match can arrive, so the replay stages TWO micro-batches: the real
+    // events, then a far-future sentinel purchase+click pair (user -1)
+    // whose event time pushes both watermarks past every real row —
+    // flushing every unmatched purchase. The oracle is then the plain
+    // batch LEFT JOIN, no cutoff arithmetic.
+    "Q-str-08" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_str08")
+      val ev = Tables.events(s, d)
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/real")
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)
+      import s.implicits._
+      Seq((-1L, sentTs, -1L, "purchase", 0.0, "{}"),
+          (-2L, sentTs, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sent")
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      def copyParts(src: Path, prefix: String, t: Long): Unit = {
+        val files = Files.list(src).toArray.map(_.asInstanceOf[Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        files.zipWithIndex.foreach { case (f, i) =>
+          val dst = dir.resolve(s"$prefix$i.parquet")
+          Files.copy(f, dst)
+          Files.setLastModifiedTime(dst, FileTime.fromMillis(t))
+        }
+      }
+      copyParts(tmp.resolve("real"), "a_", 1000000000000L)
+      copyParts(tmp.resolve("sent"), "b_", 1000000100000L)
+      val raw = s.read.parquet(s"$tmp/real") // ts already timestamp
+      val src = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      Replay.run(
+        purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+          "leftOuter"),
+        "append")
+        .filter(col("p_user") =!= -1)
+        .select("p_id", "c_id", "p_user")
+        .orderBy("p_id", "c_id")
     }
   )
 
@@ -306,6 +359,13 @@ object StreamingQueries {
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
          JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+         ORDER BY p_id, c_id""",
+    "Q-str-08" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
          ORDER BY p_id, c_id"""

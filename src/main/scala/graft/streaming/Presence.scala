@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-device presence detection — the reference's eponymous purpose
   * (`WeatherProcessingJob.java:93` `getDronePresenceProducer`, sink topic
@@ -59,5 +60,52 @@ object Presence {
       .groupByKey(_.device_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(transitions(ttlMillis))
+  }
+
+  /** Same state machine on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + typed `ValueState`). Requires the RocksDB
+    * state store provider; equivalence with [[detect]] is asserted in
+    * StreamingSpec. The v2 API is where per-key TTL (`TTLConfig`) and
+    * event-time timers live — the scale path for fleet-sized state. */
+  class PresenceProcessor(ttlMillis: Long)
+      extends StatefulProcessor[String, DeviceEvent, PresenceEvent] {
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long](
+        "lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[DeviceEvent],
+        tv: TimerValues): Iterator[PresenceEvent] = {
+      val sorted = rows.toSeq.sortBy(_.ts_ms)
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[PresenceEvent]
+      var last: Option[Long] = if (lastSeen.exists()) Some(lastSeen.get()) else None
+      for (e <- sorted) {
+        last match {
+          case None =>
+            out += PresenceEvent(key, "online", e.ts_ms)
+          case Some(prev) if e.ts_ms - prev > ttlMillis =>
+            out += PresenceEvent(key, "offline", prev + ttlMillis)
+            out += PresenceEvent(key, "online", e.ts_ms)
+          case _ => ()
+        }
+        last = Some(e.ts_ms)
+      }
+      lastSeen.update(last.get)
+      out.result().iterator
+    }
+  }
+
+  /** [[detect]] on the v2 state API. */
+  def detectTws(spark: SparkSession, events: DataFrame, ttlMillis: Long): Dataset[PresenceEvent] = {
+    import spark.implicits._
+    events
+      .select(col("device_id"), col("ts_ms"))
+      .as[DeviceEvent]
+      .groupByKey(_.device_id)
+      .transformWithState(new PresenceProcessor(ttlMillis),
+        TimeMode.None(), OutputMode.Append())
   }
 }

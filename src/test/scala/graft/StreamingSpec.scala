@@ -83,6 +83,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.value.contains(DeviceState(100000L)))
   }
 
+  test("presence on transformWithState (state v2) matches flatMapGroupsWithState") {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{Presence, Replay}
+    val d = "/root/testdata/sf0.001"
+    def stream = Replay.eventsStream(spark, d)
+      .select(col("user_id").cast("string").as("device_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val v1 = Replay.run(
+      Presence.detect(spark, stream, 3600000L).toDF(), "append")
+      .collect().map(_.toString).sorted.toSeq
+    // the v2 API only runs on the RocksDB state store
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val v2 = Replay.run(
+        Presence.detectTws(spark, stream, 3600000L).toDF(), "append")
+        .collect().map(_.toString).sorted.toSeq
+      assert(v2 == v1)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("presence replay under RocksDB state store matches the default provider") {
     // at 100 TB per-device presence state outlives executor heap; RocksDB
     // keeps it on local disk with incremental checkpointing. Same query,

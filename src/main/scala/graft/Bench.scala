@@ -35,7 +35,11 @@ object Bench {
     "Q-llm-11",   // token counting
     "Q-llm-13",   // embedding-cosine near-dup (IVF-blocked)
     "Q-sub-01",   // correlated scalar subquery (decorrelated)
+    "Q-sub-03",   // correlated LATERAL top-1 (decorrelated window-rank)
     "Q-scan-04",  // Avro envelope encode+decode round-trip
+    "Q-join-13",  // runtime bloom-filter join
+    "Q-win-04",   // batch session windows
+    "Q-llm-14",   // hyperplane-LSH ANN (4 tables, multi-probe)
     "Q-str-01",   // streaming tumbling-window replay
     "Q-str-05"    // streaming presence detection
   )

@@ -77,6 +77,23 @@ object Extras {
         FROM customer c ORDER BY c_custkey""")
     },
 
+    // ---- Q-sub-03: correlated LATERAL subquery with per-row top-k —
+    // each customer joined to its single most expensive order. Catalyst
+    // plans the correlated ORDER BY ... LIMIT as a decorrelated
+    // window-rank, the same rewrite a hand-written row_number()=1 would
+    // produce; expressing it as LATERAL keeps the query declarative.
+    "Q-sub-03" -> { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        ORDER BY c_custkey""")
+    },
+
     // ---- Q-scan-05: ORC round-trip (columnar format #2)
     "Q-scan-05" -> { (s, d) =>
       val tmp = Files.createTempDirectory("graft_scan05").toString
@@ -250,6 +267,14 @@ object Extras {
                c_custkey IN (SELECT user_id FROM events
                              WHERE event_type = 'purchase') AS is_purchaser
          FROM customer c ORDER BY c_custkey""",
+    "Q-sub-03" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders o
+           WHERE o.o_custkey = c.c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+         ORDER BY c_custkey""",
     "Q-scan-05" ->
       s"""SELECT o_orderstatus, count(*)::BIGINT AS n,
                 ${Portable.rSql(

@@ -102,10 +102,23 @@ object Joins {
             .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("n_name")
+    },
+
+    // ---- Q-join-14: explicit cross join (dim x dim only — a cross join's
+    // output is |L|x|R|, so at scale it is only ever sane between
+    // broadcastable dimensions; Catalyst plans this one as a
+    // BroadcastNestedLoopJoin with both sides tiny)
+    "Q-join-14" -> { (s, d) =>
+      Tables.region(s, d).select(col("r_name"))
+        .crossJoin(Tables.nation(s, d).select(col("n_name")))
+        .orderBy("r_name", "n_name")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-join-14" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+         ORDER BY r_name, n_name""",
     "Q-join-01" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
                 floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total

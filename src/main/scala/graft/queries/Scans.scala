@@ -66,6 +66,25 @@ object Scans {
             col("event_type"),
             unix_millis(col("ts")).as("ts_ms"))).as("value"))
         .orderBy("key", "value")
+    },
+
+    // ---- Q-scan-06: deterministic stratified sampling via key-hash
+    // buckets. RNG-based sample()/TABLESAMPLE is partition-order dependent
+    // and engine-specific; hashing the row KEY makes the sampling decision
+    // a pure function of the data — stable across engines, runs, and
+    // repartitioning, which is what a reproducible training-data pipeline
+    // needs. Rates are hex-prefix thresholds: '80'/256 = 50% for urgent
+    // orders, '1a'/256 = 10.2% for the rest.
+    "Q-scan-06" -> { (s, d) =>
+      val h = substring(md5(col("o_orderkey").cast("string")), 1, 2)
+      Tables.orders(s, d)
+        .filter(
+          (col("o_orderpriority") === "1-URGENT" && h < "80") ||
+          (col("o_orderpriority") =!= "1-URGENT" && h < "1a"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -86,6 +105,15 @@ object Scans {
                 '{"event_id":' || event_id || ',"event_type":"' || event_type ||
                 '","ts_ms":' || epoch_ms(ts) || '}' AS value
          FROM events WHERE event_type = 'purchase'
-         ORDER BY key, value"""
+         ORDER BY key, value""",
+    "Q-scan-06" ->
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("o_totalprice"), 2)} AS total
+         FROM orders
+         WHERE (o_orderpriority = '1-URGENT'
+                AND substring(md5(o_orderkey::VARCHAR), 1, 2) < '80')
+            OR (o_orderpriority <> '1-URGENT'
+                AND substring(md5(o_orderkey::VARCHAR), 1, 2) < '1a')
+         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
   )
 }

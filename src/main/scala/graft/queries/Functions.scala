@@ -109,6 +109,24 @@ object Functions {
         to_json(struct(col("event_id").as("id"),
           get_json_object(col("props"), "$.k").cast("bigint").as("k"))).as("rebuilt"))
         .orderBy("event_id")
+    },
+
+    // ---- Q-fn-bin-01: binary/hash family — digests, base64/hex codecs,
+    // byte length, and a base64 round-trip check (documents text is ASCII,
+    // so string bytes == UTF-8 bytes on both engines)
+    "Q-fn-bin-01" -> { (s, d) =>
+      val bin = col("text").cast("binary")
+      Tables.documents(s, d).filter(col("doc_id") < 200).select(
+        col("doc_id"),
+        sha2(bin, 256).as("sha256"),
+        md5(col("text")).as("md5"),
+        // Spark's base64 is MIME-flavored (CRLF every 76 chars); strip the
+        // breaks for the canonical unchunked form DuckDB emits
+        regexp_replace(base64(bin), "[\\r\\n]", "").as("b64"),
+        lower(hex(substring(bin, 1, 16))).as("hex16"),
+        length(bin).cast("bigint").as("n_bytes"),
+        (decode(unbase64(base64(bin)), "UTF-8") === col("text")).as("b64_rt"))
+        .orderBy("doc_id")
     }
   )
 
@@ -180,6 +198,15 @@ object Functions {
                 json_extract_string(props, '$.k')::BIGINT AS k_struct,
                 json_extract_string(props, '$.k') AS k_tuple,
                 '{"id":' || event_id || ',"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
-         FROM events ORDER BY event_id"""
+         FROM events ORDER BY event_id""",
+    "Q-fn-bin-01" ->
+      """SELECT doc_id,
+                sha256(text) AS sha256,
+                md5(text) AS md5,
+                base64(text::BLOB) AS b64,
+                lower(hex(substring(text, 1, 16)::BLOB)) AS hex16,
+                octet_length(text::BLOB)::BIGINT AS n_bytes,
+                (from_base64(base64(text::BLOB))::VARCHAR = text) AS b64_rt
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
   )
 }

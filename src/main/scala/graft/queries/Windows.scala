@@ -81,6 +81,30 @@ object Windows {
           unix_millis(col("session_window.end")).as("end_ms"),
           col("n"), col("val_sum"))
         .orderBy("user_id", "start_ms")
+    },
+
+    // ---- Q-win-05: time-series gap-fill + forward fill. Per-user daily
+    // sums are resampled onto a dense per-user date spine (sequence +
+    // explode — partition-parallel, spine size bounded by each user's own
+    // span) and gaps carry the last observed value forward
+    // (last(ignoreNulls) over an unbounded-preceding frame). The oracle
+    // renders the fill as DuckDB's ASOF LEFT JOIN — two independent
+    // formulations of the same semantics.
+    "Q-win-05" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(Portable.dsum(col("value")).as("v"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          col("v").isNull.as("was_gap"),
+          Portable.r(last(col("v"), ignoreNulls = true).over(wFill), 2).as("filled_v"))
+        .orderBy("user_id", "day")
     }
   )
 
@@ -136,6 +160,23 @@ object Windows {
                 count(*)::BIGINT AS n,
                 ${Portable.rSql(Portable.dsumSql("value"), 2)} AS val_sum
          FROM islands GROUP BY user_id, island
-         ORDER BY user_id, start_ms"""
+         ORDER BY user_id, start_ms""",
+    "Q-win-05" ->
+      s"""WITH daily AS (
+           SELECT user_id, ts::DATE AS day, ${Portable.dsumSql("value")} AS v
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                   FROM daily GROUP BY user_id),
+         spine AS (
+           SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+           FROM spans),
+         j AS (
+           SELECT s.user_id, s.day, d.v
+           FROM spine s LEFT JOIN daily d USING (user_id, day))
+         SELECT j.user_id, j.day, (j.v IS NULL) AS was_gap,
+                ${Portable.rSql("f.v", 2)} AS filled_v
+         FROM j ASOF LEFT JOIN daily f
+           ON j.user_id = f.user_id AND j.day >= f.day
+         ORDER BY j.user_id, j.day"""
   )
 }

@@ -188,6 +188,43 @@ object LlmOps {
         .orderBy("query_id", "rk")
     },
 
+    // ---- Q-llm-15: int8 quantization + exact re-rank. The index stores a
+    // symmetric per-vector int8 quantization (scale = 127/max|x|, values in
+    // [-127,127]) — 4x smaller than float32, the difference between an
+    // in-memory and a spilled ANN index at 100 TB. Candidate top-50 is
+    // ranked on QUANTIZED cosine (per-vector scales cancel in cosine, so
+    // it's just cosine over the int arrays), then the top-10 re-rank uses
+    // full-precision vectors. Quantization is floor(x*scale+0.5) — the
+    // portable rounding from [[Portable]] — so the oracle replicates the
+    // whole two-stage algebra bit-for-bit. (The higher-order transform is
+    // interpreted; at scale the quantizer would be a codegen Expression
+    // like CosineSim — fine here, it runs once per stored vector.)
+    "Q-llm-15" -> { (s, d) =>
+      graft.functions.CosineSim.register(s)
+      val scale = lit(127.0) /
+        greatest(array_max(transform(col("embedding"), x => abs(x))).cast("double"),
+          lit(1e-30))
+      val emb = Tables.embeddings(s, d).withColumn("qemb",
+        transform(col("embedding"), x => floor(x.cast("double") * scale + lit(0.5)).cast("float")))
+      val qs = emb.filter(col("vec_id") < 5).select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("qemb").as("q_qemb"))
+      val w1 = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("vec_id"))
+      val cand = qs.crossJoin(emb.select(col("vec_id"), col("embedding"), col("qemb")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("qsim", expr("cosine_sim(q_qemb, qemb)"))
+        .withColumn("qrk", row_number().over(w1))
+        .filter(col("qrk") <= 50)
+      val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+      cand
+        .withColumn("sim", expr("cosine_sim(q_emb, embedding)"))
+        .withColumn("rk", row_number().over(w2).cast("bigint"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          Portable.r(col("sim"), 6).as("sim"), col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
     // ---- Q-llm-09: language-ID via character-n-gram marker scoring
     "Q-llm-09" -> { (s, d) =>
       def occ(marker: String) =
@@ -384,6 +421,27 @@ object LlmOps {
            FROM scored) WHERE rk <= 10
          ORDER BY query_id, rk"""
     },
+    "Q-llm-15" ->
+      s"""WITH q AS (
+           SELECT vec_id, embedding,
+                  list_transform(embedding,
+                    x -> (floor(x::DOUBLE * (127.0 / greatest(
+                            list_max(list_transform(embedding, y -> abs(y::DOUBLE))),
+                            1e-30)) + 0.5))::FLOAT) AS qemb
+           FROM embeddings),
+         cand AS (
+           SELECT a.vec_id AS query_id, a.embedding AS q_emb, b.vec_id, b.embedding,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${Portable.cosSql("a.qemb", "b.qemb")} DESC, b.vec_id) AS qrk
+           FROM (SELECT * FROM q WHERE vec_id < 5) a
+           JOIN q b ON a.vec_id <> b.vec_id)
+         SELECT query_id, vec_id, ${Portable.rSql("sim", 6)} AS sim, rk FROM (
+           SELECT query_id, vec_id,
+                  ${Portable.cosSql("q_emb", "embedding")} AS sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY ${Portable.cosSql("q_emb", "embedding")} DESC, vec_id) AS rk
+           FROM cand WHERE qrk <= 50) WHERE rk <= 10
+         ORDER BY query_id, rk""",
     "Q-llm-09" ->
       """SELECT doc_id,
                 ((length(text) - length(replace(text, 'the', ''))) / 3

@@ -48,6 +48,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall too low: $recall")
   }
 
+  test("Q-llm-15 int8 quantized re-rank: recall@10 vs exact brute force") {
+    val exact = SparkEntry.queries("Q-llm-03")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("Q-llm-15")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"int8-rerank recall@10 = $recall")
+    // int8 barely perturbs cosine ordering and the re-rank is exact over
+    // the quantized top-50, so near-perfect recall is the expectation
+    assert(recall >= 0.9, s"recall too low: $recall")
+  }
+
   test("MinHashSig aggregate == K separate min(md5) aggregates") {
     import graft.functions.TextFunctions._
     graft.functions.MinHashSig.register(spark)

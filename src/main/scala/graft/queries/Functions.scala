@@ -127,6 +127,24 @@ object Functions {
         length(bin).cast("bigint").as("n_bytes"),
         (decode(unbase64(base64(bin)), "UTF-8") === col("text")).as("b64_rt"))
         .orderBy("doc_id")
+    },
+
+    // ---- Q-fn-try-01: try_* safety family. The session runs ANSI mode
+    // (Spark 4 default) — arithmetic/cast faults THROW instead of silently
+    // corrupting, and the try_* variants are the explicit opt-in to
+    // null-on-fault. A 100 TB job wants the throw-by-default + targeted
+    // try_* combination: one bad row can't silently poison an aggregate,
+    // and expected-dirty columns are handled without failing the job.
+    "Q-fn-try-01" -> { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)").as("prio_num"),
+        expr("try_cast(o_orderstatus AS BIGINT)").as("status_num"), // 'F'/'O'/'P' -> null
+        Portable.r(expr("try_divide(o_totalprice, o_orderkey % 3)"), 6)
+          .as("per_mod"), // divisor 0 -> null, not an error
+        expr("try_element_at(split(o_orderpriority, '-'), 2)").as("prio_word"),
+        expr("try_element_at(split(o_orderpriority, '-'), 5)").as("oob")) // -> null
+        .orderBy("o_orderkey")
     }
   )
 
@@ -207,6 +225,14 @@ object Functions {
                 lower(hex(substring(text, 1, 16)::BLOB)) AS hex16,
                 octet_length(text::BLOB)::BIGINT AS n_bytes,
                 (from_base64(base64(text::BLOB))::VARCHAR = text) AS b64_rt
-         FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+         FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "Q-fn-try-01" ->
+      s"""SELECT o_orderkey,
+                TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,
+                TRY_CAST(o_orderstatus AS BIGINT) AS status_num,
+                ${Portable.rSql("o_totalprice / nullif(o_orderkey % 3, 0)", 6)} AS per_mod,
+                str_split(o_orderpriority, '-')[2] AS prio_word,
+                str_split(o_orderpriority, '-')[5] AS oob
+         FROM orders ORDER BY o_orderkey"""
   )
 }

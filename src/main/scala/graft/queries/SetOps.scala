@@ -37,6 +37,25 @@ object SetOps {
         .unionAll(tag(a.exceptAll(b), "except_all"))
         .select("op", "k", "n")
         .orderBy("op", "k")
+    },
+
+    // ---- Q-set-03: UNION by NAME across drifted schemas — the two legs
+    // have different column orders and one is missing a column
+    // (allowMissingColumns fills null). Positional UNION would silently
+    // mis-associate columns here; by-name union is the schema-evolution-
+    // safe form a long-lived 100 TB pipeline needs.
+    "Q-set-03" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val v1 = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      val v2 = o.filter(col("o_orderstatus") === "O") // drifted order, no price
+        .select(col("o_orderstatus"), col("o_orderkey"))
+      v1.unionByName(v2, allowMissingColumns = true)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_price"),
+          Portable.r(Portable.dsum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -63,6 +82,17 @@ object SetOps {
          UNION ALL
          SELECT 'except_all', k, count(*)::BIGINT
            FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) GROUP BY k
-         ORDER BY op, k"""
+         ORDER BY op, k""",
+    "Q-set-03" ->
+      s"""WITH u AS (
+           SELECT o_orderkey, o_totalprice, o_orderstatus
+           FROM orders WHERE o_orderstatus = 'F'
+           UNION ALL BY NAME
+           SELECT o_orderstatus, o_orderkey
+           FROM orders WHERE o_orderstatus = 'O')
+         SELECT o_orderstatus, count(*)::BIGINT AS n,
+                count(o_totalprice)::BIGINT AS n_price,
+                ${Portable.rSql(Portable.dsumSql("coalesce(o_totalprice, 0.0)"), 2)} AS total
+         FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

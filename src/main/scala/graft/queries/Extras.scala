@@ -94,6 +94,27 @@ object Extras {
         ORDER BY c_custkey""")
     },
 
+    // ---- Q-sub-04: recursive CTE (Spark 4 WITH RECURSIVE) — hierarchy
+    // traversal over a tree derived from customer keys (parent = key DIV
+    // 10, roots are keys < 10). Each iteration is one self-join against
+    // the frontier: at scale the per-level work is an ordinary shuffled
+    // equi-join, and the recursion depth (not the data size) bounds the
+    // number of jobs.
+    "Q-sub-04" -> { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql("""
+        WITH RECURSIVE anc AS (
+          SELECT c_custkey, c_custkey AS root, 0 AS depth
+          FROM customer WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, a.root, a.depth + 1
+          FROM customer c JOIN anc a ON c.c_custkey DIV 10 = a.c_custkey
+          WHERE c.c_custkey >= 10)
+        SELECT root, depth, count(*) AS n,
+               min(c_custkey) AS first_key, max(c_custkey) AS last_key
+        FROM anc GROUP BY root, depth ORDER BY root, depth""")
+    },
+
     // ---- Q-scan-05: ORC round-trip (columnar format #2)
     "Q-scan-05" -> { (s, d) =>
       val tmp = Files.createTempDirectory("graft_scan05").toString
@@ -275,6 +296,17 @@ object Extras {
            WHERE o.o_custkey = c.c_custkey
            ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
          ORDER BY c_custkey""",
+    "Q-sub-04" ->
+      """WITH RECURSIVE anc AS (
+           SELECT c_custkey, c_custkey AS root, 0 AS depth
+           FROM customer WHERE c_custkey < 10
+           UNION ALL
+           SELECT c.c_custkey, a.root, a.depth + 1
+           FROM customer c JOIN anc a ON c.c_custkey // 10 = a.c_custkey
+           WHERE c.c_custkey >= 10)
+         SELECT root, depth::INT AS depth, count(*)::BIGINT AS n,
+                min(c_custkey) AS first_key, max(c_custkey) AS last_key
+         FROM anc GROUP BY root, depth ORDER BY root, depth""",
     "Q-scan-05" ->
       s"""SELECT o_orderstatus, count(*)::BIGINT AS n,
                 ${Portable.rSql(

@@ -84,4 +84,23 @@ class OperatorPropertySpec extends AnyFunSuite {
       assert(got == plain, s"seed=$seed")
     }
   }
+
+  test("shingleRows == explode(shingles) incl. short docs (5 random corpora)") {
+    import graft.functions.TextFunctions.{shingleRows, shingles}
+    val tokenGen = Gen.oneOf("a", "bb", "ccc", "dd d", "", "e")
+    for (seed <- 1L to 5L) {
+      val docs = Gen.listOfN(40, Gen.chooseNum(0, 12).flatMap(Gen.listOfN(_, tokenGen)))
+        .apply(Gen.Parameters.default, Seed(seed)).get
+        .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      for (n <- Seq(2, 3, 8)) {
+        val fast = shingleRows(docs, "doc_id", "text", n)
+          .collect().map(r => (r.getLong(0), r.getString(1))).toList.sorted
+        val ref = docs.select(col("doc_id"),
+            explode(shingles(split(col("text"), " "), n)).as("sh"))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toList.sorted
+        assert(fast == ref, s"seed=$seed n=$n")
+      }
+    }
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.CosineSim
+import graft.functions.{CosineSim, MinHashSig}
 
 /** Library install hook: `spark.sql.extensions=graft.GraftExtensions`
   * registers the engine's native expressions on every session (the
@@ -28,5 +28,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(
+        classOf[MinHashSig].getName, null, "minhash_sig",
+        "minhash_sig(shingle, bands) - K-band MinHash signature aggregate", ""),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHashSig(exprs.head, exprs(1).eval(null).asInstanceOf[Int])
+          .toAggregateExpression()))
   }
 }

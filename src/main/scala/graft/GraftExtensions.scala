@@ -23,16 +23,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(
-        classOf[CosineSim].getName, null, "cosine_sim",
-        "cosine_sim(a, b) - cosine similarity of two float vectors", ""),
+      new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
-      new ExpressionInfo(
-        classOf[MinHashSig].getName, null, "minhash_sig",
-        "minhash_sig(shingle, bands) - K-band MinHash signature aggregate", ""),
+      new ExpressionInfo(classOf[MinHashSig].getName, null, "minhash_sig"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MinHashSig(exprs.head, exprs(1).eval(null).asInstanceOf[Int])
           .toAggregateExpression()))

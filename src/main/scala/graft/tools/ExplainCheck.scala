@@ -84,6 +84,16 @@ object ExplainCheck {
         if (!ok) println(p.linesIterator.take(40).mkString("\n"))
       } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
+    // correlated LATERAL top-1 decorrelates to a partial WindowGroupLimit
+    // (only 1 row per group survives each partition before the shuffle)
+    check("Q-sub-03", "LATERAL decorrelated to partial WindowGroupLimit",
+      p => p.contains("WindowGroupLimit") && p.contains("Partial") &&
+           !p.contains("CartesianProduct"))
+    // LSH ANN: bucket probe must be an equi-join on (table, bucket) —
+    // never a cartesian/BNLJ over the corpus
+    check("Q-llm-14", "LSH probe is an equi-join (no cartesian/BNLJ)",
+      p => !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
     // partial aggregation before the shuffle (map-side combine)
     check("Q-agg-01", "partial HashAggregate before exchange",
       p => p.contains("HashAggregate") && p.contains("Exchange"))

@@ -188,6 +188,25 @@ object LlmOps {
         .orderBy("query_id", "rk")
     },
 
+    // ---- Q-llm-16: dedup CLUSTERS — the step after near-dup pairs.
+    // Duplicates are transitive, so Q-llm-02's verified pairs (jaccard >=
+    // 0.5) become the edges of a graph whose connected components are the
+    // dup clusters; each doc gets its component's min doc_id as cluster_id
+    // and is kept iff it IS that representative. Components via distributed
+    // min-label propagation (operators/ConnectedComponents); the oracle
+    // computes the same components as a DuckDB recursive closure.
+    "Q-llm-16" -> { (s, d) =>
+      val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+      val edges = queries("Q-llm-02")(s, d)
+        .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
+      val labels = graft.operators.ConnectedComponents.minLabel(nodes, edges)
+      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "label")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"), (col("id") === col("label")).as("is_kept"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-llm-15: int8 quantization + exact re-rank. The index stores a
     // symmetric per-vector int8 quantization (scale = 127/max|x|, values in
     // [-127,127]) — 4x smaller than float32, the difference between an
@@ -299,16 +318,10 @@ object LlmOps {
           i -> ${(0 until n).map(k => s"ws[i + $k]").mkString(" || ' ' || ")})
         ELSE [] END"""
 
-  val oracle: Map[String, String] = Map(
-    "Q-llm-01" ->
-      """SELECT doc_id, h, n_copies FROM (
-           SELECT doc_id, md5(text) AS h,
-                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
-                  count(*) OVER (PARTITION BY md5(text)) AS n_copies
-           FROM documents)
-         WHERE rn = 1 ORDER BY doc_id""",
-    "Q-llm-02" ->
-      s"""WITH sh AS (
+  // Q-llm-02's full oracle SQL, shared: Q-llm-16 embeds it as the edge
+  // source so the cluster oracle is built on the exact pair algebra
+  private lazy val llm02Sql: String =
+    s"""WITH sh AS (
            SELECT DISTINCT doc_id, sh FROM (
              SELECT doc_id, unnest(${shinglesSql(3)}) AS sh
              FROM (SELECT doc_id, $wordsSql AS ws FROM documents))),
@@ -334,8 +347,34 @@ object LlmOps {
          FROM cand c
          LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
          JOIN sizes za ON za.doc_id = c.a
-         JOIN sizes zb ON zb.doc_id = c.b
-         ORDER BY c.a, c.b""",
+         JOIN sizes zb ON zb.doc_id = c.b"""
+
+  val oracle: Map[String, String] = Map(
+    "Q-llm-16" ->
+      s"""WITH RECURSIVE
+           edges AS (SELECT a, b FROM ($llm02Sql) WHERE jaccard >= 0.5),
+           sym AS (SELECT a AS x, b AS y FROM edges
+                   UNION ALL SELECT b, a FROM edges),
+           reach(src, node) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT r.src, s.y FROM reach r JOIN sym s ON s.x = r.node),
+           comp AS (SELECT src AS doc_id, min(node) AS cluster_id
+                    FROM reach GROUP BY src),
+           sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                  FROM comp GROUP BY cluster_id)
+         SELECT c.doc_id, c.cluster_id, z.cluster_size,
+                (c.doc_id = c.cluster_id) AS is_kept
+         FROM comp c JOIN sz z USING (cluster_id)
+         ORDER BY c.doc_id""",
+    "Q-llm-01" ->
+      """SELECT doc_id, h, n_copies FROM (
+           SELECT doc_id, md5(text) AS h,
+                  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+                  count(*) OVER (PARTITION BY md5(text)) AS n_copies
+           FROM documents)
+         WHERE rn = 1 ORDER BY doc_id""",
+    "Q-llm-02" -> s"$llm02Sql\n         ORDER BY c.a, c.b",
     "Q-llm-04" ->
       s"""SELECT lang, count(*)::BIGINT AS n_docs,
                 ${Portable.rSql("CAST(sum(len(str_split(text,' '))) AS DOUBLE) / count(*)", 6)} AS avg_words,

@@ -62,6 +62,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall too low: $recall")
   }
 
+  test("Q-llm-16 dedup clusters: pairs co-clustered, representatives are roots") {
+    val pairs = SparkEntry.queries("Q-llm-02")(spark, sf)
+      .filter(col("jaccard") >= 0.5).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cl = SparkEntry.queries("Q-llm-16")(spark, sf)
+      .select("doc_id", "cluster_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) == cl(b), s"pair ($a,$b) split across clusters") }
+    // a cluster's representative labels itself
+    cl.values.toSet.foreach((c: Long) => assert(cl(c) == c))
+    // the kept set is exactly one doc per cluster
+    assert(cl.values.toSet.size == cl.count { case (id, c) => id == c })
+  }
+
   test("MinHashSig aggregate == K separate min(md5) aggregates") {
     import graft.functions.TextFunctions._
     graft.functions.MinHashSig.register(spark)

@@ -168,6 +168,27 @@ object StreamingQueries {
         "append").orderBy("device_id", "ts_ms", "state")
     },
 
+    // ---- Q-str-09: same presence semantics on Spark 4's arbitrary-state
+    // v2 API (transformWithState + typed ValueState, RocksDB-backed) —
+    // driver-verified against the SAME oracle as Q-str-05, so the two
+    // state APIs are pinned to identical semantics.
+    "Q-str-09" -> { (s, d) =>
+      val stream = Replay.eventsStream(s, d)
+        .select(col("user_id").cast("string").as("device_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try
+        Replay.run(
+          Presence.detectTws(s, stream, ttlMillis = 3600000L).toDF(),
+          "append").orderBy("device_id", "ts_ms", "state")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+
     // ---- Q-str-06: streaming dedup by key within watermark
     "Q-str-06" -> { (s, d) =>
       Replay.run(
@@ -287,6 +308,21 @@ object StreamingQueries {
     }
   )
 
+  // batch gap-and-island rendering of the presence state machine, shared by
+  // the flatMapGroupsWithState (Q-str-05) and transformWithState (Q-str-09)
+  // implementations
+  private val presenceSql: String =
+    """WITH e AS (
+         SELECT user_id::VARCHAR AS device_id, epoch_ms(ts) AS ts_ms,
+                lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+         FROM events)
+       SELECT device_id, 'online' AS state, ts_ms
+       FROM e WHERE prev_ms IS NULL OR ts_ms - prev_ms > 3600000
+       UNION ALL
+       SELECT device_id, 'offline' AS state, prev_ms + 3600000 AS ts_ms
+       FROM e WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > 3600000
+       ORDER BY device_id, ts_ms, state"""
+
   val oracle: Map[String, String] = Map(
     "Q-scan-03" ->
       """SELECT event_type, count(*)::BIGINT AS n FROM events
@@ -334,17 +370,9 @@ object StreamingQueries {
                 count(*)::BIGINT AS n
          FROM events WHERE ts >= TIMESTAMP '2024-01-20'
          GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
-    "Q-str-05" ->
-      """WITH e AS (
-           SELECT user_id::VARCHAR AS device_id, epoch_ms(ts) AS ts_ms,
-                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
-           FROM events)
-         SELECT device_id, 'online' AS state, ts_ms
-         FROM e WHERE prev_ms IS NULL OR ts_ms - prev_ms > 3600000
-         UNION ALL
-         SELECT device_id, 'offline' AS state, prev_ms + 3600000 AS ts_ms
-         FROM e WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > 3600000
-         ORDER BY device_id, ts_ms, state""",
+    "Q-str-05" -> presenceSql,
+    // the v2-state-API twin must match the exact same rendering
+    "Q-str-09" -> presenceSql,
     "Q-str-06" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

@@ -40,6 +40,7 @@ object Bench {
     "Q-join-13",  // runtime bloom-filter join
     "Q-win-04",   // batch session windows
     "Q-llm-14",   // hyperplane-LSH ANN (4 tables, multi-probe)
+    "Q-llm-16",   // dedup clusters (iterative connected components)
     "Q-str-01",   // streaming tumbling-window replay
     "Q-str-05"    // streaming presence detection
   )

@@ -23,32 +23,40 @@ object ConnectedComponents {
 
   /** @param nodes one column `id`; @param edges columns `a`, `b`
     * (undirected, any orientation). Returns (id, label) with label = min
-    * node id of the component. */
+    * node id of the component.
+    *
+    * Iteration hygiene (what makes a DataFrame loop scale): every round is
+    * `localCheckpoint`ed so the logical plan stays constant-size instead of
+    * growing per iteration (planning time would otherwise dominate);
+    * propagation runs only over edge-CONNECTED nodes (isolated nodes are
+    * their own singleton component by definition and are unioned back at
+    * the end); and convergence piggybacks on the same action that
+    * materializes the round (one job per iteration, not three). */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
-      .persist()
-    var labels = nodes.select(col("id"), col("id").as("label")).persist()
-    labels.count()
+      .localCheckpoint(true)
+    val connected = sym.select(col("x").as("id")).distinct()
+    var labels = connected.select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      // every connected node has >= 1 neighbor, so the inner join is total
       val minNbr = sym
         .join(labels.select(col("id").as("y"), col("label").as("ly")), "y")
         .groupBy("x").agg(min("ly").as("ln"))
         .withColumnRenamed("x", "id")
-      val next = labels.join(minNbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("ln"), col("label"))).as("label"))
-        .persist()
-      next.count()
-      changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
-      labels = next
+      val step = labels.join(minNbr, Seq("id"))
+        .select(col("id"), col("label"),
+          least(col("label"), col("ln")).as("next"))
+        .localCheckpoint(true)
+      changed = step.filter(col("next") < col("label")).count()
+      labels = step.select(col("id"), col("next").as("label"))
       i += 1
     }
-    sym.unpersist()
-    labels
+    val isolated = nodes.join(connected, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.unionAll(isolated)
   }
 }

@@ -143,6 +143,32 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-mm-03: frame-level pipeline shape — explode each video asset
+    // into its frames (sequence + explode, partition-parallel), score each
+    // frame (deterministic stub arithmetic standing in for a per-frame
+    // model), sample every 4th frame, and aggregate back per asset. This
+    // is the fan-out/fan-in a real video featurizer runs at 100 TB; only
+    // the per-frame kernel is fake.
+    "Q-mm-03" -> { (s, d) =>
+      val feats = graft.multimodal.Multimodal
+        .featuresFromDocuments(s, Tables.documents(s, d))
+        // stub "video" granularity: one frame per 100 payload bytes (the
+        // coarser n_bytes/1000 frame_count leaves sub-3000-char docs
+        // frameless)
+        .withColumn("n_frames", expr("n_bytes DIV 100") + 1)
+      feats.filter(col("n_frames") >= 4)
+        .select(col("asset_id"), col("fake_brightness"),
+          explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
+        .filter(col("frame_idx") % 4 === 0)
+        .withColumn("frame_score",
+          (col("fake_brightness") + col("frame_idx") * 13) % 100)
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          Portable.r(avg(col("frame_score")), 6).as("avg_score"),
+          max("frame_score").as("max_score"))
+        .orderBy("asset_id")
+    },
+
     // ---- Q-agg-08: PIVOT (explicit value list => no extra distinct scan)
     "Q-agg-08" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -321,6 +347,21 @@ object Extras {
                 (length(text) // 1000 + 1)::BIGINT AS frame_count,
                 ((length(text) // 1000 + 1 + 3) // 4)::BIGINT AS sampled_frames
          FROM documents ORDER BY asset_id""",
+    "Q-mm-03" ->
+      s"""WITH feats AS (
+           SELECT doc_id AS asset_id,
+                  (length(text) * 7 % 256) AS fake_brightness,
+                  (length(text) // 100 + 1) AS n_frames
+           FROM documents),
+         frames AS (
+           SELECT asset_id, fake_brightness,
+                  unnest(generate_series(0, n_frames - 1)) AS frame_idx
+           FROM feats WHERE n_frames >= 4)
+         SELECT asset_id, count(*)::BIGINT AS n_sampled,
+                ${Portable.rSql("avg((fake_brightness + frame_idx * 13) % 100)", 6)} AS avg_score,
+                max((fake_brightness + frame_idx * 13) % 100)::BIGINT AS max_score
+         FROM frames WHERE frame_idx % 4 = 0
+         GROUP BY asset_id ORDER BY asset_id""",
     "Q-agg-08" ->
       s"""SELECT l_returnflag,
                 ${Portable.rSql(

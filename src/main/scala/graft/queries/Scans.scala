@@ -85,6 +85,28 @@ object Scans {
         .agg(count(lit(1)).as("n"),
           Portable.r(Portable.dsum(col("o_totalprice")), 2).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- Q-scan-07: parquet schema evolution — two generations of files
+    // in one dataset (gen1 lacks the later o_totalprice column);
+    // mergeSchema unifies the footers and back-fills nulls, the read-side
+    // half of a long-lived dataset whose writer schema grew over time.
+    "Q-scan-07" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_scan07").toString
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$tmp/ds/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$tmp/ds/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/ds")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count(col("o_totalprice")).as("n_with_price"),
+          Portable.r(Portable.dsum(coalesce(col("o_totalprice"), lit(0.0))), 2)
+            .as("total"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -114,6 +136,12 @@ object Scans {
                 AND substring(md5(o_orderkey::VARCHAR), 1, 2) < '80')
             OR (o_orderpriority <> '1-URGENT'
                 AND substring(md5(o_orderkey::VARCHAR), 1, 2) < '1a')
-         GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "Q-scan-07" ->
+      s"""SELECT o_orderstatus, count(*)::BIGINT AS n,
+                count(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END)::BIGINT AS n_with_price,
+                ${Portable.rSql(Portable.dsumSql(
+                  "CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0.0 END"), 2)} AS total
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
   )
 }

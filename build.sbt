@@ -23,11 +23,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] runs 32 concurrent tasks in this one JVM; 8g leaves only
+// ~150MB execution memory per task and produced GC-bound outliers in bench
+// runs. Default to a quarter of physical RAM, clamped to [4g, 32g] so the
+// JVM still starts on small hosts; override with SPARK_DRIVER_MEM (=32g for
+// bench runs on this 128 GiB machine).
+val defaultHeap: String = {
+  val memTotalKb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.trim.split("\\s+")(1).toLong }
+      .getOrElse(64L * 1024 * 1024)
+    catch { case _: Exception => 64L * 1024 * 1024 }
+  val gb = (memTotalKb / 1024 / 1024 / 4).max(4).min(32)
+  s"${gb}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs 32 concurrent tasks in this one JVM; 8g left only
-  // ~150MB execution memory per task and produced GC-bound outliers in
-  // bench runs. The machine has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

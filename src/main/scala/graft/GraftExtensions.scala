@@ -29,8 +29,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, null, "minhash_sig"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHashSig(exprs.head, exprs(1).eval(null).asInstanceOf[Int])
-          .toAggregateExpression()))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def usage(got: String) = throw new IllegalArgumentException(
+          "minhash_sig(shingles, k): expects an array column and a literal " +
+            s"integer signature size; got $got")
+        if (exprs.length != 2) usage(s"${exprs.length} argument(s)")
+        val kExpr = exprs(1)
+        if (!kExpr.foldable)
+          usage(s"non-literal k: ${kExpr.sql}")
+        val k = kExpr.eval(null) match {
+          case i: Int                     => i
+          case l: Long if l.isValidInt    => l.toInt
+          case s: Short                   => s.toInt
+          case b: Byte                    => b.toInt
+          case other                      =>
+            usage(s"k of type ${kExpr.dataType.simpleString} ($other)")
+        }
+        if (k <= 0) usage(s"k = $k (must be positive)")
+        MinHashSig(exprs.head, k).toAggregateExpression()
+      }))
   }
 }

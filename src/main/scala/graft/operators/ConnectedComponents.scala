@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
   * folded into components and one representative kept per component.
   *
   * Algorithm: every node starts labeled with its own id; each round, a node
-  * takes the min of its label and its neighbors' labels; converged when no
-  * label changes. Rounds needed = component diameter (small for dup
-  * clusters). Each round is one shuffled equi-join + groupBy — the same
+  * takes the min of its label and its neighbors' labels, then jumps the
+  * result one pointer hop (label-of-label); converged when no label
+  * changes. The jump squares propagation, so rounds needed =
+  * O(log diameter), not O(diameter). Each round is one shuffled
+  * equi-join + groupBy plus one label self-join — the same
   * driver-coordinated iterative shape GraphX/Pregel use, every step fully
   * distributed; nothing driver-side but the convergence counter.
   *
@@ -47,14 +49,30 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("y"), col("label").as("ly")), "y")
         .groupBy("x").agg(min("ly").as("ln"))
         .withColumnRenamed("x", "id")
-      val step = labels.join(minNbr, Seq("id"))
+      val prop = labels.join(minNbr, Seq("id"))
         .select(col("id"), col("label"),
-          least(col("label"), col("ln")).as("next"))
+          least(col("label"), col("ln")).as("mid"))
+      // pointer jumping: follow the label one hop (label := label-of-label).
+      // Squaring the propagation each round turns the round count from
+      // O(diameter) into O(log diameter) — a 1M-node chain converges in
+      // ~20 rounds instead of 1M. Every label value is itself a connected
+      // node id, so the self-join is total.
+      val step = prop
+        .join(prop.select(col("id").as("mid"), col("mid").as("jumped")),
+          Seq("mid"))
+        .select(col("id"), col("label"),
+          least(col("mid"), col("jumped")).as("next"))
         .localCheckpoint(true)
       changed = step.filter(col("next") < col("label")).count()
       labels = step.select(col("id"), col("next").as("label"))
       i += 1
     }
+    // a silent non-converged result would diverge from the transitive
+    // closure with no error — fail loudly instead
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge after $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
     val isolated = nodes.join(connected, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     labels.unionAll(isolated)

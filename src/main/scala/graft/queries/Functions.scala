@@ -74,8 +74,10 @@ object Functions {
           size(col("words")).cast("bigint").as("n_words"),
           array_contains(col("words"), "spark").as("has_spark"),
           element_at(sort_array(col("words")), 1).as("first_sorted"),
-          slice(sort_array(col("words"), asc = false), 1, 3).as("top3_desc"),
-          transform(slice(col("words"), 1, 5), w => upper(w)).as("first5_upper"),
+          // list-typed outputs are serialized to strings: the driver's compare
+          // sorts rows in pandas, and ndarray cells are unsortable there
+          array_join(slice(sort_array(col("words"), asc = false), 1, 3), ",").as("top3_desc"),
+          array_join(transform(slice(col("words"), 1, 5), w => upper(w)), ",").as("first5_upper"),
           size(filter(col("words"), w => length(w) > 4)).cast("bigint").as("n_long_words"),
           aggregate(transform(col("words"), w => length(w).cast("bigint")),
             lit(0L), (acc, x) => acc + x).as("total_chars"))
@@ -88,7 +90,8 @@ object Functions {
         .withColumn("m", from_json(col("props"), lit("map<string,bigint>")))
         .select(
           col("event_id"), col("m"),
-          map_keys(col("m")).as("keys"),
+          // string-serialized for the driver compare (pandas can't sort lists)
+          array_join(map_keys(col("m")), ",").as("keys"),
           element_at(map_values(col("m")), 1).as("first_val"),
           element_at(col("m"), "k").as("k_val"))
         .withColumn("entry", explode(map_entries(col("m"))))
@@ -192,15 +195,15 @@ object Functions {
                 len(words)::BIGINT AS n_words,
                 list_contains(words, 'spark') AS has_spark,
                 list_sort(words)[1] AS first_sorted,
-                list_reverse_sort(words)[1:3] AS top3_desc,
-                list_transform(words[1:5], w -> upper(w)) AS first5_upper,
+                array_to_string(list_reverse_sort(words)[1:3], ',') AS top3_desc,
+                array_to_string(list_transform(words[1:5], w -> upper(w)), ',') AS first5_upper,
                 len(list_filter(words, w -> length(w) > 4))::BIGINT AS n_long_words,
                 list_sum(list_transform(words, w -> length(w)))::BIGINT AS total_chars
          FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
          ORDER BY doc_id""",
     "Q-fn-map-01" ->
       """SELECT event_id,
-                [k] AS keys,
+                k AS keys,
                 v AS first_val,
                 v AS k_val,
                 k AS entry_key,

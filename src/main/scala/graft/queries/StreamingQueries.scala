@@ -28,6 +28,37 @@ object StreamingQueries {
   /** tumbling/sliding bucket start in epoch seconds (portable output). */
   private def wsSec(c: String) = unix_timestamp(col(c)).as("ws_sec")
 
+  /** Temp dir that is recursively deleted at JVM exit (replay staging dirs
+    * would otherwise accumulate across runs). */
+  private def tempDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      try {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      } catch { case _: Exception => () }
+    }
+    p
+  }
+
+  /** Copy `src`'s parquet part files into `dst` as `<prefix><i>.parquet`
+    * with a fixed mod-time (file-source batch ordering is mtime-driven).
+    * Closes the directory stream (`Files.list` leaks an fd otherwise). */
+  private def copyParts(src: Path, dst: Path, prefix: String, t: Long): Unit = {
+    val listing = Files.list(src)
+    val files =
+      try listing.toArray.map(_.asInstanceOf[Path])
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally listing.close()
+    files.zipWithIndex.foreach { case (f, i) =>
+      val out = dst.resolve(s"$prefix$i.parquet")
+      Files.copy(f, out)
+      Files.setLastModifiedTime(out, FileTime.fromMillis(t))
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- Q-scan-03: streaming file source, counts per type
     "Q-scan-03" -> { (s, d) =>
@@ -123,7 +154,7 @@ object StreamingQueries {
     // drops batch 3's late rows must have been planned from batch 1's data.
     // Oracle = on-time rows only.
     "Q-str-04" -> { (s, d) =>
-      val tmp = Files.createTempDirectory("graft_str04")
+      val tmp = tempDir("graft_str04")
       val ev = Tables.events(s, d)
       ev.filter(col("ts") >= to_timestamp(lit("2024-01-20")) && col("event_id") % 2 === 0)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/ontime1")
@@ -132,18 +163,9 @@ object StreamingQueries {
       ev.filter(col("ts") < to_timestamp(lit("2024-01-05")))
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/late")
       val dir = Files.createDirectory(tmp.resolve("stream"))
-      def copyParts(src: Path, prefix: String, t: Long): Unit = {
-        val files = Files.list(src).toArray.map(_.asInstanceOf[Path])
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-        files.zipWithIndex.foreach { case (f, i) =>
-          val dst = dir.resolve(s"$prefix$i.parquet")
-          Files.copy(f, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(t))
-        }
-      }
-      copyParts(tmp.resolve("ontime1"), "a_", 1000000000000L)
-      copyParts(tmp.resolve("ontime2"), "a2_", 1000000050000L)
-      copyParts(tmp.resolve("late"), "b_", 1000000100000L)
+      copyParts(tmp.resolve("ontime1"), dir, "a_", 1000000000000L)
+      copyParts(tmp.resolve("ontime2"), dir, "a2_", 1000000050000L)
+      copyParts(tmp.resolve("late"), dir, "b_", 1000000100000L)
 
       val raw = s.read.parquet(s"$tmp/ontime1") // schema (ts already timestamp)
       val stream = s.readStream.schema(raw.schema)
@@ -203,13 +225,13 @@ object StreamingQueries {
     // overwrite makes redelivery idempotent (reference op #8's transactional
     // producer, re-expressed as deterministic epoch overwrite).
     "Q-str-07" -> { (s, d) =>
-      val out = Files.createTempDirectory("graft_str07").toString
+      val out = tempDir("graft_str07").toString
       def writeEpoch(df: DataFrame, epoch: Long): Unit =
         df.write.mode("overwrite").parquet(s"$out/epoch=$epoch")
       val q = Replay.eventsStream(s, d).writeStream
         .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                          epoch: Long) => writeEpoch(df.toDF(), epoch) }
-        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt07").toString)
+        .option("checkpointLocation", tempDir("graft_ckpt07").toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
@@ -262,7 +284,7 @@ object StreamingQueries {
     // flushing every unmatched purchase. The oracle is then the plain
     // batch LEFT JOIN, no cutoff arithmetic.
     "Q-str-08" -> { (s, d) =>
-      val tmp = Files.createTempDirectory("graft_str08")
+      val tmp = tempDir("graft_str08")
       val ev = Tables.events(s, d)
       ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/real")
       val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
@@ -273,17 +295,8 @@ object StreamingQueries {
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sent")
       val dir = Files.createDirectory(tmp.resolve("stream"))
-      def copyParts(src: Path, prefix: String, t: Long): Unit = {
-        val files = Files.list(src).toArray.map(_.asInstanceOf[Path])
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-        files.zipWithIndex.foreach { case (f, i) =>
-          val dst = dir.resolve(s"$prefix$i.parquet")
-          Files.copy(f, dst)
-          Files.setLastModifiedTime(dst, FileTime.fromMillis(t))
-        }
-      }
-      copyParts(tmp.resolve("real"), "a_", 1000000000000L)
-      copyParts(tmp.resolve("sent"), "b_", 1000000100000L)
+      copyParts(tmp.resolve("real"), dir, "a_", 1000000000000L)
+      copyParts(tmp.resolve("sent"), dir, "b_", 1000000100000L)
       val raw = s.read.parquet(s"$tmp/real") // ts already timestamp
       val src = s.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)

@@ -26,6 +26,16 @@ object ExplainCheck {
       if (!ok) println(p.linesIterator.take(40).mkString("\n"))
     }
 
+    // restore whatever value was configured before (set or unset), rather
+    // than clobbering a session/user override with the stock default
+    def withBroadcastDisabled(body: => Unit): Unit = {
+      val key = "spark.sql.autoBroadcastJoinThreshold"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "-1")
+      try body
+      finally prev.fold(s.conf.unset(key))(s.conf.set(key, _))
+    }
+
     // predicate pushdown reaches the parquet scan
     check("Q-filt-01", "PushedFilters on orders scan",
       _.contains("PushedFilters: [") )
@@ -67,12 +77,11 @@ object ExplainCheck {
       _.toLowerCase.contains("dynamicpruning"))
     // runtime bloom-filter join: the selective dim filter becomes a bloom
     // filter applied to the fact side before its shuffle
-    locally {
-      // injection is size-gated: a dim small enough to broadcast never gets
-      // a bloom filter (the broadcast join already filters). Disable
-      // broadcast to emulate the 100 TB shuffle-join shape the filter is for.
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+    // injection is size-gated: a dim small enough to broadcast never gets
+    // a bloom filter (the broadcast join already filters). Disable
+    // broadcast to emulate the 100 TB shuffle-join shape the filter is for.
+    withBroadcastDisabled {
+      {
         val df = SparkEntry.queries("Q-join-13")(s, d)
         df.collect()
         val p = df.queryExecution.executedPlan.toString
@@ -82,7 +91,7 @@ object ExplainCheck {
         println(s"${if (ok) "PLAN-OK " else "PLAN-BAD"} Q-join-13: " +
           "bloom might_contain on fact side before shuffle (broadcast disabled)")
         if (!ok) println(p.linesIterator.take(40).mkString("\n"))
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
     }
     // correlated LATERAL top-1 decorrelates to a partial WindowGroupLimit
     // (only 1 row per group survives each partition before the shuffle)
@@ -100,11 +109,10 @@ object ExplainCheck {
     // bucketed co-located join: the SMJ consumes bucketed scans directly —
     // no hashpartitioning Exchange feeding the join (the only exchange in
     // the plan is the one for the final groupBy)
-    locally {
-      // at tiny SF Catalyst prefers broadcast (also shuffle-free); disable
-      // it to surface the bucketed sort-merge path this check is about
-      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      try {
+    // at tiny SF Catalyst prefers broadcast (also shuffle-free); disable
+    // it to surface the bucketed sort-merge path this check is about
+    withBroadcastDisabled {
+      {
         val df = SparkEntry.queries("Q-join-11")(s, d)
         df.collect()
         // final AQE plan only (the printed "Initial Plan" section would
@@ -120,7 +128,7 @@ object ExplainCheck {
         println(s"${if (ok) "PLAN-OK " else "PLAN-BAD"} Q-join-11: " +
           "bucketed SMJ, no join-side shuffle (broadcast disabled)")
         if (!ok) println(p.linesIterator.take(40).mkString("\n"))
-      } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      }
     }
     s.stop()
   }

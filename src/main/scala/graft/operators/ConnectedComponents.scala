@@ -49,9 +49,12 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("y"), col("label").as("ly")), "y")
         .groupBy("x").agg(min("ly").as("ln"))
         .withColumnRenamed("x", "id")
+      // materialized before the self-join below — otherwise the whole
+      // neighbor-propagation join/groupBy executes once per join side
       val prop = labels.join(minNbr, Seq("id"))
         .select(col("id"), col("label"),
           least(col("label"), col("ln")).as("mid"))
+        .localCheckpoint(true)
       // pointer jumping: follow the label one hop (label := label-of-label).
       // Squaring the propagation each round turns the round count from
       // O(diameter) into O(log diameter) — a 1M-node chain converges in

@@ -26,7 +26,8 @@ object SparkEntry {
     (CustomOps.queries, CustomOps.oracle),
     (LlmOps.queries, LlmOps.oracle),
     (StreamingQueries.queries, StreamingQueries.oracle),
-    (Extras.queries, Extras.oracle)
+    (Extras.queries, Extras.oracle),
+    (SqlSurface.queries, SqlSurface.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

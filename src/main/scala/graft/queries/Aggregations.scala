@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -118,10 +119,73 @@ object Aggregations {
           Portable.r(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
           Portable.r(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qty_disc"))
         .orderBy("l_linestatus")
+    },
+
+    // ---- Q-agg-10: ordered-set & regression family — sorted listagg,
+    // deterministic mode (tie-broken by value, via window over sub-counts —
+    // the bare `mode()` builtin is tie-nondeterministic across engines),
+    // interpolated median, and least-squares slope/intercept computed from
+    // DECIMAL-exact moment sums (l_quantity is integral and prices carry 2
+    // decimals, so n·Σxy − ΣxΣy is bit-portable before the one double
+    // division; the builtin regr_* aggregates use running-moment updates
+    // whose accumulation order is engine-dependent)
+    "Q-agg-10" -> { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val counts = l.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cnt").desc, col("l_linestatus").asc)
+      val mode = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_linestatus").as("mode_status"))
+      val agg = l.groupBy("l_returnflag").agg(
+        array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        Portable.r(median(col("l_quantity")), 6).as("median_qty"),
+        count(lit(1)).as("n"),
+        Portable.dsum(col("l_quantity")).as("sx"),
+        Portable.dsum(col("l_extendedprice")).as("sy"),
+        Portable.dsum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        Portable.dsum(col("l_quantity") * col("l_quantity")).as("sxx"))
+      agg
+        .select(col("l_returnflag"), col("statuses"), col("median_qty"), col("n"),
+          Portable.r((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          Portable.r((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 4)
+            .as("icept"))
+        .join(mode, "l_returnflag")
+        .select(col("l_returnflag"), col("statuses"), col("mode_status"),
+          col("median_qty"), col("slope"), col("icept"), col("n"))
+        .orderBy("l_returnflag")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-agg-10" ->
+      """WITH counts AS (
+           SELECT l_returnflag, l_linestatus, count(*) AS cnt
+           FROM lineitem GROUP BY 1, 2),
+         m AS (
+           SELECT l_returnflag, l_linestatus AS mode_status,
+                  row_number() OVER (PARTITION BY l_returnflag
+                                     ORDER BY cnt DESC, l_linestatus) AS rn
+           FROM counts),
+         a AS (
+           SELECT l_returnflag,
+                  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
+                  floor(quantile_cont(l_quantity, 0.5) * 1e6 + 0.5) / 1e6 AS median_qty,
+                  count(*) AS n,
+                  CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+                  CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+                  CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+                  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,10))) AS DOUBLE) AS sxx
+           FROM lineitem GROUP BY 1)
+         SELECT a.l_returnflag, statuses, mode_status, median_qty,
+                floor(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e6 + 0.5) / 1e6 AS slope,
+                floor(((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n) * 1e4 + 0.5) / 1e4 AS icept,
+                n::BIGINT AS n
+         FROM a JOIN m ON a.l_returnflag = m.l_returnflag AND m.rn = 1
+         ORDER BY a.l_returnflag""",
     "Q-agg-01" ->
       """SELECT l_returnflag, l_linestatus,
                 floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS sum_qty,

@@ -84,6 +84,31 @@ object Functions {
         .orderBy("doc_id")
     },
 
+    // ---- Q-fn-arr-02: array set algebra (union/intersect/except),
+    // flatten, zip_with, position, repeat. Set-op outputs are sorted then
+    // string-joined: set operations define membership, not order, so the
+    // canonical form is the sorted rendering (and the driver compare needs
+    // scalar cells anyway).
+    "Q-fn-arr-02" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("words", split(col("text"), " "))
+        .withColumn("a", slice(col("words"), 1, 6))
+        .withColumn("b", slice(col("words"), 4, 6))
+        .select(
+          col("doc_id"),
+          array_join(sort_array(array_union(col("a"), col("b"))), ",").as("u"),
+          array_join(sort_array(array_intersect(col("a"), col("b"))), ",").as("i"),
+          array_join(sort_array(array_except(col("a"), col("b"))), ",").as("e"),
+          size(array_distinct(col("words"))).cast("bigint").as("n_distinct"),
+          array_join(flatten(array(slice(col("a"), 1, 2), slice(col("b"), 1, 2))), ",").as("flat"),
+          array_join(zip_with(slice(col("a"), 1, 3), slice(col("b"), 1, 3),
+            (x, y) => concat(x, lit("_"), y)), ",").as("zipped"),
+          array_position(col("words"), "the").cast("bigint").as("pos_the"),
+          array_join(array_repeat(element_at(col("words"), 1),
+            (col("doc_id") % 3 + 1).cast("int")), ",").as("rep"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-fn-map-01: map family (construct, keys/values, explode, lookup)
     "Q-fn-map-01" -> { (s, d) =>
       Tables.events(s, d)
@@ -200,6 +225,21 @@ object Functions {
                 len(list_filter(words, w -> length(w) > 4))::BIGINT AS n_long_words,
                 list_sum(list_transform(words, w -> length(w)))::BIGINT AS total_chars
          FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+         ORDER BY doc_id""",
+    "Q-fn-arr-02" ->
+      """SELECT doc_id,
+                coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS u,
+                coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> list_contains(b, x)))), ','), '') AS i,
+                coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS e,
+                len(list_distinct(words))::BIGINT AS n_distinct,
+                coalesce(array_to_string(list_concat(a[1:2], b[1:2]), ','), '') AS flat,
+                coalesce(array_to_string(list_transform(generate_series(1, least(3, len(a), len(b))),
+                                               i -> a[i] || '_' || b[i]), ','), '') AS zipped,
+                coalesce(list_position(words, 'the'), 0)::BIGINT AS pos_the,
+                coalesce(array_to_string(list_transform(generate_series(1, ((doc_id % 3) + 1)::INT),
+                                               i -> words[1]), ','), '') AS rep
+         FROM (SELECT doc_id, words, words[1:6] AS a, words[4:9] AS b
+               FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents))
          ORDER BY doc_id""",
     "Q-fn-map-01" ->
       """SELECT event_id,

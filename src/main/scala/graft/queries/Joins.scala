@@ -40,6 +40,19 @@ object Joins {
         .orderBy("c_custkey")
     },
 
+    // ---- Q-join-02 (right): right outer — all customers kept from the
+    // right side even with no matching order (mirror of -left, covering
+    // the remaining outer-join type)
+    "Q-join-02-right" -> { (s, d) =>
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          Portable.r(coalesce(Portable.dsum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+        .orderBy("c_custkey")
+    },
+
     // ---- Q-join-02 (full): full outer of two aggregates on distinct key domains
     "Q-join-02-full" -> { (s, d) =>
       val byCust = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
@@ -128,6 +141,11 @@ object Joins {
       """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
                 floor(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 0.0) * 1e2 + 0.5) / 1e2 AS total
          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "Q-join-02-right" ->
+      """SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders,
+                floor(coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE), 0.0) * 1e2 + 0.5) / 1e2 AS total
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
          GROUP BY c_custkey ORDER BY c_custkey""",
     "Q-join-02-full" ->
       """SELECT coalesce(o.k, e.k) AS k, o.n_orders, e.n_events

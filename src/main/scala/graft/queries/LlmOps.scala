@@ -303,6 +303,69 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ---- Q-llm-17: TF-IDF top-3 terms per doc — the canonical two-agg +
+    // windowed-top-k text pipeline. Both aggregations are partial-agg
+    // shuffles keyed by (doc, word) / word; the top-k is a per-group
+    // window limit. Ranked by the ROUNDED score (unrounded last-ulp
+    // differences between engines would reorder ties), word as tie-break.
+    "Q-llm-17" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val w = docs.select(col("doc_id"), explode(words(col("text"))).as("word"))
+      val tf = w.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = w.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      val total = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(df, "word")
+        .crossJoin(broadcast(total))
+        .withColumn("tfidf",
+          Portable.r(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      val rk = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+      scored
+        .withColumn("rank", row_number().over(rk).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("word"), col("tfidf"))
+        .orderBy("doc_id", "rank")
+    },
+
+    // ---- Q-llm-18: text normalization/cleaning — the pre-tokenization
+    // scrub of a training pipeline: lowercase, digit-run masking,
+    // punctuation strip, whitespace squeeze. Pure codegen'd regex
+    // built-ins (patterns restricted to the Java∩RE2 common dialect so
+    // the oracle replicates them byte-for-byte); output is the cleaned
+    // text's hash + stats, so the compare covers the whole string.
+    "Q-llm-18" -> { (s, d) =>
+      val cleaned = trim(regexp_replace(regexp_replace(regexp_replace(
+        lower(col("text")),
+        "[0-9]+", "<num>"),
+        "[^a-z<> ]", ""),
+        "  +", " "))
+      Tables.documents(s, d)
+        .select(col("doc_id"), cleaned.as("clean"))
+        .select(col("doc_id"),
+          md5(col("clean")).as("clean_hash"),
+          length(col("clean")).cast("bigint").as("clean_len"),
+          size(split(col("clean"), " ")).cast("bigint").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-19: deterministic training shuffle + sharding — a global
+    // pseudo-random permutation as a pure hash function of the KEY
+    // (reproducible across engines, runs, partition counts — never RNG
+    // over partition order), sharded by the key's first hex nibble. At
+    // 100 TB the ORDER BY is a range-partitioned sort on uniformly
+    // distributed md5 keys — no skew by construction — and each shard's
+    // sequence is a per-partition window, not a global bottleneck.
+    "Q-llm-19" -> { (s, d) =>
+      val keyed = Tables.documents(s, d).select(
+        col("doc_id"),
+        md5(concat(lit("seed42:"), col("doc_id"))).as("shuffle_key"))
+        .withColumn("shard", substring(col("shuffle_key"), 1, 1))
+      val w = Window.partitionBy("shard").orderBy("shuffle_key")
+      keyed
+        .withColumn("pos", row_number().over(w).cast("bigint"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("shuffle_key"))
+        .orderBy("shard", "pos")
+    },
+
     // ---- Q-mm-01: multimodal binary-column plumbing (stubbed decode)
     "Q-mm-01" -> { (s, d) =>
       Multimodal.featuresFromDocuments(s, Tables.documents(s, d))
@@ -350,6 +413,47 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-17" ->
+      """WITH d AS (SELECT * FROM documents WHERE doc_id < 100),
+           w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM d),
+           tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+           df AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df FROM w GROUP BY 1),
+           total AS (SELECT count(*)::BIGINT AS n_docs FROM d),
+           scored AS (
+             SELECT doc_id, word,
+                    floor(tf * ln(n_docs::DOUBLE / df) * 1e6 + 0.5) / 1e6 AS tfidf
+             FROM tf JOIN df USING (word) CROSS JOIN total),
+           ranked AS (
+             SELECT doc_id, word, tfidf,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, word) AS rnk
+             FROM scored)
+         SELECT doc_id, rnk::BIGINT AS "rank", word, tfidf
+         FROM ranked WHERE rnk <= 3
+         ORDER BY doc_id, rnk""",
+    "Q-llm-18" ->
+      """SELECT doc_id,
+                md5(clean) AS clean_hash,
+                length(clean)::BIGINT AS clean_len,
+                len(str_split(clean, ' '))::BIGINT AS n_tokens
+         FROM (SELECT doc_id,
+                      trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+                           '[0-9]+', '<num>', 'g'),
+                           '[^a-z<> ]', '', 'g'),
+                           '  +', ' ', 'g')) AS clean
+               FROM documents)
+         ORDER BY doc_id""",
+    "Q-llm-19" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+                  md5('seed42:' || doc_id) AS shuffle_key,
+                  substring(md5('seed42:' || doc_id), 1, 1) AS shard
+           FROM documents)
+         SELECT shard,
+                (row_number() OVER (PARTITION BY shard ORDER BY shuffle_key))::BIGINT AS pos,
+                doc_id, shuffle_key
+         FROM keyed
+         ORDER BY shard, pos""",
     "Q-llm-16" ->
       s"""WITH RECURSIVE
            edges AS (SELECT a, b FROM ($llm02Sql) WHERE jaccard >= 0.5),

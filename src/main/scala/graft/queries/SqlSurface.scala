@@ -1,0 +1,87 @@
+package graft.queries
+
+import graft.core.Tables
+
+/** Q-sql-*: the SQL entry path — classic TPC-H-shaped analytics expressed
+  * as `spark.sql(...)` text over registered views, not the DataFrame API.
+  *
+  * This is deliberate surface coverage: a user of the reference-class
+  * engine writes SQL as often as code, and the SQL path exercises the full
+  * parser → analyzer → Catalyst pipeline (the DataFrame queries enter
+  * below the parser). The text is dialect-portable, so the DuckDB oracle
+  * runs the IDENTICAL statement — parity is tested at the language level,
+  * not just the result level.
+  *
+  * Scale notes: each query is the canonical warehouse pattern Catalyst
+  * optimizes well — selective dim filter + fact join (broadcast at these
+  * dim sizes, shuffle join with runtime filters at 100 TB), partial
+  * aggregation before every exchange, and top-k that plans as
+  * TakeOrderedAndProject (k rows per partition cross the wire, never the
+  * full sort).
+  */
+object SqlSurface {
+
+  // Sums run through DECIMAL(30,10) (Portable.dsum algebra) so the result
+  // is summation-order-independent and floor-rounding is bit-portable.
+  private def rev(expr: String): String =
+    s"floor(CAST(sum(CAST(($expr) AS DECIMAL(30,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2"
+
+  /** TPC-H Q3 shape: shipping-priority top-10 — selective segment filter,
+    * two fact joins, grouped revenue, deterministic top-k. */
+  private val sql01: String =
+    s"""SELECT l_orderkey,
+               ${rev("l_extendedprice * (1 - l_discount)")} AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10"""
+
+  /** TPC-H Q10 shape: returned-item revenue per customer with dim lookup. */
+  private val sql02: String =
+    s"""SELECT c_custkey, c_name, n_name,
+               ${rev("l_extendedprice * (1 - l_discount)")} AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20"""
+
+  /** TPC-H Q18 shape: large-volume orders — IN-subquery over a grouped
+    * HAVING (l_quantity is integral in the testdata, so the double sums
+    * compared against the threshold are exact on both engines). */
+  private val sql03: String =
+    s"""SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ${rev("l_quantity")} AS total_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > 120)
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100"""
+
+  private val texts: Map[String, String] = Map(
+    "Q-sql-01" -> sql01,
+    "Q-sql-02" -> sql02,
+    "Q-sql-03" -> sql03)
+
+  val queries: Map[String, Q] = texts.map { case (name, text) =>
+    val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }
+    name -> q
+  }
+
+  // the oracle runs the very same statement text
+  val oracle: Map[String, String] = texts
+}

@@ -41,6 +41,9 @@ object Bench {
     "Q-win-04",   // batch session windows
     "Q-llm-14",   // hyperplane-LSH ANN (4 tables, multi-probe)
     "Q-llm-16",   // dedup clusters (iterative connected components)
+    "Q-sql-01",   // TPC-H Q3 via the SQL entry path
+    "Q-llm-17",   // TF-IDF top-terms (two-agg + window top-k)
+    "Q-llm-19",   // deterministic training shuffle (global hash sort)
     "Q-str-01",   // streaming tumbling-window replay
     "Q-str-05"    // streaming presence detection
   )

@@ -49,21 +49,54 @@ object Replay {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
+  /** Stateful micro-batches pay a per-partition state-store open/commit on
+    * EVERY batch, so replay cost is (shuffle partitions × batches) of fixed
+    * overhead before any data is touched. Replays run with a smaller state
+    * partition count — the streaming analog of sizing
+    * `spark.sql.shuffle.partitions` to the cluster, where a real deployment
+    * picks 2-3× executor cores and the checkpoint pins it thereafter.
+    * Restored after the drain (the value is baked into each query's own
+    * checkpoint at its first batch). */
+  private val replayPartitions = "8"
+
+  private def withReplayPartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, replayPartitions)
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  /** Checkpoint dir that is removed at JVM exit. */
+  private def ckptDir(name: String): String = {
+    val p = Files.createTempDirectory(s"graft_ckpt_$name")
+    sys.addShutdownHook {
+      try {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      } catch { case _: Exception => () }
+    }
+    p.toString
+  }
+
   /** Drain a streaming DataFrame via AvailableNow into a memory sink;
     * returns the materialized result. */
   def run(streamDf: DataFrame, outputMode: String,
           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val spark = streamDf.sparkSession
     val name = s"replay_${counter.incrementAndGet()}"
-    val q = streamDf.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation",
-        Files.createTempDirectory(s"graft_ckpt_$name").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withReplayPartitions(spark) {
+      val q = streamDf.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckptDir(name))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -74,20 +107,21 @@ object Replay {
   def runWithDropCount(streamDf: DataFrame, outputMode: String): (DataFrame, Long) = {
     val spark = streamDf.sparkSession
     val name = s"replay_${counter.incrementAndGet()}"
-    val q = streamDf.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .option("checkpointLocation",
-        Files.createTempDirectory(s"graft_ckpt_$name").toString)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val dropped = Option(q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
-        .recentProgress)
-      .map(_.flatMap(p => Option(p.stateOperators).toSeq.flatten
-        .map(_.numRowsDroppedByWatermark)).sum)
-      .getOrElse(0L)
+    val dropped = withReplayPartitions(spark) {
+      val q = streamDf.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckptDir(name))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Option(q.asInstanceOf[org.apache.spark.sql.streaming.StreamingQuery]
+          .recentProgress)
+        .map(_.flatMap(p => Option(p.stateOperators).toSeq.flatten
+          .map(_.numRowsDroppedByWatermark)).sum)
+        .getOrElse(0L)
+    }
     (spark.table(name), dropped)
   }
 }

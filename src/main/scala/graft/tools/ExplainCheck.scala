@@ -106,6 +106,14 @@ object ExplainCheck {
     // partial aggregation before the shuffle (map-side combine)
     check("Q-agg-01", "partial HashAggregate before exchange",
       p => p.contains("HashAggregate") && p.contains("Exchange"))
+    // SQL entry path plans like the DataFrame path: broadcast dims +
+    // top-k as TakeOrderedAndProject (k rows per partition, no full sort)
+    check("Q-sql-01", "SQL text plans broadcast join + TakeOrderedAndProject",
+      p => p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin"))
+    // TF-IDF's per-doc top-3 is a partial WindowGroupLimit (3 rows per
+    // group survive each partition before the shuffle)
+    check("Q-llm-17", "TF-IDF top-k via partial WindowGroupLimit",
+      p => p.contains("WindowGroupLimit") && p.contains("Partial"))
     // bucketed co-located join: the SMJ consumes bucketed scans directly —
     // no hashpartitioning Exchange feeding the join (the only exchange in
     // the plan is the one for the final groupBy)

@@ -157,6 +157,25 @@ object Functions {
         .orderBy("doc_id")
     },
 
+    // ---- Q-fn-bit-01: bitwise family — and/or/xor/not, shifts, popcount.
+    // (Bitwise NOT is exercised Spark-side via `~`; the oracle renders it
+    // as the two's-complement identity -1-x, which DuckDB lacks an
+    // unambiguous `~` for.)
+    "Q-fn-bit-01" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber").limit(2000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey").bitwiseAND(col("l_partkey")).as("b_and"),
+          col("l_orderkey").bitwiseOR(col("l_partkey")).as("b_or"),
+          col("l_orderkey").bitwiseXOR(col("l_partkey")).as("b_xor"),
+          expr("~l_orderkey").as("b_not"),
+          shiftleft(col("l_linenumber"), 3).cast("bigint").as("shl"),
+          shiftright(col("l_partkey"), 2).as("shr"),
+          bit_count(col("l_orderkey")).cast("bigint").as("popcnt"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // ---- Q-fn-try-01: try_* safety family. The session runs ANSI mode
     // (Spark 4 default) — arithmetic/cast faults THROW instead of silently
     // corrupting, and the try_* variants are the explicit opt-in to
@@ -269,6 +288,17 @@ object Functions {
                 octet_length(text::BLOB)::BIGINT AS n_bytes,
                 (from_base64(base64(text::BLOB))::VARCHAR = text) AS b64_rt
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "Q-fn-bit-01" ->
+      """SELECT l_orderkey, l_linenumber,
+                (l_orderkey & l_partkey) AS b_and,
+                (l_orderkey | l_partkey) AS b_or,
+                xor(l_orderkey, l_partkey) AS b_xor,
+                (-1 - l_orderkey) AS b_not,
+                CAST(l_linenumber << 3 AS BIGINT) AS shl,
+                (l_partkey >> 2) AS shr,
+                CAST(bit_count(l_orderkey) AS BIGINT) AS popcnt
+         FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000)
+         ORDER BY l_orderkey, l_linenumber""",
     "Q-fn-try-01" ->
       s"""SELECT o_orderkey,
                 TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num,

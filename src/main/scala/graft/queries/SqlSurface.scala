@@ -72,10 +72,27 @@ object SqlSurface {
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 100"""
 
+  /** Explicit GROUPING SETS (beyond Q-agg-03's ROLLUP/CUBE): four chosen
+    * sets, plans as one Expand + single aggregation. NULL group keys are
+    * coalesced to 'ALL' so ordering never touches engine null-order
+    * defaults (the Q-agg-03 convention). */
+  private val sql04: String =
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(count(*) AS BIGINT) AS n,
+               ${rev("l_quantity")} AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, rf, ls"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
-    "Q-sql-03" -> sql03)
+    "Q-sql-03" -> sql03,
+    "Q-sql-04" -> sql04)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

@@ -318,6 +318,50 @@ object StreamingQueries {
         .filter(col("p_user") =!= -1)
         .select("p_id", "c_id", "p_user")
         .orderBy("p_id", "c_id")
+    },
+
+    // ---- Q-str-10: stream-stream FULL OUTER interval join — unmatched
+    // rows from BOTH sides flush when the watermark passes their join
+    // window (same two-batch sentinel staging as Q-str-08; the sentinel
+    // purchase+click pair advances both watermarks past every real row).
+    // Oracle = plain batch FULL JOIN. NULL join keys sort via explicit
+    // NULLS FIRST on both engines.
+    "Q-str-10" -> { (s, d) =>
+      val tmp = tempDir("graft_str10")
+      val ev = Tables.events(s, d)
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/real")
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)
+      import s.implicits._
+      Seq((-1L, sentTs, -1L, "purchase", 0.0, "{}"),
+          (-2L, sentTs, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sent")
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      copyParts(tmp.resolve("real"), dir, "a_", 1000000000000L)
+      copyParts(tmp.resolve("sent"), dir, "b_", 1000000100000L)
+      val raw = s.read.parquet(s"$tmp/real")
+      val src = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      Replay.run(
+        purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+          "fullOuter"),
+        "append")
+        .filter(coalesce(col("p_user"), col("c_user")) =!= -1)
+        .select(col("p_id"), col("c_id"),
+          coalesce(col("p_user"), col("c_user")).as("u"))
+        .orderBy(asc_nulls_first("p_id"), asc_nulls_first("c_id"))
     }
   )
 
@@ -409,6 +453,14 @@ object StreamingQueries {
          LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
-         ORDER BY p_id, c_id"""
+         ORDER BY p_id, c_id""",
+    "Q-str-10" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+                coalesce(p.user_id, c.user_id) AS u
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+         ORDER BY p_id NULLS FIRST, c_id NULLS FIRST"""
   )
 }

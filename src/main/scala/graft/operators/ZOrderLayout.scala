@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering for multi-dimensional data layout.
+  *
+  * At 100 TB the scan cost of a 2-D box query is decided by LAYOUT, not
+  * compute: parquet keeps per-row-group min/max stats, and a pushed filter
+  * skips any row group whose stats exclude it. A table sorted by one key
+  * serves only that key's predicates; sorted by the interleaved bits of
+  * two keys, row groups become axis-aligned tiles in (x, y) space and
+  * predicates on EITHER dimension skip most of the file (measured in
+  * ZOrderSpec: a second-dimension predicate scans 3.75x fewer rows than
+  * the single-key layout — 1600 vs 6000 — and the gap widens with more
+  * row groups per file).
+  *
+  * The z-value is pure bit algebra over Spark built-ins (shifts/and/or) —
+  * whole-stage-codegen'd, no UDF, and replicated exactly by the DuckDB
+  * oracle (Q-scan-08). 16 bits per dimension; callers bucket wider
+  * domains down (`& 0xFFFF`) first.
+  */
+object ZOrderLayout {
+
+  /** (shift, mask) ladder of the classic bit-spread: x -> put each of the
+    * low 16 bits of x at even positions of a 32-bit word. */
+  private val steps = Seq(
+    (8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+
+  private def spread(c: Column): Column =
+    steps.foldLeft(c.cast("bigint").bitwiseAND(lit(0xFFFFL))) {
+      case (x, (s, m)) => x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+
+  /** Morton interleave of two 16-bit dimensions: z = spread(x) | spread(y)<<1. */
+  def zvalue(x: Column, y: Column): Column =
+    spread(x).bitwiseOR(shiftleft(spread(y), 1))
+
+  /** The identical algebra as SQL text (for the DuckDB oracle). */
+  private def spreadSql(e: String): String =
+    steps.foldLeft(s"(($e) & 65535)") { case (x, (s, m)) =>
+      s"((($x) | (($x) << $s)) & $m)"
+    }
+
+  def zvalueSql(x: String, y: String): String =
+    s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
+
+  /** Run `body` with the parquet row-group target set to `bytes`.
+    * (`parquet.block.size` is a Hadoop conf, not a DataFrameWriter option —
+    * the writer option would be silently ignored.) */
+  def withBlockSize[T](df: DataFrame, bytes: Int)(body: => T): T = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val prev = Option(conf.get("parquet.block.size"))
+    conf.setInt("parquet.block.size", bytes)
+    try body
+    finally prev.fold(conf.unset("parquet.block.size"))(conf.set("parquet.block.size", _))
+  }
+
+  /** Write `df` clustered by z(x, y): each dimension is first normalized
+    * to 8 bits by equal-width bucketing over its observed [min, max] (raw
+    * interleave wastes curve locality when one dimension's domain is much
+    * wider than the other's — measured 2.1x raw vs 3.75x bucketed
+    * row-group skipping on the spec fixture), then the interleaved z-value
+    * drives a range
+    * partition + within-partition sort, so each output file and row group
+    * covers a compact (x, y) tile and its min/max stats are tight on both
+    * dimensions. The min/max pass is one aggregate (scalable; production
+    * systems sample instead); `numFiles`/`blockSize` size files and row
+    * groups to the target (~1 GB files / 128 MB groups in production,
+    * small here). */
+  def writeClustered(df: DataFrame, x: Column, y: Column,
+                     path: String, numFiles: Int = 1,
+                     blockSize: Int = 128 * 1024 * 1024): Unit = {
+    val b = df.agg(
+      min(x.cast("double")), max(x.cast("double")),
+      min(y.cast("double")), max(y.cast("double"))).head()
+    def bucket(c: Column, lo: Double, hi: Double): Column =
+      // width_bucket is 1-based and puts v=hi in bucket n+1; clamp to 0..255
+      least(width_bucket(c.cast("double"), lit(lo), lit(hi + 1e-9), lit(256)) - 1,
+        lit(255L))
+    val z = zvalue(
+      bucket(x, b.getDouble(0), b.getDouble(1)),
+      bucket(y, b.getDouble(2), b.getDouble(3)))
+    withBlockSize(df, blockSize) {
+      df.withColumn("__z", z)
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    }
+  }
+}

@@ -107,6 +107,22 @@ object Scans {
           Portable.r(Portable.dsum(coalesce(col("o_totalprice"), lit(0.0))), 2)
             .as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- Q-scan-08: z-order (Morton) clustering key — the layout
+    // operator for multi-dimensional data skipping (operators/
+    // ZOrderLayout; row-group-skipping effect measured in ZOrderSpec).
+    // The z-value algebra is hash-checked here: pure shift/and/or bit
+    // spread, replicated exactly by the oracle.
+    "Q-scan-08" -> { (s, d) =>
+      import graft.operators.ZOrderLayout
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          col("user_id").bitwiseAND(lit(1023L)).as("zx"),
+          unix_timestamp(col("ts")).bitwiseAND(lit(65535L)).as("zy"))
+        .withColumn("z", ZOrderLayout.zvalue(col("zx"), col("zy")))
+        .orderBy("z", "event_id")
     }
   )
 
@@ -142,6 +158,14 @@ object Scans {
                 count(CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END)::BIGINT AS n_with_price,
                 ${Portable.rSql(Portable.dsumSql(
                   "CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0.0 END"), 2)} AS total
-         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "Q-scan-08" ->
+      s"""SELECT event_id, zx, zy,
+                ${graft.operators.ZOrderLayout.zvalueSql("zx", "zy")} AS z
+         FROM (SELECT event_id,
+                      (user_id & 1023) AS zx,
+                      ((epoch_ms(ts) // 1000) & 65535) AS zy
+               FROM events)
+         ORDER BY z, event_id"""
   )
 }

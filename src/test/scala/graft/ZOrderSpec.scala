@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{EngineSession, Tables}
+import graft.operators.ZOrderLayout
+
+/** Pins the z-order layout's data-skipping claim (SURVEY.md §9): with
+  * row groups laid out as (x, y) tiles, a predicate on the SECOND
+  * dimension — useless to a single-key sort — skips most row groups.
+  *
+  * Methodology: the same rows written twice into one file each with small
+  * row groups (x-sorted vs z-clustered), read back with a pushed y-range
+  * filter; the parquet scan's numOutputRows metric counts only rows in
+  * row groups that survived min/max pruning (the vectorized reader does
+  * no row-level filtering), so it IS the skipping measurement.
+  */
+class ZOrderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** rows emitted by the parquet scan (post row-group pruning). */
+  private def scannedRows(df: DataFrame): Long = {
+    df.collect()
+    df.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+  }
+
+  test("z-value: interleaves bits (hand-computed fixtures)") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("x", "y")
+      .select(ZOrderLayout.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    // interleave(x=3 (011), y=5 (101)) = y2 x2 y1 x1 y0 x0 = 1 0 0 1 1 1 = 39
+    assert(rows.toSeq == Seq(0L, 1L, 2L, 39L, 4294967295L))
+  }
+
+  test("z-order layout: second-dimension predicate skips row groups") {
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").bitwiseAND(lit(65535L)).as("x"),
+        col("l_partkey").bitwiseAND(lit(65535L)).as("y"),
+        col("l_quantity"))
+    val base = Files.createTempDirectory("graft_zorder").toString
+    // tiny row groups (~100 rows, the parquet-mr flush-check floor) so the
+    // 6k-row table gets ~60 of them — enough for tile stats to be tight
+    val blk = 2 * 1024
+
+    // layout A: single-key sort by x
+    ZOrderLayout.withBlockSize(l, blk) {
+      l.repartitionByRange(1, col("x")).sortWithinPartitions("x")
+        .write.mode("overwrite").parquet(s"$base/linear")
+    }
+    // layout B: z-clustered on (x, y)
+    ZOrderLayout.writeClustered(l, col("x"), col("y"), s"$base/zorder",
+      numFiles = 1, blockSize = blk)
+
+    def q(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("y") >= 10 && col("y") < 30)
+
+    val (linearRows, zRows) = (scannedRows(q(s"$base/linear")), scannedRows(q(s"$base/zorder")))
+    val expected = q(s"$base/linear").count()
+    assert(q(s"$base/zorder").count() == expected, "layouts must hold identical data")
+    // x-sorted layout: y-stats are wide in every row group -> reads ~all
+    // rows; z layout: y-stats are tile-tight -> most row groups skipped
+    assert(zRows < linearRows / 2,
+      s"z-order should skip most row groups: z=$zRows linear=$linearRows")
+  }
+}

@@ -88,11 +88,52 @@ object SqlSurface {
                                 (l_returnflag), (l_linestatus), ())
         ORDER BY g_rf, g_ls, rf, ls"""
 
+  /** TPC-H Q4 shape: order-priority checking — EXISTS decorrelates to a
+    * left-semi join (no row multiplication from multi-lineitem orders). */
+  private val sql05: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+       FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+       GROUP BY o_orderpriority
+       ORDER BY o_orderpriority"""
+
+  /** TPC-H Q6 shape: revenue-change forecast — pure scan + filter + one
+    * global aggregate; the whole plan is a single codegen'd stage over a
+    * pushed-down parquet scan. */
+  private val sql06: String =
+    s"""SELECT ${rev("l_extendedprice * l_discount")} AS revenue,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24"""
+
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    * a fact-dim join; the CASE folds into the partial aggregate so the
+    * join output never rematerializes per-branch. */
+  private val sql07: String =
+    s"""SELECT floor(100.0 * promo / total * 1e4 + 0.5) / 1e4 AS promo_share,
+               CAST(n AS BIGINT) AS n
+        FROM (SELECT
+                ${rev("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")} AS promo,
+                ${rev("l_extendedprice * (1 - l_discount)")} AS total,
+                count(*) AS n
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00')"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
     "Q-sql-03" -> sql03,
-    "Q-sql-04" -> sql04)
+    "Q-sql-04" -> sql04,
+    "Q-sql-05" -> sql05,
+    "Q-sql-06" -> sql06,
+    "Q-sql-07" -> sql07)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

@@ -362,6 +362,44 @@ object StreamingQueries {
         .select(col("p_id"), col("c_id"),
           coalesce(col("p_user"), col("c_user")).as("u"))
         .orderBy(asc_nulls_first("p_id"), asc_nulls_first("c_id"))
+    },
+
+    // ---- Q-str-11: CHAINED stateful operators — streaming dedup feeding
+    // a windowed aggregation in ONE append-mode query (two state stores
+    // under one watermark). The staging writes every source file twice, so
+    // each event arrives in two different micro-batches; the dedup state
+    // (keyed by event_id, retained for the 30-day watermark delay ≥ the
+    // event-time span) drops the replays before they reach the window agg.
+    // A far-future sentinel batch then pushes the watermark past every
+    // real window to flush append-mode output. Oracle = plain batch
+    // window-agg over the (unique) events table — it hash-matches only if
+    // every injected duplicate was dropped.
+    "Q-str-11" -> { (s, d) =>
+      val tmp = tempDir("graft_str11")
+      val ev = Tables.events(s, d)
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/src")
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 31L * 24 * 3600 * 1000)
+      import s.implicits._
+      Seq((-1L, sentTs, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sent")
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      copyParts(tmp.resolve("src"), dir, "a_", 1000000000000L)
+      copyParts(tmp.resolve("src"), dir, "b_", 1000000050000L) // replays
+      copyParts(tmp.resolve("sent"), dir, "c_", 1000000100000L)
+      val raw = s.read.parquet(s"$tmp/src")
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(window(col("ts"), "60 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("value")), 2).as("val_sum"))
+        .select(wsSec("window.start"), col("event_type"), col("n"), col("val_sum"))
+      Replay.run(stream, "append")
+        .filter(col("event_type") =!= "sentinel")
+        .orderBy("ws_sec", "event_type")
     }
   )
 
@@ -461,6 +499,12 @@ object StreamingQueries {
          FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id
           AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
-         ORDER BY p_id NULLS FIRST, c_id NULLS FIRST"""
+         ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""",
+    "Q-str-11" ->
+      s"""SELECT (floor(epoch(ts) / 60) * 60)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS val_sum
+         FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type"""
   )
 }

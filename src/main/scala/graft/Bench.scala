@@ -55,8 +55,14 @@ object Bench {
     val dt = (System.nanoTime() - t0) / 1e9
     // each run builds a fresh DataFrame, so any persist() inside a query
     // creates a new cache entry per run — drop them so runs are independent
-    // and later queries don't inherit this one's storage/GC pressure
+    // and later queries don't inherit this one's storage/GC pressure.
+    // localCheckpoint blocks (iterative operators) are NOT covered by
+    // clearCache — without the explicit unpersist sweep they accumulate
+    // across runs until eviction pressure made Q-llm-16 10x slower in the
+    // full suite than solo.
     spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
     dt
   }
 

@@ -15,8 +15,11 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // queries that persist() an intermediate would otherwise pile cached
-      // blocks onto every later query's memory budget
+      // blocks onto every later query's memory budget (localCheckpoint
+      // blocks need the explicit RDD sweep — clearCache misses them)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

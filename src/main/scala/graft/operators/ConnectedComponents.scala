@@ -35,12 +35,27 @@ object ConnectedComponents {
     * the end); and convergence piggybacks on the same action that
     * materializes the round (one job per iteration, not three). */
   def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("a").as("x"), col("b").as("y"))
-      .unionAll(edges.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint(true)
+    val sc = nodes.sparkSession.sparkContext
+    // localCheckpoint blocks are only released by GC-driven cleanup, so an
+    // iterative loop must free each round's intermediates itself — on a
+    // long-running cluster app the accumulation (2 checkpoints x rounds x
+    // runs) evicts useful cache and eventually spills every round.
+    // Checkpoint via this helper to learn which persisted RDDs back each
+    // DataFrame, and unpersist a round's intermediates as soon as the next
+    // round's state is materialized.
+    def ckpt(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint(true)
+      val fresh = sc.getPersistentRDDs.collect {
+        case (id, rdd) if !before(id) => rdd
+      }.toSeq
+      (out, fresh)
+    }
+    val (sym, _) = ckpt(
+      edges.select(col("a").as("x"), col("b").as("y"))
+        .unionAll(edges.select(col("b").as("x"), col("a").as("y"))))
     val connected = sym.select(col("x").as("id")).distinct()
-    var labels = connected.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    var (labels, labelRdds) = ckpt(connected.select(col("id"), col("id").as("label")))
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -51,23 +66,27 @@ object ConnectedComponents {
         .withColumnRenamed("x", "id")
       // materialized before the self-join below — otherwise the whole
       // neighbor-propagation join/groupBy executes once per join side
-      val prop = labels.join(minNbr, Seq("id"))
-        .select(col("id"), col("label"),
-          least(col("label"), col("ln")).as("mid"))
-        .localCheckpoint(true)
+      val (prop, propRdds) = ckpt(
+        labels.join(minNbr, Seq("id"))
+          .select(col("id"), col("label"),
+            least(col("label"), col("ln")).as("mid")))
       // pointer jumping: follow the label one hop (label := label-of-label).
       // Squaring the propagation each round turns the round count from
       // O(diameter) into O(log diameter) — a 1M-node chain converges in
       // ~20 rounds instead of 1M. Every label value is itself a connected
       // node id, so the self-join is total.
-      val step = prop
-        .join(prop.select(col("id").as("mid"), col("mid").as("jumped")),
-          Seq("mid"))
-        .select(col("id"), col("label"),
-          least(col("mid"), col("jumped")).as("next"))
-        .localCheckpoint(true)
+      val (step, stepRdds) = ckpt(
+        prop
+          .join(prop.select(col("id").as("mid"), col("mid").as("jumped")),
+            Seq("mid"))
+          .select(col("id"), col("label"),
+            least(col("mid"), col("jumped")).as("next")))
       changed = step.filter(col("next") < col("label")).count()
+      // step is materialized: the previous labels and this round's prop
+      // are dead weight from here on
+      (labelRdds ++ propRdds).foreach(_.unpersist(blocking = false))
       labels = step.select(col("id"), col("next").as("label"))
+      labelRdds = stepRdds
       i += 1
     }
     // a silent non-converged result would diverge from the transitive

@@ -211,6 +211,51 @@ object StreamingQueries {
       }
     },
 
+    // ---- Q-str-12: event-time sessionization via transformWithState with
+    // ListState + EVENT-TIME TIMERS (streaming/Sessionize) — the session
+    // lifecycle a `session_window` aggregate can't express is owned by a
+    // custom processor: events buffer per user, a timer at (latest + gap)
+    // fires when the watermark proves the gap elapsed, closed sessions
+    // emit, the open tail re-arms. Two data batches exercise cross-batch
+    // buffering; a far-future sentinel advances the watermark so every
+    // real timer fires. Oracle = batch gap-and-island SQL.
+    "Q-str-12" -> { (s, d) =>
+      val tmp = tempDir("graft_str12")
+      val ev = Tables.events(s, d)
+      ev.filter(col("event_id") % 2 === 0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/h1")
+      ev.filter(col("event_id") % 2 === 1)
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/h2")
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)
+      import s.implicits._
+      Seq((-1L, sentTs, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sent")
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      copyParts(tmp.resolve("h1"), dir, "a_", 1000000000000L)
+      copyParts(tmp.resolve("h2"), dir, "b_", 1000000050000L)
+      copyParts(tmp.resolve("sent"), dir, "c_", 1000000100000L)
+      val raw = s.read.parquet(s"$tmp/h1")
+      val stream = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .withWatermark("ts", WM)
+        .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try
+        Replay.run(
+          graft.streaming.Sessionize.sessions(s, stream, gapMs = 30000L).toDF(),
+          "append")
+          .filter(col("user_id") =!= -1)
+          .orderBy("user_id", "session_start_ms")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+
     // ---- Q-str-06: streaming dedup by key within watermark
     "Q-str-06" -> { (s, d) =>
       Replay.run(
@@ -500,6 +545,22 @@ object StreamingQueries {
            ON p.user_id = c.user_id
           AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
          ORDER BY p_id NULLS FIRST, c_id NULLS FIRST""",
+    "Q-str-12" ->
+      """WITH e AS (
+           SELECT user_id, epoch_ms(ts) AS ts_ms,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_ms(ts)) AS prev_ms
+           FROM events),
+         m AS (
+           SELECT user_id, ts_ms,
+                  sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 30000
+                           THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts_ms) AS sid
+           FROM e)
+         SELECT user_id, min(ts_ms) AS session_start_ms,
+                max(ts_ms) AS session_end_ms, count(*)::BIGINT AS n_events
+         FROM m GROUP BY user_id, sid
+         ORDER BY user_id, session_start_ms""",
     "Q-str-11" ->
       s"""SELECT (floor(epoch(ts) / 60) * 60)::BIGINT AS ws_sec, event_type,
                 count(*)::BIGINT AS n,

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.EngineSession
+import graft.operators.{ConnectedComponents, ZOrderLayout}
+
+/** Property insurance for the round-2 operators.
+  *
+  * ConnectedComponents is checked against an in-memory union-find on
+  * seeded random graphs — including a LONG CHAIN whose diameter far
+  * exceeds the round budget an O(diameter) loop would need (the exact
+  * failure mode round-1 advice flagged); pointer jumping must converge it
+  * in O(log n) rounds or throw, never silently return partial labels.
+  *
+  * The z-value interleave is checked invertible: deinterleaving the even
+  * and odd bits recovers (x, y) exactly for any 16-bit inputs.
+  */
+class GraphLayoutPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+  import spark.implicits._
+
+  /** reference union-find over the same edge list */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(a: Int): Int = {
+      var r = a
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    for ((a, b) <- edges) {
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // min-label = min node id in the component; with union-by-min the root
+    // IS the minimum after full path compression
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  private def checkGraph(n: Int, edges: Seq[(Long, Long)]): Unit = {
+    val nodes = (0L until n.toLong).toDF("id")
+    val edgeDf = edges.toDF("a", "b")
+    val got = ConnectedComponents.minLabel(nodes, edgeDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == unionFind(n, edges))
+  }
+
+  test("ConnectedComponents == union-find on seeded random graphs") {
+    for (seed <- 1L to 4L) {
+      val n = 60
+      val gen = Gen.listOfN(80, for {
+        a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L)
+        if a != b
+      } yield (a, b))
+      val edges = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      checkGraph(n, edges)
+    }
+  }
+
+  test("ConnectedComponents converges on a chain with diameter >> 25") {
+    // a 400-node path: O(diameter) propagation would need 400 rounds and
+    // previously exited silently at 25; pointer jumping needs ~log2(400)
+    val n = 400
+    val edges = (0L until n - 1L).map(i => (i, i + 1))
+    checkGraph(n, edges)
+  }
+
+  test("z-value interleave is invertible on 16-bit inputs") {
+    def deinterleave(z: Long): (Long, Long) = {
+      def compact(v0: Long): (Long) = {
+        var v = v0 & 0x5555555555555555L
+        v = (v | (v >> 1)) & 0x3333333333333333L
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0FL
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FFL
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFFL
+        v
+      }
+      (compact(z), compact(z >> 1))
+    }
+    val pairs = Gen.listOfN(200, for {
+      x <- Gen.chooseNum(0L, 65535L); y <- Gen.chooseNum(0L, 65535L)
+    } yield (x, y)).apply(Gen.Parameters.default, Seed(7L)).get
+    val zs = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrderLayout.zvalue(col("x"), col("y")).as("z"))
+      .collect()
+    for (r <- zs) {
+      val (x, y) = deinterleave(r.getLong(2))
+      assert((x, y) == (r.getLong(0), r.getLong(1)))
+    }
+  }
+}

@@ -282,6 +282,33 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ---- Q-llm-20: repetition quality filters (Gopher-style) — fraction
+    // of bigrams occupied by the single most frequent bigram, and
+    // fraction occupied by any repeated bigram; boilerplate/spam pages
+    // score high on both and are dropped before training. One
+    // shingle-explode + two partial-agg groupBys, keyed by doc — linear
+    // shuffles at corpus scale. The keep flag compares the UNROUNDED
+    // ratio (an IEEE-exact quotient of integers, so bit-identical across
+    // engines); only the reported fractions are display-rounded.
+    "Q-llm-20" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val counts = shingleRows(docs, "doc_id", "text", 2)
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      val per = counts.groupBy("doc_id").agg(
+        sum("c").as("n_grams"),
+        max("c").as("top_c"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_c"))
+      val topFrac = coalesce(col("top_c").cast("double") / col("n_grams"), lit(0.0))
+      val dupFrac = coalesce(col("dup_c").cast("double") / col("n_grams"), lit(0.0))
+      docs.select("doc_id").join(per, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          Portable.r(topFrac, 6).as("top_bigram_frac"),
+          Portable.r(dupFrac, 6).as("dup_bigram_frac"),
+          (topFrac <= 0.2 && dupFrac <= 0.5).as("keep"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-llm-11: token counting — whitespace, BPE-ish regex, chars/4
     "Q-llm-11" -> { (s, d) =>
       Tables.documents(s, d)
@@ -413,6 +440,21 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-20" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+           g AS (SELECT doc_id, unnest(${shinglesSql(2)}) AS sh FROM w),
+           c AS (SELECT doc_id, sh, count(*) AS c FROM g GROUP BY 1, 2),
+           p AS (SELECT doc_id, sum(c) AS n_grams, max(c) AS top_c,
+                        sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_c
+                 FROM c GROUP BY 1)
+         SELECT d.doc_id,
+                coalesce(n_grams, 0)::BIGINT AS n_grams,
+                floor(coalesce(top_c::DOUBLE / n_grams, 0.0) * 1e6 + 0.5) / 1e6 AS top_bigram_frac,
+                floor(coalesce(dup_c::DOUBLE / n_grams, 0.0) * 1e6 + 0.5) / 1e6 AS dup_bigram_frac,
+                (coalesce(top_c::DOUBLE / n_grams, 0.0) <= 0.2
+                 AND coalesce(dup_c::DOUBLE / n_grams, 0.0) <= 0.5) AS keep
+         FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+         ORDER BY d.doc_id""",
     "Q-llm-17" ->
       """WITH d AS (SELECT * FROM documents WHERE doc_id < 100),
            w AS (SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM d),

@@ -309,6 +309,28 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ---- Q-llm-21: per-language embedding centroids — cross-modal join
+    // (documents metadata x embeddings vectors) + VECTOR aggregation in
+    // the explode-to-rows layout: (key, dim, value) rows make the mean a
+    // plain partial-agg groupBy — the scalable shape for wide vectors
+    // (a collect-to-array centroid would serialize whole vectors through
+    // one reducer per key). Decimal-exact sums keep the mean portable.
+    "Q-llm-21" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val langs = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      emb.join(langs, "vec_id")
+        .select(col("lang"), posexplode(col("embedding")))
+        .groupBy("lang", "pos")
+        .agg(
+          Portable.r(Portable.dsum(col("col").cast("double")) / count(lit(1)), 6)
+            .as("mean"),
+          count(lit(1)).as("n"))
+        .select(col("lang"), col("pos").cast("bigint").as("dim"),
+          col("mean"), col("n"))
+        .orderBy("lang", "dim")
+    },
+
     // ---- Q-llm-11: token counting — whitespace, BPE-ish regex, chars/4
     "Q-llm-11" -> { (s, d) =>
       Tables.documents(s, d)
@@ -440,6 +462,21 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-21" ->
+      s"""WITH j AS (
+           SELECT d.lang, e.embedding
+           FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+         x AS (
+           SELECT lang,
+                  unnest(generate_series(1, len(embedding))) - 1 AS dim,
+                  unnest(list_transform(generate_series(1, len(embedding)),
+                                        i -> embedding[i]::DOUBLE)) AS v
+           FROM j)
+         SELECT lang, dim::BIGINT AS dim,
+                ${Portable.rSql(s"${Portable.dsumSql("v")} / count(*)", 6)} AS mean,
+                count(*)::BIGINT AS n
+         FROM x GROUP BY lang, dim
+         ORDER BY lang, dim""",
     "Q-llm-20" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents),
            g AS (SELECT doc_id, unnest(${shinglesSql(2)}) AS sh FROM w),

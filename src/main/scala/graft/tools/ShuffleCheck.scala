@@ -1,0 +1,62 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+import graft.SparkEntry
+import graft.core.EngineSession
+
+/** Dev tool: per-query shuffle-volume accounting — the quantitative side
+  * of the "minimize shuffles" design rule (SURVEY §9). For each batch
+  * headline query it reports input bytes read vs shuffle bytes/records
+  * written; a well-shaped plan shows shuffle volume bounded by GROUP/JOIN
+  * cardinality, not input size (partial aggregation, broadcast dims,
+  * pre-shuffle runtime filters). Ledger: BASELINE.md.
+  */
+object ShuffleCheck {
+
+  private val batchHeadline = Seq(
+    "Q-agg-01", "Q-agg-02", "Q-join-01", "Q-join-07", "Q-join-13",
+    "Q-win-03", "Q-sort-02", "Q-llm-01", "Q-llm-02", "Q-llm-17",
+    "Q-llm-19", "Q-llm-20", "Q-llm-21", "Q-sql-01", "Q-sub-03")
+
+  def main(args: Array[String]): Unit = {
+    val s = EngineSession.getOrCreate("shuffle-check")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    println(f"${"query"}%-12s ${"input MB"}%10s ${"shuffle MB"}%11s ${"shuffle rows"}%13s")
+    for (name <- batchHeadline) {
+      val input = new AtomicLong; val sw = new AtomicLong; val srec = new AtomicLong
+      val listener = new SparkListener {
+        override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+          val m = e.stageInfo.taskMetrics
+          if (m != null) {
+            input.addAndGet(m.inputMetrics.bytesRead)
+            sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+            srec.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+          }
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
+      try {
+        // Q-join-13's bloom filter only injects when the dim CANNOT
+        // broadcast (InjectRuntimeFilter assumes a broadcastable creation
+        // side means a broadcast join, even against a SHUFFLE_MERGE hint);
+        // measure it in the cluster shape the query is about
+        val broadcastOff = name == "Q-join-13"
+        val key = "spark.sql.autoBroadcastJoinThreshold"
+        val prevB = s.conf.getOption(key)
+        if (broadcastOff) s.conf.set(key, "-1")
+        try SparkEntry.queries(name)(s, sf)
+          .write.format("noop").mode("overwrite").save()
+        finally if (broadcastOff) prevB.fold(s.conf.unset(key))(s.conf.set(key, _))
+        // stage-completed events are posted asynchronously
+        Thread.sleep(500)
+      } finally s.sparkContext.removeSparkListener(listener)
+      s.catalog.clearCache()
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      println(f"$name%-12s ${input.get / 1e6}%10.2f ${sw.get / 1e6}%11.3f ${srec.get}%13d")
+    }
+    s.stop()
+  }
+}

@@ -157,6 +157,23 @@ object Functions {
         .orderBy("doc_id")
     },
 
+    // ---- Q-fn-cond-01: conditional/null-handling family — coalesce,
+    // nullif, nvl2 (oracle renders it as the equivalent CASE), greatest/
+    // least with null propagation, ifnull
+    "Q-fn-cond-01" -> { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        expr("nullif(o_orderkey % 3, 0)").as("mod_or_null"),
+        coalesce(expr("nullif(o_orderstatus, 'O')"), lit("open")).as("status_or_open"),
+        expr("nvl2(nullif(o_orderkey % 3, 0), 'nonzero', 'zero')").as("nvl2_tag"),
+        greatest(col("o_totalprice"), lit(100000.0),
+          col("o_orderkey").cast("double")).as("g3"),
+        least(col("o_totalprice"), lit(100000.0),
+          col("o_orderkey").cast("double")).as("l3"),
+        expr("ifnull(nullif(o_orderpriority, '1-URGENT'), 'URGENT!')").as("prio_or"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- Q-fn-bit-01: bitwise family — and/or/xor/not, shifts, popcount.
     // (Bitwise NOT is exercised Spark-side via `~`; the oracle renders it
     // as the two's-complement identity -1-x, which DuckDB lacks an
@@ -288,6 +305,16 @@ object Functions {
                 octet_length(text::BLOB)::BIGINT AS n_bytes,
                 (from_base64(base64(text::BLOB))::VARCHAR = text) AS b64_rt
          FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+    "Q-fn-cond-01" ->
+      """SELECT o_orderkey,
+                nullif(o_orderkey % 3, 0) AS mod_or_null,
+                coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+                CASE WHEN nullif(o_orderkey % 3, 0) IS NOT NULL
+                     THEN 'nonzero' ELSE 'zero' END AS nvl2_tag,
+                greatest(o_totalprice, 100000.0, o_orderkey::DOUBLE) AS g3,
+                least(o_totalprice, 100000.0, o_orderkey::DOUBLE) AS l3,
+                coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio_or
+         FROM orders ORDER BY o_orderkey""",
     "Q-fn-bit-01" ->
       """SELECT l_orderkey, l_linenumber,
                 (l_orderkey & l_partkey) AS b_and,

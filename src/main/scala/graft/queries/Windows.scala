@@ -105,10 +105,36 @@ object Windows {
           col("v").isNull.as("was_gap"),
           Portable.r(last(col("v"), ignoreNulls = true).over(wFill), 2).as("filled_v"))
         .orderBy("user_id", "day")
+    },
+
+    // ---- Q-win-06: nth_value + IGNORE NULLS navigation over a sparse
+    // column (value nulled on every 5th event) with a full-partition frame
+    "Q-win-06" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("v", when(col("event_id") % 5 =!= 0, col("value")))
+        .select(
+          col("user_id"), col("event_id"), col("v"),
+          nth_value(col("v"), 2).over(w).as("second_v"),
+          first(col("v"), ignoreNulls = true).over(w).as("first_nn"),
+          last(col("v"), ignoreNulls = true).over(w).as("last_nn"))
+        .orderBy("user_id", "event_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-win-06" ->
+      """SELECT user_id, event_id, v,
+                nth_value(v, 2) OVER w AS second_v,
+                first_value(v IGNORE NULLS) OVER w AS first_nn,
+                last_value(v IGNORE NULLS) OVER w AS last_nn
+         FROM (SELECT user_id, event_id, ts,
+                      CASE WHEN event_id % 5 <> 0 THEN value END AS v
+               FROM events)
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY user_id, event_id""",
     "Q-win-01" ->
       """SELECT o_custkey, o_orderkey,
                 (row_number() OVER w)::BIGINT AS rn,

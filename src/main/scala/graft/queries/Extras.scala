@@ -169,6 +169,29 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-mm-04: binary payload chunking with overlap — the audio/video
+    // pre-processing shape: each opaque payload splits into fixed windows
+    // (64 bytes, stride 48 => 16-byte overlap) via sequence + explode +
+    // binary substring, all codegen built-ins; per-chunk identity is the
+    // md5 of the raw bytes. A real featurizer maps each chunk through a
+    // decode kernel; the chunking/fan-out layer here is the scale-bearing
+    // part and is exercised for real (ASCII payloads keep the oracle's
+    // string-side hashes byte-identical).
+    "Q-mm-04" -> { (s, d) =>
+      val stride = 48; val win = 64
+      Tables.documents(s, d)
+        .select(col("doc_id").as("asset_id"),
+          col("text").cast("binary").as("payload"))
+        .withColumn("n_bytes", length(col("payload")))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0L), expr("CAST((n_bytes - 1) DIV 48 AS BIGINT)"))))
+        .withColumn("chunk", expr(s"substring(payload, chunk_idx * $stride + 1, $win)"))
+        .select(col("asset_id"), col("chunk_idx"),
+          length(col("chunk")).cast("bigint").as("chunk_bytes"),
+          md5(col("chunk")).as("chunk_md5"))
+        .orderBy("asset_id", "chunk_idx")
+    },
+
     // ---- Q-agg-08: PIVOT (explicit value list => no extra distinct scan)
     "Q-agg-08" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -347,6 +370,17 @@ object Extras {
                 (length(text) // 1000 + 1)::BIGINT AS frame_count,
                 ((length(text) // 1000 + 1 + 3) // 4)::BIGINT AS sampled_frames
          FROM documents ORDER BY asset_id""",
+    "Q-mm-04" ->
+      """WITH d AS (SELECT doc_id AS asset_id, text,
+                           octet_length(text::BLOB) AS n_bytes
+                    FROM documents),
+           c AS (SELECT asset_id, text,
+                        unnest(generate_series(0, (n_bytes - 1) // 48)) AS chunk_idx
+                 FROM d)
+         SELECT asset_id, chunk_idx,
+                octet_length(substring(text, chunk_idx * 48 + 1, 64)::BLOB)::BIGINT AS chunk_bytes,
+                md5(substring(text, chunk_idx * 48 + 1, 64)) AS chunk_md5
+         FROM c ORDER BY asset_id, chunk_idx""",
     "Q-mm-03" ->
       s"""WITH feats AS (
            SELECT doc_id AS asset_id,

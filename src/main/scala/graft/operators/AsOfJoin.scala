@@ -64,4 +64,40 @@ object AsOfJoin {
       df.withColumn(s"right_$c", col(s"__match.$c"))
     }.drop("__match")
   }
+
+  /** Forward as-of join: for each left row, the single right row with the
+    * same `by` key and the SMALLEST `rightOn >= leftOn` — the mirror of
+    * [[backward]] with the window reversed: left rows sort before right
+    * rows on ties (inclusive semantics) and `first(payload, ignoreNulls)`
+    * over current-row..unbounded-following picks the next right payload.
+    * Same one-shuffle cost envelope; min payload struct wins ties. */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      on: String,
+      by: String,
+      payload: Seq[String]): DataFrame = {
+
+    val rStruct = struct(payload.map(col): _*)
+    val r2 = right.select(
+      col(by), col(on),
+      rStruct.as("__r"),
+      lit(1).as("__side"))
+    val l2 = left
+      .withColumn("__side", lit(0))
+      .unionByName(r2, allowMissingColumns = true)
+
+    val w = Window.partitionBy(by)
+      .orderBy(col(on), col("__side"), col("__r"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val matched = l2
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__r", "__side")
+
+    payload.foldLeft(matched) { (df, c) =>
+      df.withColumn(s"right_$c", col(s"__match.$c"))
+    }.drop("__match")
+  }
 }

@@ -28,6 +28,23 @@ object CustomOps {
         .orderBy("event_id")
     },
 
+    // ---- Q-join-15: FORWARD as-of join — for each purchase, the earliest
+    // click at or after it by the same user (mirror of Q-join-06)
+    "Q-join-15" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOfJoin.forward(purchases, clicks, on = "ts", by = "user_id",
+          payload = Seq("ts", "value"))
+        .select(
+          col("event_id"), col("user_id"),
+          col("right_ts").as("click_ts"),
+          col("right_value").as("click_value"))
+        .orderBy("event_id")
+    },
+
     // ---- Q-agg-06: custom Aggregator — weighted mean + Welford variance
     "Q-agg-06" -> { (s, d) =>
       val wstats = udaf(WeightedStats)
@@ -84,6 +101,12 @@ object CustomOps {
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY p.event_id""",
+    "Q-join-15" ->
+      """SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts >= p.ts
          ORDER BY p.event_id""",
     "Q-agg-06" ->
       s"""SELECT l_returnflag,

@@ -58,6 +58,20 @@ class CustomOpsSpec extends AnyFunSuite {
     assert(out(3L) == null)  // u2 has no right row <= 10
   }
 
+  test("AsOfJoin.forward: picks earliest right >= left, null when none") {
+    val left = Seq((1L, "u1", 100L), (2L, "u1", 121L), (3L, "u2", 60L))
+      .toDF("id", "k", "t")
+    val right = Seq(("u1", 40L, "a"), ("u1", 100L, "b"), ("u1", 120L, "c"),
+        ("u2", 50L, "d"))
+      .toDF("k", "t", "v")
+    val out = AsOfJoin.forward(left, right, on = "t", by = "k", payload = Seq("t", "v"))
+      .select("id", "right_v").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(out(1L) == "b")   // right at exactly t=100 matches (inclusive)
+    assert(out(2L) == null)  // u1 has no right row >= 121
+    assert(out(3L) == null)  // u2 has no right row >= 60
+  }
+
   test("WeightedStats: matches closed-form on a small fixture") {
     val df = Seq(
       WInput(10.0, 1.0, 2.0), WInput(20.0, 3.0, 4.0), WInput(30.0, 1.0, 6.0))

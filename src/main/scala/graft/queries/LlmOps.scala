@@ -331,6 +331,21 @@ object LlmOps {
         .orderBy("lang", "dim")
     },
 
+    // ---- Q-llm-22: deterministic train/val/test split (~90/5/5) — split
+    // assignment is a pure hash function of the KEY (Q-scan-06's
+    // reproducible-sampling principle applied to dataset splits: the same
+    // doc lands in the same split on any engine, run, or partitioning —
+    // no leakage when the corpus is re-processed), audited per language.
+    "Q-llm-22" -> { (s, d) =>
+      val h = substring(md5(concat(lit("split42:"), col("doc_id"))), 1, 2)
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(h < "e6", "train").when(h < "f3", "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+
     // ---- Q-llm-11: token counting — whitespace, BPE-ish regex, chars/4
     "Q-llm-11" -> { (s, d) =>
       Tables.documents(s, d)
@@ -462,6 +477,13 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-22" ->
+      """SELECT lang,
+                CASE WHEN substring(md5('split42:' || doc_id), 1, 2) < 'e6' THEN 'train'
+                     WHEN substring(md5('split42:' || doc_id), 1, 2) < 'f3' THEN 'val'
+                     ELSE 'test' END AS split,
+                count(*)::BIGINT AS n
+         FROM documents GROUP BY 1, 2 ORDER BY lang, split""",
     "Q-llm-21" ->
       s"""WITH j AS (
            SELECT d.lang, e.embedding

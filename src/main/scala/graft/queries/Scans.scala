@@ -109,6 +109,26 @@ object Scans {
         .orderBy("o_orderstatus")
     },
 
+    // ---- Q-scan-09: STREAMING CSV source — the file-stream surface
+    // beyond parquet: explicit schema (inference is banned on streams),
+    // header-less CSV staged from the nation table, aggregated per region
+    // through a one-trigger replay.
+    "Q-scan-09" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_scan09")
+      Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "false").csv(s"$tmp/csv")
+      val schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+      graft.streaming.Replay.run(
+        s.readStream.schema(schema).option("header", "false")
+          .csv(s"$tmp/csv")
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n"),
+            min("n_name").as("first_name")),
+        "complete").orderBy("n_regionkey")
+    },
+
     // ---- Q-scan-08: z-order (Morton) clustering key — the layout
     // operator for multi-dimensional data skipping (operators/
     // ZOrderLayout; row-group-skipping effect measured in ZOrderSpec).
@@ -159,6 +179,9 @@ object Scans {
                 ${Portable.rSql(Portable.dsumSql(
                   "CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice ELSE 0.0 END"), 2)} AS total
          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "Q-scan-09" ->
+      """SELECT n_regionkey, count(*)::BIGINT AS n, min(n_name) AS first_name
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     "Q-scan-08" ->
       s"""SELECT event_id, zx, zy,
                 ${graft.operators.ZOrderLayout.zvalueSql("zx", "zy")} AS z

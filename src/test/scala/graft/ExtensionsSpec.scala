@@ -31,6 +31,21 @@ class ExtensionsSpec extends AnyFunSuite {
       val sig = Seq("x", "y", "x").toDF("sh")
         .selectExpr("minhash_sig(sh, 2) AS sig").head.getSeq[String](0)
       assert(sig.length == 2 && sig.forall(_.length == 32))
+      // misuse must fail with the usage message, not an internal cast error
+      def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+        .takeWhile(_ != null).map(m => String.valueOf(m.getMessage)).mkString(" | ")
+      val badArity = intercept[Exception] {
+        Seq("x").toDF("sh").selectExpr("minhash_sig(sh)").collect()
+      }
+      assert(chain(badArity).contains("minhash_sig(shingles, k)"))
+      val badK = intercept[Exception] {
+        Seq("x").toDF("sh").selectExpr("minhash_sig(sh, sh)").collect()
+      }
+      assert(chain(badK).contains("minhash_sig(shingles, k)"))
+      val zeroK = intercept[Exception] {
+        Seq("x").toDF("sh").selectExpr("minhash_sig(sh, 0)").collect()
+      }
+      assert(chain(zeroK).contains("must be positive"))
     } finally {
       prev.foreach { p =>
         SparkSession.setDefaultSession(p)

@@ -109,6 +109,21 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
+    // ---- Q-agg-07-approx: percentile_approx twin of Q-agg-07 — the
+    // 100 TB path for quantiles (one pass, bounded sketch per group,
+    // mergeable across partitions; the exact percentile buffers every
+    // value). No SQL oracle (approximate): driver records rows-only;
+    // accuracy is bounded against the exact twin in RegistrySpec.
+    "Q-agg-07-approx" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile_approx(l_extendedprice, 0.25, 10000)").as("p25"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50"),
+          expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- Q-agg-stats: moments & correlation (numerically matched by rounding)
     "Q-agg-stats" -> { (s, d) =>
       Tables.lineitem(s, d)

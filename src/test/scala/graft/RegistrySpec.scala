@@ -46,4 +46,18 @@ class RegistrySpec extends AnyFunSuite {
       assert(math.abs(a - e).toDouble / e < 0.05, s"$k: approx=$a exact=$e")
     }
   }
+
+  test("Q-agg-07-approx stays within 2% of exact percentiles") {
+    val approx = SparkEntry.queries("Q-agg-07-approx")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val exact = SparkEntry.queries("Q-agg-07")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    for ((k, (e25, e50, e90)) <- exact) {
+      val (a25, a50, a90) = approx(k)
+      for ((a, e) <- Seq((a25, e25), (a50, e50), (a90, e90)))
+        assert(math.abs(a - e) / e < 0.02, s"$k: approx=$a exact=$e")
+    }
+  }
 }

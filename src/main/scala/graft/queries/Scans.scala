@@ -109,6 +109,36 @@ object Scans {
         .orderBy("o_orderstatus")
     },
 
+    // ---- Q-scan-10: corrupt-tolerant CSV scan — the reference's
+    // poison-pill semantics (drop + account, never fail the job,
+    // WeatherKafkaAvroDeserializerSchema.java:65-67) applied to the file
+    // surface: PERMISSIVE mode routes malformed lines to a corrupt-record
+    // column; the query aggregates the clean rows and COUNTS the drops
+    // (three synthetic bad lines injected at staging).
+    "Q-scan-10" -> { (s, d) =>
+      val tmp = Files.createTempDirectory("graft_scan10")
+      Tables.nation(s, d)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "false").csv(s"$tmp/csv")
+      Files.writeString(tmp.resolve("csv/bad.csv"),
+        "oops,not,a,nation,row\nnot_an_int,XLAND,9\n,,,,,,\n")
+      val schema = "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt STRING"
+      val rows = s.read.schema(schema)
+        .option("header", "false")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(s"$tmp/csv")
+        .cache() // corrupt-column queries need the raw rows retained
+      rows.count()
+      val bad = rows.filter(col("_corrupt").isNotNull).count()
+      rows.filter(col("_corrupt").isNull)
+        .agg(count(lit(1)).as("n_good"),
+          lit(bad).as("n_corrupt"),
+          min("n_name").as("first_name"),
+          sum("n_regionkey").cast("bigint").as("region_sum"))
+    },
+
     // ---- Q-scan-09: STREAMING CSV source — the file-stream surface
     // beyond parquet: explicit schema (inference is banned on streams),
     // header-less CSV staged from the nation table, aggregated per region
@@ -182,6 +212,12 @@ object Scans {
     "Q-scan-09" ->
       """SELECT n_regionkey, count(*)::BIGINT AS n, min(n_name) AS first_name
          FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    "Q-scan-10" ->
+      """SELECT count(*)::BIGINT AS n_good,
+                3::BIGINT AS n_corrupt,
+                min(n_name) AS first_name,
+                sum(n_regionkey)::BIGINT AS region_sum
+         FROM nation""",
     "Q-scan-08" ->
       s"""SELECT event_id, zx, zy,
                 ${graft.operators.ZOrderLayout.zvalueSql("zx", "zy")} AS z

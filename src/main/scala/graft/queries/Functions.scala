@@ -209,6 +209,70 @@ object Functions {
         expr("try_element_at(split(o_orderpriority, '-'), 2)").as("prio_word"),
         expr("try_element_at(split(o_orderpriority, '-'), 5)").as("oob")) // -> null
         .orderBy("o_orderkey")
+    },
+
+    // ---- Q-fn-str-02: string family 2 — edit distance, char codecs,
+    // printf formatting, casing, positional split. All codegen built-ins;
+    // initcap is rendered on the oracle side as upper(head)||lower(tail)
+    // (single-word input) since DuckDB has no initcap.
+    "Q-fn-str-02" -> { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        levenshtein(col("c_name"), lit("Customer#000000001")).cast("bigint").as("lev"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+        reverse(col("c_name")).as("rev"),
+        repeat(col("c_mktsegment"), 2).as("rep2"),
+        ascii(col("c_mktsegment")).cast("bigint").as("asc1"),
+        expr("chr(65 + c_custkey % 26)").as("chr_mod"),
+        instr(col("c_name"), "#").cast("bigint").as("hash_pos"),
+        format_string("%s=%07d", col("c_mktsegment"), col("c_custkey")).as("fmt"),
+        initcap(lower(col("c_mktsegment"))).as("cap"),
+        col("c_name").startsWith("Customer").as("is_cust"),
+        expr("split_part(c_name, '#', 2)").as("part2"),
+        rpad(col("c_mktsegment"), 12, ".").as("rp"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- Q-fn-date-02: date/time family 2 — calendar arithmetic with
+    // day-clamping (add_months), month-end/next-weekday navigation, ISO
+    // week numbering, month-boundary diffs. next_day is rendered on the
+    // oracle side via isodow arithmetic (strictly-after semantics: a
+    // Monday input yields the NEXT Monday, +7).
+    "Q-fn-date-02" -> { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 2).as("plus2m"),
+        last_day(col("o_orderdate")).as("eom"),
+        quarter(col("o_orderdate")).cast("bigint").as("qtr"),
+        dayofyear(col("o_orderdate")).cast("bigint").as("doy"),
+        weekofyear(col("o_orderdate")).cast("bigint").as("iso_wk"),
+        next_day(col("o_orderdate"), "Mon").as("next_mon"),
+        months_between(date_trunc("month", lit("1998-12-01").cast("timestamp")),
+          date_trunc("month", col("o_orderdate"))).cast("bigint").as("months_to_end"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("som"),
+        date_trunc("week", col("o_orderdate")).cast("date").as("wk_start"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- Q-fn-struct-01: struct family — nested construction, dot-path
+    // field access, JSON projection of a struct, and lexicographic struct
+    // comparison (the sort-key idiom for multi-column ordering carried as
+    // one value).
+    "Q-fn-struct-01" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("o", struct(col("o_orderkey").as("key"),
+          struct(col("o_orderstatus").as("st"),
+            col("o_totalprice").as("tp")).as("inner")))
+        .select(
+          col("o_orderkey"),
+          col("o.inner.st").as("st"),
+          col("o.inner.tp").as("tp"),
+          to_json(struct(col("o.key").as("k"),
+            col("o.inner.st").as("s"))).as("js"),
+          (struct(col("o_orderstatus"), col("o_orderpriority")) <
+            struct(lit("O"), lit("3-MEDIUM"))).as("lt_probe"))
+        .orderBy("o_orderkey")
     }
   )
 

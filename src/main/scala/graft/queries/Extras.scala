@@ -183,6 +183,10 @@ object Extras {
         .select(col("doc_id").as("asset_id"),
           col("text").cast("binary").as("payload"))
         .withColumn("n_bytes", length(col("payload")))
+        // empty payloads emit NO chunks: Spark's sequence(0, -1) would
+        // produce a DESCENDING [0, -1] while the oracle's
+        // generate_series(0, -1) is empty — guard before the explode
+        .filter(col("n_bytes") > 0)
         .withColumn("chunk_idx",
           explode(sequence(lit(0L), expr("CAST((n_bytes - 1) DIV 48 AS BIGINT)"))))
         .withColumn("chunk", expr(s"substring(payload, chunk_idx * $stride + 1, $win)"))

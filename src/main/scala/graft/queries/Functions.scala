@@ -302,6 +302,44 @@ object Functions {
                 epoch_ms(o_orderdate) AS epoch_millis,
                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
          FROM orders ORDER BY o_orderkey""",
+    "Q-fn-str-02" ->
+      """SELECT c_custkey,
+                levenshtein(c_name, 'Customer#000000001')::BIGINT AS lev,
+                translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+                reverse(c_name) AS rev,
+                repeat(c_mktsegment, 2) AS rep2,
+                ascii(c_mktsegment)::BIGINT AS asc1,
+                chr((65 + c_custkey % 26)::INT) AS chr_mod,
+                instr(c_name, '#')::BIGINT AS hash_pos,
+                printf('%s=%07d', c_mktsegment, c_custkey) AS fmt,
+                upper(substring(lower(c_mktsegment), 1, 1))
+                  || substring(lower(c_mktsegment), 2) AS cap,
+                c_name LIKE 'Customer%' AS is_cust,
+                split_part(c_name, '#', 2) AS part2,
+                rpad(c_mktsegment, 12, '.') AS rp
+         FROM customer ORDER BY c_custkey""",
+    "Q-fn-date-02" ->
+      """SELECT o_orderkey,
+                (o_orderdate::DATE + INTERVAL 2 MONTH)::DATE AS plus2m,
+                last_day(o_orderdate::DATE) AS eom,
+                quarter(o_orderdate)::BIGINT AS qtr,
+                dayofyear(o_orderdate)::BIGINT AS doy,
+                weekofyear(o_orderdate)::BIGINT AS iso_wk,
+                (o_orderdate::DATE + (8 - isodow(o_orderdate))::INT) AS next_mon,
+                datediff('month', date_trunc('month', o_orderdate),
+                         TIMESTAMP '1998-12-01')::BIGINT AS months_to_end,
+                strftime(o_orderdate, '%Y-%m') AS ym,
+                make_date(year(o_orderdate)::INT, month(o_orderdate)::INT, 1) AS som,
+                date_trunc('week', o_orderdate)::DATE AS wk_start
+         FROM orders ORDER BY o_orderkey""",
+    "Q-fn-struct-01" ->
+      """SELECT o_orderkey,
+                o_orderstatus AS st,
+                o_totalprice AS tp,
+                to_json(struct_pack(k := o_orderkey, s := o_orderstatus)) AS js,
+                (o_orderstatus < 'O' OR
+                 (o_orderstatus = 'O' AND o_orderpriority < '3-MEDIUM')) AS lt_probe
+         FROM orders ORDER BY o_orderkey""",
     "Q-fn-math-01" ->
       s"""SELECT l_orderkey, l_linenumber,
                 abs(l_quantity - 25) AS abs_dev,

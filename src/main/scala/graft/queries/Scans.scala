@@ -92,7 +92,7 @@ object Scans {
     // mergeSchema unifies the footers and back-fills nulls, the read-side
     // half of a long-lived dataset whose writer schema grew over time.
     "Q-scan-07" -> { (s, d) =>
-      val tmp = Files.createTempDirectory("graft_scan07").toString
+      val tmp = tempDir("graft_scan07").toString
       val o = Tables.orders(s, d)
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_orderstatus")
@@ -116,7 +116,7 @@ object Scans {
     // column; the query aggregates the clean rows and COUNTS the drops
     // (three synthetic bad lines injected at staging).
     "Q-scan-10" -> { (s, d) =>
-      val tmp = Files.createTempDirectory("graft_scan10")
+      val tmp = tempDir("graft_scan10")
       Tables.nation(s, d)
         .select("n_nationkey", "n_name", "n_regionkey")
         .coalesce(1).write.mode("overwrite")
@@ -144,7 +144,7 @@ object Scans {
     // header-less CSV staged from the nation table, aggregated per region
     // through a one-trigger replay.
     "Q-scan-09" -> { (s, d) =>
-      val tmp = Files.createTempDirectory("graft_scan09")
+      val tmp = tempDir("graft_scan09")
       Tables.nation(s, d)
         .select("n_nationkey", "n_name", "n_regionkey")
         .coalesce(1).write.mode("overwrite")

@@ -28,21 +28,6 @@ object StreamingQueries {
   /** tumbling/sliding bucket start in epoch seconds (portable output). */
   private def wsSec(c: String) = unix_timestamp(col(c)).as("ws_sec")
 
-  /** Temp dir that is recursively deleted at JVM exit (replay staging dirs
-    * would otherwise accumulate across runs). */
-  private def tempDir(prefix: String): Path = {
-    val p = Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      try {
-        val walk = Files.walk(p)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => Files.deleteIfExists(f))
-        finally walk.close()
-      } catch { case _: Exception => () }
-    }
-    p
-  }
-
   /** Copy `src`'s parquet part files into `dst` as `<prefix><i>.parquet`
     * with a fixed mod-time (file-source batch ordering is mtime-driven).
     * Closes the directory stream (`Files.list` leaks an fd otherwise). */

@@ -19,4 +19,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 package object queries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Temp dir that is recursively deleted at JVM exit — shared by every
+    * query that stages files (CSV/parquet replay inputs, sinks); staging
+    * dirs would otherwise accumulate across runs. */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    import java.nio.file.Files
+    val p = Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      try {
+        val walk = Files.walk(p)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      } catch { case _: Exception => () }
+    }
+    p
+  }
 }

@@ -43,7 +43,9 @@ object Sessionize {
       rows.foreach(r => buf.appendValue(r.ts_ms))
       val maxTs = buf.get().max
       // one live timer per key: re-arm at the newest possible session end
-      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      // (materialize before deleting — mutating state while iterating the
+      // state-store iterator is unspecified behavior across providers)
+      getHandle.listTimers().toList.foreach(getHandle.deleteTimer)
       getHandle.registerTimer(maxTs + gapMs)
       Iterator.empty
     }

@@ -51,14 +51,22 @@ object ConnectedComponents {
       }.toSeq
       (out, fresh)
     }
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    val t0 = System.nanoTime()
     val (sym, _) = ckpt(
       edges.select(col("a").as("x"), col("b").as("y"))
         .unionAll(edges.select(col("b").as("x"), col("a").as("y"))))
+    if (debug) System.err.println(
+      f"[cc] sym ckpt: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    val t1 = System.nanoTime()
     val connected = sym.select(col("x").as("id")).distinct()
     var (labels, labelRdds) = ckpt(connected.select(col("id"), col("id").as("label")))
+    if (debug) System.err.println(
+      f"[cc] labels ckpt: ${(System.nanoTime() - t1) / 1e9}%.2fs")
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
+      val tRound = System.nanoTime()
       // every connected node has >= 1 neighbor, so the inner join is total
       val minNbr = sym
         .join(labels.select(col("id").as("y"), col("label").as("ly")), "y")
@@ -88,6 +96,8 @@ object ConnectedComponents {
       labels = step.select(col("id"), col("next").as("label"))
       labelRdds = stepRdds
       i += 1
+      if (debug) System.err.println(
+        f"[cc] round $i: ${(System.nanoTime() - tRound) / 1e9}%.2fs changed=$changed")
     }
     // a silent non-converged result would diverge from the transitive
     // closure with no error — fail loudly instead

@@ -200,10 +200,13 @@ object LlmOps {
       val edges = queries("Q-llm-02")(s, d)
         .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
       val labels = graft.operators.ConnectedComponents.minLabel(nodes, edges)
-      val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-      labels.join(sizes, "label")
+      // cluster size via a window count: one shuffle by label and ONE
+      // evaluation of the labels plan (a groupBy+join would re-execute the
+      // isolated-node anti-join union once per join side)
+      labels
         .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-          col("cluster_size"), (col("id") === col("label")).as("is_kept"))
+          count(lit(1)).over(Window.partitionBy("label")).as("cluster_size"),
+          (col("id") === col("label")).as("is_kept"))
         .orderBy("doc_id")
     },
 

@@ -172,10 +172,88 @@ object Aggregations {
         .select(col("l_returnflag"), col("statuses"), col("mode_status"),
           col("median_qty"), col("slope"), col("icept"), col("n"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- Q-agg-11: argument aggregates + boolean/conditional aggregates —
+    // max_by/min_by (argmax over a UNIQUE ordering key, so no tie
+    // nondeterminism), count_if, bool_and/bool_or, and a FILTER-style
+    // conditional decimal sum. All single-pass partial aggregates: shuffle
+    // volume stays |groups| x fixed-width buffers at any input size.
+    "Q-agg-11" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          max_by(col("o_custkey"), col("o_orderkey")).as("cust_last"),
+          min_by(col("o_custkey"), col("o_orderkey")).as("cust_first"),
+          count_if(col("o_totalprice") > 200000).as("n_big"),
+          bool_and(col("o_totalprice") > 0).as("all_pos"),
+          bool_or(col("o_orderstatus") === "F").as("any_f"),
+          Portable.r(Portable.dsum(
+            when(col("o_orderstatus") === "F", col("o_totalprice"))
+              .otherwise(lit(0.0))), 2).as("f_total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- Q-agg-12: mergeable HLL sketches (Datasketches) — the 100 TB
+    // re-aggregation pattern: partial sketches built per group
+    // (hll_sketch_agg), then MERGED across groups (hll_union_agg) without
+    // touching raw data again. This is what lets a warehouse keep per-day
+    // sketch tables and answer "distinct over any date range" with a
+    // union of fixed-size buffers instead of a rescan. Approximate =>
+    // rows-only for the driver; RegistrySpec bounds each estimate against
+    // the exact distinct count.
+    "Q-agg-12" -> { (s, d) =>
+      val perYear = Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).cast("bigint").as("yr"))
+        .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
+          countDistinct(col("o_custkey")).as("exact"))
+      val years = perYear.select(col("yr"),
+        hll_sketch_estimate(col("sk")).cast("bigint").as("est"), col("exact"))
+      val merged = perYear.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).cast("bigint").as("est"),
+        lit(null).cast("bigint").as("exact"))
+        .select(lit(-1L).as("yr"), col("est"), col("exact"))
+      years.unionAll(merged).orderBy("yr")
+    },
+
+    // ---- Q-agg-13: histogram via width_bucket — equi-width bucketing as
+    // a pure scalar function ahead of an ordinary partial-agg groupBy (the
+    // scalable histogram: shuffle carries |buckets| rows). The oracle
+    // replicates Spark's bucket arithmetic verbatim — floor((x - lo) /
+    // ((hi - lo) / n)) + 1 — identical IEEE ops on identical doubles.
+    "Q-agg-13" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          width_bucket(col("o_totalprice"), lit(0.0), lit(600000.0), lit(12L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(min(col("o_totalprice")), 2).as("lo"),
+          Portable.r(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy("bucket")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-agg-13" ->
+      s"""SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+                     WHEN o_totalprice >= 600000.0 THEN 13
+                     ELSE floor((o_totalprice - 0.0) / ((600000.0 - 0.0) / 12))::BIGINT + 1
+                END AS bucket,
+                count(*)::BIGINT AS n,
+                ${Portable.rSql("min(o_totalprice)", 2)} AS lo,
+                ${Portable.rSql("max(o_totalprice)", 2)} AS hi
+         FROM orders GROUP BY bucket ORDER BY bucket""",
+    "Q-agg-11" ->
+      s"""SELECT o_orderpriority,
+                arg_max(o_custkey, o_orderkey) AS cust_last,
+                arg_min(o_custkey, o_orderkey) AS cust_first,
+                count(*) FILTER (WHERE o_totalprice > 200000)::BIGINT AS n_big,
+                bool_and(o_totalprice > 0) AS all_pos,
+                bool_or(o_orderstatus = 'F') AS any_f,
+                ${Portable.rSql(Portable.dsumSql(
+                  "CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END"), 2)}
+                  AS f_total
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "Q-agg-10" ->
       """WITH counts AS (
            SELECT l_returnflag, l_linestatus, count(*) AS cnt

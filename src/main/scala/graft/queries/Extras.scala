@@ -295,12 +295,54 @@ object Extras {
         .agg(count(lit(1)).as("n"),
           Portable.r(Portable.dsum(col("value")), 2).as("val_sum"))
         .orderBy("c_mktsegment")
+    },
+
+    // ---- Q-evt-01: funnel analysis — per-user ordered stage progression
+    // view -> click-after-view -> purchase-after-click, each stage the
+    // earliest qualifying event. Three partial-agg groupBys on user_id plus
+    // two stage joins: at 100 TB each stage's shuffle carries one row per
+    // user (not per event), and AQE broadcasts the shrinking stage frames.
+    "Q-evt-01" -> { (s, d) =>
+      val e = Tables.events(s, d).select("user_id", "ts", "event_type")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          unix_micros(col("t_view")).as("t_view_us"),
+          unix_micros(col("t_click")).as("t_click_us"),
+          unix_micros(col("t_purchase")).as("t_purchase_us"))
+        .orderBy("user_id")
     }
   )
 
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    "Q-evt-01" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view
+                    FROM events WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.ts) AS t_click
+                    FROM events e JOIN v ON v.user_id = e.user_id
+                                        AND e.ts > v.t_view
+                    WHERE e.event_type = 'click' GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                    FROM events e JOIN c ON c.user_id = e.user_id
+                                        AND e.ts > c.t_click
+                    WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT v.user_id,
+                epoch_us(v.t_view::TIMESTAMP) AS t_view_us,
+                epoch_us(c.t_click::TIMESTAMP) AS t_click_us,
+                epoch_us(p.t_purchase::TIMESTAMP) AS t_purchase_us
+         FROM v
+         LEFT JOIN c ON c.user_id = v.user_id
+         LEFT JOIN p ON p.user_id = v.user_id
+         ORDER BY v.user_id""",
     "Q-llm-13" ->
       s"""WITH cents AS (
            SELECT (vec_id // $centStep)::INT AS centroid_id, embedding AS cv

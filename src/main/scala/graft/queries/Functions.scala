@@ -255,6 +255,89 @@ object Functions {
         .orderBy("o_orderkey")
     },
 
+    // ---- Q-fn-var-01: VARIANT — Spark 4's semi-structured column type:
+    // parse once into a binary-encoded variant, then typed path extraction
+    // (variant_get) and safe extraction of a missing path (try_variant_get
+    // -> null, never a throw). At 100 TB variant beats re-parsing JSON
+    // text per access and shreds into columnar storage. The oracle reads
+    // the same paths with DuckDB's JSON extraction.
+    "Q-fn-var-01" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("v", parse_json(col("props")))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "bigint").as("k"),
+          try_variant_get(col("v"), "$.missing", "string").as("gone"),
+          (variant_get(col("v"), "$.k", "bigint") % 10).as("k_mod"))
+        .orderBy("event_id")
+    },
+
+    // ---- Q-fn-url-01: URL parsing — host/path/query/parameter extraction
+    // with parse_url (codegen built-in). The oracle renders the same
+    // extractions as anchored regexes over the identically-constructed URL.
+    "Q-fn-url-01" -> { (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("url",
+          concat(lit("https://"), lower(col("c_mktsegment")), lit(".example.com/u/"),
+            col("c_custkey"), lit("?seg="), col("c_mktsegment"),
+            lit("&k="), col("c_custkey") % 7))
+        .select(
+          col("c_custkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY")).as("query"),
+          parse_url(col("url"), lit("QUERY"), lit("seg")).as("seg"),
+          parse_url(col("url"), lit("QUERY"), lit("k")).as("kparam"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- Q-fn-tz-01: timezone conversion — wall-clock <-> instant in a
+    // named zone, DST-correct (the order dates span years of both DST
+    // phases). Outputs are instants (epoch micros) or zone-local field
+    // values, so the comparison never depends on either engine's session
+    // timezone.
+    "Q-fn-tz-01" -> { (s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        unix_micros(to_utc_timestamp(col("o_orderdate"), "America/New_York"))
+          .as("ny_utc_us"),
+        unix_micros(to_utc_timestamp(col("o_orderdate"), "Asia/Tokyo"))
+          .as("tokyo_utc_us"),
+        hour(from_utc_timestamp(col("o_orderdate"), "America/New_York"))
+          .cast("bigint").as("ny_hour"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- Q-fn-gen-01: generator with ordinality — posexplode gives each
+    // exploded row its position (the UDTF shape for order-sensitive
+    // fan-out); the oracle reproduces ordinality with a bounded series
+    // join.
+    "Q-fn-gen-01" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(slice(split(col("text"), " "), 1, 10)))
+        .withColumnRenamed("pos", "pos0")
+        .select(col("doc_id"), col("pos0").cast("bigint").as("pos"), col("col").as("word"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ---- Q-fn-regex-01: regex family — match counting, extract-all with
+    // a capture group, first-match extraction, boolean match. Patterns stay
+    // in the Java∩RE2 dialect (no backreferences, no lookaround) so both
+    // engines produce identical leftmost-greedy matches.
+    "Q-fn-regex-01" -> { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit("table")).cast("bigint").as("n_table"),
+        size(regexp_extract_all(col("text"), lit("(s\\w+)"), lit(1)))
+          .cast("bigint").as("n_swords"),
+        array_join(slice(regexp_extract_all(col("text"), lit("(s\\w+)"), lit(1)),
+          1, 5), ",").as("first5_s"),
+        regexp_extract(col("text"), "(b\\w+)", 1).as("first_b"),
+        col("text").rlike("vector").as("has_vector"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-fn-struct-01: struct family — nested construction, dot-path
     // field access, JSON projection of a struct, and lexicographic struct
     // comparison (the sort-key idiom for multi-column ordering carried as
@@ -302,6 +385,48 @@ object Functions {
                 epoch_ms(o_orderdate) AS epoch_millis,
                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
          FROM orders ORDER BY o_orderkey""",
+    "Q-fn-var-01" ->
+      """SELECT event_id,
+                json_extract(props, '$.k')::BIGINT AS k,
+                json_extract_string(props, '$.missing') AS gone,
+                (json_extract(props, '$.k')::BIGINT % 10) AS k_mod
+         FROM events ORDER BY event_id""",
+    "Q-fn-url-01" ->
+      """SELECT c_custkey, host, path, query,
+                regexp_extract(query, '(^|&)seg=([^&]*)', 2) AS seg,
+                regexp_extract(query, '(^|&)k=([^&]*)', 2) AS kparam
+         FROM (SELECT c_custkey,
+                      regexp_extract(url, '^https://([^/]+)', 1) AS host,
+                      regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+                      regexp_extract(url, '\?(.*)$', 1) AS query
+               FROM (SELECT c_custkey,
+                            'https://' || lower(c_mktsegment) || '.example.com/u/'
+                              || c_custkey || '?seg=' || c_mktsegment
+                              || '&k=' || (c_custkey % 7) AS url
+                     FROM customer))
+         ORDER BY c_custkey""",
+    "Q-fn-tz-01" ->
+      """SELECT o_orderkey,
+                epoch_us(timezone('America/New_York', o_orderdate)) AS ny_utc_us,
+                epoch_us(timezone('Asia/Tokyo', o_orderdate)) AS tokyo_utc_us,
+                hour(timezone('America/New_York',
+                     to_timestamp(epoch_ms(o_orderdate) / 1000.0)))::BIGINT AS ny_hour
+         FROM orders ORDER BY o_orderkey""",
+    "Q-fn-gen-01" ->
+      """SELECT doc_id, i AS pos, ws[i + 1] AS word
+         FROM (SELECT doc_id, string_split(text, ' ')[1:10] AS ws FROM documents),
+              (SELECT unnest(generate_series(0, 9)) AS i)
+         WHERE i < len(ws)
+         ORDER BY doc_id, pos""",
+    "Q-fn-regex-01" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, 'table'))::BIGINT AS n_table,
+                len(regexp_extract_all(text, '(s\w+)', 1))::BIGINT AS n_swords,
+                coalesce(array_to_string(regexp_extract_all(text, '(s\w+)', 1)[1:5],
+                         ','), '') AS first5_s,
+                regexp_extract(text, '(b\w+)', 1) AS first_b,
+                regexp_matches(text, 'vector') AS has_vector
+         FROM documents ORDER BY doc_id""",
     "Q-fn-str-02" ->
       """SELECT c_custkey,
                 levenshtein(c_name, 'Customer#000000001')::BIGINT AS lev,

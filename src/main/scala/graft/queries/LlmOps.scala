@@ -349,6 +349,27 @@ object LlmOps {
         .orderBy("lang", "split")
     },
 
+    // ---- Q-llm-23: context-window chunking — split each document into
+    // overlapping word windows (size 32, stride 24: an 8-word overlap so
+    // no span is lost at a boundary), the text twin of Q-mm-04's binary
+    // chunking and the standard pre-tokenization fan-out for LLM training.
+    // Pure codegen: split + sequence + explode + slice; at 100 TB this is
+    // a narrow map stage (no shuffle at all until a downstream groupBy).
+    "Q-llm-23" -> { (s, d) =>
+      val win = 32; val stride = 24
+      Tables.documents(s, d)
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) > 0)
+        .withColumn("i",
+          explode(sequence(lit(0L), expr(s"CAST((size(ws) - 1) DIV $stride AS BIGINT)"))))
+        .select(col("doc_id"), col("i").as("chunk_idx"),
+          size(slice(col("ws"), (col("i") * stride + 1).cast("int"), lit(win)))
+            .cast("bigint").as("n_words"),
+          array_join(slice(col("ws"), (col("i") * stride + 1).cast("int"), lit(win)), " ")
+            .as("chunk"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ---- Q-llm-11: token counting — whitespace, BPE-ish regex, chars/4
     "Q-llm-11" -> { (s, d) =>
       Tables.documents(s, d)
@@ -480,6 +501,16 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-23" ->
+      s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents
+                     WHERE len($wordsSql) > 0),
+           x AS (SELECT doc_id, ws,
+                        unnest(generate_series(0, (len(ws) - 1) // 24)) AS i
+                 FROM w)
+         SELECT doc_id, i AS chunk_idx,
+                len(ws[(i * 24 + 1):(i * 24 + 32)])::BIGINT AS n_words,
+                array_to_string(ws[(i * 24 + 1):(i * 24 + 32)], ' ') AS chunk
+         FROM x ORDER BY doc_id, chunk_idx""",
     "Q-llm-22" ->
       """SELECT lang,
                 CASE WHEN substring(md5('split42:' || doc_id), 1, 2) < 'e6' THEN 'train'

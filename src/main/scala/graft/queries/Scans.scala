@@ -173,6 +173,25 @@ object Scans {
           unix_timestamp(col("ts")).bitwiseAND(lit(65535L)).as("zy"))
         .withColumn("z", ZOrderLayout.zvalue(col("zx"), col("zy")))
         .orderBy("z", "event_id")
+    },
+
+    // ---- Q-scan-11: Hive-style partition layout — write partitioned by a
+    // key, read back with partition DISCOVERY (the directory names become
+    // the o_orderstatus column) and a partition-pruning filter: the 'F'
+    // predicate eliminates whole directories at planning time, so the scan
+    // never opens the other partitions' files. At 100 TB this is the
+    // first-line data-skipping mechanism (before row-group stats/z-order).
+    // ExplainCheck asserts the PartitionFilters line.
+    "Q-scan-11" -> { (s, d) =>
+      val tmp = tempDir("graft_scan11").toString
+      Tables.orders(s, d)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(s"$tmp/ds")
+      s.read.parquet(s"$tmp/ds")
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
     }
   )
 
@@ -218,6 +237,11 @@ object Scans {
                 min(n_name) AS first_name,
                 sum(n_regionkey)::BIGINT AS region_sum
          FROM nation""",
+    "Q-scan-11" ->
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("o_totalprice"), 2)} AS total
+         FROM orders WHERE o_orderstatus = 'F'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "Q-scan-08" ->
       s"""SELECT event_id, zx, zy,
                 ${graft.operators.ZOrderLayout.zvalueSql("zx", "zy")} AS z

@@ -126,6 +126,93 @@ object SqlSurface {
               WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
                 AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00')"""
 
+  /** TPC-H Q15 shape: top supplier by windowed revenue — a CTE reused
+    * twice (join source + scalar MAX subquery); Catalyst plans the scalar
+    * subquery as an independent stage and broadcasts the one-row result.
+    * Revenue goes through the portable decimal+floor algebra, so the
+    * equality against MAX compares identical doubles on both engines. */
+  private val sql08: String =
+    s"""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 ${rev("l_extendedprice * (1 - l_discount)")} AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        ORDER BY s_suppkey"""
+
+  /** TPC-H Q21 shape: sole-failing-supplier detection — EXISTS and
+    * NOT EXISTS against the SAME fact table decorrelate to a left-semi and
+    * a left-anti join stacked on one scan ('failed' rendered as
+    * l_returnflag = 'R' since the testdata has no receipt/commit dates). */
+  private val sql09: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM supplier
+       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       WHERE o_orderstatus = 'F'
+         AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name"""
+
+  /** TPC-H Q22 shape: above-average-balance customers with no urgent
+    * orders — an uncorrelated scalar AVG subquery (order-independent via
+    * the decimal-sum rendering) plus a NOT EXISTS anti-join, grouped by
+    * nation. */
+  private val sql10: String =
+    """SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+              floor(CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE) * 1e2 + 0.5) / 1e2
+                AS totacctbal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+       WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,10))) AS DOUBLE)
+                                 / count(*)
+                          FROM customer WHERE c_acctbal > 0)
+         AND NOT EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey
+                           AND o_orderpriority = '1-URGENT')
+       GROUP BY n_name
+       ORDER BY n_name"""
+
+  /** TPC-H Q17 shape: small-quantity revenue — correlated scalar AVG
+    * subquery per part, decorrelated by Catalyst into an aggregate +
+    * join (l_quantity is integral in the testdata, so the avg is
+    * order-independent double arithmetic on both engines). */
+  private val sql11: String =
+    s"""SELECT ${rev("l_extendedprice")} AS small_qty_rev,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)"""
+
+  /** NOT IN with null-aware anti-join semantics — the three-valued-logic
+    * trap pinned as a contract: against a null-free subquery NOT IN is a
+    * plain anti join (n_clean > 0); if the subquery can produce even one
+    * NULL, `x NOT IN (...)` is never TRUE and the count is exactly 0.
+    * Spark plans the second as a null-aware anti join. */
+  private val sql12: String =
+    """SELECT
+         CAST((SELECT count(*) FROM customer
+               WHERE c_custkey NOT IN
+                     (SELECT o_custkey FROM orders
+                      WHERE o_orderpriority = '1-URGENT')) AS BIGINT) AS n_clean,
+         CAST((SELECT count(*) FROM customer
+               WHERE c_custkey NOT IN
+                     (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                                  ELSE o_custkey END
+                      FROM orders
+                      WHERE o_orderpriority = '1-URGENT')) AS BIGINT) AS n_with_null"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
@@ -133,7 +220,12 @@ object SqlSurface {
     "Q-sql-04" -> sql04,
     "Q-sql-05" -> sql05,
     "Q-sql-06" -> sql06,
-    "Q-sql-07" -> sql07)
+    "Q-sql-07" -> sql07,
+    "Q-sql-08" -> sql08,
+    "Q-sql-09" -> sql09,
+    "Q-sql-10" -> sql10,
+    "Q-sql-11" -> sql11,
+    "Q-sql-12" -> sql12)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

@@ -306,6 +306,34 @@ object StreamingQueries {
         .orderBy("p_id", "c_id")
     },
 
+    // ---- Q-str-13: stream-stream LEFT SEMI interval join — existence
+    // filtering across two streams (purchases that had a click in the
+    // 5 min before). Semi rows emit as soon as ONE match arrives, and the
+    // left side's state clears once the watermark passes its interval —
+    // at scale this is the cheap form of Q-join-09: no row multiplication
+    // from multi-click users, state bounded by the interval either way.
+    "Q-str-13" -> { (s, d) =>
+      val purchases = Replay.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = Replay.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      Replay.run(
+        purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+          "left_semi"),
+        "append")
+        .select("p_id", "p_user")
+        .orderBy("p_id")
+    },
+
     // ---- Q-str-08: stream-stream LEFT OUTER interval join. Outer
     // (null-extended) rows only emit once the watermark proves no future
     // match can arrive, so the replay stages TWO micro-batches: the real
@@ -515,6 +543,14 @@ object StreamingQueries {
            ON p.user_id = c.user_id
           AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
          ORDER BY p_id, c_id""",
+    "Q-str-13" ->
+      """SELECT p.event_id AS p_id, p.user_id AS p_user
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         WHERE EXISTS (SELECT 1 FROM events c
+                       WHERE c.event_type = 'click'
+                         AND c.user_id = p.user_id
+                         AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts)
+         ORDER BY p_id""",
     "Q-str-08" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p

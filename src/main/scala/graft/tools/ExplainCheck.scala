@@ -75,6 +75,12 @@ object ExplainCheck {
     // partition filter fed by the dim side
     check("Q-join-12", "dynamicpruning on partitioned fact scan",
       _.toLowerCase.contains("dynamicpruning"))
+    // static partition pruning: the Hive-layout read must push the
+    // partition-key predicate into PartitionFilters (directory-level skip)
+    check("Q-scan-11", "PartitionFilters prune o_orderstatus directories",
+      p => p.contains("PartitionFilters: [") &&
+           p.substring(p.indexOf("PartitionFilters: ["))
+            .takeWhile(_ != ']').contains("o_orderstatus"))
     // runtime bloom-filter join: the selective dim filter becomes a bloom
     // filter applied to the fact side before its shuffle
     // injection is size-gated: a dim small enough to broadcast never gets

@@ -47,6 +47,24 @@ class RegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("Q-agg-12 HLL sketches (per-year and union-merged) stay within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("Q-agg-12")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // per-year rows carry their own exact count in the result
+    for ((yr, r) <- rows if yr >= 0) {
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(est - exact).toDouble / exact < 0.05,
+        s"year $yr: est=$est exact=$exact")
+    }
+    // merged row (yr = -1) is checked against a directly-computed global
+    val globalExact = graft.core.Tables.orders(spark, sf)
+      .agg(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    val merged = rows(-1L).getLong(1)
+    assert(math.abs(merged - globalExact).toDouble / globalExact < 0.05,
+      s"union: est=$merged exact=$globalExact")
+  }
+
   test("Q-agg-07-approx stays within 2% of exact percentiles") {
     val approx = SparkEntry.queries("Q-agg-07-approx")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))

@@ -50,7 +50,11 @@ object Bench {
     "Q-llm-17",   // TF-IDF top-terms (two-agg + window top-k)
     "Q-llm-19",   // deterministic training shuffle (global hash sort)
     "Q-str-01",   // streaming tumbling-window replay
-    "Q-str-05"    // streaming presence detection
+    "Q-str-05",   // streaming presence detection
+    "Q-evt-01",   // funnel analysis (staged per-user groupBys)
+    "Q-llm-23",   // context-window text chunking (narrow fan-out)
+    "Q-llm-24",   // incremental dedup (asymmetric LSH band join)
+    "Q-sql-09"    // TPC-H Q21 shape (EXISTS + NOT EXISTS on one fact scan)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

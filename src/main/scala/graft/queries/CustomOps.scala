@@ -45,6 +45,27 @@ object CustomOps {
         .orderBy("event_id")
     },
 
+    // ---- Q-join-16: as-of join with TOLERANCE — backward match only
+    // counts within a 10-minute lookback (pandas merge_asof's `tolerance`);
+    // stale matches null out. Same one-shuffle union+running-last envelope
+    // as Q-join-06; the tolerance is a post-window null-out, not a join
+    // re-shape.
+    "Q-join-16" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      val fresh = col("right_ts") >= col("ts") - expr("INTERVAL 10 MINUTES")
+      AsOfJoin.backward(purchases, clicks, on = "ts", by = "user_id",
+          payload = Seq("ts", "value"))
+        .select(
+          col("event_id"), col("user_id"),
+          when(fresh, col("right_ts")).as("click_ts"),
+          when(fresh, col("right_value")).as("click_value"))
+        .orderBy("event_id")
+    },
+
     // ---- Q-agg-06: custom Aggregator — weighted mean + Welford variance
     "Q-agg-06" -> { (s, d) =>
       val wstats = udaf(WeightedStats)
@@ -98,6 +119,14 @@ object CustomOps {
   val oracle: Map[String, String] = Map(
     "Q-join-06" ->
       """SELECT p.event_id, p.user_id, c.ts AS click_ts, c.value AS click_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND c.ts <= p.ts
+         ORDER BY p.event_id""",
+    "Q-join-16" ->
+      """SELECT p.event_id, p.user_id,
+                CASE WHEN c.ts >= p.ts - INTERVAL 10 MINUTE THEN c.ts END AS click_ts,
+                CASE WHEN c.ts >= p.ts - INTERVAL 10 MINUTE THEN c.value END AS click_value
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND c.ts <= p.ts

@@ -318,6 +318,41 @@ object Extras {
           unix_micros(col("t_click")).as("t_click_us"),
           unix_micros(col("t_purchase")).as("t_purchase_us"))
         .orderBy("user_id")
+    },
+
+    // ---- Q-evt-02: retention cohorts — users grouped by first-activity
+    // day; per (cohort, day-offset) the count of distinct users active
+    // that day. One groupBy for cohorts + one join back + one counting
+    // groupBy: the cohort matrix's shuffle is bounded by |users| then
+    // |cohorts x offsets|, never |events|.
+    "Q-evt-02" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cohorts = e.groupBy("user_id").agg(min("day").as("cohort"))
+      e.join(cohorts, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).cast("bigint").as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+
+    // ---- Q-evt-03: time-to-convert — per user the seconds from first
+    // view to first purchase after it (Q-evt-01's stage times reduced to
+    // a distribution summary: count / min / max / interpolated median).
+    "Q-evt-03" -> { (s, d) =>
+      val e = Tables.events(s, d).select("user_id", "ts", "event_type")
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      v.join(p, "user_id")
+        .select((unix_micros(col("t_purchase")) - unix_micros(col("t_view")))
+          .as("delta_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          min("delta_us").as("min_us"),
+          max("delta_us").as("max_us"),
+          Portable.r(median(col("delta_us")), 1).as("median_us"))
     }
   )
 
@@ -343,6 +378,30 @@ object Extras {
          LEFT JOIN c ON c.user_id = v.user_id
          LEFT JOIN p ON p.user_id = v.user_id
          ORDER BY v.user_id""",
+    "Q-evt-02" ->
+      """WITH e AS (SELECT user_id, ts::DATE AS day FROM events),
+              cohorts AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+         SELECT cohort,
+                date_diff('day', cohort, day)::BIGINT AS day_offset,
+                count(DISTINCT e.user_id)::BIGINT AS n_users
+         FROM e JOIN cohorts ON cohorts.user_id = e.user_id
+         GROUP BY 1, 2 ORDER BY cohort, day_offset""",
+    "Q-evt-03" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS t_view
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+                    FROM events e JOIN v ON v.user_id = e.user_id
+                                        AND e.ts > v.t_view
+                    WHERE e.event_type = 'purchase' GROUP BY 1),
+              deltas AS (
+                SELECT epoch_us(p.t_purchase::TIMESTAMP)
+                         - epoch_us(v.t_view::TIMESTAMP) AS delta_us
+                FROM v JOIN p ON p.user_id = v.user_id)
+         SELECT count(*)::BIGINT AS n_converted,
+                min(delta_us) AS min_us,
+                max(delta_us) AS max_us,
+                ${Portable.rSql("quantile_cont(delta_us, 0.5)", 1)} AS median_us
+         FROM deltas""",
     "Q-llm-13" ->
       s"""WITH cents AS (
            SELECT (vec_id // $centStep)::INT AS centroid_id, embedding AS cv

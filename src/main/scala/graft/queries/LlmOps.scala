@@ -349,6 +349,70 @@ object LlmOps {
         .orderBy("lang", "split")
     },
 
+    // ---- Q-llm-24: INCREMENTAL dedup — the continuous-ingest shape: a
+    // batch of "new" docs (doc_id % 5 = 0, ~20%) is checked against the
+    // existing corpus (the rest) instead of all-pairs self-joining. Same
+    // MinHash-LSH algebra as Q-llm-02, but the band join is ASYMMETRIC
+    // (new x corpus), so at 100 TB the per-batch cost scales with
+    // |new| x collision-rate, not |corpus|^2; each new doc gets its single
+    // best corpus match (highest verified Jaccard >= 0.5, ties to the
+    // lowest corpus id).
+    "Q-llm-24" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sh = shingleRows(docs, "doc_id", "text", 3).distinct().persist()
+      sh.count()
+      graft.functions.MinHashSig.register(s)
+      val sigs = sh.groupBy("doc_id").agg(
+        expr(s"minhash_sig(sh, $BANDS)").as("sig"),
+        count(lit(1)).as("n_sh"))
+      val bands = sigs
+        .select(col("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos").as("band_id"), col("col").as("key"))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
+          col("x.doc_id") % 5 === 0 && col("y.doc_id") % 5 =!= 0)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+      val sizes = sigs.select(col("doc_id"), col("n_sh"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+      val verified = cand
+        .join(inter, Seq("a", "b"), "left")
+        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+        .select(col("a").as("new_doc"), col("b").as("dup_of"),
+          Portable.r(coalesce(col("n_inter"), lit(0L)) /
+            (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+      val w = Window.partitionBy("new_doc")
+        .orderBy(col("jaccard").desc, col("dup_of"))
+      verified.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("new_doc", "dup_of", "jaccard")
+        .orderBy("new_doc")
+    },
+
+    // ---- Q-llm-25: training-mix sampling — down/up-weight languages to a
+    // target mixture with the deterministic key-hash keep rule (Q-scan-06's
+    // principle): en kept at ~50%, zh fully, everything else at ~25%. The
+    // decision is a pure function of doc_id, so the same corpus yields the
+    // same mix on any engine/run/partitioning — reprocessing never leaks
+    // dropped docs back in.
+    "Q-llm-25" -> { (s, d) =>
+      val h = substring(md5(concat(lit("mix42:"), col("doc_id"))), 1, 2)
+      Tables.documents(s, d)
+        .filter(
+          when(col("lang") === "en", h < "80")
+            .when(col("lang") === "zh", lit(true))
+            .otherwise(h < "40"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("chars_kept"))
+        .orderBy("lang")
+    },
+
     // ---- Q-llm-23: context-window chunking — split each document into
     // overlapping word windows (size 32, stride 24: an 8-word overlap so
     // no span is lost at a boundary), the text twin of Q-mm-04's binary
@@ -501,6 +565,49 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-24" ->
+      s"""WITH sh AS (
+             SELECT DISTINCT doc_id, sh FROM (
+               SELECT doc_id, unnest(${shinglesSql(3)}) AS sh
+               FROM (SELECT doc_id, $wordsSql AS ws FROM documents))),
+           sigs AS (
+             SELECT doc_id, b, min(md5(b || ':' || sh)) AS key
+             FROM sh, (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b)
+             GROUP BY doc_id, b),
+           cand AS (
+             SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+             FROM sigs x JOIN sigs y
+               ON x.b = y.b AND x.key = y.key
+              AND x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0),
+           sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           inter AS (
+             SELECT c.a, c.b, count(*) AS n_inter
+             FROM cand c
+             JOIN sh sa ON sa.doc_id = c.a
+             JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+             GROUP BY c.a, c.b),
+           verified AS (
+             SELECT c.a AS new_doc, c.b AS dup_of,
+                    ${Portable.rSql(
+                      "coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))", 6)}
+                      AS jaccard
+             FROM cand c
+             LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+             JOIN sizes za ON za.doc_id = c.a
+             JOIN sizes zb ON zb.doc_id = c.b)
+         SELECT new_doc, dup_of, jaccard FROM (
+           SELECT new_doc, dup_of, jaccard,
+                  row_number() OVER (PARTITION BY new_doc
+                                     ORDER BY jaccard DESC, dup_of) AS rn
+           FROM verified WHERE jaccard >= 0.5)
+         WHERE rn = 1 ORDER BY new_doc""",
+    "Q-llm-25" ->
+      """SELECT lang, count(*)::BIGINT AS n_kept, sum(n_chars)::BIGINT AS chars_kept
+         FROM documents
+         WHERE CASE WHEN lang = 'en' THEN substring(md5('mix42:' || doc_id), 1, 2) < '80'
+                    WHEN lang = 'zh' THEN TRUE
+                    ELSE substring(md5('mix42:' || doc_id), 1, 2) < '40' END
+         GROUP BY lang ORDER BY lang""",
     "Q-llm-23" ->
       s"""WITH w AS (SELECT doc_id, $wordsSql AS ws FROM documents
                      WHERE len($wordsSql) > 0),

@@ -175,6 +175,30 @@ object Scans {
         .orderBy("z", "event_id")
     },
 
+    // ---- Q-scan-12: nested JSON-lines scan — records with a nested
+    // struct and an array field, read under an EXPLICIT nested schema (no
+    // inference pass over the data — at 100 TB schema inference is a full
+    // extra scan), then dot-path projection + array explode. Staged from
+    // the events table so the oracle can recompute from the same rows.
+    "Q-scan-12" -> { (s, d) =>
+      val tmp = tempDir("graft_scan12")
+      Tables.events(s, d).filter(col("event_type") === "signup")
+        .select(to_json(struct(
+          col("event_id"),
+          struct(col("user_id").as("id"), col("event_type").as("kind")).as("user"),
+          array(col("event_type"), concat(lit("u"), col("user_id") % 10)).as("tags")))
+          .as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$tmp/json")
+      s.read
+        .schema("event_id LONG, user STRUCT<id: LONG, kind: STRING>, tags ARRAY<STRING>")
+        .json(s"$tmp/json")
+        .select(col("event_id"), col("user.id").as("uid"),
+          explode(col("tags")).as("tag"))
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("n_users"))
+        .orderBy("tag")
+    },
+
     // ---- Q-scan-11: Hive-style partition layout — write partitioned by a
     // key, read back with partition DISCOVERY (the directory names become
     // the o_orderstatus column) and a partition-pruning filter: the 'F'
@@ -237,6 +261,13 @@ object Scans {
                 min(n_name) AS first_name,
                 sum(n_regionkey)::BIGINT AS region_sum
          FROM nation""",
+    "Q-scan-12" ->
+      """WITH x AS (SELECT event_id, user_id,
+                           unnest([event_type, 'u' || (user_id % 10)]) AS tag
+                    FROM events WHERE event_type = 'signup')
+         SELECT tag, count(*)::BIGINT AS n,
+                count(DISTINCT user_id)::BIGINT AS n_users
+         FROM x GROUP BY tag ORDER BY tag""",
     "Q-scan-11" ->
       s"""SELECT o_orderpriority, count(*)::BIGINT AS n,
                 ${Portable.rSql(Portable.dsumSql("o_totalprice"), 2)} AS total

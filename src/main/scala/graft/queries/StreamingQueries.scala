@@ -306,6 +306,35 @@ object StreamingQueries {
         .orderBy("p_id", "c_id")
     },
 
+    // ---- Q-str-14: streaming UNION of two heterogeneous sources — a
+    // parquet file stream (purchases) unioned with a CSV file stream
+    // (clicks staged with epoch-micro timestamps), one watermark over the
+    // merged stream, tumbling counts per type. The multi-source ingestion
+    // shape: each source keeps its own offsets/schema; the union is a
+    // narrow op (no shuffle) ahead of the windowed aggregation.
+    "Q-str-14" -> { (s, d) =>
+      val tmp = tempDir("graft_str14")
+      Tables.events(s, d).filter(col("event_type") === "click")
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"))
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "false").csv(s"$tmp/clicks")
+      val clicks = s.readStream
+        .schema("event_id LONG, ts_us LONG, event_type STRING")
+        .option("header", "false").csv(s"$tmp/clicks")
+        .select(col("event_type"), expr("timestamp_micros(ts_us)").as("ts"))
+      val purchases = Replay.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_type"), col("ts"))
+      Replay.run(
+        purchases.unionByName(clicks)
+          .withWatermark("ts", WM)
+          .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(wsSec("window.start"), col("event_type"), col("n")),
+        "complete").orderBy("ws_sec", "event_type")
+    },
+
     // ---- Q-str-13: stream-stream LEFT SEMI interval join — existence
     // filtering across two streams (purchases that had a click in the
     // 5 min before). Semi rows emit as soon as ONE match arrives, and the
@@ -376,6 +405,47 @@ object StreamingQueries {
         .filter(col("p_user") =!= -1)
         .select("p_id", "c_id", "p_user")
         .orderBy("p_id", "c_id")
+    },
+
+    // ---- Q-str-15: stream-stream RIGHT OUTER interval join — the mirror
+    // of Q-str-08: unmatched CLICKS flush once the watermark passes their
+    // join window (same two-batch sentinel staging). Completes the
+    // streaming join family: inner/left/full/semi/right.
+    "Q-str-15" -> { (s, d) =>
+      val tmp = tempDir("graft_str15")
+      val ev = Tables.events(s, d)
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/real")
+      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val sentTs = new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)
+      import s.implicits._
+      Seq((-1L, sentTs, -1L, "purchase", 0.0, "{}"),
+          (-2L, sentTs, -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/sent")
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      copyParts(tmp.resolve("real"), dir, "a_", 1000000000000L)
+      copyParts(tmp.resolve("sent"), dir, "b_", 1000000100000L)
+      val raw = s.read.parquet(s"$tmp/real")
+      val src = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "10 minutes")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      Replay.run(
+        purchases.join(clicks,
+          col("p_user") === col("c_user") &&
+          col("c_ts") > col("p_ts") - expr("INTERVAL 5 MINUTES") &&
+          col("c_ts") <= col("p_ts"),
+          "rightOuter"),
+        "append")
+        .filter(col("c_user") =!= -1)
+        .select("p_id", "c_id", "c_user")
+        .orderBy(col("c_id"), col("p_id"))
     },
 
     // ---- Q-str-10: stream-stream FULL OUTER interval join — unmatched
@@ -543,6 +613,11 @@ object StreamingQueries {
            ON p.user_id = c.user_id
           AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
          ORDER BY p_id, c_id""",
+    "Q-str-14" ->
+      """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n
+         FROM events WHERE event_type IN ('click', 'purchase')
+         GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
     "Q-str-13" ->
       """SELECT p.event_id AS p_id, p.user_id AS p_user
          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
@@ -558,6 +633,13 @@ object StreamingQueries {
            ON p.user_id = c.user_id
           AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
          ORDER BY p_id, c_id""",
+    "Q-str-15" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id, c.user_id AS c_user
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         RIGHT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+          AND c.ts > p.ts - INTERVAL 5 MINUTE AND c.ts <= p.ts
+         ORDER BY c_id, p_id NULLS FIRST""",
     "Q-str-10" ->
       """SELECT p.event_id AS p_id, c.event_id AS c_id,
                 coalesce(p.user_id, c.user_id) AS u

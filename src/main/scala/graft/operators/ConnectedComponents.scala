@@ -53,9 +53,14 @@ object ConnectedComponents {
     }
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     val t0 = System.nanoTime()
+    // materialize the edge list ONCE before symmetrizing: unioning two
+    // selects of `edges` would otherwise evaluate the whole upstream edge
+    // pipeline (e.g. the MinHash-LSH candidate+verify DAG) once per union
+    // branch
+    val (e1, e1Rdds) = ckpt(edges.select(col("a").as("x"), col("b").as("y")))
     val (sym, _) = ckpt(
-      edges.select(col("a").as("x"), col("b").as("y"))
-        .unionAll(edges.select(col("b").as("x"), col("a").as("y"))))
+      e1.unionAll(e1.select(col("y").as("x"), col("x").as("y"))))
+    e1Rdds.foreach(_.unpersist(blocking = false))
     if (debug) System.err.println(
       f"[cc] sym ckpt: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     val t1 = System.nanoTime()

@@ -2,6 +2,7 @@ package graft.queries
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.IvfIndex
@@ -353,6 +354,49 @@ object Extras {
           min("delta_us").as("min_us"),
           max("delta_us").as("max_us"),
           Portable.r(median(col("delta_us")), 1).as("median_us"))
+    },
+
+    // ---- Q-qual-01: data-quality audit — the expectations gate a 100 TB
+    // ingest runs before publishing a partition: null counts, domain/range
+    // violations, primary-key uniqueness. One pass, all checks as
+    // conditional aggregates folded into a single partial agg (adding a
+    // check never adds a scan).
+    "Q-qual-01" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count_if(col("l_quantity").isNull).as("null_qty"),
+        count_if(col("l_discount") < 0 || col("l_discount") > 1).as("bad_discount"),
+        count_if(col("l_shipdate") < lit("1990-01-01").cast("timestamp"))
+          .as("early_ship"),
+        count_if(!col("l_returnflag").isin("A", "N", "R")).as("bad_flag"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_pk"),
+        (count(lit(1)) === countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("pk_unique"))
+    },
+
+    // ---- Q-win-08: rolling anomaly detection — per-user trailing-window
+    // (previous 10 events) mean/stddev, flag values beyond 2 sigma. The
+    // moments come from DECIMAL window sums (order-independent exactness,
+    // the windowed form of Portable.dsum), so both engines derive
+    // identical doubles before the identical sqrt/compare arithmetic.
+    "Q-win-08" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-10, -1)
+      val sx = sum(col("value").cast(DecimalType(30, 10))).over(w).cast("double")
+      val sxx = sum((col("value") * col("value")).cast(DecimalType(30, 10)))
+        .over(w).cast("double")
+      val n = count(lit(1)).over(w).cast("double")
+      val mean = sx / n
+      val std = sqrt(greatest(lit(0.0), (sxx - sx * sx / n) / (n - lit(1.0))))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          n.cast("bigint").as("n_trail"),
+          Portable.r(mean, 6).as("trail_mean"),
+          Portable.r(std, 6).as("trail_std"),
+          (abs(col("value") - mean) > std * 2).as("is_anomaly"))
+        .filter(col("n_trail") >= 5)
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -378,6 +422,38 @@ object Extras {
          LEFT JOIN c ON c.user_id = v.user_id
          LEFT JOIN p ON p.user_id = v.user_id
          ORDER BY v.user_id""",
+    "Q-qual-01" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+                count(*) FILTER (WHERE l_quantity IS NULL)::BIGINT AS null_qty,
+                count(*) FILTER (WHERE l_discount < 0 OR l_discount > 1)::BIGINT
+                  AS bad_discount,
+                count(*) FILTER (WHERE l_shipdate < TIMESTAMP '1990-01-01')::BIGINT
+                  AS early_ship,
+                count(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R'))::BIGINT
+                  AS bad_flag,
+                count(DISTINCT (l_orderkey, l_linenumber))::BIGINT AS n_pk,
+                count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS pk_unique
+         FROM lineitem""",
+    "Q-win-08" ->
+      s"""SELECT user_id, event_id, value, n_trail,
+                ${Portable.rSql("sx / n", 6)} AS trail_mean,
+                ${Portable.rSql(
+                  "sqrt(greatest(0.0, (sxx - sx * sx / n) / (n - 1.0)))", 6)}
+                  AS trail_std,
+                abs(value - sx / n) >
+                  sqrt(greatest(0.0, (sxx - sx * sx / n) / (n - 1.0))) * 2
+                  AS is_anomaly
+         FROM (SELECT user_id, event_id, value,
+                      CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE) AS sx,
+                      CAST(sum(CAST(value * value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                        AS sxx,
+                      CAST(count(*) OVER w AS DOUBLE) AS n,
+                      count(*) OVER w AS n_trail
+               FROM events
+               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+         WHERE n_trail >= 5
+         ORDER BY user_id, event_id""",
     "Q-evt-02" ->
       """WITH e AS (SELECT user_id, ts::DATE AS day FROM events),
               cohorts AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)

@@ -213,6 +213,24 @@ object SqlSurface {
                       FROM orders
                       WHERE o_orderpriority = '1-URGENT')) AS BIGINT) AS n_with_null"""
 
+  /** Window functions through the SQL path — ranked top-3 orders per
+    * customer plus a running decimal-exact spend, both over explicit
+    * WINDOW clauses; the rank filter decorrelates to a partial
+    * WindowGroupLimit exactly like the DataFrame path's Q-sort-03. */
+  private val sql13: String =
+    """SELECT o_custkey, o_orderkey, rn, running_spend
+       FROM (SELECT o_custkey, o_orderkey,
+                    CAST(row_number() OVER
+                      (PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+                    floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) OVER
+                      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) * 1e2 + 0.5) / 1e2 AS running_spend
+             FROM orders)
+       WHERE rn <= 3
+       ORDER BY o_custkey, rn"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
@@ -225,7 +243,8 @@ object SqlSurface {
     "Q-sql-09" -> sql09,
     "Q-sql-10" -> sql10,
     "Q-sql-11" -> sql11,
-    "Q-sql-12" -> sql12)
+    "Q-sql-12" -> sql12,
+    "Q-sql-13" -> sql13)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

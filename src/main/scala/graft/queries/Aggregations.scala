@@ -216,6 +216,24 @@ object Aggregations {
       years.unionAll(merged).orderBy("yr")
     },
 
+    // ---- Q-agg-14: EXACT distinct via mergeable bitmaps — the
+    // re-aggregatable exact twin of Q-agg-12's HLL: keys bucket into
+    // fixed-width bitmaps (bitmap_construct_agg), bitmaps OR-merge across
+    // partitions/partial states, and the final count is a popcount sum.
+    // At 100 TB this is the pattern for exact distinct counts that must
+    // re-aggregate across pre-computed partitions (HLL when ~1% error is
+    // fine, bitmaps when it is not). Exact => hash-matched against plain
+    // count(DISTINCT).
+    "Q-agg-14" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_orderkey)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(l_orderkey))").as("bm"))
+        .groupBy("l_returnflag")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- Q-agg-13: histogram via width_bucket — equi-width bucketing as
     // a pure scalar function ahead of an ordinary partial-agg groupBy (the
     // scalable histogram: shuffle carries |buckets| rows). The oracle
@@ -234,6 +252,9 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-agg-14" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_distinct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "Q-agg-13" ->
       s"""SELECT CASE WHEN o_totalprice < 0.0 THEN 0
                      WHEN o_totalprice >= 600000.0 THEN 13

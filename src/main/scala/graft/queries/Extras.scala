@@ -356,6 +356,23 @@ object Extras {
           Portable.r(median(col("delta_us")), 1).as("median_us"))
     },
 
+    // ---- Q-mm-05: asset manifest assembly — the cross-modal join
+    // (documents x embeddings) emitted as one nested-JSON manifest per
+    // asset (scalar fields + an array field), the record shape a training
+    // pipeline hands to a downstream loader. Exercises nested JSON on the
+    // OUTPUT side (Q-fn-struct-01 covers flat struct-to-JSON).
+    "Q-mm-05" -> { (s, d) =>
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .select(col("doc_id"),
+          to_json(struct(
+            col("lang"),
+            col("n_chars"),
+            size(col("embedding")).as("dim"),
+            slice(split(col("text"), " "), 1, 3).as("head_words"))).as("manifest"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-qual-01: data-quality audit — the expectations gate a 100 TB
     // ingest runs before publishing a partition: null counts, domain/range
     // violations, primary-key uniqueness. One pass, all checks as
@@ -422,6 +439,15 @@ object Extras {
          LEFT JOIN c ON c.user_id = v.user_id
          LEFT JOIN p ON p.user_id = v.user_id
          ORDER BY v.user_id""",
+    "Q-mm-05" ->
+      """SELECT d.doc_id,
+                to_json(struct_pack(
+                  lang := d.lang,
+                  n_chars := d.n_chars,
+                  dim := len(e.embedding),
+                  head_words := string_split(d.text, ' ')[1:3])) AS manifest
+         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         ORDER BY d.doc_id""",
     "Q-qual-01" ->
       """SELECT count(*)::BIGINT AS n_rows,
                 count(*) FILTER (WHERE l_quantity IS NULL)::BIGINT AS null_qty,

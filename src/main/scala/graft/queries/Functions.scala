@@ -255,6 +255,38 @@ object Functions {
         .orderBy("o_orderkey")
     },
 
+    // ---- Q-fn-arr-03: array family 3 — predicate higher-order functions
+    // (exists / forall), membership position, distinct+sort
+    // canonicalization, and null-compaction counting. All codegen-capable
+    // lambdas over a bounded slice.
+    "Q-fn-arr-03" -> { (s, d) =>
+      val ws8 = slice(split(col("text"), " "), 1, 8)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        exists(ws8, w => length(w) > 6).as("has_long"),
+        forall(ws8, w => length(w) >= 1).as("all_nonempty"),
+        array_position(ws8, "table").cast("bigint").as("pos_table"),
+        array_join(array_sort(array_distinct(ws8)), ",").as("uniq"),
+        size(array_compact(transform(ws8, w => when(w =!= "the", w))))
+          .cast("bigint").as("n_non_the"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-fn-str-03: case-insensitive COLLATION (Spark 4 collated
+    // strings) — grouping under UTF8_LCASE merges case variants without
+    // materializing a normalized key column; the emitted label is
+    // lowercased so the representative choice can't leak into the result.
+    "Q-fn-str-03" -> { (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("seg_mixed",
+          when(col("c_custkey") % 2 === 0, initcap(lower(col("c_mktsegment"))))
+            .otherwise(col("c_mktsegment")))
+        .groupBy(expr("collate(seg_mixed, 'UTF8_LCASE')").as("k"))
+        .agg(count(lit(1)).as("n"))
+        .select(lower(col("k")).cast("string").as("segment"), col("n"))
+        .orderBy("segment")
+    },
+
     // ---- Q-fn-var-01: VARIANT — Spark 4's semi-structured column type:
     // parse once into a binary-encoded variant, then typed path extraction
     // (variant_get) and safe extraction of a missing path (try_variant_get
@@ -385,6 +417,24 @@ object Functions {
                 epoch_ms(o_orderdate) AS epoch_millis,
                 strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS formatted
          FROM orders ORDER BY o_orderkey""",
+    "Q-fn-arr-03" ->
+      """SELECT doc_id,
+                len(list_filter(ws8, w -> len(w) > 6)) > 0 AS has_long,
+                len(list_filter(ws8, w -> len(w) >= 1)) = len(ws8) AS all_nonempty,
+                coalesce(list_position(ws8, 'table'), 0)::BIGINT AS pos_table,
+                coalesce(array_to_string(list_sort(list_distinct(ws8)), ','), '')
+                  AS uniq,
+                len(list_filter(ws8, w -> w <> 'the'))::BIGINT AS n_non_the
+         FROM (SELECT doc_id, string_split(text, ' ')[1:8] AS ws8 FROM documents)
+         ORDER BY doc_id""",
+    "Q-fn-str-03" ->
+      """SELECT lower(seg_mixed) AS segment, count(*)::BIGINT AS n
+         FROM (SELECT CASE WHEN c_custkey % 2 = 0
+                           THEN upper(substring(lower(c_mktsegment), 1, 1))
+                                  || substring(lower(c_mktsegment), 2)
+                           ELSE c_mktsegment END AS seg_mixed
+               FROM customer)
+         GROUP BY 1 ORDER BY 1""",
     "Q-fn-var-01" ->
       """SELECT event_id,
                 json_extract(props, '$.k')::BIGINT AS k,

@@ -414,12 +414,88 @@ object Extras {
           (abs(col("value") - mean) > std * 2).as("is_anomaly"))
         .filter(col("n_trail") >= 5)
         .orderBy("user_id", "event_id")
+    },
+
+    // ---- Q-evt-04: path/transition analysis — the per-user event-type
+    // bigram matrix (prev -> next counts, globally ranked). One window
+    // lag per user + one counting groupBy: the shuffle is keyed by
+    // user_id then by the tiny (prev, next) pair space — never |events|^2.
+    "Q-evt-04" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("prev_type"), col("next_type")))
+          .cast("bigint"))
+        .orderBy("rnk")
+    },
+
+    // ---- Q-qual-02: referential-integrity audit — orphaned foreign keys
+    // across the star schema in one result: each check is an anti-join
+    // count (orders->customer, lineitem->orders, events.user->customer),
+    // unioned into a single report. At 100 TB each anti-join shuffles on
+    // its key (or broadcasts the dim's key set); no check rescans another
+    // check's tables.
+    "Q-qual-02" -> { (s, d) =>
+      val orphanOrders = Tables.orders(s, d).select(col("o_custkey").as("k"))
+        .join(Tables.customer(s, d).select(col("c_custkey").as("k")),
+          Seq("k"), "left_anti")
+      val orphanLines = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+        .join(Tables.orders(s, d).select(col("o_orderkey").as("k")),
+          Seq("k"), "left_anti")
+      val orphanEvents = Tables.events(s, d).select(col("user_id").as("k"))
+        .join(Tables.customer(s, d).select(col("c_custkey").as("k")),
+          Seq("k"), "left_anti")
+      def report(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_orphan_rows"),
+            countDistinct(col("k")).as("n_orphan_keys"))
+          .select(lit(name).as("fk"), col("n_orphan_rows"), col("n_orphan_keys"))
+      report("orders.o_custkey->customer", orphanOrders)
+        .unionAll(report("lineitem.l_orderkey->orders", orphanLines))
+        .unionAll(report("events.user_id->customer", orphanEvents))
+        .orderBy("fk")
     }
   )
 
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    "Q-evt-04" ->
+      """WITH lagged AS (
+           SELECT event_type AS next_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         counts AS (
+           SELECT prev_type, next_type, count(*)::BIGINT AS n
+           FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT prev_type, next_type, n,
+                (row_number() OVER (ORDER BY n DESC, prev_type, next_type))::BIGINT AS rnk
+         FROM counts ORDER BY rnk""",
+    "Q-qual-02" ->
+      """WITH a AS (
+           SELECT o_custkey AS k FROM orders
+           WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         b AS (
+           SELECT l_orderkey AS k FROM lineitem
+           WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+         c AS (
+           SELECT user_id AS k FROM events
+           WHERE user_id NOT IN (SELECT c_custkey FROM customer))
+         SELECT 'orders.o_custkey->customer' AS fk,
+                count(*)::BIGINT AS n_orphan_rows,
+                count(DISTINCT k)::BIGINT AS n_orphan_keys FROM a
+         UNION ALL
+         SELECT 'lineitem.l_orderkey->orders',
+                count(*)::BIGINT, count(DISTINCT k)::BIGINT FROM b
+         UNION ALL
+         SELECT 'events.user_id->customer',
+                count(*)::BIGINT, count(DISTINCT k)::BIGINT FROM c
+         ORDER BY fk""",
     "Q-evt-01" ->
       """WITH v AS (SELECT user_id, min(ts) AS t_view
                     FROM events WHERE event_type = 'view' GROUP BY 1),

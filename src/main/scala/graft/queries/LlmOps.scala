@@ -518,6 +518,97 @@ object LlmOps {
         .orderBy("shard", "pos")
     },
 
+    // ---- Q-llm-26: token-budget sequence packing — concat-then-chunk
+    // assignment of shuffled docs into fixed 256-token training windows.
+    // pack_id = the window the doc STARTS in, from a per-language running
+    // token sum over the deterministic shuffle order (Q-llm-19's key
+    // algebra). At 100 TB the running sum is a per-language window over a
+    // range-partitioned sort on uniform md5 keys (skew-free), and the
+    // final per-pack rollup is an ordinary partial-agg groupBy.
+    "Q-llm-26" -> { (s, d) =>
+      val budget = 256
+      val toks = Tables.documents(s, d).select(
+        col("lang"),
+        md5(concat(lit("pack42:"), col("doc_id"))).as("shuffle_key"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      val w = Window.partitionBy("lang").orderBy("shuffle_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks
+        .withColumn("running", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id", ((col("running") - col("n_tokens")) / budget)
+          .cast("bigint"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("lang", "pack_id")
+    },
+
+    // ---- Q-llm-27: fuzzy near-dup via bounded edit distance — the 6th
+    // dedup mode, for OCR-noise / single-edit duplicates that MinHash's
+    // token shingles under-weight. The corpus has no natural near-dups
+    // (min prefix distance 37 at sf0.01), so the query PLANTS them
+    // deterministically: every 50th doc gets a variant with its 11th
+    // char deleted, and the operator must find exactly the planted
+    // pairs. Candidate space is controlled by BLOCKING, not
+    // the quadratic metric: docs group by (lang, 16-char length band),
+    // each doc emitted to its own and the next band (near-boundary pairs
+    // keep a shared key), pairs form via equi-join on the block key, and
+    // the O(len^2) levenshtein runs only on candidates' 64-char prefixes.
+    // At scale the same plan partitions by block key.
+    "Q-llm-27" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      // variant = char 11 deleted; id offset keeps the pair orientation fixed
+      val variants = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+          concat(substring(col("text"), 1, 10), substring(col("text"), 12, 1 << 28))
+            .as("text"))
+        .withColumn("n_chars", length(col("text")).cast("bigint"))
+      val corpus = docs.select("doc_id", "lang", "text", "n_chars")
+        .unionByName(variants)
+      val side = corpus
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          substring(lower(col("text")), 1, 64).as("sig"))
+        .withColumn("band0", (col("n_chars") / 16).cast("bigint"))
+      val blocked = side.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("sig"), explode(array(col("band0"), col("band0") + 1)).as("band"))
+      val a = blocked.columns.foldLeft(blocked)((df, c) =>
+        df.withColumnRenamed(c, s"a_$c"))
+      val b = blocked.columns.foldLeft(blocked)((df, c) =>
+        df.withColumnRenamed(c, s"b_$c"))
+      a.join(b, col("a_band") === col("b_band") &&
+          col("a_lang") === col("b_lang") &&
+          col("a_doc_id") < col("b_doc_id"))
+        .filter(abs(col("a_n_chars") - col("b_n_chars")) <= 8)
+        .select(col("a_doc_id").as("a"), col("b_doc_id").as("b"),
+          levenshtein(col("a_sig"), col("b_sig")).cast("bigint").as("dist"))
+        .distinct() // band-and-next emission can match a pair twice
+        .filter(col("dist") <= 12)
+        .orderBy("a", "b")
+    },
+
+    // ---- Q-llm-28: unigram-LM quality scoring — a cheap perplexity
+    // proxy: corpus unigram distribution (one groupBy), then each doc's
+    // mean token log-probability. Rare-token-heavy (low-quality / wrong-
+    // language) docs score low. Log terms sum in decimal (order-
+    // independent) and the corpus total broadcasts; both shuffles are
+    // partial-agg groupBys keyed on word/doc — no pair blowup anywhere.
+    "Q-llm-28" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val counts = w.groupBy("word").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum(col("c")).as("n_total"))
+      val logp = w.join(counts, "word")
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          log(col("c").cast("double") / col("n_total").cast("double")).as("lp"))
+      logp.groupBy("doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
+          Portable.r(Portable.dsum(col("lp")) / count(lit(1)), 6).as("mean_logp"))
+        .withColumn("keep", col("mean_logp") > -9.0)
+        .orderBy("doc_id")
+    },
+
     // ---- Q-mm-01: multimodal binary-column plumbing (stubbed decode)
     "Q-mm-01" -> { (s, d) =>
       Multimodal.featuresFromDocuments(s, Tables.documents(s, d))
@@ -565,6 +656,56 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-26" ->
+      """WITH toks AS (
+           SELECT lang,
+                  md5('pack42:' || doc_id) AS shuffle_key,
+                  len(str_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents),
+         runs AS (
+           SELECT lang, n_tokens,
+                  sum(n_tokens) OVER (PARTITION BY lang ORDER BY shuffle_key
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+           FROM toks)
+         SELECT lang, ((running - n_tokens) // 256)::BIGINT AS pack_id,
+                count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens
+         FROM runs GROUP BY 1, 2 ORDER BY lang, pack_id""",
+    "Q-llm-27" ->
+      """WITH corpus AS (
+           SELECT doc_id, lang, text, n_chars FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, lang,
+                  substring(text, 1, 10) || substring(text, 12) AS text,
+                  length(substring(text, 1, 10) || substring(text, 12))::BIGINT
+           FROM documents WHERE doc_id % 50 = 0),
+         side AS (
+           SELECT doc_id, lang, n_chars,
+                  substring(lower(text), 1, 64) AS sig,
+                  n_chars // 16 AS band0
+           FROM corpus),
+         blocked AS (
+           SELECT doc_id, lang, n_chars, sig, band0 AS band FROM side
+           UNION ALL
+           SELECT doc_id, lang, n_chars, sig, band0 + 1 AS band FROM side)
+         SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+                levenshtein(a.sig, b.sig)::BIGINT AS dist
+         FROM blocked a JOIN blocked b
+           ON a.band = b.band AND a.lang = b.lang AND a.doc_id < b.doc_id
+         WHERE abs(a.n_chars - b.n_chars) <= 8
+           AND levenshtein(a.sig, b.sig) <= 12
+         ORDER BY a, b""",
+    "Q-llm-28" ->
+      s"""WITH w AS (
+           SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+         counts AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+         total AS (SELECT sum(c) AS n_total FROM counts),
+         logp AS (
+           SELECT doc_id, ln(c::DOUBLE / n_total::DOUBLE) AS lp
+           FROM w JOIN counts USING (word) CROSS JOIN total)
+         SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                ${Portable.rSql(s"${Portable.dsumSql("lp")} / count(*)", 6)} AS mean_logp,
+                (${Portable.rSql(s"${Portable.dsumSql("lp")} / count(*)", 6)}) > -9.0 AS keep
+         FROM logp GROUP BY doc_id ORDER BY doc_id""",
     "Q-llm-24" ->
       s"""WITH sh AS (
              SELECT DISTINCT doc_id, sh FROM (

@@ -248,10 +248,60 @@ object Aggregations {
           Portable.r(min(col("o_totalprice")), 2).as("lo"),
           Portable.r(max(col("o_totalprice")), 2).as("hi"))
         .orderBy("bucket")
+    },
+
+    // ---- Q-agg-15: correlation / covariance family from DECIMAL-exact
+    // moment sums (extends Q-agg-10's regression pattern): the builtin
+    // corr/covar_* aggregates use running-moment updates whose
+    // accumulation order is engine- and partitioning-dependent, so both
+    // engines instead derive the statistics from the identical exact
+    // moments. Single-pass partial agg; five fixed-width buffers per
+    // group at any scale.
+    "Q-agg-15" -> { (s, d) =>
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val m = Tables.lineitem(s, d).groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        Portable.dsum(x).as("sx"), Portable.dsum(y).as("sy"),
+        Portable.dsum(x * y).as("sxy"),
+        Portable.dsum(x * x).as("sxx"), Portable.dsum(y * y).as("syy"))
+      val covP = (col("sxy") - col("sx") * col("sy") / col("n")) / col("n")
+      val covS = (col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1.0)
+      val corr = (col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+             (col("n") * col("syy") - col("sy") * col("sy")))
+      m.select(col("l_returnflag"),
+          col("n").cast("bigint").as("n"),
+          Portable.r(covP, 4).as("covar_pop"),
+          Portable.r(covS, 4).as("covar_samp"),
+          Portable.r(corr, 6).as("corr"),
+          Portable.r(corr * corr, 6).as("r2"))
+        .orderBy("l_returnflag")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-agg-15" ->
+      s"""WITH m AS (
+           SELECT l_returnflag,
+                  count(*)::DOUBLE AS n,
+                  ${Portable.dsumSql("l_quantity")} AS sx,
+                  ${Portable.dsumSql("l_extendedprice")} AS sy,
+                  ${Portable.dsumSql("l_quantity * l_extendedprice")} AS sxy,
+                  ${Portable.dsumSql("l_quantity * l_quantity")} AS sxx,
+                  ${Portable.dsumSql("l_extendedprice * l_extendedprice")} AS syy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag, n::BIGINT AS n,
+                ${Portable.rSql("(sxy - sx * sy / n) / n", 4)} AS covar_pop,
+                ${Portable.rSql("(sxy - sx * sy / n) / (n - 1.0)", 4)} AS covar_samp,
+                ${Portable.rSql(
+                  "(n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))", 6)}
+                  AS corr,
+                ${Portable.rSql(
+                  "((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * " +
+                  "((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))", 6)}
+                  AS r2
+         FROM m ORDER BY l_returnflag""",
     "Q-agg-14" ->
       """SELECT l_returnflag, count(DISTINCT l_orderkey)::BIGINT AS n_distinct
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

@@ -65,6 +65,51 @@ object Functions {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // ---- Q-fn-math-02: trig / inverse-trig / transcendental family.
+    // Inputs are normalized into safe domains (discount in [0,0.1],
+    // quantity scaled to [0,1]) so asin/acos never go NaN. Both engines
+    // call their platform libm; ULP drift is absorbed by the portable
+    // 6-dp floor-rounding (same policy as ln in Q-llm-17, proven
+    // hash-stable).
+    "Q-fn-math-02" -> { (s, d) =>
+      val x = col("l_discount")            // [0, 0.1]
+      val u = col("l_quantity") / 50.0     // (0, 1]
+      Tables.lineitem(s, d)
+        .orderBy("l_orderkey", "l_linenumber").limit(2000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          Portable.r(sin(x), 6).as("sin_x"),
+          Portable.r(cos(x), 6).as("cos_x"),
+          Portable.r(tan(x), 6).as("tan_x"),
+          Portable.r(asin(u), 6).as("asin_u"),
+          Portable.r(acos(u), 6).as("acos_u"),
+          Portable.r(atan2(u, x + 1.0), 6).as("atan2_ux"),
+          Portable.r(degrees(u), 6).as("deg_u"),
+          Portable.r(radians(col("l_quantity")), 6).as("rad_q"),
+          Portable.r(cbrt(col("l_extendedprice")), 6).as("cbrt_price"),
+          Portable.r(exp(x), 6).as("exp_x"),
+          Portable.r(log2(col("l_extendedprice")), 6).as("log2_price"),
+          factorial(col("l_linenumber").cast("int")).as("fact_line"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // ---- Q-fn-str-04: string family 2 — positional/codec helpers
+    // (ascii/chr, left/right, instr, translate, reverse, repeat). All
+    // codegen'd built-ins shared verbatim with the oracle dialect.
+    "Q-fn-str-04" -> { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        ascii(col("c_mktsegment")).cast("bigint").as("seg_ascii"),
+        expr("chr(65 + c_custkey % 26)").as("bucket_chr"),
+        expr("left(c_name, 8)").as("name_l8"),
+        expr("right(c_name, 3)").as("name_r3"),
+        instr(col("c_name"), "0").cast("bigint").as("first_zero"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_tr"),
+        reverse(col("c_name")).as("name_rev"),
+        expr("repeat(c_mktsegment, 2)").as("seg_twice"))
+        .orderBy("c_custkey")
+    },
+
     // ---- Q-fn-arr-01: array family incl. higher-order functions
     "Q-fn-arr-01" -> { (s, d) =>
       Tables.documents(s, d)
@@ -528,6 +573,33 @@ object Functions {
                 (l_orderkey % 7)::BIGINT AS mod7
          FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000)
          ORDER BY l_orderkey, l_linenumber""",
+    "Q-fn-math-02" ->
+      s"""SELECT l_orderkey, l_linenumber,
+                ${Portable.rSql("sin(l_discount)", 6)} AS sin_x,
+                ${Portable.rSql("cos(l_discount)", 6)} AS cos_x,
+                ${Portable.rSql("tan(l_discount)", 6)} AS tan_x,
+                ${Portable.rSql("asin(l_quantity / 50.0)", 6)} AS asin_u,
+                ${Portable.rSql("acos(l_quantity / 50.0)", 6)} AS acos_u,
+                ${Portable.rSql("atan2(l_quantity / 50.0, l_discount + 1.0)", 6)} AS atan2_ux,
+                ${Portable.rSql("degrees(l_quantity / 50.0)", 6)} AS deg_u,
+                ${Portable.rSql("radians(l_quantity)", 6)} AS rad_q,
+                ${Portable.rSql("cbrt(l_extendedprice)", 6)} AS cbrt_price,
+                ${Portable.rSql("exp(l_discount)", 6)} AS exp_x,
+                ${Portable.rSql("log2(l_extendedprice)", 6)} AS log2_price,
+                factorial(l_linenumber)::BIGINT AS fact_line
+         FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000)
+         ORDER BY l_orderkey, l_linenumber""",
+    "Q-fn-str-04" ->
+      """SELECT c_custkey,
+                ascii(c_mktsegment)::BIGINT AS seg_ascii,
+                chr((65 + c_custkey % 26)::INT) AS bucket_chr,
+                left(c_name, 8) AS name_l8,
+                right(c_name, 3) AS name_r3,
+                coalesce(strpos(c_name, '0'), 0)::BIGINT AS first_zero,
+                translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_tr,
+                reverse(c_name) AS name_rev,
+                repeat(c_mktsegment, 2) AS seg_twice
+         FROM customer ORDER BY c_custkey""",
     "Q-fn-arr-01" ->
       """SELECT doc_id,
                 len(words)::BIGINT AS n_words,

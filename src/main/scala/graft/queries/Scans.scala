@@ -216,10 +216,96 @@ object Scans {
         .agg(count(lit(1)).as("n"),
           Portable.r(Portable.dsum(col("o_totalprice")), 2).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    // ---- Q-scan-13: binaryFile source — the multimodal ingest path:
+    // opaque assets land as (path, length, content: binary) rows with no
+    // decode on the scan. Files are staged from the first 20 documents'
+    // UTF-8 bytes so the oracle recomputes identity (byte length + md5)
+    // from the documents table. At 100 TB this is how image/audio blobs
+    // enter the pipeline: one row per file, partitioned by directory,
+    // content never parsed until an explicit decode stage.
+    "Q-scan-13" -> { (s, d) =>
+      val tmp = tempDir("graft_scan13")
+      Tables.documents(s, d).filter(col("doc_id") < 20)
+        .select("doc_id", "text").collect()
+        .foreach { r =>
+          Files.write(tmp.resolve(f"doc_${r.getLong(0)}%05d.txt"),
+            r.getString(1).getBytes("UTF-8"))
+        }
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(tmp.toString)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.txt$", 1)
+            .cast("bigint").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-sink-03: size-bounded output files — maxRecordsPerFile caps
+    // rows per written file (the knob that keeps 100 TB outputs in
+    // many same-sized parquet files instead of a few huge or thousands of
+    // tiny ones), with sortWithinPartitions clustering rows so row-group
+    // min/max stats stay tight. Read back and audited: the file count
+    // must equal ceil(rows / cap) and the content must round-trip.
+    "Q-sink-03" -> { (s, d) =>
+      val tmp = tempDir("graft_sink03").toString
+      Tables.lineitem(s, d)
+        .repartition(1)
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 10000)
+        .parquet(s"$tmp/li")
+      s.read.parquet(s"$tmp/li")
+        .withColumn("__file", input_file_name()) // project first: agg args must be deterministic
+        .agg(
+          countDistinct(col("__file")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          Portable.r(Portable.dsum(col("l_quantity")), 2).as("qty_sum"))
+    },
+
+    // ---- Q-sink-04: dynamic partition overwrite — the idempotent
+    // partition-refresh pattern: re-publishing one partition's corrected
+    // data replaces ONLY the partitions present in the written frame
+    // (partitionOverwriteMode=dynamic), leaving every other partition's
+    // files untouched. This is how a 100 TB table takes daily restatements
+    // without a full rewrite. The audit re-reads the table: purchase rows
+    // carry the corrected (doubled) values, all other types original.
+    "Q-sink-04" -> { (s, d) =>
+      val tmp = tempDir("graft_sink04").toString
+      val ev = Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+      ev.write.mode("overwrite").partitionBy("event_type").parquet(s"$tmp/ev")
+      val corrected = ev.filter(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+      corrected.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(s"$tmp/ev")
+      s.read.parquet(s"$tmp/ev")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("value")), 2).as("val_sum"))
+        .orderBy("event_type")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-scan-13" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, md5(text) AS content_md5
+         FROM documents WHERE doc_id < 20 ORDER BY doc_id""",
+    "Q-sink-03" ->
+      s"""SELECT ceil(count(*) / 10000.0)::BIGINT AS n_files,
+                count(*)::BIGINT AS n_rows,
+                ${Portable.rSql(Portable.dsumSql("l_quantity"), 2)} AS qty_sum
+         FROM lineitem""",
+    "Q-sink-04" ->
+      s"""SELECT event_type, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql(
+                  "CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END"), 2)}
+                  AS val_sum
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "Q-scan-01" ->
       Tables.names.map(n => s"SELECT '$n' AS tbl, count(*)::BIGINT AS n_rows FROM $n")
         .mkString("", " UNION ALL ", " ORDER BY tbl"),

@@ -231,6 +231,30 @@ object SqlSurface {
        WHERE rn <= 3
        ORDER BY o_custkey, rn"""
 
+  /** TPC-H Q7 shape: bilateral shipping volume — the two-role dimension
+    * pattern (nation joined TWICE under different aliases, supplier side
+    * and customer side), a symmetric pair predicate, and per-year grouped
+    * revenue. Catalyst broadcasts both nation aliases independently; at
+    * 100 TB the fact side shuffles once for the orders join and the
+    * nation pair filter prunes before any aggregation. */
+  private val sql14: String =
+    s"""SELECT supp_nation, cust_nation, l_year,
+               ${rev("volume")} AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     year(l_shipdate) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier
+              JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                 OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) v
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
@@ -244,7 +268,8 @@ object SqlSurface {
     "Q-sql-10" -> sql10,
     "Q-sql-11" -> sql11,
     "Q-sql-12" -> sql12,
-    "Q-sql-13" -> sql13)
+    "Q-sql-13" -> sql13,
+    "Q-sql-14" -> sql14)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

@@ -416,6 +416,35 @@ object Extras {
         .orderBy("user_id", "event_id")
     },
 
+    // ---- Q-mm-06: perceptual average-hash fingerprint — the aHash
+    // algorithm over a deterministic fake "decode": 64 pixel samples
+    // drawn at evenly spaced positions of each asset's payload, thresholded
+    // against the asset's mean, packed into two 32-bit words (the image
+    // near-dup fingerprint; real decode would swap the sampler, the
+    // fingerprint algebra is production-shaped). Per-asset work is a
+    // 64-row fan-out + one window mean + one packing agg — linear,
+    // partitioned by asset.
+    "Q-mm-06" -> { (s, d) =>
+      val px = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), col("text"),
+          explode(sequence(lit(0), lit(63))).as("i"))
+        .select(col("doc_id"), col("i"),
+          expr("ascii(substring(text, CAST(1 + (i * n_chars) DIV 64 AS INT), 1))")
+            .cast("bigint").as("p"))
+      val wm = Window.partitionBy("doc_id")
+      px.withColumn("mean", sum("p").over(wm).cast("double") / 64.0)
+        .withColumn("b", (col("p") > col("mean")).cast("bigint"))
+        .groupBy("doc_id").agg(
+          sum(when(col("i") < 32,
+            col("b") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
+            .otherwise(0L)).as("ahash_lo"),
+          sum(when(col("i") >= 32,
+            col("b") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i - 32 AS INT))"))
+            .otherwise(0L)).as("ahash_hi"),
+          sum("b").as("n_ones"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-evt-04: path/transition analysis — the per-user event-type
     // bigram matrix (prev -> next counts, globally ranked). One window
     // lag per user + one counting groupBy: the shuffle is keyed by
@@ -464,6 +493,26 @@ object Extras {
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    "Q-mm-06" ->
+      """WITH px AS (
+           SELECT doc_id, n_chars, text,
+                  unnest(generate_series(0, 63)) AS i
+           FROM documents),
+         p2 AS (
+           SELECT doc_id, i,
+                  ascii(substring(text, (1 + (i * n_chars) // 64)::INT, 1))::BIGINT AS p
+           FROM px),
+         m AS (
+           SELECT doc_id, i, p,
+                  sum(p) OVER (PARTITION BY doc_id) / 64.0 AS mean
+           FROM p2)
+         SELECT doc_id,
+                sum(CASE WHEN i < 32 AND p > mean
+                         THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS ahash_lo,
+                sum(CASE WHEN i >= 32 AND p > mean
+                         THEN (1::BIGINT << (i - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi,
+                sum(CASE WHEN p > mean THEN 1 ELSE 0 END)::BIGINT AS n_ones
+         FROM m GROUP BY doc_id ORDER BY doc_id""",
     "Q-evt-04" ->
       """WITH lagged AS (
            SELECT event_type AS next_type,

@@ -247,6 +247,36 @@ object LlmOps {
         .orderBy("query_id", "rk")
     },
 
+    // ---- Q-llm-29: matryoshka truncated-dim retrieval + exact re-rank —
+    // the dimension-reduction twin of Q-llm-15's precision reduction:
+    // stage 1 ranks on cosine over only the FIRST 16 dims (a 4x smaller
+    // working set — with MRL-trained embeddings the information-dense
+    // prefix), stage 2 re-ranks the surviving top-50 with full vectors.
+    // Both stages stay codegen (CosineSim over sliced arrays); the oracle
+    // replicates the slice + two-stage ranking bit-for-bit.
+    "Q-llm-29" -> { (s, d) =>
+      graft.functions.CosineSim.register(s)
+      val emb = Tables.embeddings(s, d)
+        .withColumn("temb", slice(col("embedding"), 1, 16))
+      val qs = emb.filter(col("vec_id") < 5).select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("temb").as("q_temb"))
+      val w1 = Window.partitionBy("query_id").orderBy(col("tsim").desc, col("vec_id"))
+      val cand = qs.crossJoin(emb.select(col("vec_id"), col("embedding"), col("temb")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("tsim", expr("cosine_sim(q_temb, temb)"))
+        .withColumn("trk", row_number().over(w1))
+        .filter(col("trk") <= 50)
+      val w2 = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+      cand
+        .withColumn("sim", expr("cosine_sim(q_emb, embedding)"))
+        .withColumn("rk", row_number().over(w2).cast("bigint"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          Portable.r(col("sim"), 6).as("sim"), col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
     // ---- Q-llm-09: language-ID via character-n-gram marker scoring
     "Q-llm-09" -> { (s, d) =>
       def occ(marker: String) =
@@ -947,6 +977,22 @@ object LlmOps {
            FROM scored) WHERE rk <= 10
          ORDER BY query_id, rk"""
     },
+    "Q-llm-29" ->
+      s"""WITH q AS (
+           SELECT vec_id, embedding, embedding[1:16] AS temb FROM embeddings),
+         cand AS (
+           SELECT a.vec_id AS query_id, a.embedding AS q_emb, b.vec_id, b.embedding,
+                  row_number() OVER (PARTITION BY a.vec_id
+                    ORDER BY ${Portable.cosSql("a.temb", "b.temb")} DESC, b.vec_id) AS trk
+           FROM (SELECT * FROM q WHERE vec_id < 5) a
+           JOIN q b ON a.vec_id <> b.vec_id)
+         SELECT query_id, vec_id, ${Portable.rSql("sim", 6)} AS sim, rk FROM (
+           SELECT query_id, vec_id,
+                  ${Portable.cosSql("q_emb", "embedding")} AS sim,
+                  row_number() OVER (PARTITION BY query_id
+                    ORDER BY ${Portable.cosSql("q_emb", "embedding")} DESC, vec_id) AS rk
+           FROM cand WHERE trk <= 50) WHERE rk <= 10
+         ORDER BY query_id, rk""",
     "Q-llm-15" ->
       s"""WITH q AS (
            SELECT vec_id, embedding,

@@ -54,7 +54,12 @@ object Bench {
     "Q-evt-01",   // funnel analysis (staged per-user groupBys)
     "Q-llm-23",   // context-window text chunking (narrow fan-out)
     "Q-llm-24",   // incremental dedup (asymmetric LSH band join)
-    "Q-sql-09"    // TPC-H Q21 shape (EXISTS + NOT EXISTS on one fact scan)
+    "Q-sql-09",   // TPC-H Q21 shape (EXISTS + NOT EXISTS on one fact scan)
+    "Q-llm-26",   // token-budget sequence packing (per-lang running sums)
+    "Q-llm-27",   // fuzzy edit-distance dedup (blocked levenshtein)
+    "Q-llm-28",   // unigram-LM quality scoring (corpus dist + per-doc join)
+    "Q-mm-06",    // perceptual average-hash fingerprint (64-pixel fan-out)
+    "Q-agg-16"    // approx_top_k heavy hitters (direct + merged sketches)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -277,10 +277,48 @@ object Aggregations {
           Portable.r(corr, 6).as("corr"),
           Portable.r(corr * corr, 6).as("r2"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- Q-agg-16: approx_top_k heavy hitters (Datasketches frequent
+    // items) — two paths that must agree: DIRECT (one aggregate over the
+    // scan) and MERGED (per-p_size partial sketches accumulated, then
+    // combined and estimated — the sketch-table pattern: keep per-partition
+    // sketches, answer "top sellers over any partition set" without
+    // rescans). maxItemsTracked (1024) exceeds the brand cardinality at
+    // every SF, so the sketch is in its exact regime and both paths
+    // hash-match the plain count ranking; ranks are re-derived from
+    // (count DESC, item) because intra-sketch tie order is not contractual.
+    "Q-agg-16" -> { (s, d) =>
+      Tables.part(s, d).createOrReplaceTempView("graft_part_topk")
+      val direct = s.sql(
+        """SELECT 'direct' AS src, t.item AS p_brand, t.count AS n
+           FROM (SELECT explode(approx_top_k(p_brand, 10, 1024)) AS t
+                 FROM graft_part_topk)""")
+      val merged = s.sql(
+        """SELECT 'merged' AS src, t.item AS p_brand, t.count AS n
+           FROM (SELECT explode(approx_top_k_estimate(
+                          approx_top_k_combine(sk, 1024), 10)) AS t
+                 FROM (SELECT approx_top_k_accumulate(p_brand, 1024) AS sk
+                       FROM graft_part_topk GROUP BY p_size))""")
+      val w = Window.partitionBy("src")
+        .orderBy(col("n").desc, col("p_brand"))
+      direct.unionAll(merged)
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .filter(col("rnk") <= 5)
+        .select(col("src"), col("rnk"), col("p_brand"), col("n").cast("bigint").as("n"))
+        .orderBy("src", "rnk")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-agg-16" ->
+      """WITH exact AS (
+           SELECT p_brand, count(*)::BIGINT AS n,
+                  row_number() OVER (ORDER BY count(*) DESC, p_brand) AS rnk
+           FROM part GROUP BY p_brand)
+         SELECT src, rnk::BIGINT AS rnk, p_brand, n
+         FROM exact CROSS JOIN (VALUES ('direct'), ('merged')) AS s(src)
+         WHERE rnk <= 5 ORDER BY src, rnk""",
     "Q-agg-15" ->
       s"""WITH m AS (
            SELECT l_returnflag,

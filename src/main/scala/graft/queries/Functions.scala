@@ -110,6 +110,21 @@ object Functions {
         .orderBy("c_custkey")
     },
 
+    // ---- Q-fn-str-05: string family 3 — field extraction (split_part),
+    // printf-style formatting, and substring predicates. Shared verbatim
+    // with the oracle dialect (Spark format_string == DuckDB printf).
+    "Q-fn-str-05" -> { (s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        split_part(col("p_type"), lit(" "), lit(-1)).as("type_tail"),
+        format_string("%s|%06d", col("p_brand"), col("p_partkey")).as("tag"),
+        col("p_name").contains("a").as("has_a"),
+        col("p_name").startsWith("p").as("p_start"),
+        col("p_type").endsWith("D").as("d_end"))
+        .orderBy("p_partkey")
+    },
+
     // ---- Q-fn-arr-01: array family incl. higher-order functions
     "Q-fn-arr-01" -> { (s, d) =>
       Tables.documents(s, d)
@@ -600,6 +615,15 @@ object Functions {
                 reverse(c_name) AS name_rev,
                 repeat(c_mktsegment, 2) AS seg_twice
          FROM customer ORDER BY c_custkey""",
+    "Q-fn-str-05" ->
+      """SELECT p_partkey,
+                split_part(p_type, ' ', 1) AS type_head,
+                split_part(p_type, ' ', -1) AS type_tail,
+                printf('%s|%06d', p_brand, p_partkey) AS tag,
+                contains(p_name, 'a') AS has_a,
+                starts_with(p_name, 'p') AS p_start,
+                ends_with(p_type, 'D') AS d_end
+         FROM part ORDER BY p_partkey""",
     "Q-fn-arr-01" ->
       """SELECT doc_id,
                 len(words)::BIGINT AS n_words,

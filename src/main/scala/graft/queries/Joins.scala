@@ -125,10 +125,47 @@ object Joins {
       Tables.region(s, d).select(col("r_name"))
         .crossJoin(Tables.nation(s, d).select(col("n_name")))
         .orderBy("r_name", "n_name")
+    },
+
+    // ---- Q-join-17: NULL-safe equi-join (<=> / IS NOT DISTINCT FROM) —
+    // NULL keys MATCH each other instead of silently dropping, the
+    // semantics a sentinel-free dimension join needs. EqualNullSafe is a
+    // hashable join key in Catalyst, so this plans as an ordinary
+    // broadcast/shuffled hash join (no nested loop); NULL-keyed rows all
+    // hash to one bucket — at scale a hot NULL key is the classic salting
+    // candidate (Q-join-10).
+    "Q-join-17" -> { (s, d) =>
+      // ~1/10 of keys nulled on both sides, deterministically
+      val ev = Tables.events(s, d).select(
+        when(col("user_id") % 10 =!= 0, col("user_id") % 100).as("k"),
+        col("value"))
+      val cust = Tables.customer(s, d)
+        .filter(col("c_custkey") < 100)
+        .select(
+          when(col("c_custkey") % 10 =!= 0, col("c_custkey")).as("k"),
+          col("c_mktsegment"))
+      ev.join(cust, ev("k") <=> cust("k"))
+        .groupBy(col("c_mktsegment"), cust("k").as("k"))
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("value")), 2).as("val_sum"))
+        .orderBy(col("c_mktsegment"), col("k").asc_nulls_last)
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-join-17" ->
+      s"""WITH ev AS (
+           SELECT CASE WHEN user_id % 10 <> 0 THEN user_id % 100 END AS k, value
+           FROM events),
+         cust AS (
+           SELECT CASE WHEN c_custkey % 10 <> 0 THEN c_custkey END AS k,
+                  c_mktsegment
+           FROM customer WHERE c_custkey < 100)
+         SELECT c_mktsegment, cust.k AS k, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("value"), 2)} AS val_sum
+         FROM ev JOIN cust ON ev.k IS NOT DISTINCT FROM cust.k
+         GROUP BY c_mktsegment, cust.k
+         ORDER BY c_mktsegment, k NULLS LAST""",
     "Q-join-14" ->
       """SELECT r_name, n_name FROM region CROSS JOIN nation
          ORDER BY r_name, n_name""",

@@ -273,6 +273,64 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // ---- Q-str-16: stream-static ANTI join — the streaming referential
+    // filter: events whose user is NOT in the (broadcast) customer dim
+    // pass through; the dim re-resolves per micro-batch, so a refreshed
+    // dim table applies without restarting the query. Existence joins
+    // against static sides are stateless (no watermark needed).
+    "Q-str-16" -> { (s, d) =>
+      // every event user exists in customer in the testdata, so restrict
+      // the dim (as if a partial dim load) to give the anti join real work
+      val cust = Tables.customer(s, d).select(col("c_custkey"))
+        .filter(col("c_custkey") % 7 =!= 0)
+      Replay.run(
+        Replay.eventsStream(s, d)
+          .join(broadcast(cust), col("user_id") === col("c_custkey"),
+            "left_anti")
+          .groupBy("event_type")
+          // distinct aggregates are unsupported on streams; min/max key
+          // evidence + count audits the anti-join instead
+          .agg(count(lit(1)).as("n_unknown_user"),
+            min(col("user_id")).as("min_uid"),
+            max(col("user_id")).as("max_uid")),
+        "complete").orderBy("event_type")
+    },
+
+    // ---- Q-str-17: foreachBatch multi-sink fan-out — one micro-batch
+    // published to TWO sinks (parquet + JSON) without recomputing the
+    // batch (persist inside the hook; reference op #6's sink attachment
+    // generalized to N sinks). The audit re-reads BOTH sinks: their
+    // per-type counts must agree with each other and with the batch
+    // oracle — emitted as one row per (sink, type).
+    "Q-str-17" -> { (s, d) =>
+      val out = tempDir("graft_str17").toString
+      val q = Replay.eventsStream(s, d)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           epoch: Long) =>
+            val batch = df.toDF().persist()
+            try {
+              batch.write.mode("overwrite").parquet(s"$out/pq/epoch=$epoch")
+              batch.write.mode("overwrite").json(s"$out/js/epoch=$epoch")
+            } finally { batch.unpersist(); () }
+        }
+        .option("checkpointLocation", tempDir("graft_ckpt17").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val pq = s.read.parquet(s"$out/pq").drop("epoch")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(lit("parquet").as("sink"), col("event_type"), col("n"))
+      val js = s.read
+        .schema("event_id LONG, event_type STRING, value DOUBLE")
+        .json(s"$out/js").drop("epoch")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(lit("json").as("sink"), col("event_type"), col("n"))
+      pq.unionAll(js).orderBy("sink", "event_type")
+    },
+
     // ---- Q-join-08: stream-static join (stream events x customer dim)
     "Q-join-08" -> { (s, d) =>
       val cust = Tables.customer(s, d)
@@ -547,6 +605,17 @@ object StreamingQueries {
        ORDER BY device_id, ts_ms, state"""
 
   val oracle: Map[String, String] = Map(
+    "Q-str-16" ->
+      """SELECT event_type, count(*)::BIGINT AS n_unknown_user,
+                min(user_id) AS min_uid, max(user_id) AS max_uid
+         FROM events
+         WHERE user_id NOT IN (SELECT c_custkey FROM customer
+                               WHERE c_custkey % 7 <> 0)
+         GROUP BY event_type ORDER BY event_type""",
+    "Q-str-17" ->
+      """SELECT sink, event_type, count(*)::BIGINT AS n
+         FROM events CROSS JOIN (VALUES ('parquet'), ('json')) AS s(sink)
+         GROUP BY sink, event_type ORDER BY sink, event_type""",
     "Q-scan-03" ->
       """SELECT event_type, count(*)::BIGINT AS n FROM events
          GROUP BY event_type ORDER BY event_type""",

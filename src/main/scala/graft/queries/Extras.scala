@@ -463,6 +463,68 @@ object Extras {
         .orderBy("rnk")
     },
 
+    // ---- Q-evt-05: rolling active users (DAU/rolling-7) — each (user,
+    // active-day) pair is EXPLODED into the 7 report days it contributes
+    // to, then one distinct-count per report day. The explode keeps the
+    // rolling-distinct a plain groupBy (shuffle = 7x distinct user-days,
+    // bounded by activity, not events); the alternative — a windowed
+    // distinct over raw events — cannot partial-aggregate.
+    "Q-evt-05" -> { (s, d) =>
+      val userDays = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val bounds = userDays.agg(min("day").as("d0"), max("day").as("d1"))
+      val contrib = userDays
+        .select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("rday"))
+      val dau = userDays.groupBy(col("day").as("rday"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      contrib.groupBy("rday")
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .join(dau, Seq("rday"), "left")
+        .join(broadcast(bounds))
+        // edge days have partial trailing windows; report only full ones
+        .filter(col("rday") >= date_add(col("d0"), 6) && col("rday") <= col("d1"))
+        .select(col("rday"), coalesce(col("dau"), lit(0L)).as("dau"), col("wau"))
+        .orderBy("rday")
+    },
+
+    // ---- Q-qual-03: snapshot diff — the table-diff operator a warehouse
+    // runs between two versions of a 100 TB table before publishing:
+    // full outer join on the primary key + row-hash compare classifies
+    // every key as added / removed / changed / unchanged, aggregated to
+    // one audit row per class. The comparison hash is md5 over the
+    // canonical column rendering, so only keys (not whole rows) need to
+    // survive the join. The "new" snapshot is derived deterministically:
+    // drop keys ending in 7, re-price keys ending in 3, add shifted keys.
+    "Q-qual-03" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      // price enters the hash as integer cents (portable floor-rounding):
+      // float-to-string formatting differs across engines, integers don't
+      def rowHash(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_orderkey").as("k"),
+          md5(concat_ws("|", col("o_orderstatus"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("bigint"),
+            col("o_orderpriority"))).as("h"))
+      val oldSnap = rowHash(o)
+      val newSnap = rowHash(
+        o.filter(col("o_orderkey") % 10 =!= 7)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 10 === 3, col("o_totalprice") * 1.1)
+              .otherwise(col("o_totalprice")))
+      ).unionByName(
+        rowHash(o.filter(col("o_orderkey") % 10 === 1))
+          .select((col("k") + 10000000).as("k"), col("h")))
+      val diff = oldSnap.withColumnRenamed("h", "h_old")
+        .join(newSnap.withColumnRenamed("h", "h_new"), Seq("k"), "full_outer")
+        .select(
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("class"))
+      diff.groupBy("class").agg(count(lit(1)).as("n")).orderBy("class")
+    },
+
     // ---- Q-qual-02: referential-integrity audit — orphaned foreign keys
     // across the star schema in one result: each check is an anti-join
     // count (orders->customer, lineitem->orders, events.user->customer),
@@ -493,6 +555,49 @@ object Extras {
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    "Q-evt-05" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+         bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),
+         contrib AS (
+           SELECT user_id, day + off::INT AS rday
+           FROM (SELECT user_id, day,
+                        unnest(generate_series(0, 6)) AS off FROM ud)),
+         wau AS (SELECT rday, count(DISTINCT user_id)::BIGINT AS wau
+                 FROM contrib GROUP BY rday),
+         dau AS (SELECT day AS rday, count(DISTINCT user_id)::BIGINT AS dau
+                 FROM ud GROUP BY day)
+         SELECT w.rday, coalesce(d.dau, 0)::BIGINT AS dau, w.wau
+         FROM wau w LEFT JOIN dau d USING (rday) CROSS JOIN bounds
+         WHERE w.rday >= d0 + 6 AND w.rday <= d1
+         ORDER BY w.rday""",
+    "Q-qual-03" ->
+      """WITH oldsnap AS (
+           SELECT o_orderkey AS k,
+                  md5(o_orderstatus || '|' ||
+                      floor(o_totalprice * 100 + 0.5)::BIGINT || '|' ||
+                      o_orderpriority) AS h
+           FROM orders),
+         newsnap AS (
+           SELECT o_orderkey AS k,
+                  md5(o_orderstatus || '|' ||
+                      floor((CASE WHEN o_orderkey % 10 = 3
+                                  THEN o_totalprice * 1.1
+                                  ELSE o_totalprice END) * 100 + 0.5)::BIGINT
+                      || '|' || o_orderpriority) AS h
+           FROM orders WHERE o_orderkey % 10 <> 7
+           UNION ALL
+           SELECT o_orderkey + 10000000,
+                  md5(o_orderstatus || '|' ||
+                      floor(o_totalprice * 100 + 0.5)::BIGINT || '|' ||
+                      o_orderpriority)
+           FROM orders WHERE o_orderkey % 10 = 1)
+         SELECT CASE WHEN o.h IS NULL THEN 'added'
+                     WHEN n.h IS NULL THEN 'removed'
+                     WHEN o.h <> n.h THEN 'changed'
+                     ELSE 'unchanged' END AS class,
+                count(*)::BIGINT AS n
+         FROM oldsnap o FULL OUTER JOIN newsnap n USING (k)
+         GROUP BY 1 ORDER BY class""",
     "Q-mm-06" ->
       """WITH px AS (
            SELECT doc_id, n_chars, text,

@@ -118,7 +118,7 @@ object Extras {
 
     // ---- Q-scan-05: ORC round-trip (columnar format #2)
     "Q-scan-05" -> { (s, d) =>
-      val tmp = Files.createTempDirectory("graft_scan05").toString
+      val tmp = tempDir("graft_scan05").toString
       Tables.orders(s, d).filter(col("o_totalprice") > 50000)
         .write.mode("overwrite").orc(s"$tmp/orders_orc")
       s.read.orc(s"$tmp/orders_orc")
@@ -228,7 +228,7 @@ object Extras {
       // would hit LOCATION_ALREADY_EXISTS on the next run
       s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
       s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
-      val tmp = Files.createTempDirectory("graft_bucketed").toString
+      val tmp = tempDir("graft_bucketed").toString
       Tables.lineitem(s, d)
         .write.mode("overwrite").option("path", s"$tmp/li")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
@@ -253,7 +253,7 @@ object Extras {
     // ExplainCheck) — at 100 TB the scan reads 2/5 of the partitions
     // instead of all of them, before any row is materialized.
     "Q-join-12" -> { (s, d) =>
-      val tmp = Files.createTempDirectory("graft_dpp").toString
+      val tmp = tempDir("graft_dpp").toString
       Tables.events(s, d).write.mode("overwrite")
         .partitionBy("event_type").parquet(s"$tmp/ev")
       val fact = s.read.parquet(s"$tmp/ev")

@@ -26,7 +26,7 @@ object Scans {
 
     // ---- Q-scan-02: CSV + JSON scan with explicit schema (round-trip)
     "Q-scan-02" -> { (s, d) =>
-      val tmp = Files.createTempDirectory("graft_scan02").toString
+      val tmp = tempDir("graft_scan02").toString
       Tables.nation(s, d).write.mode("overwrite")
         .option("header", "true").csv(s"$tmp/nation_csv")
       Tables.region(s, d).write.mode("overwrite").json(s"$tmp/region_json")
@@ -42,7 +42,7 @@ object Scans {
 
     // ---- Q-sink-01: partitioned parquet sink, read back (round-trip)
     "Q-sink-01" -> { (s, d) =>
-      val tmp = Files.createTempDirectory("graft_sink01").toString
+      val tmp = tempDir("graft_sink01").toString
       Tables.lineitem(s, d)
         .filter(col("l_quantity") >= 25)
         .write.mode("overwrite").partitionBy("l_returnflag")

@@ -33,7 +33,9 @@ object Replay {
     * (created once per sf dir). */
   private def eventsDir(dir: String): String =
     streamDirs.computeIfAbsent(dir, { _ =>
-      val tmp = Files.createTempDirectory("graft_events_stream")
+      // shared shutdown-hook temp dir (one per sf dir per JVM): the
+      // symlink farm would otherwise accumulate across runs
+      val tmp = graft.queries.tempDir("graft_events_stream")
       Files.createSymbolicLink(
         tmp.resolve("events.parquet"),
         java.nio.file.Paths.get(Tables.path(dir, "events")))

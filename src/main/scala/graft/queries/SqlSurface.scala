@@ -255,6 +255,24 @@ object SqlSurface {
         GROUP BY supp_nation, cust_nation, l_year
         ORDER BY supp_nation, cust_nation, l_year"""
 
+  /** TPC-H Q19 shape: disjunctive multi-clause join predicate — three OR'd
+    * conjunctions each mixing join-side (part) and fact-side (lineitem)
+    * ranges. The optimizer test: Catalyst extracts the common
+    * `p_partkey = l_partkey` equi-key so the join stays hash-based, and
+    * pushes the per-side disjunction residuals (`p_brand/p_size` to the
+    * part scan, `l_quantity` to the fact scan) instead of evaluating the
+    * whole OR post-join. */
+  private val sql15: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_items,
+               ${rev("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 5 AND 25)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 10 AND 30
+               AND l_quantity BETWEEN 15 AND 35)
+           OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 45
+               AND l_quantity >= 30)"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
@@ -269,7 +287,8 @@ object SqlSurface {
     "Q-sql-11" -> sql11,
     "Q-sql-12" -> sql12,
     "Q-sql-13" -> sql13,
-    "Q-sql-14" -> sql14)
+    "Q-sql-14" -> sql14,
+    "Q-sql-15" -> sql15)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

@@ -159,6 +159,14 @@ object ExplainCheck {
     // not the sort-based fallback
     check("Q-agg-16", "sketch aggregation on ObjectHashAggregate path",
       p => p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"))
+    // Q19 disjunctive predicate: the common equi-key keeps the join
+    // hash-based, and the part-side disjunction is extracted and pushed
+    // below the join (a Filter mentioning p_brand on the scan side)
+    check("Q-sql-15", "disjunctive join stays hash join with part-side filter",
+      p => !p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct") &&
+           (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) &&
+           p.linesIterator.exists(l => l.contains("Filter") && l.contains("p_brand")))
     s.stop()
   }
 }

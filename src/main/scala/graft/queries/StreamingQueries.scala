@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path}
 import java.nio.file.attribute.FileTime
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -94,6 +95,43 @@ object StreamingQueries {
     "Q-str-01" -> { (s, d) =>
       Replay.run(
         Replay.eventsStream(s, d)
+          .withWatermark("ts", WM)
+          .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            Portable.r(sum(col("value").cast(DecimalType(30, 10))).cast("double"), 2)
+              .as("val_sum"))
+          .select(wsSec("window.start"), col("event_type"), col("n"), col("val_sum")),
+        "complete").orderBy("ws_sec", "event_type")
+    },
+
+    // ---- Q-str-18: chunked-arrival invariance — the SAME tumbling
+    // window agg as Q-str-01, but the input arrives as FOUR time-ordered
+    // micro-batches (ntile(4) chunks, maxFilesPerTrigger=1) instead of
+    // one. Window state must accumulate correctly across batch
+    // boundaries (partial windows updated batch-over-batch, the
+    // watermark advancing between them) and the drained result must
+    // still equal the one-shot batch oracle — the invariance that makes
+    // micro-batch admission control (how a 100 TB backlog is actually
+    // ingested) semantically free.
+    "Q-str-18" -> { (s, d) =>
+      val tmp = tempDir("graft_str18")
+      val ev = Tables.events(s, d)
+      val wOrd = Window.orderBy(col("ts"), col("event_id"))
+      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
+      (1 to 4).foreach { c =>
+        chunked.filter(col("chunk") === c).drop("chunk")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/c$c")
+      }
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      (1 to 4).foreach { c =>
+        copyParts(tmp.resolve(s"c$c"), dir, s"c${c}_",
+          1000000000000L + c * 60000L)
+      }
+      val raw = s.read.parquet(s"$tmp/c1")
+      val src = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      Replay.run(
+        src
           .withWatermark("ts", WM)
           .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
           .agg(count(lit(1)).as("n"),
@@ -628,6 +666,12 @@ object StreamingQueries {
          WHERE event_id % 50 <> 0 AND event_id % 97 <> 0
          GROUP BY 1 ORDER BY device_id""",
     "Q-str-01" ->
+      s"""SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS val_sum
+         FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    "Q-str-18" ->
       s"""SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
                 count(*)::BIGINT AS n,
                 ${Portable.rSql(

@@ -321,6 +321,36 @@ object Aggregations {
         .filter(col("rnk") <= 5)
         .select(col("src"), col("rnk"), col("p_brand"), col("n").cast("bigint").as("n"))
         .orderBy("src", "rnk")
+    },
+
+    // ---- Q-agg-18: skewness / excess kurtosis from DECIMAL-exact raw
+    // moments (closes the shape-statistics family after Q-agg-15's
+    // corr/covar): the builtin skewness/kurtosis aggregates use
+    // order-dependent running central moments, so both engines derive
+    // g1 = m3 / (m2*sqrt(m2)) and g2 = m4 / m2^2 - 3 from identical exact
+    // sums of x..x^4 (sqrt is IEEE-correctly-rounded — bit-identical
+    // across engines, unlike pow). One partial-agg pass, five fixed-width
+    // buffers per group at any scale.
+    "Q-agg-18" -> { (s, d) =>
+      val x = col("l_quantity")
+      val m = Tables.lineitem(s, d).groupBy("l_linestatus").agg(
+        count(lit(1)).cast("double").as("n"),
+        Portable.dsum(x).as("s1"),
+        Portable.dsum(x * x).as("s2"),
+        Portable.dsum(x * x * x).as("s3"),
+        Portable.dsum(x * x * x * x).as("s4"))
+      val m1 = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - m1 * m1
+      val m3 = col("s3") / col("n") - lit(3.0) * m1 * col("s2") / col("n") +
+        lit(2.0) * m1 * m1 * m1
+      val m4 = col("s4") / col("n") - lit(4.0) * m1 * col("s3") / col("n") +
+        lit(6.0) * m1 * m1 * col("s2") / col("n") - lit(3.0) * m1 * m1 * m1 * m1
+      m.select(col("l_linestatus"),
+          col("n").cast("bigint").as("n"),
+          Portable.r(sqrt(m2), 6).as("stddev_pop"),
+          Portable.r(m3 / (m2 * sqrt(m2)), 6).as("skew"),
+          Portable.r(m4 / (m2 * m2) - lit(3.0), 6).as("kurt"))
+        .orderBy("l_linestatus")
     }
   )
 
@@ -464,6 +494,27 @@ object Aggregations {
                 floor((stddev_samp(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS sd_price,
                 floor((corr(l_quantity, l_extendedprice)) * 1e6 + 0.5) / 1e6 AS corr_qty_price,
                 floor((covar_samp(l_quantity, l_discount)) * 1e6 + 0.5) / 1e6 AS covar_qty_disc
-         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "Q-agg-18" -> {
+      val m1 = "(s1/n)"
+      val m2 = s"(s2/n - $m1*$m1)"
+      val m3 = s"(s3/n - 3.0 * $m1 * s2 / n + 2.0 * $m1 * $m1 * $m1)"
+      val m4 = s"(s4/n - 4.0 * $m1 * s3 / n + 6.0 * $m1 * $m1 * s2 / n" +
+        s" - 3.0 * $m1 * $m1 * $m1 * $m1)"
+      s"""WITH m AS (
+           SELECT l_linestatus,
+                  count(*)::DOUBLE AS n,
+                  ${Portable.dsumSql("l_quantity")} AS s1,
+                  ${Portable.dsumSql("l_quantity * l_quantity")} AS s2,
+                  ${Portable.dsumSql("l_quantity * l_quantity * l_quantity")} AS s3,
+                  ${Portable.dsumSql(
+                    "l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+           FROM lineitem GROUP BY l_linestatus)
+         SELECT l_linestatus, n::BIGINT AS n,
+                ${Portable.rSql(s"sqrt($m2)", 6)} AS stddev_pop,
+                ${Portable.rSql(s"$m3 / ($m2 * sqrt($m2))", 6)} AS skew,
+                ${Portable.rSql(s"$m4 / ($m2 * $m2) - 3.0", 6)} AS kurt
+         FROM m ORDER BY l_linestatus"""
+    }
   )
 }

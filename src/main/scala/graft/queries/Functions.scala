@@ -468,6 +468,70 @@ object Functions {
           (struct(col("o_orderstatus"), col("o_orderpriority")) <
             struct(lit("O"), lit("3-MEDIUM"))).as("lt_probe"))
         .orderBy("o_orderkey")
+    },
+
+    // ---- Q-fn-map-02: map family 2 — construction (map_from_arrays,
+    // str_to_map), higher-order rewrites (map_filter, transform_keys,
+    // transform_values, map_zip_with), and merge (map_concat). Outputs
+    // are scalar lookups / canonically-joined keys, so the oracle
+    // recomputes the expected values directly from the same inputs (the
+    // Q-fn-url-01 pattern): map semantics are exercised on the Spark
+    // side, the values verified on both.
+    "Q-fn-map-02" -> { (s, d) =>
+      val m = map(
+        lit("type"), col("event_type"),
+        lit("uid"), col("user_id").cast("string"))
+      val merged = map_concat(m, map(lit("src"), lit("events")))
+      val zipped = map_zip_with(m, transform_values(m, (_, v) => upper(v)),
+        (_, lo, hi) => concat(lo, lit("|"), hi))
+      Tables.events(s, d).select(
+        col("event_id"),
+        element_at(map_filter(merged, (k, _) => k =!= lit("src")), "type").as("typ"),
+        element_at(transform_keys(m, (k, _) => upper(k)), "UID").as("uid_str"),
+        element_at(transform_values(m, (_, v) => concat(lit("v:"), v)), "type").as("typ_tag"),
+        size(merged).cast("bigint").as("n_entries"),
+        array_join(sort_array(map_keys(merged)), ",").as("keys_sorted"),
+        element_at(zipped, "type").as("typ_zip"),
+        element_at(expr("str_to_map('a:1,b:2', ',', ':')"), "b").as("b_val"),
+        element_at(map_from_arrays(array(lit("x"), lit("y")),
+          array(col("user_id"), col("user_id") * 2)), "y").as("uid2"))
+        .orderBy("event_id")
+    },
+
+    // ---- Q-fn-gen-02: generators stack + inline — stack() is the
+    // wide→long unpivot generator (n output rows per input row), inline()
+    // explodes an array of structs into columns. Both fan-outs are narrow
+    // (no shuffle); the oracle renders each as a UNION ALL. Money is
+    // carried as exact integer cents (the portable floor-round) so the
+    // stringified value is engine-independent.
+    "Q-fn-gen-02" -> { (s, d) =>
+      val stacked = Tables.customer(s, d).selectExpr("c_custkey",
+        "stack(2, 'name', c_name, 'segment', c_mktsegment) AS (attr, val)")
+      val inlined = Tables.customer(s, d).selectExpr("c_custkey",
+        """inline(array(
+             struct('acct_cents' AS attr,
+               cast(cast(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS STRING) AS val),
+             struct('nation' AS attr, cast(c_nationkey AS STRING) AS val)))""")
+      stacked.unionAll(inlined).orderBy("c_custkey", "attr")
+    },
+
+    // ---- Q-fn-str-06: string family 4 — splice (overlay), search
+    // (locate / find_in_set), whitespace padding (space), prefix
+    // extraction (substring_index), and positional argument pick (elt).
+    // DuckDB has none of these by name, so the oracle renders each via
+    // substr/strpos/CASE/list_position algebra.
+    "Q-fn-str-06" -> { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        overlay(col("c_name"), lit("XX"), lit(3)).as("spliced"),
+        locate("0", col("c_name")).cast("bigint").as("zero_at"),
+        concat(col("c_mktsegment"), expr("space(2)"), col("c_name")).as("spaced"),
+        substring_index(col("c_name"), "0", 1).as("head0"),
+        expr("elt(1 + c_custkey % 2, 'even-slot', 'odd-slot')").as("slot"),
+        expr("find_in_set(c_mktsegment, " +
+          "'BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE')")
+          .cast("bigint").as("seg_slot"))
+        .orderBy("c_custkey")
     }
   )
 
@@ -739,6 +803,40 @@ object Functions {
                 ${Portable.rSql("o_totalprice / nullif(o_orderkey % 3, 0)", 6)} AS per_mod,
                 str_split(o_orderpriority, '-')[2] AS prio_word,
                 str_split(o_orderpriority, '-')[5] AS oob
-         FROM orders ORDER BY o_orderkey"""
+         FROM orders ORDER BY o_orderkey""",
+    "Q-fn-map-02" ->
+      """SELECT event_id,
+                event_type AS typ,
+                CAST(user_id AS VARCHAR) AS uid_str,
+                'v:' || event_type AS typ_tag,
+                3::BIGINT AS n_entries,
+                'src,type,uid' AS keys_sorted,
+                event_type || '|' || upper(event_type) AS typ_zip,
+                '2' AS b_val,
+                user_id * 2 AS uid2
+         FROM events ORDER BY event_id""",
+    "Q-fn-gen-02" ->
+      """SELECT c_custkey, attr, val FROM (
+           SELECT c_custkey, 'name' AS attr, c_name AS val FROM customer
+           UNION ALL
+           SELECT c_custkey, 'segment', c_mktsegment FROM customer
+           UNION ALL
+           SELECT c_custkey, 'acct_cents',
+                  CAST(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
+           FROM customer
+           UNION ALL
+           SELECT c_custkey, 'nation', CAST(c_nationkey AS VARCHAR) FROM customer)
+         ORDER BY c_custkey, attr""",
+    "Q-fn-str-06" ->
+      """SELECT c_custkey,
+                substr(c_name, 1, 2) || 'XX' || substr(c_name, 5) AS spliced,
+                strpos(c_name, '0')::BIGINT AS zero_at,
+                c_mktsegment || '  ' || c_name AS spaced,
+                substr(c_name, 1, strpos(c_name, '0') - 1) AS head0,
+                CASE WHEN c_custkey % 2 = 0 THEN 'even-slot' ELSE 'odd-slot' END AS slot,
+                list_position(
+                  str_split('BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE', ','),
+                  c_mktsegment)::BIGINT AS seg_slot
+         FROM customer ORDER BY c_custkey"""
   )
 }

@@ -137,10 +137,32 @@ object Windows {
           first(col("v"), ignoreNulls = true).over(w).as("first_nn"),
           last(col("v"), ignoreNulls = true).over(w).as("last_nn"))
         .orderBy("user_id", "event_id")
+    },
+
+    // ---- Q-win-09: distribution ranks — percent_rank / cume_dist over
+    // per-segment balance order, plus an offset-2 lag with a default.
+    // The rank quotients are exact integer divisions over a total order
+    // (unique tiebreak), so the doubles are bit-identical across engines.
+    "Q-win-09" -> { (s, d) =>
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, d).select(
+          col("c_custkey"), col("c_mktsegment"),
+          Portable.r(percent_rank().over(w), 9).as("pct_rank"),
+          Portable.r(cume_dist().over(w), 9).as("cume"),
+          lag(col("c_acctbal"), 2, -1.0).over(w).as("lag2"))
+        .orderBy("c_custkey")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-win-09" ->
+      s"""SELECT c_custkey, c_mktsegment,
+                ${Portable.rSql("percent_rank() OVER w", 9)} AS pct_rank,
+                ${Portable.rSql("cume_dist() OVER w", 9)} AS cume,
+                lag(c_acctbal, 2, -1.0) OVER w AS lag2
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_custkey""",
     "Q-win-07" ->
       """SELECT user_id, event_id,
                 count(DISTINCT event_type) OVER (PARTITION BY user_id

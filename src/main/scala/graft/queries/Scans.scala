@@ -288,10 +288,61 @@ object Scans {
         .agg(count(lit(1)).as("n"),
           Portable.r(Portable.dsum(col("value")), 2).as("val_sum"))
         .orderBy("event_type")
+    },
+
+    // ---- Q-scan-14: XML scan — the native Spark 4 XML data source
+    // (StAX-based, spark-xml merged into core): nation staged as
+    // <nations><nation>…</nation></nations>, read back under an EXPLICIT
+    // schema + rowTag (schema inference on XML is a second full pass —
+    // banned at scale, like CSV/JSON inference). Identity oracle from the
+    // same table.
+    "Q-scan-14" -> { (s, d) =>
+      val tmp = tempDir("graft_scan14")
+      Tables.nation(s, d).coalesce(1).write.mode("overwrite")
+        .option("rowTag", "nation").option("rootTag", "nations")
+        .format("xml").save(s"$tmp/xml")
+      s.read.format("xml")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .option("rowTag", "nation")
+        .load(s"$tmp/xml")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    },
+
+    // ---- Q-sink-05: CSV sink dialect controls — quote/escape/nullValue
+    // round-trip on adversarial payloads (embedded delimiter, embedded
+    // quote char, real NULLs vs empty-looking strings). The read-back must
+    // reproduce the source rows exactly; the oracle reconstructs the same
+    // payloads from the nation table directly.
+    "Q-sink-05" -> { (s, d) =>
+      val tmp = tempDir("graft_sink05")
+      Tables.nation(s, d).select(
+          col("n_nationkey"),
+          concat(col("n_name"), lit(",with|\"quotes\"")).as("payload"),
+          when(col("n_nationkey") % 5 === 0, lit(null).cast("string"))
+            .otherwise(col("n_name")).as("maybe_null"))
+        .coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .option("nullValue", "\\N")
+        .csv(s"$tmp/csv")
+      s.read.schema("n_nationkey INT, payload STRING, maybe_null STRING")
+        .option("header", "true").option("quote", "\"").option("escape", "\"")
+        .option("nullValue", "\\N")
+        .csv(s"$tmp/csv")
+        .orderBy("n_nationkey")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-scan-14" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+    "Q-sink-05" ->
+      """SELECT n_nationkey,
+                n_name || ',with|"quotes"' AS payload,
+                CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_name END
+                  AS maybe_null
+         FROM nation ORDER BY n_nationkey""",
     "Q-scan-13" ->
       """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, md5(text) AS content_md5
          FROM documents WHERE doc_id < 20 ORDER BY doc_id""",

@@ -273,6 +273,94 @@ object SqlSurface {
            OR (p_type = 'ECONOMY' AND p_size BETWEEN 20 AND 45
                AND l_quantity >= 30)"""
 
+  /** TPC-H Q2 shape: correlated MIN subquery — each part's cheapest
+    * lineitem(s), with supplier/nation dim lookups. Catalyst decorrelates
+    * the scalar subquery into a grouped-min join against the same fact
+    * (one extra partial-agg shuffle, never a per-row rescan). The price
+    * equality is on STORED doubles (no arithmetic), so it is exact on
+    * both engines; (l_orderkey, l_linenumber) keeps rows unique. */
+  private val sql16: String =
+    s"""SELECT p_partkey, p_brand, s_name, n_name, l_extendedprice,
+               l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_size <= 5
+          AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+                                 FROM lineitem l2
+                                 WHERE l2.l_partkey = p_partkey)
+        ORDER BY p_partkey, l_orderkey, l_linenumber"""
+
+  /** TPC-H Q8 shape: market share — one nation's volume fraction within a
+    * region per order year. The share is a quotient of two DECIMAL-exact
+    * conditional sums (both engines divide the identical doubles). */
+  private val sql17: String =
+    s"""SELECT CAST(o_year AS BIGINT) AS o_year,
+               floor((CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_d
+                                    ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
+                      / CAST(sum(vol_d) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+                 AS mkt_share
+        FROM (SELECT year(o_orderdate) AS o_year,
+                     CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,10))
+                       AS vol_d,
+                     n_name AS nation
+              FROM lineitem
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation   ON c_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA') all_volume
+        GROUP BY o_year
+        ORDER BY o_year"""
+
+  /** TPC-H Q12 shape: late-shipment priority counts — both output columns
+    * are conditional aggregates folded into ONE partial agg over the
+    * joined fact (no second pass per priority class). The testdata has no
+    * l_shipmode, so the grouping key is l_linestatus and "late" is
+    * ship ≥ order + 30 days. */
+  private val sql18: String =
+    s"""SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_prio,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_prio
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus"""
+
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER join
+    * with an extra ON-clause predicate (customers with zero qualifying
+    * orders must survive with count 0), then a second aggregation over
+    * the counts. Two partial-agg shuffles, both keyed by
+    * already-aggregated cardinalities. */
+  private val sql19: String =
+    s"""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+              GROUP BY c_custkey) c_orders
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC"""
+
+  /** TPC-H Q16 shape: supplier-count per part attribute with a NOT IN
+    * exclusion — the subquery is provably null-free (s_suppkey is a key),
+    * so the NOT IN plans as a simple anti join (contrast Q-sql-12, which
+    * pins the three-valued-logic path), and count(DISTINCT) expands to
+    * the standard two-phase distinct aggregate. */
+  private val sql20: String =
+    s"""SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#13'
+          AND p_type NOT LIKE 'SM%'
+          AND p_size IN (1, 4, 7, 10, 15, 22, 25, 40)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_name LIKE '%8')
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
@@ -288,7 +376,12 @@ object SqlSurface {
     "Q-sql-12" -> sql12,
     "Q-sql-13" -> sql13,
     "Q-sql-14" -> sql14,
-    "Q-sql-15" -> sql15)
+    "Q-sql-15" -> sql15,
+    "Q-sql-16" -> sql16,
+    "Q-sql-17" -> sql17,
+    "Q-sql-18" -> sql18,
+    "Q-sql-19" -> sql19,
+    "Q-sql-20" -> sql20)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

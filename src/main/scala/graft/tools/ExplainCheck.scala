@@ -167,6 +167,13 @@ object ExplainCheck {
            !p.contains("CartesianProduct") &&
            (p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")) &&
            p.linesIterator.exists(l => l.contains("Filter") && l.contains("p_brand")))
+    // correlated MIN subquery decorrelates into a grouped-min join (one
+    // partial-agg pass over the fact), never a per-row rescan
+    check("Q-sql-16", "correlated MIN decorrelated to aggregate + hash join",
+      p => !p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct") &&
+           p.contains("HashAggregate") &&
+           p.linesIterator.exists(l => l.contains("min(l_extendedprice")))
     s.stop()
   }
 }

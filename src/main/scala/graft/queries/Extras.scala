@@ -549,12 +549,145 @@ object Extras {
         .unionAll(report("lineitem.l_orderkey->orders", orphanLines))
         .unionAll(report("events.user_id->customer", orphanEvents))
         .orderBy("fk")
+    },
+
+    // ---- Q-evt-06: last-touch attribution — each purchase credited to
+    // the user's most recent click/view in the preceding 3 days (ties by
+    // event_id), unattributed purchases kept with NULLs. The join is EQUI
+    // on user_id with the time bounds as residual predicates (hash join,
+    // never BNLJ); the per-purchase winner is a window rank, so at scale
+    // only |touches-per-user-window| candidate rows rank per purchase.
+    "Q-evt-06" -> { (s, d) =>
+      val e = Tables.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          col("user_id"), col("ts").as("pts"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
+          col("event_type").as("touch_type"), col("ts").as("tts"))
+      val joined = purchases.join(touches,
+        purchases("user_id") === touches("t_user") &&
+          touches("tts") < purchases("pts") &&
+          touches("tts") >= purchases("pts") - expr("INTERVAL 3 DAY"),
+        "left")
+      val w = Window.partitionBy("purchase_id")
+        .orderBy(col("tts").desc_nulls_last, col("touch_id").desc_nulls_last)
+      joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("purchase_id"), col("touch_type"), col("touch_id"),
+          (unix_millis(col("pts")) - unix_millis(col("tts"))).as("ms_before"))
+        .orderBy("purchase_id")
+    },
+
+    // ---- Q-qual-04: SCD2 interval build — compress each user's event
+    // stream to state-CHANGE records (consecutive repeats dropped via
+    // lag), then derive validity intervals [valid_from, valid_to) with
+    // lead(); the open interval (valid_to NULL) is the current state.
+    // Two window passes over one user-keyed shuffle — the standard
+    // dimension-history builder for slowly-changing attributes.
+    "Q-qual-04" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(s, d)
+        .withColumn("prev_type", lag("event_type", 1).over(wo))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      changes
+        .withColumn("valid_to", lead("ts", 1).over(wo))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from")
+    },
+
+    // ---- Q-qual-05: MERGE-style upsert apply — a derived change set
+    // (updates ×1.1, inserts under shifted keys, deletes) applied to the
+    // orders snapshot through ONE full outer join on the key + CASE
+    // routing: the Delta/Iceberg MERGE INTO dataflow without a table
+    // format. Complements Q-qual-03 (diff detects changes; this applies
+    // them). Output: per-action counts + decimal-exact post-merge
+    // checksum.
+    "Q-qual-05" -> { (s, d) =>
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      val updates = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 === 0 || col("o_orderkey") % 13 === 0)
+        .select(
+          when(col("o_orderkey") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("o_orderkey").as("k"),
+          (col("o_totalprice") * 1.1).as("new_price"))
+      val inserts = Tables.orders(s, d).filter(col("o_orderkey") % 11 === 0)
+        .select(lit("I").as("op"), (col("o_orderkey") + 10000000L).as("k"),
+          col("o_totalprice").as("new_price"))
+      base.join(updates.unionAll(inserts), Seq("k"), "full_outer")
+        .withColumn("action",
+          when(col("op") === "D", lit("delete"))
+            .when(col("op") === "U", lit("update"))
+            .when(col("op") === "I", lit("insert"))
+            .otherwise(lit("keep")))
+        .filter(col("action") =!= "delete")
+        .withColumn("final_price",
+          when(col("action") === "keep", col("price")).otherwise(col("new_price")))
+        .groupBy("action")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("final_price")), 2).as("price_sum"))
+        .orderBy("action")
     }
   )
 
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    "Q-evt-06" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+                    FROM events WHERE event_type = 'purchase'),
+         t AS (SELECT user_id AS t_user, event_id AS touch_id,
+                      event_type AS touch_type, ts AS tts
+               FROM events WHERE event_type IN ('click', 'view')),
+         j AS (SELECT p.*, t.*,
+                      row_number() OVER (PARTITION BY purchase_id
+                        ORDER BY tts DESC NULLS LAST,
+                                 touch_id DESC NULLS LAST) AS rn
+               FROM p LEFT JOIN t
+                 ON p.user_id = t.t_user
+                AND t.tts < p.pts
+                AND t.tts >= p.pts - INTERVAL 3 DAY)
+         SELECT purchase_id, touch_type, touch_id,
+                epoch_ms(pts) - epoch_ms(tts) AS ms_before
+         FROM j WHERE rn = 1 ORDER BY purchase_id""",
+    "Q-qual-04" ->
+      """WITH ordered AS (
+           SELECT user_id, event_id, event_type, ts,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         changes AS (
+           SELECT user_id, event_id, event_type, ts FROM ordered
+           WHERE prev_type IS NULL OR prev_type <> event_type)
+         SELECT user_id, event_type AS state, ts AS valid_from,
+                lead(ts) OVER w AS valid_to,
+                (lead(ts) OVER w IS NULL) AS is_current
+         FROM changes
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         ORDER BY user_id, valid_from""",
+    "Q-qual-05" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+         cs AS (
+           SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+                  o_orderkey AS k, o_totalprice * 1.1 AS new_price
+           FROM orders WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 = 0
+           UNION ALL
+           SELECT 'I', o_orderkey + 10000000, o_totalprice
+           FROM orders WHERE o_orderkey % 11 = 0),
+         m AS (
+           SELECT CASE WHEN op = 'D' THEN 'delete'
+                       WHEN op = 'U' THEN 'update'
+                       WHEN op = 'I' THEN 'insert'
+                       ELSE 'keep' END AS action,
+                  CASE WHEN op IS NULL THEN price ELSE new_price END AS final_price
+           FROM base FULL OUTER JOIN cs USING (k))
+         SELECT action, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("final_price"), 2)} AS price_sum
+         FROM m WHERE action <> 'delete'
+         GROUP BY action ORDER BY action""",
     "Q-evt-05" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
          bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM ud),

@@ -718,6 +718,47 @@ object LlmOps {
     "Q-mm-01" -> { (s, d) =>
       Multimodal.featuresFromDocuments(s, Tables.documents(s, d))
         .orderBy("asset_id")
+    },
+
+    // ---- Q-llm-32: per-domain cap (RefinedWeb-style source balancing) —
+    // canonicalize each doc's origin to a domain, keep at most 15 docs
+    // per domain chosen by the deterministic key-hash rank (never arrival
+    // order: reprocessing keeps the identical subset). The cap plans as a
+    // window rank over the domain shuffle; a crawl-scale corpus ranks
+    // |docs-per-domain| within each group, nothing global.
+    "Q-llm-32" -> { (s, d) =>
+      val w = Window.partitionBy("domain").orderBy(col("rank_key"), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("domain", concat(lower(col("source")), lit(".example.com")))
+        .withColumn("rank_key", md5(concat(lit("cap42:"), col("doc_id"))))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 15)
+        .select(col("doc_id"), col("domain"), col("rk"))
+        .orderBy("domain", "rk")
+    },
+
+    // ---- Q-llm-33: vocabulary build + OOV audit — corpus-frequency
+    // top-V vocabulary (V=20, ranked by count DESC then word so the
+    // boundary is total-ordered), then each doc scored by its
+    // out-of-vocabulary token fraction — the tokenizer-coverage check run
+    // before committing to a vocab. Word counts are |vocab|-bounded
+    // partial aggs; the tiny vocab is broadcast back against the token
+    // stream, so corpus-sized inputs never pairwise-join.
+    "Q-llm-33" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      val vocab = toks.groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(20)
+        .select(col("w"), lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("n_oov"))
+        .select(col("doc_id"),
+          col("n_tokens").cast("bigint").as("n_tokens"),
+          col("n_oov").cast("bigint").as("n_oov"),
+          Portable.r(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+        .orderBy("doc_id")
     }
   )
 
@@ -761,6 +802,30 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-32" ->
+      """WITH ranked AS (
+           SELECT doc_id,
+                  lower(source) || '.example.com' AS domain,
+                  row_number() OVER (
+                    PARTITION BY lower(source) || '.example.com'
+                    ORDER BY md5('cap42:' || doc_id), doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, domain, rk::BIGINT AS rk
+         FROM ranked WHERE rk <= 15 ORDER BY domain, rk""",
+    "Q-llm-33" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest($wordsSql) AS w FROM documents),
+         vocab AS (
+           SELECT w FROM (SELECT w, count(*) AS c FROM toks GROUP BY w
+                          ORDER BY c DESC, w LIMIT 20))
+         SELECT t.doc_id,
+                count(*)::BIGINT AS n_tokens,
+                sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+                ${Portable.rSql(
+                  "CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)" +
+                  " / count(*)", 6)} AS oov_rate
+         FROM toks t LEFT JOIN vocab v ON t.w = v.w
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     "Q-llm-30" ->
       s"""WITH corpus AS (
            SELECT doc_id, text FROM documents

@@ -141,6 +141,63 @@ object StreamingQueries {
         "complete").orderBy("ws_sec", "event_type")
     },
 
+    // ---- Q-str-19: UPDATE-mode keyed upsert — the same 4-chunk arrival
+    // as Q-str-18, but drained in update output mode through a
+    // foreachBatch upsert: each trigger emits only the (window, type)
+    // keys it changed, appended to a keyed log with the epoch id; the
+    // final table is "latest value per key" (the classic
+    // stream-into-KV-store pattern — idempotent under epoch replay). Two
+    // invariants checked against the one-shot batch oracle: the upserted
+    // values equal the batch aggregate, and each key's update COUNT
+    // equals the number of chunks that touched it (update mode re-emits
+    // exactly the keys a batch changes, no more).
+    "Q-str-19" -> { (s, d) =>
+      val tmp = tempDir("graft_str19")
+      val ev = Tables.events(s, d)
+      val wOrd = Window.orderBy(col("ts"), col("event_id"))
+      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
+      (1 to 4).foreach { c =>
+        chunked.filter(col("chunk") === c).drop("chunk")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/c$c")
+      }
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      (1 to 4).foreach { c =>
+        copyParts(tmp.resolve(s"c$c"), dir, s"c${c}_",
+          1000000000000L + c * 60000L)
+      }
+      val log = s"$tmp/log"
+      val raw = s.read.parquet(s"$tmp/c1")
+      val q = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .withWatermark("ts", WM)
+        .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(wsSec("window.start"), col("event_type"), col("n"))
+        .writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           epoch: Long) =>
+            df.toDF().withColumn("epoch", lit(epoch))
+              .write.mode("append").parquet(log)
+            ()
+        }
+        .option("checkpointLocation", tempDir("graft_ckpt19").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val logDf = s.read.parquet(log)
+      val wLatest = Window.partitionBy("ws_sec", "event_type")
+        .orderBy(col("epoch").desc)
+      val latest = logDf.withColumn("rn", row_number().over(wLatest))
+        .filter(col("rn") === 1)
+        .select(col("ws_sec"), col("event_type"), col("n"))
+      val updates = logDf.groupBy("ws_sec", "event_type")
+        .agg(count(lit(1)).as("n_updates"))
+      latest.join(updates, Seq("ws_sec", "event_type"))
+        .orderBy("ws_sec", "event_type")
+    },
+
     // ---- Q-str-02: sliding 10 s / 5 s window
     "Q-str-02" -> { (s, d) =>
       Replay.run(
@@ -671,6 +728,15 @@ object StreamingQueries {
                 ${Portable.rSql(
                   "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS val_sum
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    "Q-str-19" ->
+      """WITH chunked AS (
+           SELECT event_type, ts,
+                  ntile(4) OVER (ORDER BY ts, event_id) AS chunk
+           FROM events)
+         SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n,
+                count(DISTINCT chunk)::BIGINT AS n_updates
+         FROM chunked GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
     "Q-str-18" ->
       s"""SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
                 count(*)::BIGINT AS n,

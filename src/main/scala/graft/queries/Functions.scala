@@ -532,6 +532,26 @@ object Functions {
           "'BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE')")
           .cast("bigint").as("seg_slot"))
         .orderBy("c_custkey")
+    },
+
+    // ---- Q-fn-date-03: timestamp arithmetic family — timestampadd /
+    // timestampdiff, make_timestamp, microsecond epoch. CAUTION pinned
+    // here: Spark's timestampdiff counts COMPLETE elapsed units while
+    // DuckDB's date_diff counts boundary crossings — the oracle renders
+    // the diff as floor-divided epoch microseconds (equivalent for a
+    // start bound ≤ every event time), never date_diff.
+    "Q-fn-date-03" -> { (s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        expr("timestampadd(MINUTE, 90, ts)").as("plus90m"),
+        expr("timestampadd(HOUR, -2, ts)").as("minus2h"),
+        expr("timestampdiff(MINUTE, timestamp'2024-01-01 00:00:00', ts)")
+          .cast("bigint").as("min_since"),
+        expr("timestampdiff(DAY, timestamp'2024-01-01 00:00:00', ts)")
+          .cast("bigint").as("day_since"),
+        expr("make_timestamp(2024, 3, 1, 12, 30, 0)").as("fixed_ts"),
+        unix_micros(col("ts")).as("epoch_us"))
+        .orderBy("event_id")
     }
   )
 
@@ -837,6 +857,17 @@ object Functions {
                 list_position(
                   str_split('BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE', ','),
                   c_mktsegment)::BIGINT AS seg_slot
-         FROM customer ORDER BY c_custkey"""
+         FROM customer ORDER BY c_custkey""",
+    "Q-fn-date-03" ->
+      """SELECT event_id,
+                ts + INTERVAL 90 MINUTE AS plus90m,
+                ts - INTERVAL 2 HOUR AS minus2h,
+                ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                  // 60000000)::BIGINT AS min_since,
+                ((epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00'))
+                  // 86400000000)::BIGINT AS day_since,
+                make_timestamp(2024, 3, 1, 12, 30, 0) AS fixed_ts,
+                epoch_us(ts) AS epoch_us
+         FROM events ORDER BY event_id"""
   )
 }

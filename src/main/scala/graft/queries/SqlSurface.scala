@@ -361,6 +361,74 @@ object SqlSurface {
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
 
+  /** TPC-H Q9 shape: product-type profit by nation and year — the widest
+    * fact expansion in the suite (lineitem × part × supplier × nation),
+    * profit computed per line then rolled up by (nation, year). The
+    * testdata has no partsupp, so supply cost is proxied by
+    * p_retailprice × quantity × 0.8. Dims broadcast; the only shuffle is
+    * the final (nation, year) partial agg. */
+  private val sql21: String =
+    s"""SELECT n_name AS nation, CAST(o_year AS BIGINT) AS o_year,
+               ${rev("amount")} AS sum_profit
+        FROM (SELECT n_name, year(o_orderdate) AS o_year,
+                     l_extendedprice * (1 - l_discount)
+                       - p_retailprice * l_quantity * 0.8 AS amount
+              FROM lineitem
+              JOIN part     ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders   ON o_orderkey = l_orderkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              WHERE p_name LIKE '%a%') profit
+        GROUP BY n_name, o_year
+        ORDER BY nation, o_year"""
+
+  /** TPC-H Q11 shape: important-stock HAVING against a GLOBAL scalar
+    * subquery — per-nation inventory value kept only if it exceeds a
+    * fraction of the grand total. The scalar subquery plans as an
+    * independent one-row aggregate broadcast into the HAVING predicate
+    * (the whole fact is scanned twice; at 100 TB the two passes share the
+    * pushed scan shape). Thresholds compare DECIMAL-exact sums. */
+  private val sql22: String =
+    s"""SELECT n_name, ${rev("l_extendedprice * l_quantity")} AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING sum(CAST(l_extendedprice * l_quantity AS DECIMAL(30,10)))
+             > (SELECT sum(CAST(l_extendedprice * l_quantity
+                               AS DECIMAL(30,10))) * 0.05
+                FROM lineitem)
+        ORDER BY value DESC, n_name"""
+
+  /** TPC-H Q20 shape: nested semi-join chain with a grouped-threshold
+    * qualifier — suppliers who shipped more than TWICE the fair
+    * per-supplier share of some 'PROMO' part they carry (fair share =
+    * part total / distinct suppliers, so the predicate stays selective
+    * at every scale factor — a fixed fraction would empty out as the
+    * supplier pool grows). The per-(part, supplier) and per-part sums
+    * decorrelate to two grouped aggregates over the same pushed scan;
+    * the outer IN becomes a semi join, so no row ever multiplies. */
+  private val sql23: String =
+    s"""SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT ps.l_suppkey
+          FROM (SELECT l_suppkey, l_partkey,
+                       sum(CAST(l_quantity AS DECIMAL(30,10))) AS supp_qty
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_type = 'PROMO'
+                GROUP BY l_suppkey, l_partkey) ps
+          JOIN (SELECT l_partkey AS t_partkey,
+                       sum(CAST(l_quantity AS DECIMAL(30,10))) AS total_qty,
+                       count(DISTINCT l_suppkey) AS n_supp
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_type = 'PROMO'
+                GROUP BY l_partkey) tot
+            ON ps.l_partkey = tot.t_partkey
+          WHERE CAST(ps.supp_qty AS DOUBLE)
+              > CAST(tot.total_qty AS DOUBLE) / tot.n_supp * 2)
+        ORDER BY s_name"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
@@ -381,7 +449,10 @@ object SqlSurface {
     "Q-sql-17" -> sql17,
     "Q-sql-18" -> sql18,
     "Q-sql-19" -> sql19,
-    "Q-sql-20" -> sql20)
+    "Q-sql-20" -> sql20,
+    "Q-sql-21" -> sql21,
+    "Q-sql-22" -> sql22,
+    "Q-sql-23" -> sql23)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

@@ -151,6 +151,21 @@ object Windows {
           Portable.r(cume_dist().over(w), 9).as("cume"),
           lag(col("c_acctbal"), 2, -1.0).over(w).as("lag2"))
         .orderBy("c_custkey")
+    },
+
+    // ---- Q-win-10: running median — the exact interpolated percentile
+    // as a WINDOW aggregate over a trailing 9-row frame (robust rolling
+    // center for anomaly baselines, complementing Q-win-08's
+    // mean/stddev). Both engines interpolate a + (b-a)·frac over the
+    // sorted frame, so the doubles agree; 6-dp portable rounding absorbs
+    // nothing but is kept for family consistency.
+    "Q-win-10" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-8, Window.currentRow)
+      Tables.events(s, d).select(
+          col("user_id"), col("event_id"),
+          Portable.r(expr("percentile(value, 0.5)").over(w), 6).as("run_median"))
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -163,6 +178,14 @@ object Windows {
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
          ORDER BY c_custkey""",
+    "Q-win-10" ->
+      s"""SELECT user_id, event_id,
+                ${Portable.rSql("quantile_cont(value, 0.5) OVER w", 6)}
+                  AS run_median
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, event_id""",
     "Q-win-07" ->
       """SELECT user_id, event_id,
                 count(DISTINCT event_type) OVER (PARTITION BY user_id

@@ -59,7 +59,11 @@ object Bench {
     "Q-llm-27",   // fuzzy edit-distance dedup (blocked levenshtein)
     "Q-llm-28",   // unigram-LM quality scoring (corpus dist + per-doc join)
     "Q-mm-06",    // perceptual average-hash fingerprint (64-pixel fan-out)
-    "Q-agg-16"    // approx_top_k heavy hitters (direct + merged sketches)
+    "Q-agg-16",   // approx_top_k heavy hitters (direct + merged sketches)
+    "Q-llm-32",   // per-domain cap (window rank over domain shuffle)
+    "Q-llm-33",   // vocabulary build + OOV (two partial aggs + broadcast)
+    "Q-qual-05",  // merge/upsert apply (one full outer join + routing)
+    "Q-sql-16"    // correlated MIN decorrelated (grouped-min hash join)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

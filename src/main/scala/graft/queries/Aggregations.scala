@@ -351,6 +351,26 @@ object Aggregations {
           Portable.r(m3 / (m2 * sqrt(m2)), 6).as("skew"),
           Portable.r(m4 / (m2 * m2) - lit(3.0), 6).as("kurt"))
         .orderBy("l_linestatus")
+    },
+
+    // ---- Q-agg-19: PIVOT + UNPIVOT through the SQL parser path (the
+    // clause twins of Q-agg-08/09's DataFrame pivot/unpivot): a CTE
+    // pivots per-status decimal sums wide, the outer UNPIVOT folds them
+    // back long — the round-trip lands on a plain GROUP BY, which is
+    // exactly what the oracle runs (DuckDB's PIVOT dialect differs, so
+    // the statement is not shared verbatim; the SEMANTICS are).
+    "Q-agg-19" -> { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(
+        """WITH p AS (
+             SELECT * FROM (SELECT l_returnflag, l_linestatus,
+                                   CAST(l_quantity AS DECIMAL(30,10)) AS q
+                            FROM lineitem)
+             PIVOT (sum(q) FOR l_linestatus IN ('O' AS o_qty, 'F' AS f_qty)))
+           SELECT l_returnflag, status,
+                  floor(CAST(qty AS DOUBLE) * 1e2 + 0.5) / 1e2 AS qty
+           FROM p UNPIVOT (qty FOR status IN (o_qty, f_qty))
+           ORDER BY l_returnflag, status""")
     }
   )
 
@@ -515,6 +535,13 @@ object Aggregations {
                 ${Portable.rSql(s"$m3 / ($m2 * sqrt($m2))", 6)} AS skew,
                 ${Portable.rSql(s"$m4 / ($m2 * $m2) - 3.0", 6)} AS kurt
          FROM m ORDER BY l_linestatus"""
-    }
+    },
+    "Q-agg-19" ->
+      """SELECT l_returnflag,
+                CASE l_linestatus WHEN 'O' THEN 'o_qty' ELSE 'f_qty' END AS status,
+                floor(CAST(sum(CAST(l_quantity AS DECIMAL(30,10))) AS DOUBLE)
+                  * 1e2 + 0.5) / 1e2 AS qty
+         FROM lineitem
+         GROUP BY 1, 2 ORDER BY l_returnflag, status"""
   )
 }

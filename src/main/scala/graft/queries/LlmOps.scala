@@ -759,6 +759,27 @@ object LlmOps {
           col("n_oov").cast("bigint").as("n_oov"),
           Portable.r(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
         .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-34: stopword-PRESENCE quality gate (the Gopher rule
+    // Q-llm-10's ratio doesn't cover: a document must contain ≥2 distinct
+    // required stopwords) + mean word length bounds. Both signals are
+    // exact integer algebra over the token array (aggregate/intersect
+    // HOFs, codegen, no shuffle until the final sort); keep compares the
+    // exact int-quotient doubles.
+    "Q-llm-34" -> { (s, d) =>
+      val ws = words(col("text"))
+      val sumLen = aggregate(transform(ws, w => length(w)),
+        lit(0), (acc, x) => acc + x)
+      val meanLen = sumLen.cast("double") / size(ws)
+      val nStop = size(array_intersect(array_distinct(ws),
+        array(lit("the"), lit("a"), lit("of"), lit("to"), lit("and"))))
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          nStop.cast("bigint").as("n_stop_distinct"),
+          Portable.r(meanLen, 6).as("mean_word_len"),
+          (nStop >= 2 && meanLen >= 3.0 && meanLen <= 10.0).as("keep"))
+        .orderBy("doc_id")
     }
   )
 
@@ -802,6 +823,16 @@ object LlmOps {
          JOIN sizes zb ON zb.doc_id = c.b"""
 
   val oracle: Map[String, String] = Map(
+    "Q-llm-34" -> {
+      val nStop = "len(list_intersect(list_distinct(ws), ['the','a','of','to','and']))"
+      val meanLen = "CAST(list_sum(list_transform(ws, w -> strlen(w))) AS DOUBLE) / len(ws)"
+      s"""SELECT doc_id,
+                $nStop::BIGINT AS n_stop_distinct,
+                ${Portable.rSql(meanLen, 6)} AS mean_word_len,
+                ($nStop >= 2 AND $meanLen >= 3.0 AND $meanLen <= 10.0) AS keep
+         FROM (SELECT doc_id, $wordsSql AS ws FROM documents)
+         ORDER BY doc_id"""
+    },
     "Q-llm-32" ->
       """WITH ranked AS (
            SELECT doc_id,

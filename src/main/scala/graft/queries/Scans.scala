@@ -330,6 +330,30 @@ object Scans {
         .option("nullValue", "\\N")
         .csv(s"$tmp/csv")
         .orderBy("n_nationkey")
+    },
+
+    // ---- Q-scan-15: raw-text source + field parsing — the log-ingest
+    // path: pipe-delimited lines staged via the text sink, read back as
+    // one `value` column, split/cast into fields, aggregated. Money rides
+    // the log line as exact integer cents (floats in text would re-enter
+    // through a formatter's rounding policy). At 100 TB this is the
+    // "parse first, columnarize once" entry stage before parquet.
+    "Q-scan-15" -> { (s, d) =>
+      val tmp = tempDir("graft_scan15")
+      Tables.orders(s, d)
+        .select(concat_ws("|",
+          col("o_orderpriority"), col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("bigint")).as("value"))
+        .coalesce(1).write.mode("overwrite").text(s"$tmp/log")
+      s.read.text(s"$tmp/log")
+        .select(split(col("value"), "\\|").as("f"))
+        .select(
+          element_at(col("f"), 1).as("prio"),
+          element_at(col("f"), 3).as("status"),
+          element_at(col("f"), 4).cast("bigint").as("cents"))
+        .groupBy("prio", "status")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
+        .orderBy("prio", "status")
     }
   )
 
@@ -337,6 +361,12 @@ object Scans {
     "Q-scan-14" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    "Q-scan-15" ->
+      """SELECT o_orderpriority AS prio, o_orderstatus AS status,
+                count(*)::BIGINT AS n,
+                sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT
+                  AS total_cents
+         FROM orders GROUP BY 1, 2 ORDER BY prio, status""",
     "Q-sink-05" ->
       """SELECT n_nationkey,
                 n_name || ',with|"quotes"' AS payload,

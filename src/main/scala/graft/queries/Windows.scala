@@ -166,6 +166,23 @@ object Windows {
           col("user_id"), col("event_id"),
           Portable.r(expr("percentile(value, 0.5)").over(w), 6).as("run_median"))
         .orderBy("user_id", "event_id")
+    },
+
+    // ---- Q-win-11: trailing frame EXCLUDING the current row
+    // ([-3, -1] — the leakage-free rolling baseline: a forecast feature
+    // must never see its own row). Decimal frame sums (Spark accumulates
+    // sequentially, DuckDB uses segment trees — double order would
+    // differ); the first row of each partition has an empty frame and
+    // stays NULL on both engines.
+    "Q-win-11" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-3, -1)
+      Tables.events(s, d).select(
+          col("user_id"), col("event_id"),
+          Portable.r(
+            sum(col("value").cast(DecimalType(30, 10))).over(w).cast("double")
+              / count(lit(1)).over(w), 6).as("trail_mean"))
+        .orderBy("user_id", "event_id")
     }
   )
 
@@ -178,6 +195,15 @@ object Windows {
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
          ORDER BY c_custkey""",
+    "Q-win-11" ->
+      s"""SELECT user_id, event_id,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)" +
+                  " / count(*) OVER w", 6)} AS trail_mean
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+         ORDER BY user_id, event_id""",
     "Q-win-10" ->
       s"""SELECT user_id, event_id,
                 ${Portable.rSql("quantile_cont(value, 0.5) OVER w", 6)}

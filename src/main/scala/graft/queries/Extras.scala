@@ -630,12 +630,73 @@ object Extras {
         .agg(count(lit(1)).as("n"),
           Portable.r(Portable.dsum(col("final_price")), 2).as("price_sum"))
         .orderBy("action")
+    },
+
+    // ---- Q-evt-07: inter-event gap distribution — per-user lag deltas
+    // summarized as count/min/max/interpolated-median milliseconds (the
+    // activity-cadence profile behind session-gap and presence-TTL
+    // tuning: Q-str-03's 30 s gap and Presence's TTL are picked FROM this
+    // distribution). One user-keyed window pass + one partial agg; gap
+    // medians interpolate a + (b−a)·frac identically on both engines.
+    "Q-evt-07" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(wo))
+        .filter(col("prev_ts").isNotNull)
+        .select(col("user_id"),
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts"))).as("gap_ms"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap_ms").as("min_gap"),
+          max("gap_ms").as("max_gap"),
+          Portable.r(expr("percentile(gap_ms, 0.5)"), 3).as("median_gap"))
+        .orderBy("user_id")
+    },
+
+    // ---- Q-scan-16: compression codec controls — the same rows written
+    // as zstd, gzip and snappy parquet, read back and reduced to
+    // identical per-codec audits (count + decimal checksum). The knob
+    // matters at 100 TB: zstd ≈ gzip-level ratios at snappy-level decode
+    // cost, and codec choice must never change query results.
+    "Q-scan-16" -> { (s, d) =>
+      val tmp = tempDir("graft_scan16")
+      val src = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val codecs = Seq("zstd", "gzip", "snappy")
+      codecs.foreach(c => src.write.mode("overwrite")
+        .option("compression", c).parquet(s"$tmp/$c"))
+      codecs.map { c =>
+        s.read.parquet(s"$tmp/$c").agg(
+            count(lit(1)).as("n"),
+            sum(col("l_orderkey")).as("key_sum"),
+            Portable.r(Portable.dsum(col("l_quantity")), 2).as("qty_sum"))
+          .select(lit(c).as("codec"), col("n"), col("key_sum"), col("qty_sum"))
+      }.reduce(_ unionAll _).orderBy("codec")
     }
   )
 
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    "Q-evt-07" ->
+      s"""WITH gaps AS (
+           SELECT user_id,
+                  epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) AS gap_ms
+           FROM events)
+         SELECT user_id, count(*)::BIGINT AS n_gaps,
+                min(gap_ms)::BIGINT AS min_gap,
+                max(gap_ms)::BIGINT AS max_gap,
+                ${Portable.rSql("quantile_cont(gap_ms, 0.5)", 3)} AS median_gap
+         FROM gaps WHERE gap_ms IS NOT NULL
+         GROUP BY user_id ORDER BY user_id""",
+    "Q-scan-16" ->
+      s"""SELECT codec, count(*)::BIGINT AS n,
+                sum(l_orderkey)::BIGINT AS key_sum,
+                ${Portable.rSql(Portable.dsumSql("l_quantity"), 2)} AS qty_sum
+         FROM lineitem
+         CROSS JOIN (VALUES ('zstd'), ('gzip'), ('snappy')) AS c(codec)
+         GROUP BY codec ORDER BY codec""",
     "Q-evt-06" ->
       """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
                     FROM events WHERE event_type = 'purchase'),

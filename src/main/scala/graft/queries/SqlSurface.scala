@@ -429,6 +429,20 @@ object SqlSurface {
               > CAST(tot.total_qty AS DOUBLE) / tot.n_supp * 2)
         ORDER BY s_name"""
 
+  /** Join-strategy HINT through the SQL path: `/*+ MERGE(nation) */`
+    * forces a sort-merge join where Catalyst would default to broadcast —
+    * the escape hatch for when the optimizer's size estimate is wrong
+    * (e.g. a "small" dim that explodes after a generator). The hint rides
+    * a standard comment, so the oracle runs the IDENTICAL text and simply
+    * ignores it; ExplainCheck pins that the hint actually flipped the
+    * strategy. */
+  private val sql24: String =
+    s"""SELECT /*+ MERGE(nation) */ n_name,
+               CAST(count(*) AS BIGINT) AS n_custs,
+               ${rev("c_acctbal")} AS bal_sum
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
@@ -452,7 +466,8 @@ object SqlSurface {
     "Q-sql-20" -> sql20,
     "Q-sql-21" -> sql21,
     "Q-sql-22" -> sql22,
-    "Q-sql-23" -> sql23)
+    "Q-sql-23" -> sql23,
+    "Q-sql-24" -> sql24)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

@@ -174,6 +174,10 @@ object ExplainCheck {
            !p.contains("CartesianProduct") &&
            p.contains("HashAggregate") &&
            p.linesIterator.exists(l => l.contains("min(l_extendedprice")))
+    // the MERGE hint must flip the nation join from its broadcast default
+    // to a sort-merge join (the size-misestimate escape hatch works)
+    check("Q-sql-24", "MERGE hint forces SortMergeJoin over broadcast default",
+      p => p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
     s.stop()
   }
 }

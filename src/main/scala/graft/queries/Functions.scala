@@ -552,8 +552,48 @@ object Functions {
         expr("make_timestamp(2024, 3, 1, 12, 30, 0)").as("fixed_ts"),
         unix_micros(col("ts")).as("epoch_us"))
         .orderBy("event_id")
+    },
+
+    // ---- Q-fn-csv-01: string-level CSV codec (from_csv / to_csv — the
+    // FUNCTION twins of the CSV source/sink): a constructed line is
+    // parsed under an explicit schema, fields extracted typed, and a
+    // struct serialized back to a line. The embedded-text path for CSV
+    // payloads living inside another column (Kafka values, log fields).
+    "Q-fn-csv-01" -> { (s, d) =>
+      val line = concat_ws(",",
+        col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Tables.nation(s, d)
+        .withColumn("parsed",
+          from_csv(line,
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "k INT, name STRING, rk INT"),
+            Map.empty[String, String]))
+        .select(
+          col("n_nationkey"),
+          col("parsed.k").cast("bigint").as("k"),
+          col("parsed.name").as("name"),
+          col("parsed.rk").cast("bigint").as("rk"),
+          to_csv(struct(col("parsed.name"), col("parsed.rk"))).as("reline"))
+        .orderBy("n_nationkey")
+    },
+
+    // ---- Q-fn-xml-01: XPath function family (xpath_string / xpath_int /
+    // xpath node-set) over an XML payload constructed per row — the
+    // embedded-markup twin of Q-scan-14's XML source. The oracle
+    // recomputes the extracted values from the same inputs.
+    "Q-fn-xml-01" -> { (s, d) =>
+      Tables.nation(s, d).select(
+          col("n_nationkey"),
+          expr(s"xpath_string(${xmlExpr}, '/r/n')").as("name"),
+          expr(s"xpath_int(${xmlExpr}, '/r/k')").cast("bigint").as("k"),
+          array_join(expr(s"xpath(${xmlExpr}, '/r/*/text()')"), ",").as("all_text"))
+        .orderBy("n_nationkey")
     }
   )
+
+  // the XML payload constructed inline (shared by Q-fn-xml-01's columns)
+  private val xmlExpr =
+    "concat('<r><k>', n_nationkey, '</k><n>', n_name, '</n></r>')"
 
   val oracle: Map[String, String] = Map(
     "Q-fn-str-01" ->
@@ -858,6 +898,19 @@ object Functions {
                   str_split('BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE', ','),
                   c_mktsegment)::BIGINT AS seg_slot
          FROM customer ORDER BY c_custkey""",
+    "Q-fn-csv-01" ->
+      """SELECT n_nationkey,
+                n_nationkey::BIGINT AS k,
+                n_name AS name,
+                n_regionkey::BIGINT AS rk,
+                n_name || ',' || n_regionkey AS reline
+         FROM nation ORDER BY n_nationkey""",
+    "Q-fn-xml-01" ->
+      """SELECT n_nationkey,
+                n_name AS name,
+                n_nationkey::BIGINT AS k,
+                n_nationkey || ',' || n_name AS all_text
+         FROM nation ORDER BY n_nationkey""",
     "Q-fn-date-03" ->
       """SELECT event_id,
                 ts + INTERVAL 90 MINUTE AS plus90m,

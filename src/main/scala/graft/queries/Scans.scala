@@ -354,6 +354,40 @@ object Scans {
         .groupBy("prio", "status")
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"))
         .orderBy("prio", "status")
+    },
+
+    // ---- Q-scan-17: corrupt-tolerant XML (the Q-scan-10 CSV pattern on
+    // the second markup format): three records with a non-integer key
+    // field are injected next to the staged nation rows; DROPMALFORMED
+    // must shed exactly those, PERMISSIVE must keep them with the typed
+    // field nulled. Both modes read under the same explicit schema —
+    // poison-pill tolerance mirroring the reference's drop-on-error
+    // decode (WeatherKafkaAvroDeserializerSchema.java:65-67).
+    "Q-scan-17" -> { (s, d) =>
+      val tmp = tempDir("graft_scan17")
+      Tables.nation(s, d).coalesce(1).write.mode("overwrite")
+        .option("rowTag", "nation").option("rootTag", "nations")
+        .format("xml").save(s"$tmp/xml")
+      val bad = (1 to 3).map(i =>
+        s"<nation><n_nationkey>bad_$i</n_nationkey>" +
+          s"<n_name>CORRUPT_$i</n_name><n_regionkey>0</n_regionkey></nation>")
+        .mkString("<nations>", "", "</nations>")
+      Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/xml/part-corrupt.xml"), bad)
+      def read(mode: String) =
+        s.read.format("xml")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+          .option("rowTag", "nation").option("mode", mode)
+          .load(s"$tmp/xml")
+      val dropped = read("DROPMALFORMED").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("n_nationkey")).as("n_keys"))
+        .select(lit("dropmalformed").as("mode"), col("n_rows"), col("n_keys"))
+      val kept = read("PERMISSIVE").agg(
+          count(lit(1)).as("n_rows"),
+          count(col("n_nationkey")).as("n_keys"))
+        .select(lit("permissive").as("mode"), col("n_rows"), col("n_keys"))
+      dropped.unionAll(kept).orderBy("mode")
     }
   )
 
@@ -361,6 +395,14 @@ object Scans {
     "Q-scan-14" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",
+    "Q-scan-17" ->
+      """SELECT 'dropmalformed' AS mode, count(*)::BIGINT AS n_rows,
+                count(*)::BIGINT AS n_keys
+         FROM nation
+         UNION ALL
+         SELECT 'permissive', (count(*) + 3)::BIGINT, count(*)::BIGINT
+         FROM nation
+         ORDER BY mode""",
     "Q-scan-15" ->
       """SELECT o_orderpriority AS prio, o_orderstatus AS status,
                 count(*)::BIGINT AS n,

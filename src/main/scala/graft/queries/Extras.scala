@@ -672,6 +672,31 @@ object Extras {
             Portable.r(Portable.dsum(col("l_quantity")), 2).as("qty_sum"))
           .select(lit(c).as("codec"), col("n"), col("key_sum"), col("qty_sum"))
       }.reduce(_ unionAll _).orderBy("codec")
+    },
+
+    // ---- Q-scan-18: bucket PRUNING on read (the scan-side payoff of
+    // Q-join-11's bucketed layout): an IN-list on the bucket column reads
+    // only the buckets those keys hash to — the other files are never
+    // opened (SelectedBucketsCount asserted in ExplainCheck). The
+    // aggregation is keyed on the bucket column, so the bucketed scan
+    // also satisfies the aggregate's distribution and NO exchange is
+    // planned. At 100 TB this is a keyed point-lookup + shuffle-free
+    // rollup with no index structure at all. (The planner would silently
+    // fall back to a plain scan if nothing consumed the bucket
+    // distribution — the agg keying is what keeps pruning live.)
+    "Q-scan-18" -> { (s, d) =>
+      s.sql("DROP TABLE IF EXISTS graft_cust_bucketed")
+      val tmp = tempDir("graft_scan18").toString
+      Tables.customer(s, d)
+        .write.mode("overwrite").option("path", s"$tmp/cust")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_cust_bucketed")
+      s.table("graft_cust_bucketed")
+        .filter(col("c_custkey").isin(7L, 57L, 107L))
+        .groupBy("c_custkey")
+        .agg(min(col("c_mktsegment")).as("segment"),
+          Portable.r(Portable.dsum(col("c_acctbal")), 2).as("bal"))
+        .orderBy("c_custkey")
     }
   )
 
@@ -690,6 +715,11 @@ object Extras {
                 ${Portable.rSql("quantile_cont(gap_ms, 0.5)", 3)} AS median_gap
          FROM gaps WHERE gap_ms IS NOT NULL
          GROUP BY user_id ORDER BY user_id""",
+    "Q-scan-18" ->
+      s"""SELECT c_custkey, min(c_mktsegment) AS segment,
+                ${Portable.rSql(Portable.dsumSql("c_acctbal"), 2)} AS bal
+         FROM customer WHERE c_custkey IN (7, 57, 107)
+         GROUP BY c_custkey ORDER BY c_custkey""",
     "Q-scan-16" ->
       s"""SELECT codec, count(*)::BIGINT AS n,
                 sum(l_orderkey)::BIGINT AS key_sum,

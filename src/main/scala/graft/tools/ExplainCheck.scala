@@ -178,6 +178,12 @@ object ExplainCheck {
     // to a sort-merge join (the size-misestimate escape hatch works)
     check("Q-sql-24", "MERGE hint forces SortMergeJoin over broadcast default",
       p => p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"))
+    // the IN-list on the bucket column must prune buckets at the scan
+    // (SelectedBucketsCount < 8 of 8 — files outside those buckets are
+    // never opened)
+    check("Q-scan-18", "bucket pruning selects a subset of 8 buckets",
+      p => p.contains("SelectedBucketsCount") &&
+           !p.contains("SelectedBucketsCount: 8 out of 8"))
     s.stop()
   }
 }

@@ -697,6 +697,28 @@ object Extras {
         .agg(min(col("c_mktsegment")).as("segment"),
           Portable.r(Portable.dsum(col("c_acctbal")), 2).as("bal"))
         .orderBy("c_custkey")
+    },
+
+    // ---- Q-evt-08: activity-quartile segmentation — users bucketed into
+    // engagement quartiles (ntile over the AGGREGATED per-user table:
+    // |users| rows, not |events|, so the single-partition rank is cheap;
+    // at true fleet scale the quartile thresholds would come from
+    // approx_percentile instead), then per-segment behavior rolled up.
+    // Per-user value sums re-enter the decimal path before the segment
+    // rollup (summing the per-user doubles directly would be
+    // order-dependent).
+    "Q-evt-08" -> { (s, d) =>
+      val perUser = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          Portable.dsum(col("value")).as("v_sum"))
+      val seg = perUser.withColumn("quartile",
+        ntile(4).over(Window.orderBy(col("n_events").desc, col("user_id")))
+          .cast("bigint"))
+      seg.groupBy("quartile")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("n_events"),
+          Portable.r(Portable.dsum(col("v_sum")), 2).as("v_total"))
+        .orderBy("quartile")
     }
   )
 
@@ -715,6 +737,19 @@ object Extras {
                 ${Portable.rSql("quantile_cont(gap_ms, 0.5)", 3)} AS median_gap
          FROM gaps WHERE gap_ms IS NOT NULL
          GROUP BY user_id ORDER BY user_id""",
+    "Q-evt-08" ->
+      s"""WITH per_user AS (
+           SELECT user_id, count(*) AS n_events,
+                  ${Portable.dsumSql("value")} AS v_sum
+           FROM events GROUP BY user_id),
+         seg AS (
+           SELECT *, ntile(4) OVER (ORDER BY n_events DESC, user_id)::BIGINT
+                       AS quartile
+           FROM per_user)
+         SELECT quartile, count(*)::BIGINT AS n_users,
+                sum(n_events)::BIGINT AS n_events,
+                ${Portable.rSql(Portable.dsumSql("v_sum"), 2)} AS v_total
+         FROM seg GROUP BY quartile ORDER BY quartile""",
     "Q-scan-18" ->
       s"""SELECT c_custkey, min(c_mktsegment) AS segment,
                 ${Portable.rSql(Portable.dsumSql("c_acctbal"), 2)} AS bal

@@ -297,7 +297,7 @@ object SqlSurface {
     * conditional sums (both engines divide the identical doubles). */
   private val sql17: String =
     s"""SELECT CAST(o_year AS BIGINT) AS o_year,
-               floor((CAST(sum(CASE WHEN nation = 'NATION_3' THEN vol_d
+               floor((CAST(sum(CASE WHEN nation = 'NATION_2' THEN vol_d
                                     ELSE CAST(0 AS DECIMAL(30,10)) END) AS DOUBLE)
                       / CAST(sum(vol_d) AS DOUBLE)) * 1e6 + 0.5) / 1e6
                  AS mkt_share

@@ -27,14 +27,25 @@ object ConnectedComponents {
     * (undirected, any orientation). Returns (id, label) with label = min
     * node id of the component.
     *
-    * Iteration hygiene (what makes a DataFrame loop scale): every round is
-    * `localCheckpoint`ed so the logical plan stays constant-size instead of
-    * growing per iteration (planning time would otherwise dominate);
-    * propagation runs only over edge-CONNECTED nodes (isolated nodes are
-    * their own singleton component by definition and are unioned back at
-    * the end); and convergence piggybacks on the same action that
-    * materializes the round (one job per iteration, not three). */
-  def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    * Adaptive strategy (the broadcast-join principle applied to graphs):
+    * a dedup pipeline's candidate-pair graph is TINY relative to its
+    * corpus — LSH emits pairs, not rows, so even a 100 TB corpus yields
+    * edge sets in the millions. When the materialized edge count is at
+    * most `driverMaxEdges` (16 bytes/edge ⇒ ≤ ~16 MB at the default),
+    * the components are solved with a driver-side union-find in one pass
+    * — no per-round shuffles at all. Larger graphs fall through to the
+    * distributed min-label loop below.
+    *
+    * Iteration hygiene for the distributed path (what makes a DataFrame
+    * loop scale): every round is `localCheckpoint`ed so the logical plan
+    * stays constant-size instead of growing per iteration (planning time
+    * would otherwise dominate); propagation runs only over edge-CONNECTED
+    * nodes (isolated nodes are their own singleton component by
+    * definition and are unioned back at the end); and convergence
+    * piggybacks on the same action that materializes the round (one job
+    * per iteration, not three). */
+  def minLabel(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25,
+      driverMaxEdges: Long = 1000000L): DataFrame = {
     val sc = nodes.sparkSession.sparkContext
     // localCheckpoint blocks are only released by GC-driven cleanup, so an
     // iterative loop must free each round's intermediates itself — on a
@@ -58,6 +69,13 @@ object ConnectedComponents {
     // pipeline (e.g. the MinHash-LSH candidate+verify DAG) once per union
     // branch
     val (e1, e1Rdds) = ckpt(edges.select(col("a").as("x"), col("b").as("y")))
+    if (e1.count() <= driverMaxEdges) {
+      val out = driverPath(nodes, e1)
+      e1Rdds.foreach(_.unpersist(blocking = false))
+      if (debug) System.err.println(
+        f"[cc] driver union-find: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      return out
+    }
     val (sym, _) = ckpt(
       e1.unionAll(e1.select(col("y").as("x"), col("x").as("y"))))
     e1Rdds.foreach(_.unpersist(blocking = false))
@@ -113,5 +131,35 @@ object ConnectedComponents {
     val isolated = nodes.join(connected, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     labels.unionAll(isolated)
+  }
+
+  /** Small-graph fast path: one collect, classic union-find with the max
+    * root always attached under the min root — so every root IS its
+    * component's minimum id and the result is the same pure function of
+    * the edge set as the distributed loop (equality pinned per-seed in
+    * GraphLayoutPropertySpec). */
+  private def driverPath(nodes: DataFrame, e1: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val pairs = e1.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(v: Long): Long = {
+      var r = v
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = v // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+    val connectedIds = labels.map(_._1).toDF("id")
+    val isolated = nodes.join(broadcast(connectedIds), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("label"))
+    labels.toDF("id", "label").unionAll(isolated)
   }
 }

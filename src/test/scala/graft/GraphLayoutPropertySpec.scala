@@ -42,15 +42,17 @@ class GraphLayoutPropertySpec extends AnyFunSuite {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  private def checkGraph(n: Int, edges: Seq[(Long, Long)]): Unit = {
+  private def checkGraph(n: Int, edges: Seq[(Long, Long)],
+      driverMaxEdges: Long = 1000000L): Unit = {
     val nodes = (0L until n.toLong).toDF("id")
     val edgeDf = edges.toDF("a", "b")
-    val got = ConnectedComponents.minLabel(nodes, edgeDf)
+    val got = ConnectedComponents
+      .minLabel(nodes, edgeDf, driverMaxEdges = driverMaxEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == unionFind(n, edges))
   }
 
-  test("ConnectedComponents == union-find on seeded random graphs") {
+  test("ConnectedComponents == union-find on seeded random graphs (driver path)") {
     for (seed <- 1L to 4L) {
       val n = 60
       val gen = Gen.listOfN(80, for {
@@ -62,12 +64,27 @@ class GraphLayoutPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ConnectedComponents == union-find on seeded random graphs (distributed path)") {
+    // driverMaxEdges = 0 forces the min-label loop: both strategies must
+    // be the same pure function of the edge set
+    for (seed <- 1L to 4L) {
+      val n = 60
+      val gen = Gen.listOfN(80, for {
+        a <- Gen.chooseNum(0L, n - 1L); b <- Gen.chooseNum(0L, n - 1L)
+        if a != b
+      } yield (a, b))
+      val edges = gen.apply(Gen.Parameters.default, Seed(seed)).get
+      checkGraph(n, edges, driverMaxEdges = 0L)
+    }
+  }
+
   test("ConnectedComponents converges on a chain with diameter >> 25") {
-    // a 400-node path: O(diameter) propagation would need 400 rounds and
-    // previously exited silently at 25; pointer jumping needs ~log2(400)
+    // a 400-node path through the DISTRIBUTED loop: O(diameter)
+    // propagation would need 400 rounds and previously exited silently at
+    // 25; pointer jumping needs ~log2(400)
     val n = 400
     val edges = (0L until n - 1L).map(i => (i, i + 1))
-    checkGraph(n, edges)
+    checkGraph(n, edges, driverMaxEdges = 0L)
   }
 
   test("z-value interleave is invertible on 16-bit inputs") {

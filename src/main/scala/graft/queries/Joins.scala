@@ -149,10 +149,36 @@ object Joins {
         .agg(count(lit(1)).as("n"),
           Portable.r(Portable.dsum(col("value")), 2).as("val_sum"))
         .orderBy(col("c_mktsegment"), col("k").asc_nulls_last)
+    },
+
+    // ---- Q-join-18: EXISTENCE join — an IN-subquery in the PROJECTION
+    // (not the filter) plans as Catalyst's ExistenceJoin variant: the
+    // probe row survives either way and gains a boolean, so neither the
+    // row-dropping semi join nor a row-multiplying outer join applies
+    // (asserted in ExplainCheck). The enrich-with-existence shape behind
+    // "has the customer ever ordered / ever returned".
+    "Q-join-18" -> { (s, d) =>
+      Tables.registerViews(s, d)
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+                  c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_orderstatus = 'F') AS has_final,
+                  c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT') AS has_urgent
+           FROM customer
+           ORDER BY c_custkey""")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-join-18" ->
+      """SELECT c_custkey, c_mktsegment,
+                c_custkey IN (SELECT o_custkey FROM orders
+                              WHERE o_orderstatus = 'F') AS has_final,
+                c_custkey IN (SELECT o_custkey FROM orders
+                              WHERE o_orderpriority = '1-URGENT') AS has_urgent
+         FROM customer
+         ORDER BY c_custkey""",
     "Q-join-17" ->
       s"""WITH ev AS (
            SELECT CASE WHEN user_id % 10 <> 0 THEN user_id % 100 END AS k, value

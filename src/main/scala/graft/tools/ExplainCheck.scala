@@ -184,6 +184,10 @@ object ExplainCheck {
     check("Q-scan-18", "bucket pruning selects a subset of 8 buckets",
       p => p.contains("SelectedBucketsCount") &&
            !p.contains("SelectedBucketsCount: 8 out of 8"))
+    // IN-subqueries in the projection plan as ExistenceJoin (row survives
+    // either way and gains a boolean — not semi, not outer)
+    check("Q-join-18", "projection IN-subquery plans as ExistenceJoin",
+      _.contains("ExistenceJoin"))
     s.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSim, MinHashSig}
+import graft.functions.{CosineSim, L2Distance, MinHashSig}
 
 /** Library install hook: `spark.sql.extensions=graft.GraftExtensions`
   * registers the engine's native expressions on every session (the
@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSim(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("l2_distance"),
+      new ExpressionInfo(classOf[L2Distance].getName, null, "l2_distance"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        L2Distance(exprs.head, exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSig].getName, null, "minhash_sig"),

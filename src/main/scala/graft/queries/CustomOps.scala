@@ -103,6 +103,31 @@ object CustomOps {
         .select(col("query_id"), col("vec_id"),
           Portable.r(col("sim"), 6).as("sim"), col("rk"))
         .orderBy("query_id", "rk")
+    },
+
+    // ---- Q-llm-36: exact L2 nearest neighbors via the codegen L2Distance
+    // expression (CosineSim's metric sibling — the distance k-means/IVF
+    // are actually built on). Same envelope as Q-llm-03: broadcast query
+    // vectors, corpus stays partition-parallel, per-query top-10 through
+    // the partial-top-k window. Ascending order (small distance = near).
+    "Q-llm-36" -> { (s, d) =>
+      graft.functions.L2Distance.register(s)
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(
+          col("query_id"), col("vec_id"),
+          expr("l2_distance(q_emb, embedding)").as("dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist").asc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          Portable.r(col("dist"), 6).as("dist"), col("rk"))
+        .orderBy("query_id", "rk")
     }
   )
 
@@ -153,6 +178,20 @@ object CustomOps {
                      ORDER BY $cosSql DESC, e.vec_id))::BIGINT AS rk
            FROM embeddings q, embeddings e
            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rk <= 10 ORDER BY query_id, rk""",
+    "Q-llm-36" -> {
+      val l2 = """sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+         i -> (q.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE)
+            * (q.embedding[i]::DOUBLE - e.embedding[i]::DOUBLE))))"""
+      s"""SELECT query_id, vec_id, ${Portable.rSql("dist", 6)} AS dist, rk
+         FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                  $l2 AS dist,
+                  (row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY $l2 ASC, e.vec_id))::BIGINT AS rk
+           FROM embeddings q, embeddings e
+           WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
          WHERE rk <= 10 ORDER BY query_id, rk"""
+    }
   )
 }

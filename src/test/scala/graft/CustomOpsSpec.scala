@@ -44,6 +44,35 @@ class CustomOpsSpec extends AnyFunSuite {
     assert(viaCodegen == interpreted) // bit-identical, same op order
   }
 
+  test("L2Distance: zero for identical, 5 for a 3-4 right triangle, null-safe") {
+    graft.functions.L2Distance.register(spark)
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),   // identical => 0
+      (Array(0f, 0f), Array(3f, 4f)),            // => 5
+      (Array(0f, 0f), Array(0f, 0f))             // zero vectors => 0 (not null)
+    ).toDF("a", "b").select(expr("l2_distance(a, b)").as("d"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 0.0)
+    assert(rows(1).getDouble(0) == 5.0)
+    assert(rows(2).getDouble(0) == 0.0)
+  }
+
+  test("L2Distance: codegen and interpreted eval agree") {
+    graft.functions.L2Distance.register(spark)
+    val base = Seq((Array(0.3f, -1.2f, 2.5f, 0f), Array(-0.7f, 0.4f, 1.1f, 3f)))
+      .toDF("a", "b")
+    val viaCodegen = base.select(expr("l2_distance(a, b)")).head.getDouble(0)
+    val e = graft.functions.L2Distance(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.3f, -1.2f, 2.5f, 0f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(-0.7f, 0.4f, 1.1f, 3f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val interpreted = e.eval(null).asInstanceOf[Double]
+    assert(viaCodegen == interpreted) // bit-identical, same op order
+  }
+
   test("AsOfJoin.backward: picks latest right <= left, null when none") {
     val left = Seq((1L, "u1", 100L), (2L, "u1", 50L), (3L, "u2", 10L))
       .toDF("id", "k", "t")

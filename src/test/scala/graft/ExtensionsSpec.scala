@@ -28,6 +28,9 @@ class ExtensionsSpec extends AnyFunSuite {
       val sim = Seq((Array(1f, 0f), Array(1f, 0f))).toDF("a", "b")
         .selectExpr("cosine_sim(a, b) AS s").head.getDouble(0)
       assert(math.abs(sim - 1.0) < 1e-12)
+      val dist = Seq((Array(0f, 0f), Array(3f, 4f))).toDF("a", "b")
+        .selectExpr("l2_distance(a, b) AS d").head.getDouble(0)
+      assert(dist == 5.0)
       val sig = Seq("x", "y", "x").toDF("sh")
         .selectExpr("minhash_sig(sh, 2) AS sig").head.getSeq[String](0)
       assert(sig.length == 2 && sig.forall(_.length == 32))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{CosineSim, WInput, WeightedStats}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, PqIndex}
 
 /** Custom-operator queries: as-of join, typed UDAF, cosine top-k
   * (SURVEY.md §2B Q-join-06, Q-agg-06, Q-llm-03).
@@ -128,6 +128,25 @@ object CustomOps {
         .select(col("query_id"), col("vec_id"),
           Portable.r(col("dist"), 6).as("dist"), col("rk"))
         .orderBy("query_id", "rk")
+    },
+
+    // ---- Q-llm-37: product-quantization ANN (operators/PqIndex) — the
+    // sixth similarity scale path: 8 subspaces × 16 strided codewords
+    // compress each 64-float vector to 8 codes (32x); queries scan the
+    // CODE table through an ADC lookup join (no raw floats touched),
+    // top-50 survivors re-ranked exactly. Every distance/argmin/sum is
+    // the portable sequential-double algebra, so the oracle hash-matches
+    // the whole pipeline end to end; recall vs exact L2 is additionally
+    // bounded in LlmOpsSpec.
+    "Q-llm-37" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      PqIndex.search(emb, qs, "vec_id", "embedding", "query_id", "q_emb",
+          m = 8, kCode = 16, dim = 64, rerank = 50, k = 10)
+        .select(col("query_id"), col("vec_id"),
+          Portable.r(col("dist"), 6).as("dist"), col("rk"))
+        .orderBy("query_id", "rk")
     }
   )
 
@@ -191,6 +210,60 @@ object CustomOps {
                      ORDER BY $l2 ASC, e.vec_id))::BIGINT AS rk
            FROM embeddings q, embeddings e
            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rk <= 10 ORDER BY query_id, rk"""
+    },
+    "Q-llm-37" -> {
+      // sequential-double squared L2 over an 8-dim slice pair
+      def sq(a: String, b: String) =
+        s"""list_sum(list_transform(generate_series(1, 8),
+           i -> ($a[i]::DOUBLE - $b[i]::DOUBLE)
+              * ($a[i]::DOUBLE - $b[i]::DOUBLE)))"""
+      val l2full = """sqrt(list_sum(list_transform(
+           generate_series(1, len(q.q_emb)),
+           i -> (q.q_emb[i]::DOUBLE - e.embedding[i]::DOUBLE)
+              * (q.q_emb[i]::DOUBLE - e.embedding[i]::DOUBLE))))"""
+      s"""WITH params AS (SELECT greatest(count(*) // 16, 1) AS step FROM embeddings),
+         subs AS (SELECT unnest(generate_series(0, 7)) AS sub),
+         cb AS (
+           SELECT sub, (vec_id // step)::INT AS code,
+                  embedding[sub*8+1 : sub*8+8] AS codeword
+           FROM embeddings, params, subs
+           WHERE vec_id % step = 0 AND vec_id // step < 16),
+         codes AS (
+           SELECT vec_id, sub, code FROM (
+             SELECT e.vec_id, c.sub, c.code,
+                    row_number() OVER (PARTITION BY e.vec_id, c.sub
+                      ORDER BY ${sq("e.embedding[c.sub*8+1 : c.sub*8+8]",
+                        "c.codeword")}, c.code) AS rn
+             FROM embeddings e JOIN cb c ON true)
+           WHERE rn = 1),
+         queries AS (SELECT vec_id AS query_id, embedding AS q_emb
+                     FROM embeddings WHERE vec_id < 5),
+         lut AS (
+           SELECT query_id, sub, code,
+                  ${sq("q_emb[sub*8+1 : sub*8+8]", "codeword")} AS term
+           FROM queries JOIN cb ON true),
+         adc AS (
+           SELECT l.query_id, c.vec_id,
+                  list_sum(list(l.term ORDER BY l.sub)) AS adc
+           FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+           WHERE l.query_id <> c.vec_id
+           GROUP BY l.query_id, c.vec_id),
+         cand AS (
+           SELECT query_id, vec_id FROM (
+             SELECT query_id, vec_id,
+                    row_number() OVER (PARTITION BY query_id
+                      ORDER BY adc, vec_id) AS rn
+             FROM adc)
+           WHERE rn <= 50)
+         SELECT query_id, vec_id, ${Portable.rSql("dist", 6)} AS dist, rk
+         FROM (
+           SELECT q.query_id, e.vec_id, $l2full AS dist,
+                  (row_number() OVER (PARTITION BY q.query_id
+                     ORDER BY $l2full, e.vec_id))::BIGINT AS rk
+           FROM cand
+           JOIN embeddings e ON cand.vec_id = e.vec_id
+           JOIN queries q ON cand.query_id = q.query_id)
          WHERE rk <= 10 ORDER BY query_id, rk"""
     }
   )

@@ -29,6 +29,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall too low: $recall")
   }
 
+  test("Q-llm-37 PQ-ANN: recall@10 vs exact L2 brute force") {
+    val exact = SparkEntry.queries("Q-llm-36")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = SparkEntry.queries("Q-llm-37")(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"PQ recall@10 = $recall")
+    // 32x compression + exact re-rank of 50 ADC survivors; the bound is
+    // the measured floor on the synthetic embeddings, not a target
+    assert(recall >= 0.3, s"recall too low: $recall")
+  }
+
   test("Q-llm-14 hyperplane-LSH ANN: recall@10 vs exact brute force") {
     // sf0.01 (500 vectors): at sf0.001's 50 vectors the 64 buckets are
     // near-singletons and recall measures corpus sparsity, not the index

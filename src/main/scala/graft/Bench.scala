@@ -63,7 +63,9 @@ object Bench {
     "Q-llm-32",   // per-domain cap (window rank over domain shuffle)
     "Q-llm-33",   // vocabulary build + OOV (two partial aggs + broadcast)
     "Q-qual-05",  // merge/upsert apply (one full outer join + routing)
-    "Q-sql-16"    // correlated MIN decorrelated (grouped-min hash join)
+    "Q-sql-16",   // correlated MIN decorrelated (grouped-min hash join)
+    "Q-llm-36",   // brute-force L2 top-k (codegen expression)
+    "Q-llm-37"    // PQ-ANN (codebook + encode + ADC join + re-rank)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -554,6 +554,22 @@ object Functions {
         .orderBy("event_id")
     },
 
+    // ---- Q-fn-str-07: mask() redaction family (the FUNCTION-level twin
+    // of Q-llm-31's regex PII scrub): class-preserving masking with
+    // default, custom, and partial (digits-only) replacement characters,
+    // plus the NULL-replacement identity. The oracle renders each as a
+    // chain of class regexp_replaces ordered so no pass re-matches a
+    // character an earlier pass introduced.
+    "Q-fn-str-07" -> { (s, d) =>
+      Tables.customer(s, d).select(
+          col("c_custkey"),
+          expr("mask(c_name)").as("masked"),
+          expr("mask(c_name, 'U', 'l', '#', '*')").as("custom"),
+          expr("mask(c_name, NULL, NULL, '9', NULL)").as("digits_only"),
+          expr("mask(c_mktsegment, NULL, NULL, NULL, NULL)").as("unmasked"))
+        .orderBy("c_custkey")
+    },
+
     // ---- Q-fn-csv-01: string-level CSV codec (from_csv / to_csv — the
     // FUNCTION twins of the CSV source/sink): a constructed line is
     // parsed under an explicit schema, fields extracted typed, and a
@@ -897,6 +913,17 @@ object Functions {
                 list_position(
                   str_split('BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE', ','),
                   c_mktsegment)::BIGINT AS seg_slot
+         FROM customer ORDER BY c_custkey""",
+    "Q-fn-str-07" ->
+      """SELECT c_custkey,
+                regexp_replace(regexp_replace(regexp_replace(c_name,
+                  '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                  AS masked,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  c_name, '[^A-Za-z0-9]', '*', 'g'), '[A-Z]', 'U', 'g'),
+                  '[a-z]', 'l', 'g'), '[0-9]', '#', 'g') AS custom,
+                regexp_replace(c_name, '[0-9]', '9', 'g') AS digits_only,
+                c_mktsegment AS unmasked
          FROM customer ORDER BY c_custkey""",
     "Q-fn-csv-01" ->
       """SELECT n_nationkey,

@@ -54,10 +54,10 @@ object Bench {
     "Q-evt-01",   // funnel analysis (staged per-user groupBys)
     "Q-llm-23",   // context-window text chunking (narrow fan-out)
     "Q-llm-24",   // incremental dedup (asymmetric LSH band join)
-    "Q-sql-09",   // TPC-H Q21 shape (EXISTS + NOT EXISTS on one fact scan)
+    "Q-sql-09",   // TPC-H Q21 shape (single-scan per-order group-by form)
     "Q-llm-26",   // token-budget sequence packing (per-lang running sums)
     "Q-llm-27",   // fuzzy edit-distance dedup (blocked levenshtein)
-    "Q-llm-28",   // unigram-LM quality scoring (corpus dist + per-doc join)
+    "Q-llm-28",   // unigram-LM quality scoring (pre-aggregated (doc,word,n))
     "Q-mm-06",    // perceptual average-hash fingerprint (64-pixel fan-out)
     "Q-agg-16",   // approx_top_k heavy hitters (direct + merged sketches)
     "Q-llm-32",   // per-domain cap (window rank over domain shuffle)
@@ -93,21 +93,37 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val spark = EngineSession.getOrCreate("graft-bench")
 
-    val results = headline.filter(q => only.forall(_(q))).map { name =>
-      try {
-        runOnce(spark, name, sfDir) // warm-up
-        val times = (1 to 3).map(_ => runOnce(spark, name, sfDir)).sorted
-        name -> times.head // min (see methodology note above)
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
-      }
+    // (min, median) of 3 timed runs: min is the intrinsic-cost estimator
+    // the headline compares on; median is recorded alongside so the bench
+    // artifact itself documents host contention (min ≈ median on a quiet
+    // machine; a wide gap flags a noisy run without arguing from ledgers).
+    // the dev knob may name queries outside the headline set (A/B timing
+    // of alternate forms, e.g. Q-sql-09 vs Q-sql-09-exists)
+    val names: Seq[String] = only match {
+      case Some(set) => headline.filter(set) ++
+        set.diff(headline.toSet).toSeq.sorted
+      case None => headline
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val results: Seq[(String, (Double, Double))] =
+      names.map { name =>
+        try {
+          runOnce(spark, name, sfDir) // warm-up
+          val times = (1 to 3).map(_ => runOnce(spark, name, sfDir)).sorted
+          name -> (times.head, times(1))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            name -> (-1.0, -1.0)
+        }
+      }
+    def jmap(f: ((String, (Double, Double))) => Double): String =
+      results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalMed = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""value_median":$totalMed,"queries":${jmap(_._2._1)},""" +
+      s""""queries_median":${jmap(_._2._2)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,10 +80,16 @@ object WeatherJob {
       spark.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
+    // writer/reader schema resolution via the SchemaRegistry interface —
+    // --schema.registry static (in-repo map, default) | dir | http (seam
+    // for a confluent-style remote; see SchemaRegistry.fromConfig)
+    val registry = graft.codec.SchemaRegistry.fromConfig(conf)
+
     val run: () => Unit = () => {
       import spark.implicits._
       val raw = SourceProvider(spark, conf)
-      val readings = AvroEnvelope.decode(spark, raw.select("value").as[Array[Byte]])
+      val readings = AvroEnvelope.decode(spark,
+          raw.select("value").as[Array[Byte]], registry)
         .toDF()
         .observe("graft_ingest", count(lit(1)).as("decoded_rows"))
         .as[AvroEnvelope.WeatherReading]
@@ -96,9 +102,8 @@ object WeatherJob {
         if (conf.getOrElse("once", "false") == "true") Trigger.AvailableNow()
         else Trigger.ProcessingTime(conf.getLong("trigger.ms", 1000L))
       val q = (conf.getOrElse("sink", "file") match {
-        case "kafka" => writer.format("kafka")
-          .option("kafka.bootstrap.servers", conf.getOrElse("kafka.servers", "localhost:9092"))
-          .option("topic", conf.getOrElse("sink.topic", "WeatherPresenceEvent"))
+        case "kafka" => SourceProvider.kafkaProducerOptions(conf)
+          .foldLeft(writer.format("kafka")) { case (w, (k, v)) => w.option(k, v) }
         case "file" => writer.format("json")
           .option("path", conf.get("sink.path").getOrElse(
             throw new IllegalArgumentException("file sink requires --sink.path")))

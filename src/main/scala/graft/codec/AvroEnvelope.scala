@@ -104,17 +104,35 @@ object AvroEnvelope {
   /** Decode a Dataset of envelope byte arrays; bad records are dropped
     * (poison-pill tolerance, ref :65-67). The reference logs each drop
     * (`:48,66`); here drops are counted distributedly in an accumulator —
-    * `decodeWithMetrics` exposes it for monitoring/alerting. */
+    * `decodeWithMetrics` exposes it for monitoring/alerting.
+    *
+    * Schema resolution goes through the [[SchemaRegistry]] interface;
+    * the Map overloads keep the in-repo map as the default impl. */
   def decode(
       spark: SparkSession,
       envelopes: Dataset[Array[Byte]],
       registry: Map[Byte, String] = defaultRegistry): Dataset[WeatherReading] =
+    decodeWithMetrics(spark, envelopes,
+      StaticSchemaRegistry(registry, readerSchemaJson))._1
+
+  def decode(
+      spark: SparkSession,
+      envelopes: Dataset[Array[Byte]],
+      registry: SchemaRegistry): Dataset[WeatherReading] =
     decodeWithMetrics(spark, envelopes, registry)._1
 
   def decodeWithMetrics(
       spark: SparkSession,
       envelopes: Dataset[Array[Byte]],
       registry: Map[Byte, String] = defaultRegistry)
+      : (Dataset[WeatherReading], org.apache.spark.util.LongAccumulator) =
+    decodeWithMetrics(spark, envelopes,
+      StaticSchemaRegistry(registry, readerSchemaJson))
+
+  def decodeWithMetrics(
+      spark: SparkSession,
+      envelopes: Dataset[Array[Byte]],
+      registry: SchemaRegistry)
       : (Dataset[WeatherReading], org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
     val dropped = spark.sparkContext.longAccumulator("graft.codec.dropped")
@@ -122,14 +140,15 @@ object AvroEnvelope {
       // per-partition init: parse schemas once, build one reader per writer
       // schema, reuse the BinaryDecoder across records (ref :26,52)
       val parser = new Schema.Parser()
-      val reader = parser.parse(readerSchemaJson)
+      val reader = parser.parse(registry.readerSchemaJson)
       val readers: Map[Byte, GenericDatumReader[GenericRecord]] =
-        registry.map { case (magic, json) =>
+        registry.schemasByMagic.map { case (magic, json) =>
           val writer = new Schema.Parser().parse(json)
           magic -> new GenericDatumReader[GenericRecord](writer, reader)
         }
       val writerNames: Map[Byte, String] =
-        registry.map { case (m, json) => m -> new Schema.Parser().parse(json).getName }
+        registry.schemasByMagic.map {
+          case (m, json) => m -> new Schema.Parser().parse(json).getName }
       var decoder: BinaryDecoder = null
       var record: GenericRecord = null
 

@@ -6,12 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md north star: treat image/audio/video
   * as opaque binary columns with typed metadata).
   *
-  * The REAL parts — schema, partition-parallel batch decode via
-  * `mapPartitions`, typed output — are production-shaped: this is exactly
+  * The plumbing — schema, partition-parallel batch decode via
+  * `mapPartitions`, typed output — is production-shaped: this is exactly
   * how a 100 TB image pipeline runs (binary parquet column in, per-partition
   * batched decode on executors, feature columns out; the decode library is
-  * the only swap). The codec itself is a clearly-marked deterministic STUB
-  * (`fakeDecode`) because no image/audio library exists in this container.
+  * the only swap).
+  *
+  * Two decode kernels sit behind that swap point:
+  *  - [[decodeImage]] — REAL image decode through the JDK's own ImageIO
+  *    codecs (BMP/PNG/JPEG readers ship in `java.desktop`, no third-party
+  *    dependency). Q-mm-07 drives hand-built BMP bytes ([[BmpCodec]])
+  *    through it and oracles the DECODED properties.
+  *  - [[fakeDecode]] — a clearly-marked deterministic stub for the media
+  *    types the JDK cannot decode (audio/video frames); swapping it for a
+  *    JNI codec changes one function.
   */
 object Multimodal {
 
@@ -30,6 +38,36 @@ object Multimodal {
       fake_width: Long,
       fake_brightness: Long,
       frame_count: Long)
+
+  /** Decoded-image features: every field is a REAL decoded property. */
+  case class ImageFeatures(width: Long, height: Long, brightness_sum: Long)
+
+  /** REAL image decode via the JDK's ImageIO (zero third-party deps).
+    * Returns None for payloads no JDK codec recognizes — which is what
+    * routes non-image assets to the stub path. brightness_sum is the sum
+    * over the raster of (r+g+b)/3 — a property that only comes out right
+    * if the actual pixel bytes decoded correctly (the Q-mm-07 oracle
+    * recomputes it from first principles). */
+  def decodeImage(payload: Array[Byte]): Option[ImageFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        Some(ImageFeatures(img.getWidth.toLong, img.getHeight.toLong, sum))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decode: deterministic pseudo-features derived from payload size
     * and hash. A real deployment replaces ONLY this function with e.g. a

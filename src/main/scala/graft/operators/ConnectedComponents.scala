@@ -31,10 +31,14 @@ object ConnectedComponents {
     * a dedup pipeline's candidate-pair graph is TINY relative to its
     * corpus — LSH emits pairs, not rows, so even a 100 TB corpus yields
     * edge sets in the millions. When the materialized edge count is at
-    * most `driverMaxEdges` (16 bytes/edge ⇒ ≤ ~16 MB at the default),
-    * the components are solved with a driver-side union-find in one pass
-    * — no per-round shuffles at all. Larger graphs fall through to the
-    * distributed min-label loop below.
+    * most `driverMaxEdges`, the components are solved with a driver-side
+    * union-find in one pass — no per-round shuffles at all. Driver-heap
+    * budget, honestly: collected Row objects plus the LongMap-backed
+    * union-find cost on the order of 100-200 BYTES per edge transiently
+    * (boxed fields, map overhead — not the 16 raw bytes of two longs), so
+    * the 1M default budgets ~100-200 MB of transient heap against a
+    * driver sized in GBs. Larger graphs fall through to the distributed
+    * min-label loop below.
     *
     * Iteration hygiene for the distributed path (what makes a DataFrame
     * loop scale): every round is `localCheckpoint`ed so the logical plan
@@ -141,8 +145,12 @@ object ConnectedComponents {
   private def driverPath(nodes: DataFrame, e1: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    val pairs = e1.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    // getAs[Number]: edge ids may be int-typed (the distributed loop is
+    // type-agnostic, so this path must not be the one that throws)
+    val pairs = e1.collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+    // LongMap: open-addressed primitive-long keys — no per-key boxing
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(v: Long): Long = {
       var r = v
       while (parent.getOrElse(r, r) != r) r = parent(r)

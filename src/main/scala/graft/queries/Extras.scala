@@ -445,6 +445,34 @@ object Extras {
         .orderBy("doc_id")
     },
 
+    // ---- Q-mm-07: REAL media decode end-to-end — per doc, a genuine
+    // 24-bit BMP is built byte-by-byte (BmpCodec: headers, bottom-up rows,
+    // 4-byte padding; width 8..16 exercises every padding remainder) and
+    // decoded back through the JDK's ACTUAL ImageIO codec in the
+    // partition-parallel kernel. The oracle recomputes width, height,
+    // file size, and the brightness sum from first principles — if the
+    // encoder, the decoder, or the plumbing mangled one pixel byte, the
+    // hash mismatches. This is the golden-bytes proof that the multimodal
+    // path carries real decodable media, not pseudo-features.
+    "Q-mm-07" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 9).toInt
+            val h = 8
+            val payload = graft.multimodal.BmpCodec.encode(
+              w, h, (x, y) => ((id + x + 2L * y) % 256L).toInt)
+            val f = graft.multimodal.Multimodal.decodeImage(payload)
+              .getOrElse(throw new IllegalStateException(
+                s"asset $id: JDK ImageIO failed to decode generated BMP"))
+            (id, f.width, f.height, payload.length.toLong, f.brightness_sum)
+          }
+        }
+        .toDF("asset_id", "width", "height", "n_bytes", "brightness_sum")
+        .orderBy("asset_id")
+    },
+
     // ---- Q-evt-04: path/transition analysis — the per-user event-type
     // bigram matrix (prev -> next counts, globally ranked). One window
     // lag per user + one counting groupBy: the shuffle is keyed by
@@ -685,18 +713,28 @@ object Extras {
     // fall back to a plain scan if nothing consumed the bucket
     // distribution — the agg keying is what keeps pruning live.)
     "Q-scan-18" -> { (s, d) =>
-      s.sql("DROP TABLE IF EXISTS graft_cust_bucketed")
+      // per-invocation unique table name + immediate drop: the catalog
+      // entry exists only long enough to resolve the bucketed relation
+      // (s.table eagerly analyzes, so the DataFrame holds the resolved
+      // LogicalRelation and executes fine after the drop; the files live
+      // in the JVM-exit-cleaned temp dir). Re-entrant and race-free —
+      // concurrent invocations never touch each other's names, and
+      // nothing dangles in the shared session catalog afterwards.
+      val tbl = s"graft_cust_bucketed_${java.util.UUID.randomUUID().toString.take(8)}"
       val tmp = tempDir("graft_scan18").toString
       Tables.customer(s, d)
         .write.mode("overwrite").option("path", s"$tmp/cust")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_cust_bucketed")
-      s.table("graft_cust_bucketed")
+        .saveAsTable(tbl)
+      val df = s.table(tbl)
         .filter(col("c_custkey").isin(7L, 57L, 107L))
         .groupBy("c_custkey")
         .agg(min(col("c_mktsegment")).as("segment"),
           Portable.r(Portable.dsum(col("c_acctbal")), 2).as("bal"))
         .orderBy("c_custkey")
+      df.queryExecution.assertAnalyzed()
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      df
     },
 
     // ---- Q-evt-08: activity-quartile segmentation — users bucketed into
@@ -877,6 +915,23 @@ object Extras {
                          THEN (1::BIGINT << (i - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi,
                 sum(CASE WHEN p > mean THEN 1 ELSE 0 END)::BIGINT AS n_ones
          FROM m GROUP BY doc_id ORDER BY doc_id""",
+    // first-principles recomputation of the DECODED properties: dims and
+    // brightness from the generator arithmetic, file size from the BMP
+    // layout (54-byte headers + rows padded to 4 bytes)
+    "Q-mm-07" ->
+      """WITH dims AS (
+           SELECT doc_id, 8 + doc_id % 9 AS w, 8 AS h FROM documents),
+         px AS (
+           SELECT doc_id, w, h, (doc_id + x.range + 2*y.range) % 256 AS v
+           FROM dims CROSS JOIN range(16) x CROSS JOIN range(8) y
+           WHERE x.range < w AND y.range < h)
+         SELECT doc_id AS asset_id,
+                any_value(w)::BIGINT AS width,
+                any_value(h)::BIGINT AS height,
+                (54 + any_value(h) * ((3 * any_value(w) + 3) // 4 * 4))::BIGINT
+                  AS n_bytes,
+                sum(v)::BIGINT AS brightness_sum
+         FROM px GROUP BY doc_id ORDER BY asset_id""",
     "Q-evt-04" ->
       """WITH lagged AS (
            SELECT event_type AS next_type,

@@ -908,7 +908,9 @@ object Functions {
                 substr(c_name, 1, 2) || 'XX' || substr(c_name, 5) AS spliced,
                 strpos(c_name, '0')::BIGINT AS zero_at,
                 c_mktsegment || '  ' || c_name AS spaced,
-                substr(c_name, 1, strpos(c_name, '0') - 1) AS head0,
+                CASE WHEN strpos(c_name, '0') = 0 THEN c_name
+                     ELSE substr(c_name, 1, strpos(c_name, '0') - 1)
+                END AS head0,
                 CASE WHEN c_custkey % 2 = 0 THEN 'even-slot' ELSE 'odd-slot' END AS slot,
                 list_position(
                   str_split('BUILDING,AUTOMOBILE,MACHINERY,HOUSEHOLD,FURNITURE', ','),

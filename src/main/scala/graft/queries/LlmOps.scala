@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
 import graft.functions.TextFunctions._
 import graft.multimodal.Multimodal
@@ -232,7 +233,10 @@ object LlmOps {
         col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("qemb").as("q_qemb"))
       val w1 = Window.partitionBy("query_id").orderBy(col("qsim").desc, col("vec_id"))
-      val cand = qs.crossJoin(emb.select(col("vec_id"), col("embedding"), col("qemb")))
+      // broadcast the ≤5-row query side so it's pinned as the BNLJ build
+      // side (no stats guess) — ExplainCheck asserts this
+      val cand = broadcast(qs)
+        .crossJoin(emb.select(col("vec_id"), col("embedding"), col("qemb")))
         .filter(col("query_id") =!= col("vec_id"))
         .withColumn("qsim", expr("cosine_sim(q_qemb, qemb)"))
         .withColumn("qrk", row_number().over(w1))
@@ -262,7 +266,10 @@ object LlmOps {
         col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("temb").as("q_temb"))
       val w1 = Window.partitionBy("query_id").orderBy(col("tsim").desc, col("vec_id"))
-      val cand = qs.crossJoin(emb.select(col("vec_id"), col("embedding"), col("temb")))
+      // broadcast the ≤5-row query side so it's pinned as the BNLJ build
+      // side (no stats guess) — ExplainCheck asserts this
+      val cand = broadcast(qs)
+        .crossJoin(emb.select(col("vec_id"), col("embedding"), col("temb")))
         .filter(col("query_id") =!= col("vec_id"))
         .withColumn("tsim", expr("cosine_sim(q_temb, temb)"))
         .withColumn("trk", row_number().over(w1))
@@ -628,24 +635,37 @@ object LlmOps {
     },
 
     // ---- Q-llm-28: unigram-LM quality scoring — a cheap perplexity
-    // proxy: corpus unigram distribution (one groupBy), then each doc's
-    // mean token log-probability. Rare-token-heavy (low-quality / wrong-
-    // language) docs score low. Log terms sum in decimal (order-
-    // independent) and the corpus total broadcasts; both shuffles are
-    // partial-agg groupBys keyed on word/doc — no pair blowup anywhere.
+    // proxy: corpus unigram distribution, then each doc's mean token
+    // log-probability. Rare-token-heavy (low-quality / wrong-language)
+    // docs score low.
+    //
+    // Scale shape: the raw token stream is the biggest intermediate in
+    // the system at 100 TB, so it must never cross an exchange. The
+    // stream is pre-aggregated to (doc_id, word, n) IN THE MAP STAGE
+    // (partial agg before the first shuffle), and everything downstream —
+    // the word-count groupBy, the count-attach join, the per-doc fold —
+    // moves only distinct (doc, word) rows. Exactness is preserved by
+    // weighting the decimal-rounded log term: n * round10(lp) ==
+    // sum of n rounded copies, and DECIMAL(20,10) * DECIMAL(8,0) →
+    // (29,10) multiplies without precision loss on either engine.
     "Q-llm-28" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val w = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("word"))
-      val counts = w.groupBy("word").agg(count(lit(1)).as("c"))
+      // token stream collapses to distinct (doc, word) before any shuffle
+      val dw = w.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      val counts = dw.groupBy("word").agg(sum(col("n")).as("c"))
       val total = counts.agg(sum(col("c")).as("n_total"))
-      val logp = w.join(counts, "word")
+      val lpn = dw.join(counts, "word")
         .crossJoin(broadcast(total))
-        .select(col("doc_id"),
-          log(col("c").cast("double") / col("n_total").cast("double")).as("lp"))
-      logp.groupBy("doc_id")
-        .agg(count(lit(1)).cast("bigint").as("n_tokens"),
-          Portable.r(Portable.dsum(col("lp")) / count(lit(1)), 6).as("mean_logp"))
+        .select(col("doc_id"), col("n"),
+          (log(col("c").cast("double") / col("n_total").cast("double"))
+            .cast(DecimalType(20, 10)) * col("n").cast(DecimalType(8, 0)))
+            .as("lpn"))
+      lpn.groupBy("doc_id")
+        .agg(sum(col("n")).cast("bigint").as("n_tokens"),
+          Portable.r(sum(col("lpn")).cast("double") / sum(col("n")), 6)
+            .as("mean_logp"))
         .withColumn("keep", col("mean_logp") > -9.0)
         .orderBy("doc_id")
     },
@@ -941,14 +961,17 @@ object LlmOps {
     "Q-llm-28" ->
       s"""WITH w AS (
            SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
-         counts AS (SELECT word, count(*) AS c FROM w GROUP BY 1),
+         dw AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+         counts AS (SELECT word, sum(n) AS c FROM dw GROUP BY 1),
          total AS (SELECT sum(c) AS n_total FROM counts),
          logp AS (
-           SELECT doc_id, ln(c::DOUBLE / n_total::DOUBLE) AS lp
-           FROM w JOIN counts USING (word) CROSS JOIN total)
-         SELECT doc_id, count(*)::BIGINT AS n_tokens,
-                ${Portable.rSql(s"${Portable.dsumSql("lp")} / count(*)", 6)} AS mean_logp,
-                (${Portable.rSql(s"${Portable.dsumSql("lp")} / count(*)", 6)}) > -9.0 AS keep
+           SELECT doc_id, n,
+                  CAST(ln(c::DOUBLE / n_total::DOUBLE) AS DECIMAL(20,10))
+                    * CAST(n AS DECIMAL(8,0)) AS lpn
+           FROM dw JOIN counts USING (word) CROSS JOIN total)
+         SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+                ${Portable.rSql("CAST(sum(lpn) AS DOUBLE) / sum(n)", 6)} AS mean_logp,
+                (${Portable.rSql("CAST(sum(lpn) AS DOUBLE) / sum(n)", 6)}) > -9.0 AS keep
          FROM logp GROUP BY doc_id ORDER BY doc_id""",
     "Q-llm-24" ->
       s"""WITH sh AS (

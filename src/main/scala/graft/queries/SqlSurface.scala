@@ -144,11 +144,46 @@ object SqlSurface {
         WHERE total_rev = (SELECT max(total_rev) FROM revenue)
         ORDER BY s_suppkey"""
 
-  /** TPC-H Q21 shape: sole-failing-supplier detection — EXISTS and
-    * NOT EXISTS against the SAME fact table decorrelate to a left-semi and
-    * a left-anti join stacked on one scan ('failed' rendered as
-    * l_returnflag = 'R' since the testdata has no receipt/commit dates). */
+  /** TPC-H Q21 shape: sole-failing-supplier detection — single-scan form.
+    *
+    * The textbook EXISTS + NOT EXISTS pair (kept below as Q-sql-09-exists
+    * for parser coverage) decorrelates to a semi join AND an anti join,
+    * each shuffling the fact: three fact scans, two fact-sized exchanges.
+    * This form derives both predicates from ONE `GROUP BY l_orderkey`:
+    *   EXISTS  (other supplier in order)          ⇔ n_supp  >= 2
+    *   NOT EXISTS (other FAILING supplier)        ⇔ n_fail  =  1
+    *     (given l1 itself failed, so the fail set is exactly {l1.suppkey})
+    * One fact aggregation + one join back to the R-filtered fact = one
+    * fact shuffle instead of two. 'failed' rendered as l_returnflag = 'R'
+    * since the testdata has no receipt/commit dates. */
   private val sql09: String =
+    """WITH per_pair AS (
+         SELECT l_orderkey AS po_orderkey, l_suppkey,
+                max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS failed
+         FROM lineitem
+         GROUP BY 1, 2),
+       per_order AS (
+         SELECT po_orderkey,
+                count(*) AS n_supp,
+                sum(failed) AS n_fail
+         FROM per_pair
+         GROUP BY 1)
+       SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+       FROM supplier
+       JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+       JOIN orders ON o_orderkey = l1.l_orderkey
+       JOIN per_order ON po_orderkey = l1.l_orderkey
+       WHERE o_orderstatus = 'F'
+         AND l1.l_returnflag = 'R'
+         AND n_supp >= 2
+         AND n_fail = 1
+       GROUP BY s_name
+       ORDER BY numwait DESC, s_name"""
+
+  /** The original EXISTS + NOT EXISTS rendering of Q21, retained to keep
+    * the parser/decorrelation surface covered (semi + anti join against
+    * one correlated table). Result is pinned identical to Q-sql-09. */
+  private val sql09Exists: String =
     """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
        FROM supplier
        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -453,6 +488,7 @@ object SqlSurface {
     "Q-sql-07" -> sql07,
     "Q-sql-08" -> sql08,
     "Q-sql-09" -> sql09,
+    "Q-sql-09-exists" -> sql09Exists,
     "Q-sql-10" -> sql10,
     "Q-sql-11" -> sql11,
     "Q-sql-12" -> sql12,

@@ -186,7 +186,13 @@ object StreamingQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // foreachBatch may RE-RUN a batch with the same epochId (that is the
+      // replay contract) — a retried epoch appends its (key, epoch) rows
+      // again. Dedup on (key, epoch) before BOTH reads so the latest-per-key
+      // pick has no (key, epoch) ties and n_updates counts distinct epochs,
+      // making the read side actually replay-idempotent.
       val logDf = s.read.parquet(log)
+        .dropDuplicates("ws_sec", "event_type", "epoch")
       val wLatest = Window.partitionBy("ws_sec", "event_type")
         .orderBy(col("epoch").desc)
       val latest = logDf.withColumn("rn", row_number().over(wLatest))

@@ -17,22 +17,42 @@ import graft.core.Tables
   */
 object Windows {
 
+  /** Running DISTINCT count — Spark has no COUNT(DISTINCT) OVER, so the
+    * engine expresses it as size(collect_set() OVER) (exact,
+    * order-insensitive). collect_set buffers the WHOLE per-key set on
+    * every row, so pointing this at a high-cardinality column is a latent
+    * executor OOM — the guard below turns that latent failure into a loud
+    * one: a single cheap pass (approx_count_distinct, fixed-width sketch,
+    * tiny shuffle) bounds the column's cardinality BEFORE the window is
+    * planned, and past `maxDistinct` the engine refuses and names the
+    * HLL-sketch window (Q-agg-12's algebra) as the scale path. The global
+    * distinct count upper-bounds every per-key set size, so the guard is
+    * conservative-safe at any partitioning. */
+  def runningDistinct(events: org.apache.spark.sql.DataFrame,
+                      valueCol: String,
+                      maxDistinct: Long = 1024): org.apache.spark.sql.DataFrame = {
+    val nd = events.agg(approx_count_distinct(col(valueCol)).as("nd"))
+      .head().getLong(0)
+    require(nd <= maxDistinct,
+      s"running-distinct guard: column '$valueCol' has ~$nd distinct values " +
+      s"(limit $maxDistinct). size(collect_set() OVER) buffers the full set " +
+      "per row and would OOM at scale — use an HLL-sketch window " +
+      "(Q-agg-12's algebra) for high-cardinality columns.")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("user_id"), col("event_id"),
+      size(collect_set(col(valueCol)).over(w)).cast("bigint")
+        .as("n_types_seen"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
-    // ---- Q-win-07: running DISTINCT count — Spark has no
-    // COUNT(DISTINCT) OVER, so the engine expresses it as
-    // size(collect_set() OVER) (exact, order-insensitive); the oracle uses
-    // DuckDB's native windowed distinct. At scale the set buffer is
-    // bounded by the column's per-key cardinality (here: event types, ≤5)
-    // — for high-cardinality columns the HLL-sketch window would replace
-    // it (Q-agg-12's algebra).
+    // ---- Q-win-07: running DISTINCT count over event types (≤5 distinct
+    // here; the [[runningDistinct]] guard fails loudly past 1024 — spec
+    // proves the no-OOM path on a high-cardinality column).
     "Q-win-07" -> { (s, d) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.events(s, d).select(
-        col("user_id"), col("event_id"),
-        size(collect_set(col("event_type")).over(w)).cast("bigint")
-          .as("n_types_seen"))
-        .orderBy("user_id", "event_id")
+      runningDistinct(Tables.events(s, d), "event_type")
     },
 
     // ---- Q-win-01: ranking functions

@@ -29,18 +29,42 @@ object SourceProvider {
       case other   => throw new IllegalArgumentException(s"unknown source: $other")
     }
 
-  /** Reference parity: topic `weatherData`, group `weather-processing-job`,
-    * auto-commit disabled, reconnect backoff 1 s -> 5 s
-    * (`WeatherProcessingJob.java:24,31-37,71-73`). */
+  /** The exact consumer option set of the reference, as data — topic
+    * `weatherData`, group `weather-processing-job`, auto-commit disabled,
+    * DNS lookup over all IPs, reconnect backoff 1 s -> 5 s
+    * (`WeatherProcessingJob.java:24,31-37,71-73`). Kept as a pure function
+    * so the parity spec asserts the option names/values directly — any
+    * drift from the reference's consumer properties fails the gate even
+    * though no connector jar exists in this environment. Kafka client
+    * properties ride the `kafka.` prefix (Spark's pass-through contract).
+    */
+  def kafkaConsumerOptions(conf: graft.core.EngineConfig): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> conf.getOrElse("kafka.servers", "localhost:9092"),
+    "subscribe" -> conf.getOrElse("kafka.topic", "weatherData"),
+    "kafka.group.id" -> conf.getOrElse("kafka.group", "weather-processing-job"),
+    "kafka.enable.auto.commit" -> "false",
+    "kafka.client.dns.lookup" -> "use_all_dns_ips",
+    "kafka.reconnect.backoff.ms" -> "1000",
+    "kafka.reconnect.backoff.max.ms" -> "5000")
+
+  /** The reference's producer option set (`WeatherProcessingJob.java:38-39,
+    * 93-99`): bootstrap servers + target topic. The reference's
+    * transactional-id prefix configures Flink's 2PC sink; the Spark-first
+    * equivalent of that exactly-once contract is the epoch-idempotent
+    * foreachBatch sink (Q-str-07/19), so no producer transaction options
+    * are emitted here. */
+  def kafkaProducerOptions(conf: graft.core.EngineConfig): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> conf.getOrElse("kafka.servers", "localhost:9092"),
+    "topic" -> conf.getOrElse("sink.topic", "WeatherPresenceEvent"))
+
+  /** Reference parity (see [[kafkaConsumerOptions]]). Compiles and builds
+    * the reader with the full option set; `load()` resolves the connector
+    * at runtime. */
   def kafka(spark: SparkSession, conf: graft.core.EngineConfig): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", conf.getOrElse("kafka.servers", "localhost:9092"))
-      .option("subscribe", conf.getOrElse("kafka.topic", "weatherData"))
-      .option("kafka.group.id", conf.getOrElse("kafka.group", "weather-processing-job"))
-      .option("kafka.enable.auto.commit", "false")
-      .option("kafka.reconnect.backoff.ms", "1000")
-      .option("kafka.reconnect.backoff.max.ms", "5000")
+    kafkaConsumerOptions(conf)
+      .foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }
       .load()
       .select(col("value"))
 

@@ -188,6 +188,19 @@ object ExplainCheck {
     // either way and gains a boolean — not semi, not outer)
     check("Q-join-18", "projection IN-subquery plans as ExistenceJoin",
       _.contains("ExistenceJoin"))
+    // similarity paths, all seven: the brute-force scorers must pin the
+    // tiny query set as the BroadcastNestedLoopJoin build side (never a
+    // CartesianProduct — a cartesian repartitions BOTH sides, so the
+    // corpus would shuffle); the index paths (IVF/LSH/PQ) must reach
+    // candidates via equi-joins, with the only BNLJ allowed being a
+    // broadcast of the tiny centroid/query side.
+    for (q <- Seq("Q-llm-03", "Q-llm-36", "Q-llm-15", "Q-llm-29"))
+      check(q, "brute-force scoring is a BNLJ with broadcast query side",
+        p => p.contains("BroadcastNestedLoopJoin") &&
+             !p.contains("CartesianProduct"))
+    for (q <- Seq("Q-llm-08", "Q-llm-37"))
+      check(q, "index probe path has no CartesianProduct",
+        p => !p.contains("CartesianProduct"))
     s.stop()
   }
 }

@@ -8,8 +8,9 @@ import org.apache.spark.sql.streaming.Trigger
 
 import graft.core.{EngineSession, Tables}
 
-/** Dev probe for the Q-str-04 late-data replay mechanics (batch split,
-  * watermark advance, drop counts). Not part of the driver contract. */
+/** Dev probe (test scope — `Test/runMain graft.tools.ProbeStr04`) for the
+  * Q-str-04 late-data replay mechanics (batch split, watermark advance,
+  * drop counts). Not part of the driver contract. */
 object ProbeStr04 {
   def main(args: Array[String]): Unit = {
     val s = EngineSession.getOrCreate("probe")

@@ -65,7 +65,9 @@ object Bench {
     "Q-qual-05",  // merge/upsert apply (one full outer join + routing)
     "Q-sql-16",   // correlated MIN decorrelated (grouped-min hash join)
     "Q-llm-36",   // brute-force L2 top-k (codegen expression)
-    "Q-llm-37"    // PQ-ANN (codebook + encode + ADC join + re-rank)
+    "Q-llm-37",   // PQ-ANN (codebook + encode + ADC join + re-rank)
+    "Q-mm-07",    // real BMP encode + JDK ImageIO decode per doc
+    "Q-qual-06"   // ACID table: create + 2 transactional merges + snapshot read
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -1,0 +1,268 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal log-structured ACID table over parquet — the transactional
+  * story the MERGE/SCD2/diff dataflows (Q-qual-03/04/05) compose with:
+  * "upsert into the same table twice, concurrently" now serializes
+  * instead of corrupting.
+  *
+  * Design (the standard log-structured lakehouse shape, built from first
+  * principles on the two primitives every storage layer has — immutable
+  * data files and one atomic create):
+  *
+  *  - DATA is immutable parquet under `<path>/data/`; writers only ever
+  *    ADD files, never mutate them.
+  *  - The LOG under `<path>/_log/` is the source of truth: commit N is a
+  *    JSON file `%020d.json` listing files added and removed plus the
+  *    committing operation. A snapshot at version V = fold of commits
+  *    0..V (adds minus removes). Readers never list `data/` — orphaned
+  *    files from losing writers are invisible by construction.
+  *  - COMMIT is optimistic concurrency on "create-if-absent": the commit
+  *    body is written to a uniquely-named tmp file, then published with
+  *    `Files.createLink(log/N.json, tmp)` — a hard link is an ATOMIC
+  *    win-or-lose on POSIX (unlike rename, which silently overwrites).
+  *    Exactly one writer can own version N; the loser re-reads the new
+  *    snapshot, REBASES its logical operation on it, and retries at N+1.
+  *    On an object store the same slot is a conditional PUT
+  *    (If-None-Match); on HDFS, create-no-overwrite — the protocol is
+  *    storage-portable.
+  *  - SNAPSHOT ISOLATION: a read resolves the live file set at the
+  *    highest contiguous version once; concurrent commits never change
+  *    what an in-flight read sees. `versionAsOf` reads any historical
+  *    snapshot (time travel) since data files are immutable.
+  *  - IDEMPOTENT WRITER IDENTITY: a commit may carry an (appId, epoch)
+  *    tag; a retried streaming epoch (foreachBatch replay) detects its
+  *    own prior tag in the log and becomes a no-op — exactly-once into
+  *    the table without a transactional sink.
+  *
+  * At 100 TB: the log is tiny (one small JSON per commit — file LISTS,
+  * not data — and can be checkpointed/compacted); data writes are fully
+  * distributed Spark jobs; only the commit-publish step is coordinated,
+  * and it costs one conditional create. Readers scale as plain parquet
+  * scans of the snapshot's file list.
+  */
+object TxTable {
+
+  /** One commit record. `adds`/`removes` are paths relative to the table
+    * root. `tag` is the idempotence identity (e.g. "app=x/epoch=7"). */
+  final case class Commit(
+      version: Long,
+      op: String,
+      adds: Seq[String],
+      removes: Seq[String],
+      tag: Option[String])
+
+  final case class Snapshot(version: Long, files: Seq[String], commits: Seq[Commit])
+
+  /** Result of a transactional write. */
+  final case class CommitResult(version: Long, attempts: Int, skipped: Boolean)
+
+  private def logDir(root: String): Path = Paths.get(root, "_log")
+  private def dataDir(root: String): Path = Paths.get(root, "data")
+
+  private def commitPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"$v%020d.json")
+
+  // ------------------------------------------------------------- log I/O
+  // hand-rolled JSON (flat strings/longs only) — same policy as Verify:
+  // no json library dependency
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+
+  private def render(c: Commit): String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    val tag = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("")
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag}"""
+  }
+
+  // minimal parser for the exact shape render() writes
+  private def parse(json: String): Commit = {
+    def strField(k: String): Option[String] = {
+      val m = ("\"" + k + "\":\"").r.findFirstMatchIn(json)
+      m.map { mm =>
+        val sb = new StringBuilder; var i = mm.end; var done = false
+        while (!done) json.charAt(i) match {
+          case '\\' => sb.append(json.charAt(i + 1)); i += 2
+          case '"' => done = true
+          case c => sb.append(c); i += 1
+        }
+        sb.toString
+      }
+    }
+    def arrField(k: String): Seq[String] = {
+      val start = json.indexOf("\"" + k + "\":[")
+      if (start < 0) Seq.empty
+      else {
+        val from = start + k.length + 4
+        val end = json.indexOf(']', from)
+        val body = json.substring(from, end).trim
+        if (body.isEmpty) Seq.empty
+        else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      }
+    }
+    val v = "\"version\":(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"corrupt commit: $json"))
+    Commit(v, strField("op").getOrElse("?"), arrField("adds"),
+      arrField("removes"), strField("tag"))
+  }
+
+  /** Resolve the current snapshot: highest CONTIGUOUS version from 0.
+    * A gap means an in-flight or failed publish — versions after a gap
+    * are not yet visible (they will be once the gap commits). */
+  def snapshot(root: String, versionAsOf: Long = Long.MaxValue): Snapshot = {
+    val dir = logDir(root)
+    if (!Files.isDirectory(dir)) return Snapshot(-1L, Seq.empty, Seq.empty)
+    import scala.jdk.CollectionConverters._
+    val present = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong)
+      .toSet
+    var v = 0L
+    while (present.contains(v) && v <= versionAsOf) v += 1
+    val upTo = v - 1
+    if (upTo < 0) return Snapshot(-1L, Seq.empty, Seq.empty)
+    val commits = (0L to upTo).map(i =>
+      parse(Files.readString(commitPath(root, i))))
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    commits.foreach { c => live ++= c.adds; live --= c.removes }
+    Snapshot(upTo, live.toSeq, commits)
+  }
+
+  /** Snapshot-isolated read (optionally at a historical version). */
+  def read(spark: SparkSession, root: String,
+           versionAsOf: Long = Long.MaxValue): DataFrame = {
+    val snap = snapshot(root, versionAsOf)
+    require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    if (snap.files.isEmpty)
+      throw new IllegalStateException(s"empty table snapshot v${snap.version}")
+    spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+  }
+
+  // ------------------------------------------------------------- writes
+  /** Write `df` as new immutable data files; returns table-relative paths. */
+  private def stageData(df: DataFrame, root: String): Seq[String] = {
+    val unique = java.util.UUID.randomUUID().toString.take(8)
+    val dir = dataDir(root).resolve(unique)
+    df.write.mode("overwrite").parquet(dir.toString)
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".parquet"))
+      .map(f => s"data/$unique/$f")
+      .toSeq.sorted
+  }
+
+  /** Atomic publish of version `v`: hard-link the rendered body into the
+    * log slot — exactly one writer wins; everyone else gets
+    * FileAlreadyExistsException and must rebase. */
+  private def tryPublish(root: String, c: Commit): Boolean = {
+    Files.createDirectories(logDir(root))
+    val tmp = logDir(root).resolve(
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    Files.writeString(tmp, render(c))
+    try { Files.createLink(commitPath(root, c.version), tmp); true }
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+      case NonFatal(e) => throw e
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Create a new table at `root` from `df` (version 0). */
+  def create(df: DataFrame, root: String): CommitResult = {
+    val adds = stageData(df, root)
+    val ok = tryPublish(root, Commit(0L, "create", adds, Seq.empty, None))
+    if (!ok) throw new IllegalStateException(s"table already exists: $root")
+    CommitResult(0L, 1, skipped = false)
+  }
+
+  /** Transactional write loop: stage data from the CURRENT snapshot via
+    * `body`, publish optimistically, REBASE + retry on conflict. `body`
+    * receives the snapshot's DataFrame and returns the full new table
+    * content (full-snapshot rewrite keeps the protocol simple; a
+    * file-level merge would only change which files land in `removes`).
+    * If `tag` is set and any committed version already carries it, the
+    * write is a detected replay and becomes a no-op. */
+  def transact(spark: SparkSession, root: String, op: String,
+               tag: Option[String] = None, maxAttempts: Int = 12)
+              (body: DataFrame => DataFrame): CommitResult = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(root)
+      require(snap.version >= 0, s"not a TxTable: $root")
+      if (tag.exists(t => snap.commits.exists(_.tag.contains(t))))
+        return CommitResult(snap.version, attempt, skipped = true) // replayed epoch
+      val current = spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+      val next = body(current)
+      val adds = stageData(next, root)
+      val c = Commit(snap.version + 1, op, adds, snap.files, tag)
+      if (tryPublish(root, c)) return CommitResult(c.version, attempt, skipped = false)
+      // lost the race: loop rebases on the winner's snapshot. Our staged
+      // files stay orphaned (never referenced by any commit) — invisible
+      // to readers; a vacuum pass may reclaim them.
+    }
+    throw new IllegalStateException(
+      s"commit to $root failed after $maxAttempts attempts (contention)")
+  }
+
+  /** Compaction as a normal commit: rewrite the live snapshot into
+    * `targetFiles` files (removes = the old live set, adds = the rewrite).
+    * Small-file pressure is the chronic failure mode of a streamed-into
+    * table (one commit per epoch); because data files are immutable and
+    * the log is the only truth, compaction is just another optimistic
+    * commit — concurrent writers rebase over it like any other, and
+    * historical snapshots still resolve for time travel. */
+  def compact(spark: SparkSession, root: String,
+              targetFiles: Int = 1): CommitResult =
+    transact(spark, root, "compact")(_.coalesce(targetFiles))
+
+  /** Reclaim ORPHANED data files: staged by writers that lost their
+    * commit race (or crashed before publishing) and therefore referenced
+    * by NO commit ever written. Deleting them can break nothing — no
+    * snapshot, current or historical, can resolve to them. Returns the
+    * number of files deleted. (Dropping HISTORY — files only old
+    * snapshots reference — is a policy decision this minimal layer
+    * deliberately leaves out; time travel stays fully intact.) */
+  def vacuumOrphans(root: String): Long = {
+    val snap = snapshot(root)
+    val referenced: Set[String] = snap.commits.flatMap(_.adds).toSet
+    val dd = dataDir(root)
+    if (!Files.isDirectory(dd)) return 0L
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(dd)
+    // materialize the candidate list BEFORE deleting (never mutate a
+    // directory under its own walk), and close the stream deterministically
+    val orphans =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .map(p => p -> Paths.get(root).relativize(p).toString)
+        // parquet part files only; leave _SUCCESS/metadata markers alone
+        .filter { case (_, rel) =>
+          rel.endsWith(".parquet") && !referenced.contains(rel) }
+        .map(_._1).toList
+      finally walk.close()
+    orphans.foreach(Files.deleteIfExists(_))
+    orphans.length.toLong
+  }
+
+  /** MERGE (upsert) convenience: rows in `changes` replace same-key rows
+    * and new keys append — the Q-qual-05 dataflow, transactional. */
+  def merge(spark: SparkSession, root: String, changes: DataFrame,
+            keys: Seq[String], tag: Option[String] = None): CommitResult =
+    transact(spark, root, "merge", tag) { current =>
+      import org.apache.spark.sql.functions.col
+      // anti-join keeps unmatched current rows; union brings every change
+      current.join(changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(changes)
+    }
+}

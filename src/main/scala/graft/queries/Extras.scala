@@ -737,6 +737,36 @@ object Extras {
       df
     },
 
+    // ---- Q-qual-06: transactional MERGE into the ACID table — the
+    // Q-qual-05 upsert dataflow, but against operators/TxTable's
+    // log-structured table: create (v0), two overlapping merge batches
+    // (v1, v2; k%21 keys are touched by both — last writer wins), then a
+    // snapshot-isolated read of the final state. Time travel and
+    // concurrent-writer serialization are spec-pinned (TxTableSpec); this
+    // query hash-matches the end state of the commit protocol against an
+    // oracle that derives it from the source in one pass.
+    "Q-qual-06" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual06").toString + "/tbl"
+      val base = Tables.customer(s, d).select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("bigint").as("cents"))
+      TxTable.create(base, root)
+      TxTable.merge(s, root,
+        base.filter(col("k") % 7 === 0).select(
+          col("k"), lit("UPD1").as("seg"), (col("cents") + 100).as("cents")),
+        Seq("k"))
+      TxTable.merge(s, root,
+        base.filter(col("k") % 3 === 0).select(
+          col("k"), lit("UPD2").as("seg"), (col("cents") + 200).as("cents")),
+        Seq("k"))
+      // the protocol's bookkeeping must agree before the state is trusted
+      val snap = TxTable.snapshot(root)
+      if (snap.version != 2L) throw new IllegalStateException(
+        s"expected versions 0..2, found ${snap.version}")
+      TxTable.read(s, root).orderBy("k")
+    },
+
     // ---- Q-evt-08: activity-quartile segmentation — users bucketed into
     // engagement quartiles (ntile over the AGGREGATED per-user table:
     // |users| rows, not |events|, so the single-partition rank is cheap;
@@ -932,6 +962,18 @@ object Extras {
                   AS n_bytes,
                 sum(v)::BIGINT AS brightness_sum
          FROM px GROUP BY doc_id ORDER BY asset_id""",
+    // final ACID-table state derived from the source in one pass: the
+    // k%3 batch committed after k%7, so it wins the k%21 overlap
+    "Q-qual-06" ->
+      """SELECT c_custkey AS k,
+                CASE WHEN c_custkey % 3 = 0 THEN 'UPD2'
+                     WHEN c_custkey % 7 = 0 THEN 'UPD1'
+                     ELSE c_mktsegment END AS seg,
+                (floor(c_acctbal * 100 + 0.5)::BIGINT
+                 + CASE WHEN c_custkey % 3 = 0 THEN 200
+                        WHEN c_custkey % 7 = 0 THEN 100
+                        ELSE 0 END) AS cents
+         FROM customer ORDER BY k""",
     "Q-evt-04" ->
       """WITH lagged AS (
            SELECT event_type AS next_type,

@@ -204,6 +204,86 @@ object StreamingQueries {
         .orderBy("ws_sec", "event_type")
     },
 
+    // ---- Q-str-20: streaming EXACTLY-ONCE into the ACID table — the
+    // Q-str-19 4-chunk update-mode drain, but each micro-batch lands as
+    // an epoch-TAGGED TxTable.merge: the table's version log is itself
+    // the sink's idempotence ledger (no side log, no read-side dedup).
+    // After the drain, epoch 1's merge is deliberately RE-APPLIED with
+    // the same tag (the foreachBatch replay contract) and must be
+    // detected as a committed-already no-op; the query throws loudly if
+    // it double-applies or if the serialized version count drifts. The
+    // final table must equal the one-shot batch aggregate.
+    "Q-str-20" -> { (s, d) =>
+      import graft.operators.TxTable
+      val tmp = tempDir("graft_str20")
+      val ev = Tables.events(s, d)
+      val wOrd = Window.orderBy(col("ts"), col("event_id"))
+      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
+      (1 to 4).foreach { c =>
+        chunked.filter(col("chunk") === c).drop("chunk")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/c$c")
+      }
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      (1 to 4).foreach { c =>
+        copyParts(tmp.resolve(s"c$c"), dir, s"c${c}_",
+          1000000000000L + c * 60000L)
+      }
+      val root = s"$tmp/tbl"
+      val raw = s.read.parquet(s"$tmp/c1")
+      val agg = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .withWatermark("ts", WM)
+        .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(wsSec("window.start"), col("event_type"), col("n"))
+      // v0: the empty table (one schema-only parquet file) — built from a
+      // BATCH twin of the agg (a streaming frame can't seed a write)
+      TxTable.create(
+        raw.groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(wsSec("window.start"), col("event_type"), col("n"))
+          .limit(0).coalesce(1),
+        root)
+      // stash one epoch's change set (tiny: changed window keys) so the
+      // replay attempt below re-presents the IDENTICAL payload
+      val stash = new java.util.concurrent.atomic.AtomicReference[
+        (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+      val epochs = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           epoch: Long) =>
+            val changes = df.toDF()
+            if (epoch == 1L) stash.set((changes.collect(), changes.schema))
+            TxTable.merge(s, root, changes, Seq("ws_sec", "event_type"),
+              Some(s"app=str20/epoch=$epoch"))
+            epochs.incrementAndGet()
+            ()
+        }
+        .option("checkpointLocation", tempDir("graft_ckpt20").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the deliberate replay: same epoch tag, same payload — the log
+      // must recognize it and skip
+      val (rows, schema) = stash.get()
+      val replayDf = s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), schema)
+      val replay = TxTable.merge(s, root, replayDf,
+        Seq("ws_sec", "event_type"), Some("app=str20/epoch=1"))
+      if (!replay.skipped) throw new IllegalStateException(
+        "replayed epoch was double-applied — idempotence ledger broken")
+      // one committed version per delivered epoch, exactly (the 4 file
+      // chunks plus any watermark-advance batch Spark appends — the
+      // invariant is epochs == versions, not a hardcoded batch count)
+      val ver = TxTable.snapshot(root).version
+      if (ver != epochs.get()) throw new IllegalStateException(
+        s"${epochs.get()} epochs delivered but table is at version $ver — " +
+          "a commit was lost or double-applied")
+      TxTable.read(s, root).orderBy("ws_sec", "event_type")
+    },
+
     // ---- Q-str-02: sliding 10 s / 5 s window
     "Q-str-02" -> { (s, d) =>
       Replay.run(
@@ -748,6 +828,11 @@ object StreamingQueries {
                 count(*)::BIGINT AS n,
                 ${Portable.rSql(
                   "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS val_sum
+         FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    // the exactly-once table drain must land exactly the batch aggregate
+    "Q-str-20" ->
+      """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
     "Q-str-02" ->
       """SELECT ws_sec, event_type, count(*)::BIGINT AS n FROM (

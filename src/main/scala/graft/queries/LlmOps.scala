@@ -740,6 +740,60 @@ object LlmOps {
         .orderBy("asset_id")
     },
 
+    // ---- Q-llm-38: BPE tokenizer merge training — the tokenizer-BUILD
+    // step of a training-data pipeline (Q-llm-11/33 consume a tokenizer;
+    // this learns one). Classic byte-pair encoding: start from character
+    // sequences, repeatedly (a) count adjacent symbol pairs weighted by
+    // word frequency, (b) pick the most frequent pair (count desc, then
+    // lexicographic — a total order), (c) merge it greedily
+    // left-to-right everywhere. Output = the learned merge table.
+    //
+    // Scale shape: the CORPUS is touched exactly once — one partial-agg
+    // word-frequency shuffle (the same shape as Q-llm-33's vocab build);
+    // every training round then runs on the bounded top-V vocabulary
+    // (2000 rows here), driver-coordinated like ConnectedComponents.
+    // That is how production BPE trainers scale: count once, train on
+    // the frequency table. Merge application is a greedy string fold —
+    // Spark's aggregate() HOF and DuckDB's list_reduce() run the
+    // IDENTICAL lambda, so the whole training loop hash-matches.
+    "Q-llm-38" -> { (s, d) =>
+      import s.implicits._
+      val R = 4
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")).between(2, 12))
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("word")).limit(2000)
+      var cur = words.select(col("word"), col("freq"),
+        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+        .localCheckpoint(true) // rounds re-scan cur; never re-run the corpus agg
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      for (r <- 1 to R) {
+        val win = cur
+          .select(col("freq"), split(col("s"), " ").as("t"))
+          .select(col("freq"), expr(
+            "explode(transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS a, t[i] AS b)))").as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
+        merges += ((r.toLong, s"$a $b", cnt))
+        // greedy left-to-right merge: fold the token list, gluing x onto
+        // acc when acc's LAST token is `a` and x is `b` (tokens are
+        // [a-z]+ only, so the LIKE needs no escaping)
+        cur = cur.select(col("word"), col("freq"), expr(
+          s"""aggregate(slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+              split(s, ' ')[0],
+              (acc, x) -> CASE WHEN x = '$b'
+                                AND (acc = '$a' OR acc LIKE '% $a')
+                          THEN concat(substr(acc, 1, length(acc) - ${a.length}), '$a$b')
+                          ELSE concat(acc, ' ', x) END)""").as("s"))
+          .localCheckpoint(true)
+      }
+      merges.toSeq.toDF("round", "pair", "cnt").orderBy("round")
+    },
+
     // ---- Q-llm-32: per-domain cap (RefinedWeb-style source balancing) —
     // canonicalize each doc's origin to a domain, keep at most 15 docs
     // per domain chosen by the deterministic key-hash rank (never arrival
@@ -842,7 +896,45 @@ object LlmOps {
          JOIN sizes za ON za.doc_id = c.a
          JOIN sizes zb ON zb.doc_id = c.b"""
 
+  // Q-llm-38's oracle: the same 4-round BPE training loop, each round a
+  // chained CTE block — pair counting over the vocab seqs, total-ordered
+  // winner, then the IDENTICAL greedy fold (list_reduce) the Spark side
+  // runs through aggregate().
+  private def bpeRoundSql(i: Int): String =
+    s"""p$i AS (
+         SELECT t[j] AS a, t[j+1] AS b, sum(freq)::BIGINT AS cnt
+         FROM (SELECT freq, str_split(s, ' ') AS t FROM r${i - 1}),
+              LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS j)
+         GROUP BY 1, 2),
+       w$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+       r$i AS (
+         SELECT word, freq,
+                list_reduce(str_split(s, ' '),
+                  (acc, x) -> CASE WHEN x = w$i.b
+                                    AND (acc = w$i.a OR ends_with(acc, ' ' || w$i.a))
+                              THEN substr(acc, 1, len(acc) - len(w$i.a)) || w$i.a || w$i.b
+                              ELSE acc || ' ' || x END) AS s
+         FROM r${i - 1} CROSS JOIN w$i)"""
+
+  private val bpeSql: String =
+    s"""WITH words AS (
+          SELECT w AS word, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(str_split_regex(lower(text), '[^a-z]+')) AS w
+                FROM documents)
+          WHERE len(w) BETWEEN 2 AND 12
+          GROUP BY 1 ORDER BY freq DESC, word LIMIT 2000),
+        r0 AS (SELECT word, freq,
+                      trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+               FROM words),
+        ${(1 to 4).map(bpeRoundSql).mkString(",\n        ")}
+        SELECT * FROM (
+          ${(1 to 4).map(i =>
+            s"SELECT ${i}::BIGINT AS round, a || ' ' || b AS pair, cnt FROM w$i")
+            .mkString("\n          UNION ALL ")})
+        ORDER BY round"""
+
   val oracle: Map[String, String] = Map(
+    "Q-llm-38" -> bpeSql,
     "Q-llm-34" -> {
       val nStop = "len(list_intersect(list_distinct(ws), ['the','a','of','to','and']))"
       val meanLen = "CAST(list_sum(list_transform(ws, w -> strlen(w))) AS DOUBLE) / len(ws)"

@@ -12,14 +12,17 @@ import org.apache.spark.sql.functions._
   * batched decode on executors, feature columns out; the decode library is
   * the only swap).
   *
-  * Two decode kernels sit behind that swap point:
+  * Three decode kernels sit behind that swap point:
   *  - [[decodeImage]] — REAL image decode through the JDK's own ImageIO
   *    codecs (BMP/PNG/JPEG readers ship in `java.desktop`, no third-party
   *    dependency). Q-mm-07 drives hand-built BMP bytes ([[BmpCodec]])
   *    through it and oracles the DECODED properties.
+  *  - [[decodeAudio]] — REAL audio decode through the JDK's
+  *    javax.sound.sampled WAV reader. Q-mm-08 drives hand-built PCM
+  *    bytes ([[WavCodec]]) through it, oracled the same way.
   *  - [[fakeDecode]] — a clearly-marked deterministic stub for the media
-  *    types the JDK cannot decode (audio/video frames); swapping it for a
-  *    JNI codec changes one function.
+  *    types the JDK cannot decode (video frames); swapping it for a JNI
+  *    codec changes one function.
   */
 object Multimodal {
 
@@ -67,6 +70,38 @@ object Multimodal {
         }
         Some(ImageFeatures(img.getWidth.toLong, img.getHeight.toLong, sum))
       }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decoded-audio features: every field is a REAL decoded property.
+    * `sum_abs` is the integer sum of |sample| over the decoded PCM —
+    * exact (no float), so the Q-mm-08 oracle recomputes it bit-for-bit. */
+  case class AudioFeatures(sample_rate: Long, n_frames: Long, sum_abs: Long)
+
+  /** REAL audio decode via the JDK's javax.sound.sampled (zero
+    * third-party deps). Returns None for payloads no JDK codec
+    * recognizes. Supports the 16-bit PCM shape [[WavCodec]] emits. */
+  def decodeAudio(payload: Array[Byte]): Option[AudioFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else {
+          val bytes = in.readAllBytes()
+          var sum = 0L
+          var i = 0
+          while (i + 1 < bytes.length) {
+            val lo = bytes(i) & 0xff
+            val hi = bytes(i + 1).toInt // sign-carrying high byte (LE)
+            val v = (hi << 8) | lo
+            sum += math.abs(v)
+            i += 2
+          }
+          Some(AudioFeatures(fmt.getSampleRate.toLong,
+            bytes.length / 2L, sum))
+        }
+      } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decode: deterministic pseudo-features derived from payload size

@@ -473,6 +473,32 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-mm-08: REAL audio decode end-to-end — the Q-mm-07 pattern on
+    // the second media type: per doc, a genuine 16-bit PCM WAV is built
+    // byte-by-byte (WavCodec: RIFF/fmt/data chunks, little-endian
+    // samples) and decoded back through the JDK's ACTUAL
+    // javax.sound.sampled reader in the partition-parallel kernel. The
+    // amplitude sum is INTEGER arithmetic over the decoded samples, so
+    // the oracle recomputes every decoded property exactly.
+    "Q-mm-08" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (64 + id % 65).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i * 7) % 2003) - 1001).toShort)
+            val payload = graft.multimodal.WavCodec.encode(samples, 8000)
+            val f = graft.multimodal.Multimodal.decodeAudio(payload)
+              .getOrElse(throw new IllegalStateException(
+                s"asset $id: JDK audio reader failed to decode generated WAV"))
+            (id, f.sample_rate, f.n_frames, payload.length.toLong, f.sum_abs)
+          }
+        }
+        .toDF("asset_id", "sample_rate", "n_frames", "n_bytes", "sum_abs")
+        .orderBy("asset_id")
+    },
+
     // ---- Q-evt-04: path/transition analysis — the per-user event-type
     // bigram matrix (prev -> next counts, globally ranked). One window
     // lag per user + one counting groupBy: the shuffle is keyed by
@@ -962,6 +988,23 @@ object Extras {
                   AS n_bytes,
                 sum(v)::BIGINT AS brightness_sum
          FROM px GROUP BY doc_id ORDER BY asset_id""",
+    // first-principles recomputation of the decoded AUDIO properties:
+    // frame count and integer amplitude sum from the generator
+    // arithmetic, file size from the WAV layout (44-byte header + 2
+    // bytes per 16-bit mono sample)
+    "Q-mm-08" ->
+      """WITH dims AS (
+           SELECT doc_id, 64 + doc_id % 65 AS n FROM documents),
+         smp AS (
+           SELECT doc_id, n, ((doc_id * 31 + i.range * 7) % 2003) - 1001 AS v
+           FROM dims CROSS JOIN range(129) i
+           WHERE i.range < n)
+         SELECT doc_id AS asset_id,
+                8000::BIGINT AS sample_rate,
+                any_value(n)::BIGINT AS n_frames,
+                (44 + 2 * any_value(n))::BIGINT AS n_bytes,
+                sum(abs(v))::BIGINT AS sum_abs
+         FROM smp GROUP BY doc_id ORDER BY asset_id""",
     // final ACID-table state derived from the source in one pass: the
     // k%3 batch committed after k%7, so it wins the k%21 overlap
     "Q-qual-06" ->

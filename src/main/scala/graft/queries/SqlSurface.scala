@@ -478,6 +478,28 @@ object SqlSurface {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name"""
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): walk the implicit binary
+    * tree over customer keys (children of k are 2k and 2k+1) from the
+    * root down, and profile each level. Recursion is the one SQL shape
+    * the rest of the surface can't express without a driver loop; here
+    * the engine's own fixpoint operator runs it — each step joins the
+    * PREVIOUS LEVEL (a shrinking, broadcastable set) against the dim, so
+    * depth = log2(|customer|) iterations, never row-at-a-time. The
+    * identical text runs on DuckDB (both follow the SQL:1999 UNION ALL
+    * recursion semantics). */
+  private val sql25: String =
+    """WITH RECURSIVE tree(k, depth) AS (
+         SELECT CAST(c_custkey AS BIGINT), CAST(0 AS BIGINT)
+         FROM customer WHERE c_custkey = 1
+         UNION ALL
+         SELECT CAST(c.c_custkey AS BIGINT), t.depth + 1
+         FROM customer c JOIN tree t
+           ON c.c_custkey = t.k * 2 OR c.c_custkey = t.k * 2 + 1)
+       SELECT depth, CAST(count(*) AS BIGINT) AS n,
+              CAST(min(k) AS BIGINT) AS first_k,
+              CAST(max(k) AS BIGINT) AS last_k
+       FROM tree GROUP BY depth ORDER BY depth"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
@@ -503,7 +525,8 @@ object SqlSurface {
     "Q-sql-21" -> sql21,
     "Q-sql-22" -> sql22,
     "Q-sql-23" -> sql23,
-    "Q-sql-24" -> sql24)
+    "Q-sql-24" -> sql24,
+    "Q-sql-25" -> sql25)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

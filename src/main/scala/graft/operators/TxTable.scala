@@ -256,7 +256,9 @@ object TxTable {
   }
 
   /** MERGE (upsert) convenience: rows in `changes` replace same-key rows
-    * and new keys append — the Q-qual-05 dataflow, transactional. */
+    * and new keys append — the Q-qual-05 dataflow, transactional.
+    * Full-snapshot rewrite (simple, correct); [[mergeCow]] is the shape
+    * that survives 100 TB. */
   def merge(spark: SparkSession, root: String, changes: DataFrame,
             keys: Seq[String], tag: Option[String] = None): CommitResult =
     transact(spark, root, "merge", tag) { current =>
@@ -264,5 +266,70 @@ object TxTable {
       // anti-join keeps unmatched current rows; union brings every change
       current.join(changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
         .unionByName(changes)
+    }
+
+  /** File-level transactional write: `body` inspects the snapshot and
+    * returns (files to KEEP as-is, replacement content for the rest).
+    * The commit removes only `snap.files -- keep`; kept files never move,
+    * never rewrite, never re-stage — which is what makes incremental
+    * writes to a huge table affordable. Rebase/retry semantics are
+    * [[transact]]'s. */
+  def transactFiles(spark: SparkSession, root: String, op: String,
+                    tag: Option[String] = None, maxAttempts: Int = 12)
+                   (body: Snapshot => (Seq[String], DataFrame)): CommitResult = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(root)
+      require(snap.version >= 0, s"not a TxTable: $root")
+      if (tag.exists(t => snap.commits.exists(_.tag.contains(t))))
+        return CommitResult(snap.version, attempt, skipped = true)
+      val (keep, rewrite) = body(snap)
+      val adds = stageData(rewrite, root)
+      val removes = snap.files.diff(keep)
+      val c = Commit(snap.version + 1, op, adds, removes, tag)
+      if (tryPublish(root, c)) return CommitResult(c.version, attempt, skipped = false)
+    }
+    throw new IllegalStateException(
+      s"commit to $root failed after $maxAttempts attempts (contention)")
+  }
+
+  /** Copy-on-write MERGE — the merge shape that holds at 100 TB: one
+    * metadata-scale pass computes each live file's [min, max] of the
+    * merge key, and only files whose range can CONTAIN a changed key are
+    * rewritten (anti-join + union, exactly [[merge]]'s semantics);
+    * every other file carries over by reference in the commit. A change
+    * batch with entirely new keys touches ZERO existing files — pure
+    * incremental append. On a range-partitioned table (writers cluster
+    * by key, e.g. time), a merge touches only the tail files — the
+    * streaming-upsert shape. min/max is a sound over-approximation: a
+    * file inside the range but without the key is rewritten verbatim,
+    * never corrupted. Single-key for now (composite keys take the
+    * full-rewrite [[merge]]). */
+  def mergeCow(spark: SparkSession, root: String, changes: DataFrame,
+               key: String, tag: Option[String] = None): CommitResult =
+    transactFiles(spark, root, "merge-cow", tag) { snap =>
+      import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, min}
+      val rootAbs = Paths.get(root).toAbsolutePath
+      val absFiles = snap.files.map(f => s"$root/$f")
+      // one distributed pass over parquet footers/rows: per-file key range
+      val stats = spark.read.parquet(absFiles: _*)
+        .select(input_file_name().as("f"), col(key).as("k"))
+        .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+      val keysDf = changes.select(col(key).as("k")).distinct()
+      val touchedAbs = stats
+        .join(broadcast(keysDf),
+          col("k") >= col("mn") && col("k") <= col("mx"), "left_semi")
+        .select("f").collect().map(_.getString(0)) // file NAMES, metadata-scale
+        .map(u => rootAbs.relativize(
+          Paths.get(java.net.URI.create(u).getPath)).toString)
+        .toSet
+      val keep = snap.files.filterNot(touchedAbs)
+      val touchedContent =
+        if (touchedAbs.isEmpty) changes
+        else spark.read.parquet(touchedAbs.map(f => s"$root/$f").toSeq: _*)
+          .join(changes.select(col(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(changes)
+      (keep, touchedContent)
     }
 }

@@ -765,11 +765,14 @@ object Extras {
 
     // ---- Q-qual-06: transactional MERGE into the ACID table — the
     // Q-qual-05 upsert dataflow, but against operators/TxTable's
-    // log-structured table: create (v0), two overlapping merge batches
-    // (v1, v2; k%21 keys are touched by both — last writer wins), then a
-    // snapshot-isolated read of the final state. Time travel and
-    // concurrent-writer serialization are spec-pinned (TxTableSpec); this
-    // query hash-matches the end state of the commit protocol against an
+    // log-structured table: create (v0, range-partitioned so data files
+    // carry disjoint key ranges), two overlapping COPY-ON-WRITE merge
+    // batches (v1, v2; k%21 keys are touched by both — last writer
+    // wins), then a snapshot-isolated read of the final state. mergeCow
+    // rewrites only files whose key range contains a changed key (the
+    // 100 TB merge shape; file-skipping spec-pinned in TxTableSpec along
+    // with time travel and concurrent-writer serialization); this query
+    // hash-matches the end state of the commit protocol against an
     // oracle that derives it from the source in one pass.
     "Q-qual-06" -> { (s, d) =>
       import graft.operators.TxTable
@@ -777,15 +780,15 @@ object Extras {
       val base = Tables.customer(s, d).select(
         col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
         floor(col("c_acctbal") * 100 + 0.5).cast("bigint").as("cents"))
-      TxTable.create(base, root)
-      TxTable.merge(s, root,
+      TxTable.create(base.repartitionByRange(8, col("k")), root)
+      TxTable.mergeCow(s, root,
         base.filter(col("k") % 7 === 0).select(
           col("k"), lit("UPD1").as("seg"), (col("cents") + 100).as("cents")),
-        Seq("k"))
-      TxTable.merge(s, root,
+        "k")
+      TxTable.mergeCow(s, root,
         base.filter(col("k") % 3 === 0).select(
           col("k"), lit("UPD2").as("seg"), (col("cents") + 200).as("cents")),
-        Seq("k"))
+        "k")
       // the protocol's bookkeeping must agree before the state is trusted
       val snap = TxTable.snapshot(root)
       if (snap.version != 2L) throw new IllegalStateException(

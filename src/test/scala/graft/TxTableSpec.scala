@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.EngineSession
@@ -125,6 +126,56 @@ class TxTableSpec extends AnyFunSuite {
     assert(rows(root) == Set((1L, "a"), (2L, "b")))
     assert(rows(root, 0) == Set((1L, "a"))) // history untouched
     assert(TxTable.vacuumOrphans(root) == 0L) // idempotent
+  }
+
+  test("mergeCow rewrites ONLY files whose key range contains a change") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 4 range-partitioned files: keys 0..99 in disjoint ranges
+    TxTable.create(
+      (0L until 100L).map(i => (i, "base")).toDF("k", "v")
+        .repartitionByRange(4, col("k")),
+      root)
+    val v0 = TxTable.snapshot(root)
+    assert(v0.files.length == 4)
+    // change keys 0..9 live in exactly one range file
+    val r = TxTable.mergeCow(spark, root,
+      (0L until 10L).map(i => (i, "upd")).toDF("k", "v"), "k")
+    assert(!r.skipped && r.version == 1L)
+    val v1 = TxTable.snapshot(root)
+    val carried = v0.files.toSet.intersect(v1.files.toSet)
+    assert(carried.size == 3,
+      s"expected 3 of 4 files untouched, carried=$carried")
+    // semantics identical to the full-rewrite merge
+    assert(rows(root) ==
+      (0L until 100L).map(i => (i, if (i < 10) "upd" else "base")).toSet)
+  }
+
+  test("mergeCow with all-new keys touches ZERO existing files (pure insert)") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(
+      (0L until 50L).map(i => (i, "base")).toDF("k", "v")
+        .repartitionByRange(2, col("k")), root)
+    val v0 = TxTable.snapshot(root)
+    TxTable.mergeCow(spark, root,
+      Seq((1000L, "new"), (1001L, "new")).toDF("k", "v"), "k")
+    val v1 = TxTable.snapshot(root)
+    assert(v0.files.toSet.subsetOf(v1.files.toSet),
+      "an insert-only merge must not rewrite any existing file")
+    assert(rows(root).count(_._2 == "new") == 2)
+    assert(rows(root).size == 52)
+  }
+
+  test("mergeCow is replay-idempotent under an epoch tag like merge") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(Seq((1L, "a")).toDF("k", "v"), root)
+    val tag = Some("app=cow/epoch=3")
+    val first = TxTable.mergeCow(spark, root, Seq((1L, "b")).toDF("k", "v"), "k", tag)
+    val replay = TxTable.mergeCow(spark, root, Seq((1L, "b")).toDF("k", "v"), "k", tag)
+    assert(!first.skipped && replay.skipped)
+    assert(rows(root) == Set((1L, "b")))
   }
 
   test("create refuses an existing table; read refuses a non-table") {

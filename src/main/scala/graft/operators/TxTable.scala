@@ -49,15 +49,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object TxTable {
 
   /** One commit record. `adds`/`removes` are paths relative to the table
-    * root. `tag` is the idempotence identity (e.g. "app=x/epoch=7"). */
+    * root. `tag` is the idempotence identity (e.g. "app=x/epoch=7").
+    * `statsKey` (create commit only) declares the integral column whose
+    * per-file [min, max] every commit records for its adds — the
+    * metadata that makes file pruning and CoW file selection ZERO-I/O.
+    * `addStats` aligns 1:1 with `adds` when the table has a stats key. */
   final case class Commit(
       version: Long,
       op: String,
       adds: Seq[String],
       removes: Seq[String],
-      tag: Option[String])
+      tag: Option[String],
+      statsKey: Option[String] = None,
+      addStats: Seq[(Long, Long)] = Seq.empty)
 
-  final case class Snapshot(version: Long, files: Seq[String], commits: Seq[Commit])
+  final case class Snapshot(version: Long, files: Seq[String], commits: Seq[Commit]) {
+    /** The table's declared stats column (fixed at create). */
+    def statsKey: Option[String] = commits.headOption.flatMap(_.statsKey)
+    /** Live-file -> [min, max] of the stats column, from the LOG alone. */
+    def fileStats: Map[String, (Long, Long)] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+      commits.foreach { c =>
+        c.adds.zipAll(c.addStats, "", (0L, 0L)).foreach { case (f, st) =>
+          if (f.nonEmpty && c.addStats.nonEmpty) m(f) = st
+        }
+        c.removes.foreach(m.remove)
+      }
+      m.toMap
+    }
+  }
 
   /** Result of a transactional write. */
   final case class CommitResult(version: Long, attempts: Int, skipped: Boolean)
@@ -80,7 +100,12 @@ object TxTable {
   private def render(c: Commit): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val tag = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("")
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag}"""
+    val sk = c.statsKey.map(k => s""","statskey":"${esc(k)}"""").getOrElse("")
+    val st =
+      if (c.addStats.isEmpty) ""
+      else s""","amin":${c.addStats.map(_._1).mkString("[", ",", "]")}""" +
+        s""","amax":${c.addStats.map(_._2).mkString("[", ",", "]")}"""
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$st}"""
   }
 
   // minimal parser for the exact shape render() writes
@@ -108,11 +133,14 @@ object TxTable {
         else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
       }
     }
+    def numArrField(k: String): Seq[Long] =
+      arrField(k).map(_.toLong)
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"corrupt commit: $json"))
     Commit(v, strField("op").getOrElse("?"), arrField("adds"),
-      arrField("removes"), strField("tag"))
+      arrField("removes"), strField("tag"), strField("statskey"),
+      numArrField("amin").zip(numArrField("amax")))
   }
 
   /** Resolve the current snapshot: highest CONTIGUOUS version from 0.
@@ -148,18 +176,72 @@ object TxTable {
     spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
   }
 
+  /** Range read with METADATA-ONLY file pruning: the commit log's
+    * per-file [min, max] stats decide which files can hold rows in
+    * [lo, hi] — files outside the range are never opened, touched, or
+    * even listed to the scan. Result ≡ `read(...).where(key BETWEEN lo
+    * AND hi)` (the residual filter still applies inside kept files;
+    * files without stats are conservatively read). This is the
+    * point-lookup/range-scan story for a 100 TB table: on a
+    * range-clustered layout the scan cost is proportional to the
+    * selected range, not the table. */
+  def readPruned(spark: SparkSession, root: String,
+                 lo: Long, hi: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(root)
+    require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    val key = snap.statsKey.getOrElse(throw new IllegalArgumentException(
+      s"table at $root declares no stats key — use create(df, root, Some(col))"))
+    val st = snap.fileStats
+    val kept = snap.files.filter { f =>
+      st.get(f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val pred = col(key).cast("long").between(lo, hi)
+    if (kept.isEmpty) // every file pruned: empty result, correct schema
+      spark.read.parquet(s"$root/${snap.files.head}").where(pred).limit(0)
+    else spark.read.parquet(kept.map(f => s"$root/$f"): _*).where(pred)
+  }
+
   // ------------------------------------------------------------- writes
-  /** Write `df` as new immutable data files; returns table-relative paths. */
-  private def stageData(df: DataFrame, root: String): Seq[String] = {
+  /** Write `df` as new immutable data files; returns table-relative paths
+    * plus (when the table declares a stats key) each file's [min, max] of
+    * that column, aligned 1:1. The stats pass re-reads the just-written
+    * files (page-cache hot); a production writer would collect them
+    * inside the write task — either way they land in the COMMIT, so
+    * every later pruning decision is metadata-only. Empty files get the
+    * empty range (MaxValue, MinValue) — always prunable. */
+  private def stageData(df: DataFrame, root: String,
+                        statsKey: Option[String]): (Seq[String], Seq[(Long, Long)]) = {
     val unique = java.util.UUID.randomUUID().toString.take(8)
     val dir = dataDir(root).resolve(unique)
     df.write.mode("overwrite").parquet(dir.toString)
     import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
+    val files = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".parquet"))
       .map(f => s"data/$unique/$f")
       .toSeq.sorted
+    val stats = statsKey match {
+      case None => Seq.empty
+      case Some(k) =>
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        val byName = df.sparkSession.read
+          .parquet(files.map(f => s"$root/$f"): _*)
+          .select(input_file_name().as("f"), col(k).cast("long").as("k"))
+          .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .collect()
+          .map { r =>
+            val name = Paths.get(java.net.URI.create(r.getString(0)).getPath)
+              .getFileName.toString
+            name -> (r.getLong(1), r.getLong(2))
+          }.toMap
+        files.map(f => byName.getOrElse(
+          Paths.get(f).getFileName.toString, (Long.MaxValue, Long.MinValue)))
+    }
+    (files, stats)
   }
 
   /** Atomic publish of version `v`: hard-link the rendered body into the
@@ -179,8 +261,17 @@ object TxTable {
 
   /** Create a new table at `root` from `df` (version 0). */
   def create(df: DataFrame, root: String): CommitResult = {
-    val adds = stageData(df, root)
-    val ok = tryPublish(root, Commit(0L, "create", adds, Seq.empty, None))
+    create(df, root, None)
+  }
+
+  /** Create with a declared stats column (must be integral): every commit
+    * then records per-file [min, max] of `statsKey` for its adds, making
+    * [[readPruned]] and [[mergeCow]]'s file selection metadata-only. */
+  def create(df: DataFrame, root: String,
+             statsKey: Option[String]): CommitResult = {
+    val (adds, st) = stageData(df, root, statsKey)
+    val ok = tryPublish(root,
+      Commit(0L, "create", adds, Seq.empty, None, statsKey, st))
     if (!ok) throw new IllegalStateException(s"table already exists: $root")
     CommitResult(0L, 1, skipped = false)
   }
@@ -204,8 +295,9 @@ object TxTable {
         return CommitResult(snap.version, attempt, skipped = true) // replayed epoch
       val current = spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
       val next = body(current)
-      val adds = stageData(next, root)
-      val c = Commit(snap.version + 1, op, adds, snap.files, tag)
+      val (adds, st) = stageData(next, root, snap.statsKey)
+      val c = Commit(snap.version + 1, op, adds, snap.files, tag,
+        statsKey = None, addStats = st)
       if (tryPublish(root, c)) return CommitResult(c.version, attempt, skipped = false)
       // lost the race: loop rebases on the winner's snapshot. Our staged
       // files stay orphaned (never referenced by any commit) — invisible
@@ -285,25 +377,28 @@ object TxTable {
       if (tag.exists(t => snap.commits.exists(_.tag.contains(t))))
         return CommitResult(snap.version, attempt, skipped = true)
       val (keep, rewrite) = body(snap)
-      val adds = stageData(rewrite, root)
+      val (adds, st) = stageData(rewrite, root, snap.statsKey)
       val removes = snap.files.diff(keep)
-      val c = Commit(snap.version + 1, op, adds, removes, tag)
+      val c = Commit(snap.version + 1, op, adds, removes, tag,
+        statsKey = None, addStats = st)
       if (tryPublish(root, c)) return CommitResult(c.version, attempt, skipped = false)
     }
     throw new IllegalStateException(
       s"commit to $root failed after $maxAttempts attempts (contention)")
   }
 
-  /** Copy-on-write MERGE — the merge shape that holds at 100 TB: one
-    * metadata-scale pass computes each live file's [min, max] of the
-    * merge key, and only files whose range can CONTAIN a changed key are
-    * rewritten (anti-join + union, exactly [[merge]]'s semantics);
-    * every other file carries over by reference in the commit. A change
-    * batch with entirely new keys touches ZERO existing files — pure
-    * incremental append. On a range-partitioned table (writers cluster
-    * by key, e.g. time), a merge touches only the tail files — the
-    * streaming-upsert shape. min/max is a sound over-approximation: a
-    * file inside the range but without the key is rewritten verbatim,
+  /** Copy-on-write MERGE — the merge shape that holds at 100 TB: only
+    * files whose key range can CONTAIN a changed key are rewritten
+    * (anti-join + union, exactly [[merge]]'s semantics); every other
+    * file carries over by reference in the commit. When the table was
+    * created with a stats key, file selection reads ONLY the commit
+    * log's per-file [min, max] — zero data I/O before the rewrite
+    * itself; otherwise one distributed pass computes the ranges. A
+    * change batch with entirely new keys touches ZERO existing files —
+    * pure incremental append. On a range-partitioned table (writers
+    * cluster by key, e.g. time), a merge touches only the tail files —
+    * the streaming-upsert shape. min/max is a sound over-approximation:
+    * a file inside the range but without the key is rewritten verbatim,
     * never corrupted. Single-key for now (composite keys take the
     * full-rewrite [[merge]]). */
   def mergeCow(spark: SparkSession, root: String, changes: DataFrame,
@@ -311,23 +406,38 @@ object TxTable {
     transactFiles(spark, root, "merge-cow", tag) { snap =>
       import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, min}
       val rootAbs = Paths.get(root).toAbsolutePath
-      val absFiles = snap.files.map(f => s"$root/$f")
-      // one distributed pass over parquet footers/rows: per-file key range
-      val stats = spark.read.parquet(absFiles: _*)
-        .select(input_file_name().as("f"), col(key).as("k"))
-        .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
       val keysDf = changes.select(col(key).as("k")).distinct()
-      val touchedAbs = stats
-        .join(broadcast(keysDf),
-          col("k") >= col("mn") && col("k") <= col("mx"), "left_semi")
-        .select("f").collect().map(_.getString(0)) // file NAMES, metadata-scale
-        .map(u => rootAbs.relativize(
-          Paths.get(java.net.URI.create(u).getPath)).toString)
-        .toSet
-      val keep = snap.files.filterNot(touchedAbs)
+      val logStats = snap.fileStats
+      val touched: Set[String] =
+        if (snap.statsKey.contains(key) &&
+            snap.files.forall(logStats.contains)) {
+          // stats live in the LOG: file selection is metadata-only —
+          // zero data I/O before the rewrite itself
+          import spark.implicits._
+          val statsDf = snap.files
+            .map(f => (f, logStats(f)._1, logStats(f)._2))
+            .toDF("f", "mn", "mx")
+          statsDf.join(broadcast(keysDf),
+              col("k").cast("long") >= col("mn") &&
+              col("k").cast("long") <= col("mx"), "left_semi")
+            .select("f").collect().map(_.getString(0)).toSet
+        } else {
+          // no log stats: one distributed pass computes per-file ranges
+          val absFiles = snap.files.map(f => s"$root/$f")
+          spark.read.parquet(absFiles: _*)
+            .select(input_file_name().as("f"), col(key).as("k"))
+            .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+            .join(broadcast(keysDf),
+              col("k") >= col("mn") && col("k") <= col("mx"), "left_semi")
+            .select("f").collect().map(_.getString(0))
+            .map(u => rootAbs.relativize(
+              Paths.get(java.net.URI.create(u).getPath)).toString)
+            .toSet
+        }
+      val keep = snap.files.filterNot(touched)
       val touchedContent =
-        if (touchedAbs.isEmpty) changes
-        else spark.read.parquet(touchedAbs.map(f => s"$root/$f").toSeq: _*)
+        if (touched.isEmpty) changes
+        else spark.read.parquet(touched.map(f => s"$root/$f").toSeq: _*)
           .join(changes.select(col(key)).distinct(), Seq(key), "left_anti")
           .unionByName(changes)
       (keep, touchedContent)

@@ -780,7 +780,11 @@ object Extras {
       val base = Tables.customer(s, d).select(
         col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
         floor(col("c_acctbal") * 100 + 0.5).cast("bigint").as("cents"))
-      TxTable.create(base.repartitionByRange(8, col("k")), root)
+      // stats-keyed create: every commit logs per-file [min,max] of k, so
+      // both CoW merges below select their touched files from the LOG
+      // alone — zero data I/O before the rewrites
+      TxTable.create(base.repartitionByRange(8, col("k")), root,
+        statsKey = Some("k"))
       TxTable.mergeCow(s, root,
         base.filter(col("k") % 7 === 0).select(
           col("k"), lit("UPD1").as("seg"), (col("cents") + 100).as("cents")),

@@ -178,6 +178,57 @@ class TxTableSpec extends AnyFunSuite {
     assert(rows(root) == Set((1L, "b")))
   }
 
+  test("stats-keyed table: readPruned opens only overlapping files") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")),
+      root, statsKey = Some("k"))
+    val snap = TxTable.snapshot(root)
+    assert(snap.statsKey.contains("k"))
+    assert(snap.fileStats.keySet == snap.files.toSet,
+      "every committed file must carry log stats")
+    // a range inside one file's span: the scan lists ONE file of 4
+    val pruned = TxTable.readPruned(spark, root, 10L, 12L)
+    assert(pruned.inputFiles.length == 1,
+      s"expected 1 file scanned, got ${pruned.inputFiles.length}")
+    assert(pruned.as[(Long, String)].collect().map(_._1).sorted.toSeq ==
+      Seq(10L, 11L, 12L))
+    // a range outside all stats: zero rows, nothing read beyond schema
+    assert(TxTable.readPruned(spark, root, 5000L, 6000L).count() == 0L)
+  }
+
+  test("stats flow through merges; CoW file selection is log-only") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(
+      (0L until 100L).map(i => (i, "base")).toDF("k", "v")
+        .repartitionByRange(4, col("k")),
+      root, statsKey = Some("k"))
+    val v0 = TxTable.snapshot(root)
+    TxTable.mergeCow(spark, root,
+      (0L until 10L).map(i => (i, "upd")).toDF("k", "v"), "k")
+    val v1 = TxTable.snapshot(root)
+    // stats stay complete after the CoW commit (new files carry them)
+    assert(v1.fileStats.keySet == v1.files.toSet)
+    assert(v0.files.toSet.intersect(v1.files.toSet).size == 3)
+    assert(rows(root) ==
+      (0L until 100L).map(i => (i, if (i < 10) "upd" else "base")).toSet)
+    // pruned read after the merge still resolves correctly
+    val after = TxTable.readPruned(spark, root, 0L, 5L)
+    assert(after.as[(Long, String)].collect().forall(_._2 == "upd"))
+  }
+
+  test("readPruned refuses a table without a stats key") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(Seq((1L, "a")).toDF("k", "v"), root)
+    assertThrows[IllegalArgumentException] {
+      TxTable.readPruned(spark, root, 0L, 10L)
+    }
+  }
+
   test("create refuses an existing table; read refuses a non-table") {
     import spark.implicits._
     val root = freshRoot()

@@ -63,21 +63,20 @@ object TxTable {
       statsKey: Option[String] = None,
       addStats: Seq[(Long, Long)] = Seq.empty)
 
-  final case class Snapshot(version: Long, files: Seq[String], commits: Seq[Commit]) {
-    /** The table's declared stats column (fixed at create). */
-    def statsKey: Option[String] = commits.headOption.flatMap(_.statsKey)
-    /** Live-file -> [min, max] of the stats column, from the LOG alone. */
-    def fileStats: Map[String, (Long, Long)] = {
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
-      commits.foreach { c =>
-        c.adds.zipAll(c.addStats, "", (0L, 0L)).foreach { case (f, st) =>
-          if (f.nonEmpty && c.addStats.nonEmpty) m(f) = st
-        }
-        c.removes.foreach(m.remove)
-      }
-      m.toMap
-    }
-  }
+  /** A resolved table state. `commits` holds only the SUFFIX folded on
+    * top of the base checkpoint (the whole history when no checkpoint
+    * exists); `statsKey`/`fileStats`/`tags` are fully folded — they
+    * include everything the checkpoint consolidated. */
+  final case class Snapshot(
+      version: Long,
+      files: Seq[String],
+      commits: Seq[Commit],
+      statsKey: Option[String],
+      fileStats: Map[String, (Long, Long)],
+      tags: Set[String])
+
+  private val emptySnapshot =
+    Snapshot(-1L, Seq.empty, Seq.empty, None, Map.empty, Set.empty)
 
   /** Result of a transactional write. */
   final case class CommitResult(version: Long, attempts: Int, skipped: Boolean)
@@ -108,62 +107,151 @@ object TxTable {
     s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$st}"""
   }
 
-  // minimal parser for the exact shape render() writes
+  // minimal JSON field readers for the exact shapes render() writes
+  private def strField(json: String, k: String): Option[String] = {
+    val m = ("\"" + k + "\":\"").r.findFirstMatchIn(json)
+    m.map { mm =>
+      val sb = new StringBuilder; var i = mm.end; var done = false
+      while (!done) json.charAt(i) match {
+        case '\\' => sb.append(json.charAt(i + 1)); i += 2
+        case '"' => done = true
+        case c => sb.append(c); i += 1
+      }
+      sb.toString
+    }
+  }
+
+  private def arrField(json: String, k: String): Seq[String] = {
+    val start = json.indexOf("\"" + k + "\":[")
+    if (start < 0) Seq.empty
+    else {
+      val from = start + k.length + 4
+      val end = json.indexOf(']', from)
+      val body = json.substring(from, end).trim
+      if (body.isEmpty) Seq.empty
+      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+  }
+
+  private def numArrField(json: String, k: String): Seq[Long] =
+    arrField(json, k).map(_.toLong)
+
   private def parse(json: String): Commit = {
-    def strField(k: String): Option[String] = {
-      val m = ("\"" + k + "\":\"").r.findFirstMatchIn(json)
-      m.map { mm =>
-        val sb = new StringBuilder; var i = mm.end; var done = false
-        while (!done) json.charAt(i) match {
-          case '\\' => sb.append(json.charAt(i + 1)); i += 2
-          case '"' => done = true
-          case c => sb.append(c); i += 1
-        }
-        sb.toString
-      }
-    }
-    def arrField(k: String): Seq[String] = {
-      val start = json.indexOf("\"" + k + "\":[")
-      if (start < 0) Seq.empty
-      else {
-        val from = start + k.length + 4
-        val end = json.indexOf(']', from)
-        val body = json.substring(from, end).trim
-        if (body.isEmpty) Seq.empty
-        else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      }
-    }
-    def numArrField(k: String): Seq[Long] =
-      arrField(k).map(_.toLong)
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"corrupt commit: $json"))
-    Commit(v, strField("op").getOrElse("?"), arrField("adds"),
-      arrField("removes"), strField("tag"), strField("statskey"),
-      numArrField("amin").zip(numArrField("amax")))
+    Commit(v, strField(json, "op").getOrElse("?"), arrField(json, "adds"),
+      arrField(json, "removes"), strField(json, "tag"),
+      strField(json, "statskey"),
+      numArrField(json, "amin").zip(numArrField(json, "amax")))
   }
 
-  /** Resolve the current snapshot: highest CONTIGUOUS version from 0.
+  /** Every `checkpointInterval` commits the winner consolidates the live
+    * state into `<v>.ckpt.json`, so resolving a snapshot costs O(suffix)
+    * commit reads, not O(history) — the fix for a per-epoch streaming
+    * sink whose log otherwise grows without bound. Checkpoints are an
+    * optimization, never truncation: all commits stay, so time travel
+    * to any version keeps working. */
+  private val checkpointInterval = 10L
+
+  private def ckptPath(root: String, v: Long): Path =
+    logDir(root).resolve(f"$v%020d.ckpt.json")
+
+  private def renderCkpt(s: Snapshot): String = {
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
+    val sk = s.statsKey.map(k => s""","statskey":"${esc(k)}"""").getOrElse("")
+    val st =
+      if (s.files.forall(s.fileStats.contains) && s.files.nonEmpty && s.fileStats.nonEmpty)
+        s""","fmin":${s.files.map(f => s.fileStats(f)._1).mkString("[", ",", "]")}""" +
+          s""","fmax":${s.files.map(f => s.fileStats(f)._2).mkString("[", ",", "]")}"""
+      else ""
+    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$st}"""
+  }
+
+  /** Best-effort checkpoint after a winning commit; losing the ckpt race
+    * (or failing to write one) affects nothing but resolve cost. */
+  private def maybeCheckpoint(root: String, version: Long): Unit =
+    if (version > 0 && version % checkpointInterval == 0)
+      try {
+        val s = snapshot(root, version)
+        if (s.version == version && !Files.exists(ckptPath(root, version))) {
+          val tmp = logDir(root).resolve(
+            s".tmp-ckpt-${java.util.UUID.randomUUID().toString}")
+          Files.writeString(tmp, renderCkpt(s))
+          try Files.createLink(ckptPath(root, version), tmp)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          finally Files.deleteIfExists(tmp)
+        }
+      } catch {
+        case NonFatal(e) =>
+          System.err.println(s"[txtable] checkpoint v$version failed: ${e.getMessage}")
+      }
+
+  /** Resolve the current snapshot: fold from the newest usable
+    * checkpoint, then the highest CONTIGUOUS run of commits above it.
     * A gap means an in-flight or failed publish — versions after a gap
     * are not yet visible (they will be once the gap commits). */
   def snapshot(root: String, versionAsOf: Long = Long.MaxValue): Snapshot = {
     val dir = logDir(root)
-    if (!Files.isDirectory(dir)) return Snapshot(-1L, Seq.empty, Seq.empty)
+    if (!Files.isDirectory(dir)) return emptySnapshot
     import scala.jdk.CollectionConverters._
-    val present = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
+    val names = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).toSeq
+    val present = names
+      .filter(n => n.endsWith(".json") && !n.endsWith(".ckpt.json"))
       .map(_.stripSuffix(".json").toLong)
       .toSet
-    var v = 0L
+    val allCkpts = names.filter(_.endsWith(".ckpt.json"))
+      .map(_.stripSuffix(".ckpt.json").toLong)
+    val ckpts = allCkpts.filter(_ <= versionAsOf)
+    val base = if (ckpts.isEmpty) -1L else ckpts.max
+    var v = base + 1
     while (present.contains(v) && v <= versionAsOf) v += 1
-    val upTo = v - 1
-    if (upTo < 0) return Snapshot(-1L, Seq.empty, Seq.empty)
-    val commits = (0L to upTo).map(i =>
-      parse(Files.readString(commitPath(root, i))))
+    val upTo = math.max(v - 1, base)
+    if (upTo < 0) {
+      // the log has history but none usable at this version: commit 0 was
+      // archived and no checkpoint at or below versionAsOf covers it —
+      // a silent empty here would masquerade as "no table"
+      if (present.nonEmpty || allCkpts.nonEmpty)
+        throw new IllegalStateException(
+          s"version $versionAsOf of $root is unresolvable: history below " +
+            "the oldest checkpoint was archived")
+      return emptySnapshot
+    }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    commits.foreach { c => live ++= c.adds; live --= c.removes }
-    Snapshot(upTo, live.toSeq, commits)
+    val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val tags = scala.collection.mutable.LinkedHashSet.empty[String]
+    var statsKey: Option[String] = None
+    if (base >= 0) {
+      val j = Files.readString(ckptPath(root, base))
+      val files = arrField(j, "files")
+      live ++= files
+      val mins = numArrField(j, "fmin"); val maxs = numArrField(j, "fmax")
+      if (mins.nonEmpty)
+        files.zip(mins.zip(maxs)).foreach { case (f, st) => stats(f) = st }
+      tags ++= arrField(j, "tags")
+      statsKey = strField(j, "statskey")
+    }
+    val suffix = ((base + 1) to upTo).map { i =>
+      try parse(Files.readString(commitPath(root, i)))
+      catch {
+        case e: java.nio.file.NoSuchFileException =>
+          throw new IllegalStateException(
+            s"commit $i missing below the resolved range of $root — " +
+              "history truncated without a covering checkpoint", e)
+      }
+    }
+    suffix.foreach { c =>
+      live ++= c.adds; live --= c.removes
+      if (c.addStats.nonEmpty)
+        c.adds.zip(c.addStats).foreach { case (f, st) => stats(f) = st }
+      c.removes.foreach(stats.remove)
+      c.tag.foreach(tags += _)
+      if (c.version == 0L) statsKey = c.statsKey
+    }
+    // drop stats for files no longer live (removed after the checkpoint)
+    val liveStats = stats.filter { case (f, _) => live.contains(f) }
+    Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet)
   }
 
   /** Snapshot-isolated read (optionally at a historical version). */
@@ -291,14 +379,17 @@ object TxTable {
       attempt += 1
       val snap = snapshot(root)
       require(snap.version >= 0, s"not a TxTable: $root")
-      if (tag.exists(t => snap.commits.exists(_.tag.contains(t))))
+      if (tag.exists(snap.tags))
         return CommitResult(snap.version, attempt, skipped = true) // replayed epoch
       val current = spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
       val next = body(current)
       val (adds, st) = stageData(next, root, snap.statsKey)
       val c = Commit(snap.version + 1, op, adds, snap.files, tag,
         statsKey = None, addStats = st)
-      if (tryPublish(root, c)) return CommitResult(c.version, attempt, skipped = false)
+      if (tryPublish(root, c)) {
+        maybeCheckpoint(root, c.version)
+        return CommitResult(c.version, attempt, skipped = false)
+      }
       // lost the race: loop rebases on the winner's snapshot. Our staged
       // files stay orphaned (never referenced by any commit) — invisible
       // to readers; a vacuum pass may reclaim them.
@@ -326,8 +417,14 @@ object TxTable {
     * snapshots reference — is a policy decision this minimal layer
     * deliberately leaves out; time travel stays fully intact.) */
   def vacuumOrphans(root: String): Long = {
-    val snap = snapshot(root)
-    val referenced: Set[String] = snap.commits.flatMap(_.adds).toSet
+    // orphan detection needs the FULL history (a checkpoint-folded
+    // snapshot only carries the suffix commits): read every commit file
+    import scala.jdk.CollectionConverters._
+    val referenced: Set[String] = Files.list(logDir(root)).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith(".json") && !n.endsWith(".ckpt.json"))
+      .flatMap(n => parse(Files.readString(logDir(root).resolve(n))).adds)
+      .toSet
     val dd = dataDir(root)
     if (!Files.isDirectory(dd)) return 0L
     import scala.jdk.CollectionConverters._
@@ -374,14 +471,17 @@ object TxTable {
       attempt += 1
       val snap = snapshot(root)
       require(snap.version >= 0, s"not a TxTable: $root")
-      if (tag.exists(t => snap.commits.exists(_.tag.contains(t))))
+      if (tag.exists(snap.tags))
         return CommitResult(snap.version, attempt, skipped = true)
       val (keep, rewrite) = body(snap)
       val (adds, st) = stageData(rewrite, root, snap.statsKey)
       val removes = snap.files.diff(keep)
       val c = Commit(snap.version + 1, op, adds, removes, tag,
         statsKey = None, addStats = st)
-      if (tryPublish(root, c)) return CommitResult(c.version, attempt, skipped = false)
+      if (tryPublish(root, c)) {
+        maybeCheckpoint(root, c.version)
+        return CommitResult(c.version, attempt, skipped = false)
+      }
     }
     throw new IllegalStateException(
       s"commit to $root failed after $maxAttempts attempts (contention)")

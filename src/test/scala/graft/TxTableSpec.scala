@@ -229,6 +229,54 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("log checkpoints: resolve from the checkpoint, history stays travelable") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(Seq((0L, "v0")).toDF("k", "v"), root, statsKey = Some("k"))
+    // one early epoch-tagged commit, then enough commits to cross two
+    // checkpoint boundaries (interval 10)
+    TxTable.merge(spark, root, Seq((1L, "tagged")).toDF("k", "v"), Seq("k"),
+      Some("app=ckpt/epoch=1"))
+    (2L to 21L).foreach(i =>
+      TxTable.merge(spark, root, Seq((i, s"v$i")).toDF("k", "v"), Seq("k")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "_log",
+      f"${10L}%020d.ckpt.json")))
+    assert(Files.exists(java.nio.file.Paths.get(root, "_log",
+      f"${20L}%020d.ckpt.json")))
+    val snap = TxTable.snapshot(root)
+    assert(snap.version == 21L)
+    // the folded suffix is short: only commits above the base checkpoint
+    assert(snap.commits.length == 1, s"suffix len ${snap.commits.length}")
+    // stats + statsKey survive checkpoint consolidation
+    assert(snap.statsKey.contains("k"))
+    assert(snap.fileStats.keySet == snap.files.toSet)
+    assert(rows(root).size == 22)
+    // time travel below the checkpoint still folds from v0
+    assert(rows(root, 1).toSet == Set((0L, "v0"), (1L, "tagged")))
+    // an epoch tag OLDER than the checkpoint is still a detected replay
+    val replay = TxTable.merge(spark, root,
+      Seq((1L, "tagged")).toDF("k", "v"), Seq("k"), Some("app=ckpt/epoch=1"))
+    assert(replay.skipped)
+  }
+
+  test("checkpointed table survives archival of pre-checkpoint commits") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(Seq((0L, "v0")).toDF("k", "v"), root)
+    (1L to 12L).foreach(i =>
+      TxTable.merge(spark, root, Seq((i, s"v$i")).toDF("k", "v"), Seq("k")))
+    val before = rows(root)
+    // archive (delete) commits 0..9 — the v10 checkpoint covers them
+    (0L to 9L).foreach(i => Files.delete(
+      java.nio.file.Paths.get(root, "_log", f"$i%020d.json")))
+    assert(rows(root) == before, "resolve from checkpoint + suffix")
+    assert(TxTable.snapshot(root).version == 12L)
+    // but time travel below the checkpoint now fails LOUDLY, not wrongly
+    assertThrows[IllegalStateException] {
+      TxTable.snapshot(root, 5L)
+    }
+  }
+
   test("create refuses an existing table; read refuses a non-table") {
     import spark.implicits._
     val root = freshRoot()

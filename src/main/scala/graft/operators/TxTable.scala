@@ -254,15 +254,23 @@ object TxTable {
     Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet)
   }
 
-  /** Snapshot-isolated read (optionally at a historical version). */
+  /** Snapshot-isolated read (optionally at a historical version).
+    * `mergeSchema` reconciles files written before/after a schema
+    * evolution: a column added by a later merge surfaces as NULL on rows
+    * from files that predate it. */
   def read(spark: SparkSession, root: String,
            versionAsOf: Long = Long.MaxValue): DataFrame = {
     val snap = snapshot(root, versionAsOf)
     require(snap.version >= 0, s"not a TxTable (no committed log): $root")
     if (snap.files.isEmpty)
       throw new IllegalStateException(s"empty table snapshot v${snap.version}")
-    spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+    readFiles(spark, root, snap.files)
   }
+
+  private def readFiles(spark: SparkSession, root: String,
+                        files: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$root/$f"): _*)
 
   /** Range read with METADATA-ONLY file pruning: the commit log's
     * per-file [min, max] stats decide which files can hold rows in
@@ -272,7 +280,10 @@ object TxTable {
     * files without stats are conservatively read). This is the
     * point-lookup/range-scan story for a 100 TB table: on a
     * range-clustered layout the scan cost is proportional to the
-    * selected range, not the table. */
+    * selected range, not the table. After a schema evolution the result
+    * schema is the union over the files actually read — a pruned read
+    * that only touches pre-evolution files won't surface the new column
+    * (read the full table when the complete schema matters). */
   def readPruned(spark: SparkSession, root: String,
                  lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -289,8 +300,8 @@ object TxTable {
     }
     val pred = col(key).cast("long").between(lo, hi)
     if (kept.isEmpty) // every file pruned: empty result, correct schema
-      spark.read.parquet(s"$root/${snap.files.head}").where(pred).limit(0)
-    else spark.read.parquet(kept.map(f => s"$root/$f"): _*).where(pred)
+      readFiles(spark, root, Seq(snap.files.head)).where(pred).limit(0)
+    else readFiles(spark, root, kept).where(pred)
   }
 
   // ------------------------------------------------------------- writes
@@ -381,7 +392,7 @@ object TxTable {
       require(snap.version >= 0, s"not a TxTable: $root")
       if (tag.exists(snap.tags))
         return CommitResult(snap.version, attempt, skipped = true) // replayed epoch
-      val current = spark.read.parquet(snap.files.map(f => s"$root/$f"): _*)
+      val current = readFiles(spark, root, snap.files)
       val next = body(current)
       val (adds, st) = stageData(next, root, snap.statsKey)
       val c = Commit(snap.version + 1, op, adds, snap.files, tag,
@@ -453,8 +464,10 @@ object TxTable {
     transact(spark, root, "merge", tag) { current =>
       import org.apache.spark.sql.functions.col
       // anti-join keeps unmatched current rows; union brings every change
+      // allowMissingColumns = schema evolution: a column new to the
+      // changes surfaces as NULL on carried-over rows (and vice versa)
       current.join(changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
-        .unionByName(changes)
+        .unionByName(changes, allowMissingColumns = true)
     }
 
   /** File-level transactional write: `body` inspects the snapshot and
@@ -537,9 +550,9 @@ object TxTable {
       val keep = snap.files.filterNot(touched)
       val touchedContent =
         if (touched.isEmpty) changes
-        else spark.read.parquet(touched.map(f => s"$root/$f").toSeq: _*)
+        else readFiles(spark, root, touched.toSeq)
           .join(changes.select(col(key)).distinct(), Seq(key), "left_anti")
-          .unionByName(changes)
+          .unionByName(changes, allowMissingColumns = true)
       (keep, touchedContent)
     }
 }

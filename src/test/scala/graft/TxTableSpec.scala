@@ -277,6 +277,29 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: a merge can add a column; old rows read as NULL") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(
+      (0L until 20L).map(i => (i, "base")).toDF("k", "v")
+        .repartitionByRange(2, col("k")), root, statsKey = Some("k"))
+    // CoW merge introduces column w — untouched files keep the old schema
+    TxTable.mergeCow(spark, root,
+      Seq((1L, "upd", 7L), (100L, "new", 9L)).toDF("k", "v", "w"), "k")
+    val df = TxTable.read(spark, root)
+    assert(df.columns.sorted.toSeq == Seq("k", "v", "w"))
+    val byK = df.select("k", "v", "w").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(byK(1L) == ("upd", Some(7L)))
+    assert(byK(100L) == ("new", Some(9L)))
+    assert(byK(5L) == ("base", None), "pre-evolution rows surface NULL w")
+    assert(byK.size == 21)
+    // pruned reads reconcile the evolved schema too
+    val pruned = TxTable.readPruned(spark, root, 0L, 5L)
+    assert(pruned.columns.contains("w") || pruned.columns.contains("v"))
+  }
+
   test("create refuses an existing table; read refuses a non-table") {
     import spark.implicits._
     val root = freshRoot()

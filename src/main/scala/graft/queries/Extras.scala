@@ -800,6 +800,46 @@ object Extras {
       TxTable.read(s, root).orderBy("k")
     },
 
+    // ---- Q-qual-07: ACID table MAINTENANCE — the Q-qual-06 history plus
+    // the two operations a streamed-into table lives on: compaction (the
+    // per-epoch small files rewritten to 2, as a normal optimistic
+    // commit) and orphan vacuum (a planted loser-leak parquet reclaimed
+    // from data/). The content gate is the point: maintenance must be
+    // invisible to readers — the final state still hash-matches the
+    // Q-qual-06 oracle — while the in-query invariants throw loudly if
+    // the file count, version arithmetic, or vacuum accounting drift.
+    "Q-qual-07" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual07").toString + "/tbl"
+      val base = Tables.customer(s, d).select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("bigint").as("cents"))
+      TxTable.create(base.repartitionByRange(8, col("k")), root,
+        statsKey = Some("k"))
+      TxTable.mergeCow(s, root,
+        base.filter(col("k") % 7 === 0).select(
+          col("k"), lit("UPD1").as("seg"), (col("cents") + 100).as("cents")),
+        "k")
+      TxTable.mergeCow(s, root,
+        base.filter(col("k") % 3 === 0).select(
+          col("k"), lit("UPD2").as("seg"), (col("cents") + 200).as("cents")),
+        "k")
+      // plant a loser's leak, then run maintenance
+      base.limit(5).write.parquet(s"$root/data/loser-leak")
+      TxTable.compact(s, root, targetFiles = 2)
+      val reclaimed = TxTable.vacuumOrphans(root)
+      if (reclaimed < 1L) throw new IllegalStateException(
+        "vacuum failed to reclaim the planted orphan files")
+      val snap = TxTable.snapshot(root)
+      if (snap.version != 3L) throw new IllegalStateException(
+        s"expected v3 after create+2 merges+compact, got v${snap.version}")
+      if (snap.files.length > 2) throw new IllegalStateException(
+        s"compaction to 2 files left ${snap.files.length}")
+      if (snap.fileStats.keySet != snap.files.toSet)
+        throw new IllegalStateException("log stats lost through maintenance")
+      TxTable.read(s, root).orderBy("k")
+    },
+
     // ---- Q-evt-08: activity-quartile segmentation — users bucketed into
     // engagement quartiles (ntile over the AGGREGATED per-user table:
     // |users| rows, not |events|, so the single-partition rank is cheap;
@@ -1015,6 +1055,18 @@ object Extras {
     // final ACID-table state derived from the source in one pass: the
     // k%3 batch committed after k%7, so it wins the k%21 overlap
     "Q-qual-06" ->
+      """SELECT c_custkey AS k,
+                CASE WHEN c_custkey % 3 = 0 THEN 'UPD2'
+                     WHEN c_custkey % 7 = 0 THEN 'UPD1'
+                     ELSE c_mktsegment END AS seg,
+                (floor(c_acctbal * 100 + 0.5)::BIGINT
+                 + CASE WHEN c_custkey % 3 = 0 THEN 200
+                        WHEN c_custkey % 7 = 0 THEN 100
+                        ELSE 0 END) AS cents
+         FROM customer ORDER BY k""",
+    // maintenance (compact + vacuum) must be invisible: identical final
+    // state to Q-qual-06
+    "Q-qual-07" ->
       """SELECT c_custkey AS k,
                 CASE WHEN c_custkey % 3 = 0 THEN 'UPD2'
                      WHEN c_custkey % 7 = 0 THEN 'UPD1'

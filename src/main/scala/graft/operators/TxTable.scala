@@ -512,10 +512,22 @@ object TxTable {
     * cluster by key, e.g. time), a merge touches only the tail files —
     * the streaming-upsert shape. min/max is a sound over-approximation:
     * a file inside the range but without the key is rewritten verbatim,
-    * never corrupted. Single-key for now (composite keys take the
-    * full-rewrite [[merge]]). */
+    * never corrupted.
+    *
+    * Composite merge keys: pass `mergeKeys` (which must CONTAIN `key`) to
+    * upsert on a composite identity while files are still selected by
+    * `key`'s ranges alone — the streaming-upsert shape, where a keyed
+    * window aggregate merges on (window, group) but an epoch's files are
+    * picked by the window-time column. `key` ∈ `mergeKeys` is what makes
+    * range selection SOUND: every current row matching a change's full
+    * key shares its `key` value, so it must live in a touched file. */
   def mergeCow(spark: SparkSession, root: String, changes: DataFrame,
-               key: String, tag: Option[String] = None): CommitResult =
+               key: String, tag: Option[String] = None,
+               mergeKeys: Seq[String] = Seq.empty): CommitResult = {
+    val mk = if (mergeKeys.isEmpty) Seq(key) else mergeKeys
+    require(mk.contains(key),
+      s"mergeKeys $mk must contain the file-selection key '$key' — " +
+        "otherwise a matching row could hide in an unselected file")
     transactFiles(spark, root, "merge-cow", tag) { snap =>
       import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, min}
       val rootAbs = Paths.get(root).toAbsolutePath
@@ -551,8 +563,9 @@ object TxTable {
       val touchedContent =
         if (touched.isEmpty) changes
         else readFiles(spark, root, touched.toSeq)
-          .join(changes.select(col(key)).distinct(), Seq(key), "left_anti")
+          .join(changes.select(mk.map(col): _*).distinct(), mk, "left_anti")
           .unionByName(changes, allowMissingColumns = true)
       (keep, touchedContent)
     }
+  }
 }

@@ -237,13 +237,18 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n"))
         .select(wsSec("window.start"), col("event_type"), col("n"))
       // v0: the empty table (one schema-only parquet file) — built from a
-      // BATCH twin of the agg (a streaming frame can't seed a write)
+      // BATCH twin of the agg (a streaming frame can't seed a write).
+      // Stats-keyed by ws_sec so each epoch's COPY-ON-WRITE merge selects
+      // its files from the log: a keyed window aggregate merges on the
+      // composite (ws_sec, event_type), but an epoch only touches files
+      // whose ws_sec range overlaps the windows it changed — on a long-
+      // running table, old-window files stop being rewritten entirely.
       TxTable.create(
         raw.groupBy(window(col("ts"), "10 seconds"), col("event_type"))
           .agg(count(lit(1)).as("n"))
           .select(wsSec("window.start"), col("event_type"), col("n"))
           .limit(0).coalesce(1),
-        root)
+        root, statsKey = Some("ws_sec"))
       // stash one epoch's change set (tiny: changed window keys) so the
       // replay attempt below re-presents the IDENTICAL payload
       val stash = new java.util.concurrent.atomic.AtomicReference[
@@ -256,8 +261,8 @@ object StreamingQueries {
            epoch: Long) =>
             val changes = df.toDF()
             if (epoch == 1L) stash.set((changes.collect(), changes.schema))
-            TxTable.merge(s, root, changes, Seq("ws_sec", "event_type"),
-              Some(s"app=str20/epoch=$epoch"))
+            TxTable.mergeCow(s, root, changes, "ws_sec",
+              Some(s"app=str20/epoch=$epoch"), Seq("ws_sec", "event_type"))
             epochs.incrementAndGet()
             ()
         }
@@ -270,8 +275,8 @@ object StreamingQueries {
       val (rows, schema) = stash.get()
       val replayDf = s.createDataFrame(
         java.util.Arrays.asList(rows: _*), schema)
-      val replay = TxTable.merge(s, root, replayDf,
-        Seq("ws_sec", "event_type"), Some("app=str20/epoch=1"))
+      val replay = TxTable.mergeCow(s, root, replayDf, "ws_sec",
+        Some("app=str20/epoch=1"), Seq("ws_sec", "event_type"))
       if (!replay.skipped) throw new IllegalStateException(
         "replayed epoch was double-applied — idempotence ledger broken")
       // one committed version per delivered epoch, exactly (the 4 file

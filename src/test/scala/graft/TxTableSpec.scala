@@ -300,6 +300,36 @@ class TxTableSpec extends AnyFunSuite {
     assert(pruned.columns.contains("w") || pruned.columns.contains("v"))
   }
 
+  test("composite-key CoW: files picked by the stats column, upsert on the full key") {
+    import spark.implicits._
+    val root = freshRoot()
+    // (ws, typ, n): two range files by ws — early windows 0..4, late 5..9
+    TxTable.create(
+      (for { ws <- 0L until 10L; typ <- Seq("a", "b") } yield (ws, typ, 1L))
+        .toDF("ws", "typ", "n").repartitionByRange(2, col("ws")),
+      root, statsKey = Some("ws"))
+    val v0 = TxTable.snapshot(root)
+    assert(v0.files.length == 2)
+    // an epoch updates only (late ws, type a) keys
+    TxTable.mergeCow(spark, root,
+      Seq((8L, "a", 42L), (9L, "a", 42L)).toDF("ws", "typ", "n"),
+      "ws", None, Seq("ws", "typ"))
+    val v1 = TxTable.snapshot(root)
+    // the early-window file never rewrites
+    assert(v0.files.toSet.intersect(v1.files.toSet).size == 1)
+    val got = TxTable.read(spark, root).as[(Long, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((8L, "a")) == 42L && got((9L, "a")) == 42L)
+    // same-window OTHER-type rows survive the composite upsert
+    assert(got((8L, "b")) == 1L && got((9L, "b")) == 1L)
+    assert(got.size == 20)
+    // a mergeKeys set that omits the selection key is refused
+    assertThrows[IllegalArgumentException] {
+      TxTable.mergeCow(spark, root,
+        Seq((1L, "a", 5L)).toDF("ws", "typ", "n"), "ws", None, Seq("typ"))
+    }
+  }
+
   test("create refuses an existing table; read refuses a non-table") {
     import spark.implicits._
     val root = freshRoot()

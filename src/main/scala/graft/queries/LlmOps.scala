@@ -758,40 +758,43 @@ object LlmOps {
     // IDENTICAL lambda, so the whole training loop hash-matches.
     "Q-llm-38" -> { (s, d) =>
       import s.implicits._
-      val R = 4
-      val words = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      bpeTrain(s, d).map { case (r, a, b, cnt) => (r, s"$a $b", cnt) }
+        .toDF("round", "pair", "cnt").orderBy("round")
+    },
+
+    // ---- Q-llm-39: BPE tokenizer APPLICATION — the consume side of
+    // Q-llm-38's merge table: tokenize the whole corpus with the learned
+    // merges and report per-doc subword counts + compression ratio.
+    //
+    // Scale shape: the fold runs on the DISTINCT-WORD table (vocabulary-
+    // scale, not token-scale — the same reason real tokenizers cache
+    // word→pieces); docs then join the broadcast (word → piece count)
+    // map, and per-doc counts come from the (doc, word, n) partial agg —
+    // the raw token stream never crosses an exchange (the Q-llm-28
+    // lesson, applied at birth).
+    "Q-llm-39" -> { (s, d) =>
+      val merges = bpeTrain(s, d)
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
         .filter(length(col("word")).between(2, 12))
-        .groupBy("word").agg(count(lit(1)).as("freq"))
-        .orderBy(col("freq").desc, col("word")).limit(2000)
-      var cur = words.select(col("word"), col("freq"),
-        trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
-        .localCheckpoint(true) // rounds re-scan cur; never re-run the corpus agg
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
-      for (r <- 1 to R) {
-        val win = cur
-          .select(col("freq"), split(col("s"), " ").as("t"))
-          .select(col("freq"), expr(
-            "explode(transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS a, t[i] AS b)))").as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()(0)
-        val (a, b, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
-        merges += ((r.toLong, s"$a $b", cnt))
-        // greedy left-to-right merge: fold the token list, gluing x onto
-        // acc when acc's LAST token is `a` and x is `b` (tokens are
-        // [a-z]+ only, so the LIKE needs no escaping)
-        cur = cur.select(col("word"), col("freq"), expr(
-          s"""aggregate(slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
-              split(s, ' ')[0],
-              (acc, x) -> CASE WHEN x = '$b'
-                                AND (acc = '$a' OR acc LIKE '% $a')
-                          THEN concat(substr(acc, 1, length(acc) - ${a.length}), '$a$b')
-                          ELSE concat(acc, ' ', x) END)""").as("s"))
+      val dw = w.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      var vocab = dw.select(col("word")).distinct()
+        .withColumn("s", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+        .localCheckpoint(true)
+      merges.foreach { case (_, a, b, _) =>
+        vocab = vocab.select(col("word"), expr(bpeMergeExpr(a, b)).as("s"))
           .localCheckpoint(true)
       }
-      merges.toSeq.toDF("round", "pair", "cnt").orderBy("round")
+      val sub = vocab.select(col("word"),
+        size(split(col("s"), " ")).cast("bigint").as("n_sub"))
+      dw.join(broadcast(sub), "word")
+        .groupBy("doc_id")
+        .agg(sum(col("n")).cast("bigint").as("n_words"),
+          sum(col("n") * col("n_sub")).cast("bigint").as("n_subtokens"))
+        .withColumn("ratio",
+          Portable.r(col("n_subtokens").cast("double") / col("n_words"), 6))
+        .orderBy("doc_id")
     },
 
     // ---- Q-llm-32: per-domain cap (RefinedWeb-style source balancing) —
@@ -896,6 +899,49 @@ object LlmOps {
          JOIN sizes za ON za.doc_id = c.a
          JOIN sizes zb ON zb.doc_id = c.b"""
 
+  /** The greedy left-to-right BPE merge fold over the space-separated
+    * symbol string `s`, as a Spark SQL expression: glue x onto acc when
+    * acc's LAST token is `a` and x is `b` (tokens are [a-z]+ only, so the
+    * LIKE needs no escaping). DuckDB's list_reduce mirrors it exactly. */
+  private def bpeMergeExpr(a: String, b: String): String =
+    s"""aggregate(slice(split(s, ' '), 2, size(split(s, ' ')) - 1),
+        split(s, ' ')[0],
+        (acc, x) -> CASE WHEN x = '$b'
+                          AND (acc = '$a' OR acc LIKE '% $a')
+                    THEN concat(substr(acc, 1, length(acc) - ${a.length}), '$a$b')
+                    ELSE concat(acc, ' ', x) END)"""
+
+  /** BPE merge training (Q-llm-38's loop): one corpus-wide word-frequency
+    * aggregation, then `rounds` driver-coordinated iterations over the
+    * bounded top-2000 vocabulary. Returns (round, a, b, count). */
+  private def bpeTrain(s: org.apache.spark.sql.SparkSession, d: String,
+                       rounds: Int = 4): Seq[(Long, String, String, Long)] = {
+    val words = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(length(col("word")).between(2, 12))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(2000)
+    var cur = words.select(col("word"), col("freq"),
+      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("s"))
+      .localCheckpoint(true) // rounds re-scan cur; never re-run the corpus agg
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val win = cur
+        .select(col("freq"), split(col("s"), " ").as("t"))
+        .select(col("freq"), expr(
+          "explode(transform(sequence(1, size(t)-1), i -> struct(t[i-1] AS a, t[i] AS b)))").as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
+      merges += ((r.toLong, a, b, cnt))
+      cur = cur.select(col("word"), col("freq"),
+        expr(bpeMergeExpr(a, b)).as("s")).localCheckpoint(true)
+    }
+    merges.toSeq
+  }
+
   // Q-llm-38's oracle: the same 4-round BPE training loop, each round a
   // chained CTE block — pair counting over the vocab seqs, total-ordered
   // winner, then the IDENTICAL greedy fold (list_reduce) the Spark side
@@ -933,8 +979,52 @@ object LlmOps {
             .mkString("\n          UNION ALL ")})
         ORDER BY round"""
 
+  // Q-llm-39's oracle: train as in bpeSql (w1..w4), then APPLY the same
+  // fold to the distinct corpus words and roll up per doc.
+  private def bpeApplySql(i: Int): String =
+    s"""a$i AS (
+         SELECT word,
+                list_reduce(str_split(s, ' '),
+                  (acc, x) -> CASE WHEN x = w$i.b
+                                    AND (acc = w$i.a OR ends_with(acc, ' ' || w$i.a))
+                              THEN substr(acc, 1, len(acc) - len(w$i.a)) || w$i.a || w$i.b
+                              ELSE acc || ' ' || x END) AS s
+         FROM a${i - 1} CROSS JOIN w$i)"""
+
+  private val bpeApplyFullSql: String =
+    s"""WITH words AS (
+          SELECT w AS word, count(*)::BIGINT AS freq
+          FROM (SELECT unnest(str_split_regex(lower(text), '[^a-z]+')) AS w
+                FROM documents)
+          WHERE len(w) BETWEEN 2 AND 12
+          GROUP BY 1 ORDER BY freq DESC, word LIMIT 2000),
+        r0 AS (SELECT word, freq,
+                      trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+               FROM words),
+        ${(1 to 4).map(bpeRoundSql).mkString(",\n        ")},
+        dw AS (
+          SELECT doc_id, w AS word, count(*)::BIGINT AS n
+          FROM (SELECT doc_id,
+                       unnest(str_split_regex(lower(text), '[^a-z]+')) AS w
+                FROM documents)
+          WHERE len(w) BETWEEN 2 AND 12
+          GROUP BY 1, 2),
+        a0 AS (SELECT word,
+                      trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s
+               FROM (SELECT DISTINCT word FROM dw)),
+        ${(1 to 4).map(bpeApplySql).mkString(",\n        ")},
+        sub AS (SELECT word, len(str_split(s, ' '))::BIGINT AS n_sub FROM a4)
+        SELECT doc_id,
+               sum(n)::BIGINT AS n_words,
+               sum(n * n_sub)::BIGINT AS n_subtokens,
+               ${Portable.rSql("CAST(sum(n * n_sub) AS DOUBLE) / sum(n)", 6)}
+                 AS ratio
+        FROM dw JOIN sub USING (word)
+        GROUP BY doc_id ORDER BY doc_id"""
+
   val oracle: Map[String, String] = Map(
     "Q-llm-38" -> bpeSql,
+    "Q-llm-39" -> bpeApplyFullSql,
     "Q-llm-34" -> {
       val nStop = "len(list_intersect(list_distinct(ws), ['the','a','of','to','and']))"
       val meanLen = "CAST(list_sum(list_transform(ws, w -> strlen(w))) AS DOUBLE) / len(ws)"

@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *  - [[decodeAudio]] — REAL audio decode through the JDK's
   *    javax.sound.sampled WAV reader. Q-mm-08 drives hand-built PCM
   *    bytes ([[WavCodec]]) through it, oracled the same way.
-  *  - [[fakeDecode]] — a clearly-marked deterministic stub for the media
-  *    types the JDK cannot decode (video frames); swapping it for a JNI
-  *    codec changes one function.
+  *  - [[decodeVideo]] — REAL video-container decode: the JDK ships no
+  *    video codec, so [[AviCodec]] provides a hand-written RIFF chunk
+  *    walker over genuine uncompressed AVI bytes. Q-mm-09 drives
+  *    hand-built AVIs through it with frame-accurate oracles.
+  *  - [[fakeDecode]] — a clearly-marked deterministic stub retained as
+  *    the generic swap point (Q-mm-01's pipeline shape); a production
+  *    deployment replaces it with e.g. a JNI codec, changing only this
+  *    one function.
   */
 object Multimodal {
 
@@ -103,6 +108,27 @@ object Multimodal {
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Decoded-video features: dims, frame count, and the luminance sum
+    * over every SAMPLED frame (integer arithmetic — exactly oracle-able). */
+  case class VideoFeatures(width: Long, height: Long, n_frames: Long,
+      sampled_luma_sum: Long)
+
+  /** REAL video-container decode via [[AviCodec]]'s RIFF chunk walker
+    * (zero third-party deps — the JDK has no video codec, so the parser
+    * is ours, cross-validated structurally in AviCodecSpec). Frame
+    * SAMPLING — keep every `stride`-th frame — is the standard video
+    * preprocessing step (a 100 TB video pipeline never featurizes every
+    * frame); it happens here, after decode, inside the partition-parallel
+    * kernel. Returns None for payloads that are not uncompressed AVI. */
+  def decodeVideo(payload: Array[Byte], stride: Int = 2): Option[VideoFeatures] =
+    AviCodec.decode(payload).map { v =>
+      var sum = 0L
+      var i = 0
+      while (i < v.lumaSums.length) { sum += v.lumaSums(i); i += stride }
+      VideoFeatures(v.width.toLong, v.height.toLong,
+        v.lumaSums.length.toLong, sum)
+    }
 
   /** STUB decode: deterministic pseudo-features derived from payload size
     * and hash. A real deployment replaces ONLY this function with e.g. a

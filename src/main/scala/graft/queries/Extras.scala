@@ -499,6 +499,37 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-mm-09: REAL video decode end-to-end — the last media type:
+    // per doc, a genuine uncompressed AVI is built byte-by-byte
+    // (AviCodec: RIFF hdrl/movi lists, bottom-up BGR DIB frames) and
+    // decoded back through a hand-written RIFF chunk WALKER (the JDK has
+    // no video codec), then frame-SAMPLED (every 2nd frame — the step a
+    // real video pipeline applies before featurizing). The sampled
+    // luminance sum is integer arithmetic over decoded pixels, so the
+    // oracle recomputes every property exactly — container layout
+    // included (n_bytes from the RIFF chunk arithmetic).
+    "Q-mm-09" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 5).toInt   // 8..12 exercises every row padding
+            val h = 6
+            val nf = (3 + id % 4).toInt  // 3..6 frames
+            val payload = graft.multimodal.AviCodec.encode(w, h,
+              Seq.tabulate(nf)(f => (x, y) => ((id + 3L * f + x + 2L * y) % 256L).toInt))
+            val v = graft.multimodal.Multimodal.decodeVideo(payload)
+              .getOrElse(throw new IllegalStateException(
+                s"asset $id: RIFF walker failed to decode generated AVI"))
+            (id, v.width, v.height, v.n_frames, payload.length.toLong,
+              v.sampled_luma_sum)
+          }
+        }
+        .toDF("asset_id", "width", "height", "n_frames", "n_bytes",
+          "sampled_luma_sum")
+        .orderBy("asset_id")
+    },
+
     // ---- Q-evt-04: path/transition analysis — the per-user event-type
     // bigram matrix (prev -> next counts, globally ranked). One window
     // lag per user + one counting groupBy: the shuffle is keyed by
@@ -1052,6 +1083,32 @@ object Extras {
                 (44 + 2 * any_value(n))::BIGINT AS n_bytes,
                 sum(abs(v))::BIGINT AS sum_abs
          FROM smp GROUP BY doc_id ORDER BY asset_id""",
+    // first-principles recomputation of the decoded VIDEO properties:
+    // dims/frame count from the generator, sampled (every 2nd frame)
+    // luminance sum from the pixel arithmetic, file size from the RIFF
+    // layout (12-byte RIFF header + 200-byte hdrl list + 12-byte movi
+    // list header + per frame 8-byte chunk header and h rows padded to
+    // 4 bytes)
+    "Q-mm-09" ->
+      """WITH dims AS (
+           SELECT doc_id, 8 + doc_id % 5 AS w, 6 AS h, 3 + doc_id % 4 AS nf
+           FROM documents),
+         px AS (
+           SELECT doc_id, w, h, nf,
+                  (doc_id + 3*f.range + x.range + 2*y.range) % 256 AS v
+           FROM dims CROSS JOIN range(6) f
+                     CROSS JOIN range(12) x CROSS JOIN range(6) y
+           WHERE f.range < nf AND f.range % 2 = 0
+             AND x.range < w AND y.range < h)
+         SELECT doc_id AS asset_id,
+                any_value(w)::BIGINT AS width,
+                any_value(h)::BIGINT AS height,
+                any_value(nf)::BIGINT AS n_frames,
+                (224 + any_value(nf) *
+                   (8 + any_value(h) * ((3 * any_value(w) + 3) // 4 * 4)))::BIGINT
+                  AS n_bytes,
+                sum(v)::BIGINT AS sampled_luma_sum
+         FROM px GROUP BY doc_id ORDER BY asset_id""",
     // final ACID-table state derived from the source in one pass: the
     // k%3 batch committed after k%7, so it wins the k%21 overlap
     "Q-qual-06" ->

@@ -521,6 +521,102 @@ object TxTable {
     * picked by the window-time column. `key` ∈ `mergeKeys` is what makes
     * range selection SOUND: every current row matching a change's full
     * key shares its `key` value, so it must live in a touched file. */
+  /** Copy-on-write DELETE — [[mergeCow]]'s file selection (metadata-only
+    * when the table has log stats) with a remove-rows rewrite: files
+    * whose `key` range can contain a doomed key are rewritten WITHOUT
+    * the matching rows; every other file carries over by reference. A
+    * delete set clustered on the table's layout (e.g. a retention window
+    * on a time-keyed table, a GDPR erasure on an id-range-clustered
+    * table) touches only its own files. */
+  def deleteCow(spark: SparkSession, root: String, doomed: DataFrame,
+                key: String, tag: Option[String] = None): CommitResult =
+    transactFiles(spark, root, "delete-cow", tag) { snap =>
+      import org.apache.spark.sql.functions.col
+      val touched = selectTouched(spark, root, snap, doomed, key)
+      val keep = snap.files.filterNot(touched)
+      val rewrite =
+        if (touched.isEmpty) // nothing can match: empty rewrite, table schema
+          readFiles(spark, root, Seq(snap.files.head)).limit(0)
+        else readFiles(spark, root, touched.toSeq)
+          .join(doomed.select(col(key)).distinct(), Seq(key), "left_anti")
+      (keep, rewrite)
+    }
+
+  /** Files whose logged (or computed) `key` range can contain a key of
+    * `changes` — the shared CoW file-selection step of [[mergeCow]] /
+    * [[deleteCow]]. Metadata-only when every live file has log stats. */
+  private def selectTouched(spark: SparkSession, root: String,
+                            snap: Snapshot, changes: DataFrame,
+                            key: String): Set[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, min}
+    val rootAbs = Paths.get(root).toAbsolutePath
+    val keysDf = changes.select(col(key).as("k")).distinct()
+    val logStats = snap.fileStats
+    if (snap.statsKey.contains(key) && snap.files.forall(logStats.contains)) {
+      import spark.implicits._
+      val statsDf = snap.files
+        .map(f => (f, logStats(f)._1, logStats(f)._2))
+        .toDF("f", "mn", "mx")
+      statsDf.join(broadcast(keysDf),
+          col("k").cast("long") >= col("mn") &&
+          col("k").cast("long") <= col("mx"), "left_semi")
+        .select("f").collect().map(_.getString(0)).toSet
+    } else {
+      val absFiles = snap.files.map(f => s"$root/$f")
+      spark.read.parquet(absFiles: _*)
+        .select(input_file_name().as("f"), col(key).as("k"))
+        .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+        .join(broadcast(keysDf),
+          col("k") >= col("mn") && col("k") <= col("mx"), "left_semi")
+        .select("f").collect().map(_.getString(0))
+        .map(u => rootAbs.relativize(
+          Paths.get(java.net.URI.create(u).getPath)).toString)
+        .toSet
+    }
+  }
+
+  /** CHANGE FEED (CDC) between two committed versions, computed from the
+    * log alone: on a copy-on-write table every row change rewrites its
+    * file, so the net diff fromV -> toV lives entirely in (files live at
+    * `fromV` but not `toV`) vs (files live at `toV` but not `fromV`) —
+    * the read cost is proportional to the files the interval TOUCHED,
+    * never the table (the same reason Delta-style engines can serve CDC
+    * without a change column). Rows carried verbatim through a rewrite
+    * (or a compaction) appear on both sides and cancel under the
+    * null-safe image comparison.
+    *
+    * Returns one row per net-changed key: the key columns, `change` in
+    * ('insert' | 'update' | 'delete'), and `pre` / `post` structs of the
+    * non-key columns (NULL on the absent side). Assumes the non-key
+    * schema is stable across the interval (read the full snapshots when
+    * diffing across a schema evolution). */
+  def changeFeed(spark: SparkSession, root: String,
+                 fromV: Long, toV: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, when}
+    require(fromV <= toV, s"changeFeed range inverted: $fromV > $toV")
+    val from = snapshot(root, fromV)
+    val to = snapshot(root, toV)
+    require(from.version == fromV && to.version == toV,
+      s"changeFeed endpoints unresolved: asked [$fromV, $toV], " +
+        s"log has [${from.version}, ${to.version}]")
+    val preFiles = from.files.diff(to.files)
+    val postFiles = to.files.diff(from.files)
+    val template = readFiles(spark, root, to.files.take(1)).limit(0)
+    val valueCols = template.columns.filterNot(keys.contains).toSeq
+    def side(files: Seq[String], name: String): DataFrame = {
+      val df = if (files.isEmpty) template else readFiles(spark, root, files)
+      df.select(keys.map(col) :+
+        struct(valueCols.map(col): _*).as(name): _*)
+    }
+    side(preFiles, "pre").join(side(postFiles, "post"), keys, "full_outer")
+      .filter(!(col("pre") <=> col("post")))
+      .select(keys.map(col) ++ Seq(
+        when(col("pre").isNull, "insert")
+          .when(col("post").isNull, "delete")
+          .otherwise("update").as("change"),
+        col("pre"), col("post")): _*)
+  }
+
   def mergeCow(spark: SparkSession, root: String, changes: DataFrame,
                key: String, tag: Option[String] = None,
                mergeKeys: Seq[String] = Seq.empty): CommitResult = {
@@ -529,36 +625,10 @@ object TxTable {
       s"mergeKeys $mk must contain the file-selection key '$key' — " +
         "otherwise a matching row could hide in an unselected file")
     transactFiles(spark, root, "merge-cow", tag) { snap =>
-      import org.apache.spark.sql.functions.{broadcast, col, input_file_name, max, min}
-      val rootAbs = Paths.get(root).toAbsolutePath
-      val keysDf = changes.select(col(key).as("k")).distinct()
-      val logStats = snap.fileStats
-      val touched: Set[String] =
-        if (snap.statsKey.contains(key) &&
-            snap.files.forall(logStats.contains)) {
-          // stats live in the LOG: file selection is metadata-only —
-          // zero data I/O before the rewrite itself
-          import spark.implicits._
-          val statsDf = snap.files
-            .map(f => (f, logStats(f)._1, logStats(f)._2))
-            .toDF("f", "mn", "mx")
-          statsDf.join(broadcast(keysDf),
-              col("k").cast("long") >= col("mn") &&
-              col("k").cast("long") <= col("mx"), "left_semi")
-            .select("f").collect().map(_.getString(0)).toSet
-        } else {
-          // no log stats: one distributed pass computes per-file ranges
-          val absFiles = snap.files.map(f => s"$root/$f")
-          spark.read.parquet(absFiles: _*)
-            .select(input_file_name().as("f"), col(key).as("k"))
-            .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
-            .join(broadcast(keysDf),
-              col("k") >= col("mn") && col("k") <= col("mx"), "left_semi")
-            .select("f").collect().map(_.getString(0))
-            .map(u => rootAbs.relativize(
-              Paths.get(java.net.URI.create(u).getPath)).toString)
-            .toSet
-        }
+      import org.apache.spark.sql.functions.col
+      // selection reads ONLY the commit log's per-file [min,max] when the
+      // table has a stats key — zero data I/O before the rewrite itself
+      val touched = selectTouched(spark, root, snap, changes, key)
       val keep = snap.files.filterNot(touched)
       val touchedContent =
         if (touched.isEmpty) changes

@@ -871,6 +871,50 @@ object Extras {
       TxTable.read(s, root).orderBy("k")
     },
 
+    // ---- Q-qual-08: CHANGE FEED (CDC) + time travel + CoW DELETE on
+    // the ACID table — the remaining lifecycle pieces: a four-version
+    // history (create, update merge, mixed update+insert merge, CoW
+    // delete), then the NET row-level diff v1 -> v3 computed from the
+    // COMMIT LOG alone (only files the interval touched are read — the
+    // reason a 100 TB table can serve CDC without a change column; rows
+    // carried verbatim through rewrites cancel under the null-safe image
+    // compare). All three change types land in one hash-matched result:
+    // inserts (new keys, post image only), updates (pre AND post), and
+    // deletes (pre only) — including the k%15 keys updated in v2 then
+    // deleted in v3, whose NET effect must read as a plain delete of the
+    // v1 image.
+    "Q-qual-08" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual08").toString + "/tbl"
+      val base = Tables.customer(s, d).select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("bigint").as("cents"))
+      TxTable.create(base.repartitionByRange(8, col("k")), root,
+        statsKey = Some("k"))                                  // v0
+      TxTable.mergeCow(s, root,
+        base.filter(col("k") % 7 === 0).select(
+          col("k"), lit("UPD1").as("seg"), (col("cents") + 100).as("cents")),
+        "k")                                                   // v1
+      TxTable.mergeCow(s, root,                                // v2: mixed
+        base.filter(col("k") % 3 === 0).select(
+          col("k"), lit("UPD2").as("seg"), (col("cents") + 200).as("cents"))
+          .unionByName(base.filter(col("k") % 10 === 1).select(
+            (col("k") + 1000000L).as("k"), lit("NEW").as("seg"),
+            col("cents"))),
+        "k")
+      TxTable.deleteCow(s, root,
+        base.filter(col("k") % 5 === 0).select(col("k")), "k") // v3
+      // time-travel sanity: v1 must still resolve exactly (the feed's
+      // pre side depends on it)
+      if (TxTable.snapshot(root, 1L).version != 1L)
+        throw new IllegalStateException("v1 no longer resolvable")
+      TxTable.changeFeed(s, root, fromV = 1L, toV = 3L, keys = Seq("k"))
+        .select(col("k"), col("change"),
+          col("pre.seg").as("seg_pre"), col("pre.cents").as("cents_pre"),
+          col("post.seg").as("seg_post"), col("post.cents").as("cents_post"))
+        .orderBy("k")
+    },
+
     // ---- Q-evt-08: activity-quartile segmentation — users bucketed into
     // engagement quartiles (ntile over the AGGREGATED per-user table:
     // |users| rows, not |events|, so the single-partition rank is cheap;
@@ -1109,6 +1153,31 @@ object Extras {
                   AS n_bytes,
                 sum(v)::BIGINT AS sampled_luma_sum
          FROM px GROUP BY doc_id ORDER BY asset_id""",
+    // net v1 -> v3 diff derived from the source in one pass: pre images
+    // are the v1 state (k%7 already UPD1-merged), deletes are the k%5
+    // set (regardless of the k%15 update-then-delete overlap — net
+    // effect is the delete), updates the surviving k%3 set, inserts the
+    // shifted k%10=1 keys v2 appended
+    "Q-qual-08" ->
+      """WITH s1 AS (
+           SELECT c_custkey AS k,
+                  CASE WHEN c_custkey % 7 = 0 THEN 'UPD1'
+                       ELSE c_mktsegment END AS seg1,
+                  (floor(c_acctbal * 100 + 0.5)::BIGINT
+                   + CASE WHEN c_custkey % 7 = 0 THEN 100 ELSE 0 END) AS cents1,
+                  floor(c_acctbal * 100 + 0.5)::BIGINT AS cents0
+           FROM customer)
+         SELECT k, 'delete' AS change, seg1 AS seg_pre, cents1 AS cents_pre,
+                NULL::VARCHAR AS seg_post, NULL::BIGINT AS cents_post
+         FROM s1 WHERE k % 5 = 0
+         UNION ALL
+         SELECT k, 'update', seg1, cents1, 'UPD2', cents0 + 200
+         FROM s1 WHERE k % 5 <> 0 AND k % 3 = 0
+         UNION ALL
+         SELECT k + 1000000, 'insert', NULL::VARCHAR, NULL::BIGINT,
+                'NEW', cents0
+         FROM s1 WHERE k % 10 = 1
+         ORDER BY k""",
     // final ACID-table state derived from the source in one pass: the
     // k%3 batch committed after k%7, so it wins the k%21 overlap
     "Q-qual-06" ->

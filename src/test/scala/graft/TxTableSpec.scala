@@ -330,6 +330,58 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("deleteCow removes matching rows and rewrites ONLY touched files") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(
+      (0L until 40L).map(i => (i, s"v$i")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), root, statsKey = Some("k"))
+    val v0 = TxTable.snapshot(root)
+    // doomed keys live in one 10-key range file only
+    TxTable.deleteCow(spark, root, Seq(12L, 17L).toDF("k"), "k")
+    val v1 = TxTable.snapshot(root)
+    assert(v0.files.toSet.intersect(v1.files.toSet).size == 3,
+      "deleteCow must carry untouched files by reference")
+    assert(rows(root).map(_._1) == (0L until 40L).toSet -- Set(12L, 17L))
+    // a doomed set matching nothing commits an empty rewrite, drops no rows
+    TxTable.deleteCow(spark, root, Seq(999L).toDF("k"), "k")
+    assert(rows(root).size == 38)
+    // time travel still sees the pre-delete state
+    assert(rows(root, 0).size == 40)
+  }
+
+  test("changeFeed: net insert/update/delete from touched files only") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(
+      (0L until 20L).map(i => (i, "base")).toDF("k", "v")
+        .repartitionByRange(4, col("k")), root, statsKey = Some("k"))
+    TxTable.mergeCow(spark, root,
+      Seq((3L, "upd"), (50L, "new")).toDF("k", "v"), "k") // v1
+    TxTable.deleteCow(spark, root, Seq(7L).toDF("k"), "k") // v2
+    val feed = TxTable.changeFeed(spark, root, 0L, 2L, Seq("k"))
+      .select(col("k"), col("change"), col("pre.v").as("pv"),
+        col("post.v").as("nv"))
+      .as[(Long, String, Option[String], Option[String])].collect().toSet
+    assert(feed == Set(
+      (3L, "update", Some("base"), Some("upd")),
+      (50L, "insert", None, Some("new")),
+      (7L, "delete", Some("base"), None)))
+    // update-then-delete nets to a plain delete of the FROM image
+    TxTable.deleteCow(spark, root, Seq(3L).toDF("k"), "k") // v3
+    val net = TxTable.changeFeed(spark, root, 0L, 3L, Seq("k"))
+      .filter(col("k") === 3L)
+      .select(col("change"), col("pre.v")).as[(String, String)].collect().toSeq
+    assert(net == Seq(("delete", "base")))
+    // compaction rewrites everything but changes no rows: empty feed
+    TxTable.compact(spark, root, targetFiles = 1) // v4
+    assert(TxTable.changeFeed(spark, root, 3L, 4L, Seq("k")).isEmpty)
+    // unresolved endpoints are refused, not silently empty
+    assertThrows[IllegalArgumentException] {
+      TxTable.changeFeed(spark, root, 2L, 99L, Seq("k"))
+    }
+  }
+
   test("create refuses an existing table; read refuses a non-table") {
     import spark.implicits._
     val root = freshRoot()

@@ -11,16 +11,19 @@ import graft.core.EngineSession
 import graft.operators.TxTable
 
 /** Model-based property test for the ACID table: a seeded random sequence
-  * of merge / CoW-merge / compact operations applied to a TxTable must
-  * equal the same sequence applied to a plain in-memory Map — at EVERY
-  * intermediate version (time travel replays the whole history), for both
-  * merge implementations, under random batch sizes and key overlap. */
+  * of merge / CoW-merge / CoW-delete / compact operations applied to a
+  * TxTable must equal the same sequence applied to a plain in-memory
+  * Map — at EVERY intermediate version (time travel replays the whole
+  * history), for both merge implementations, under random batch sizes
+  * and key overlap — and the log-only [[TxTable.changeFeed]] between any
+  * two versions must equal the model states' brute-force diff. */
 class TxTablePropertySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
 
   private sealed trait Op
   private case class Merge(batch: Map[Long, String], cow: Boolean) extends Op
+  private case class Delete(keys: Set[Long]) extends Op
   private case object Compact extends Op
 
   private def genOps(seed: Long, n: Int): List[Op] = {
@@ -31,6 +34,9 @@ class TxTablePropertySpec extends AnyFunSuite {
     } yield keys.distinct.map(k => k -> s"v$tagv-$k").toMap
     val op: Gen[Op] = Gen.frequency(
       (8, for { b <- batch; c <- Gen.oneOf(true, false) } yield Merge(b, c)),
+      // deletes never target the two init keys, so the table (like any
+      // real one with a retained dimension row) never goes fully empty
+      (2, Gen.listOfN(3, Gen.chooseNum(2L, 30L)).map(ks => Delete(ks.toSet))),
       (1, Gen.const(Compact)))
     Gen.listOfN(n, op).apply(Gen.Parameters.default, Seed(seed)).get
   }
@@ -51,6 +57,10 @@ class TxTablePropertySpec extends AnyFunSuite {
           else TxTable.merge(spark, root, df, Seq("k"))
           model = model ++ batch
           states += model
+        case Delete(keys) =>
+          TxTable.deleteCow(spark, root, keys.toSeq.toDF("k"), "k")
+          model = model -- keys
+          states += model
         case Compact =>
           TxTable.compact(spark, root, targetFiles = 1)
           states += model // compaction must not change content
@@ -66,6 +76,27 @@ class TxTablePropertySpec extends AnyFunSuite {
       }
       // log stats stay complete through arbitrary op interleavings
       assert(snap.fileStats.keySet == snap.files.toSet, s"seed=$seed stats")
+      // the LOG-ONLY change feed between any two versions must equal the
+      // brute-force diff of the model states (net semantics: intermediate
+      // churn cancels; compact-only intervals are empty)
+      val last = states.length - 1L
+      for ((a, b) <- Seq((0L, last), (last / 2, last), (1L, last / 2))
+           if a <= b) {
+        val got = TxTable.changeFeed(spark, root, a, b, Seq("k"))
+          .selectExpr("k", "change", "pre.v AS pv", "post.v AS nv")
+          .as[(Long, String, Option[String], Option[String])]
+          .collect().toSet
+        val (sa, sb) = (states(a.toInt), states(b.toInt))
+        val want = (sa.keySet ++ sb.keySet).collect {
+          case k if sa.get(k) != sb.get(k) =>
+            val change =
+              if (!sa.contains(k)) "insert"
+              else if (!sb.contains(k)) "delete"
+              else "update"
+            (k, change, sa.get(k), sb.get(k))
+        }
+        assert(got == want, s"seed=$seed feed [$a,$b] diverged from model")
+      }
     }
   }
 }

@@ -289,6 +289,74 @@ object StreamingQueries {
       TxTable.read(s, root).orderBy("ws_sec", "event_type")
     },
 
+    // ---- Q-str-21: INCREMENTAL DOWNSTREAM via the table's CHANGE FEED —
+    // the consume side of Q-str-20: a stream drains into the ACID table
+    // as per-epoch CoW merges, then a downstream pipeline maintains a
+    // derived aggregate (per-type totals) WITHOUT ever rescanning the
+    // table — it reads changeFeed(v-1, v) per committed version and
+    // applies net deltas (post.n - pre.n; deletes would contribute
+    // -pre.n). Per-version cost ∝ rows that epoch changed — the shape
+    // that lets a 100 TB table feed its downstreams incrementally. The
+    // delta rollup is one distributed union+groupBy over all feeds, and
+    // must hash-match the from-scratch batch answer (feed completeness:
+    // nothing lost, nothing double-counted, across every commit).
+    "Q-str-21" -> { (s, d) =>
+      import graft.operators.TxTable
+      val tmp = tempDir("graft_str21")
+      val ev = Tables.events(s, d)
+      val wOrd = Window.orderBy(col("ts"), col("event_id"))
+      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
+      (1 to 4).foreach { c =>
+        chunked.filter(col("chunk") === c).drop("chunk")
+          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/c$c")
+      }
+      val dir = Files.createDirectory(tmp.resolve("stream"))
+      (1 to 4).foreach { c =>
+        copyParts(tmp.resolve(s"c$c"), dir, s"c${c}_",
+          1000000000000L + c * 60000L)
+      }
+      val root = s"$tmp/tbl"
+      val raw = s.read.parquet(s"$tmp/c1")
+      val agg = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .withWatermark("ts", WM)
+        .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(wsSec("window.start"), col("event_type"), col("n"))
+      TxTable.create(
+        raw.groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(wsSec("window.start"), col("event_type"), col("n"))
+          .limit(0).coalesce(1),
+        root, statsKey = Some("ws_sec"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           epoch: Long) =>
+            TxTable.mergeCow(s, root, df.toDF(), "ws_sec",
+              Some(s"app=str21/epoch=$epoch"), Seq("ws_sec", "event_type"))
+            ()
+        }
+        .option("checkpointLocation", tempDir("graft_ckpt21").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // downstream: one feed per committed version, deltas netted in a
+      // single distributed rollup (no driver-side accumulation)
+      val ver = TxTable.snapshot(root).version
+      if (ver < 1L) throw new IllegalStateException("drain committed nothing")
+      val feeds = (1L to ver).map { v =>
+        TxTable.changeFeed(s, root, v - 1, v, Seq("ws_sec", "event_type"))
+          .select(col("event_type"),
+            (coalesce(col("post.n"), lit(0L)) -
+             coalesce(col("pre.n"), lit(0L))).as("delta"))
+      }.reduce(_ unionByName _)
+      feeds.groupBy("event_type")
+        .agg(sum(col("delta")).as("n"))
+        .orderBy("event_type")
+    },
+
     // ---- Q-str-02: sliding 10 s / 5 s window
     "Q-str-02" -> { (s, d) =>
       Replay.run(
@@ -839,6 +907,10 @@ object StreamingQueries {
       """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
                 count(*)::BIGINT AS n
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    // netted change-feed deltas must recover the from-scratch totals
+    "Q-str-21" ->
+      """SELECT event_type, count(*)::BIGINT AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
     "Q-str-02" ->
       """SELECT ws_sec, event_type, count(*)::BIGINT AS n FROM (
            SELECT ((floor(epoch(ts) / 5) - k) * 5)::BIGINT AS ws_sec, event_type, ts

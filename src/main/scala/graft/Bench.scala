@@ -67,7 +67,10 @@ object Bench {
     "Q-llm-36",   // brute-force L2 top-k (codegen expression)
     "Q-llm-37",   // PQ-ANN (codebook + encode + ADC join + re-rank)
     "Q-mm-07",    // real BMP encode + JDK ImageIO decode per doc
-    "Q-qual-06"   // ACID table: create + 2 transactional merges + snapshot read
+    "Q-qual-06",  // ACID table: create + 2 transactional merges + snapshot read
+    "Q-mm-09",    // real AVI encode + RIFF-walker video decode + frame sampling
+    "Q-qual-08",  // ACID table CDC: CoW delete + log-only change feed
+    "Q-str-21"    // stream -> table -> incremental change-feed downstream
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -45,6 +45,28 @@ object StreamingQueries {
     }
   }
 
+  /** Stage the events table as 4 time-ordered chunks in a stream-in
+    * directory (one micro-batch per mtime-ordered file under
+    * maxFilesPerTrigger=1). ONE global-sort pass writes every chunk
+    * (`partitionBy` fans the sorted stream out to the chunk dirs in a
+    * single job) — the four drain queries previously paid the ntile sort
+    * once per chunk. Returns (streamDir, chunk-1 DataFrame — the
+    * streaming-schema template and any seed reads). */
+  private def stageChunks(s: org.apache.spark.sql.SparkSession, d: String,
+                          tmp: Path): (String, org.apache.spark.sql.DataFrame) = {
+    val ev = Tables.events(s, d)
+    val wOrd = Window.orderBy(col("ts"), col("event_id"))
+    ev.withColumn("chunk", ntile(4).over(wOrd))
+      .coalesce(1)
+      .write.partitionBy("chunk").mode("overwrite").parquet(s"$tmp/chunks")
+    val dir = Files.createDirectory(tmp.resolve("stream"))
+    (1 to 4).foreach { c =>
+      copyParts(tmp.resolve("chunks").resolve(s"chunk=$c"), dir, s"c${c}_",
+        1000000000000L + c * 60000L)
+    }
+    (dir.toString, s.read.parquet(s"$tmp/chunks/chunk=1"))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- Q-scan-03: streaming file source, counts per type
     "Q-scan-03" -> { (s, d) =>
@@ -115,21 +137,9 @@ object StreamingQueries {
     // ingested) semantically free.
     "Q-str-18" -> { (s, d) =>
       val tmp = tempDir("graft_str18")
-      val ev = Tables.events(s, d)
-      val wOrd = Window.orderBy(col("ts"), col("event_id"))
-      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
-      (1 to 4).foreach { c =>
-        chunked.filter(col("chunk") === c).drop("chunk")
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/c$c")
-      }
-      val dir = Files.createDirectory(tmp.resolve("stream"))
-      (1 to 4).foreach { c =>
-        copyParts(tmp.resolve(s"c$c"), dir, s"c${c}_",
-          1000000000000L + c * 60000L)
-      }
-      val raw = s.read.parquet(s"$tmp/c1")
+      val (dir, raw) = stageChunks(s, d, tmp)
       val src = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
       Replay.run(
         src
           .withWatermark("ts", WM)
@@ -153,22 +163,10 @@ object StreamingQueries {
     // exactly the keys a batch changes, no more).
     "Q-str-19" -> { (s, d) =>
       val tmp = tempDir("graft_str19")
-      val ev = Tables.events(s, d)
-      val wOrd = Window.orderBy(col("ts"), col("event_id"))
-      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
-      (1 to 4).foreach { c =>
-        chunked.filter(col("chunk") === c).drop("chunk")
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/c$c")
-      }
-      val dir = Files.createDirectory(tmp.resolve("stream"))
-      (1 to 4).foreach { c =>
-        copyParts(tmp.resolve(s"c$c"), dir, s"c${c}_",
-          1000000000000L + c * 60000L)
-      }
+      val (dir, raw) = stageChunks(s, d, tmp)
       val log = s"$tmp/log"
-      val raw = s.read.parquet(s"$tmp/c1")
       val q = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
         .withWatermark("ts", WM)
         .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -216,22 +214,10 @@ object StreamingQueries {
     "Q-str-20" -> { (s, d) =>
       import graft.operators.TxTable
       val tmp = tempDir("graft_str20")
-      val ev = Tables.events(s, d)
-      val wOrd = Window.orderBy(col("ts"), col("event_id"))
-      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
-      (1 to 4).foreach { c =>
-        chunked.filter(col("chunk") === c).drop("chunk")
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/c$c")
-      }
-      val dir = Files.createDirectory(tmp.resolve("stream"))
-      (1 to 4).foreach { c =>
-        copyParts(tmp.resolve(s"c$c"), dir, s"c${c}_",
-          1000000000000L + c * 60000L)
-      }
+      val (dir, raw) = stageChunks(s, d, tmp)
       val root = s"$tmp/tbl"
-      val raw = s.read.parquet(s"$tmp/c1")
       val agg = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
         .withWatermark("ts", WM)
         .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
         .agg(count(lit(1)).as("n"))
@@ -303,22 +289,10 @@ object StreamingQueries {
     "Q-str-21" -> { (s, d) =>
       import graft.operators.TxTable
       val tmp = tempDir("graft_str21")
-      val ev = Tables.events(s, d)
-      val wOrd = Window.orderBy(col("ts"), col("event_id"))
-      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
-      (1 to 4).foreach { c =>
-        chunked.filter(col("chunk") === c).drop("chunk")
-          .coalesce(1).write.mode("overwrite").parquet(s"$tmp/c$c")
-      }
-      val dir = Files.createDirectory(tmp.resolve("stream"))
-      (1 to 4).foreach { c =>
-        copyParts(tmp.resolve(s"c$c"), dir, s"c${c}_",
-          1000000000000L + c * 60000L)
-      }
+      val (dir, raw) = stageChunks(s, d, tmp)
       val root = s"$tmp/tbl"
-      val raw = s.read.parquet(s"$tmp/c1")
       val agg = s.readStream.schema(raw.schema)
-        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
         .withWatermark("ts", WM)
         .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
         .agg(count(lit(1)).as("n"))

@@ -201,6 +201,13 @@ object ExplainCheck {
     for (q <- Seq("Q-llm-08", "Q-llm-37"))
       check(q, "index probe path has no CartesianProduct",
         p => !p.contains("CartesianProduct"))
+    // the change feed's pre/post image comparison is a keyed full-outer
+    // join — hash/merge-joinable on the table key, never a nested loop
+    // (the sides are file subsets, but the join shape is what must hold
+    // when an interval touches millions of rows)
+    check("Q-qual-08", "change-feed image join is keyed (no BNLJ/cartesian)",
+      p => !p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"))
     s.stop()
   }
 }

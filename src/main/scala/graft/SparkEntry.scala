@@ -27,7 +27,8 @@ object SparkEntry {
     (LlmOps.queries, LlmOps.oracle),
     (StreamingQueries.queries, StreamingQueries.oracle),
     (Extras.queries, Extras.oracle),
-    (SqlSurface.queries, SqlSurface.oracle)
+    (SqlSurface.queries, SqlSurface.oracle),
+    (Graph.queries, Graph.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

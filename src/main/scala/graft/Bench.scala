@@ -70,7 +70,9 @@ object Bench {
     "Q-qual-06",  // ACID table: create + 2 transactional merges + snapshot read
     "Q-mm-09",    // real AVI encode + RIFF-walker video decode + frame sampling
     "Q-qual-08",  // ACID table CDC: CoW delete + log-only change feed
-    "Q-str-21"    // stream -> table -> incremental change-feed downstream
+    "Q-str-21",   // stream -> table -> incremental change-feed downstream
+    "Q-llm-40",   // exact substring-span dedup (duplicated 10-token windows)
+    "Q-graph-01"  // PageRank, 8 rounds over the symmetrized trade graph
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

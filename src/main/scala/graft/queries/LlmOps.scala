@@ -797,6 +797,57 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ---- Q-llm-40: exact substring-span dedup (the Lee et al. 2021
+    // "Deduplicating Training Data" shape): find 10-token windows whose
+    // exact text recurs in ANOTHER doc, and report per-doc how many
+    // tokens sit inside such a duplicated span. Cross-doc duplication is
+    // PLANTED (same device as Q-llm-30): every 97th doc gets a twin
+    // quoting tokens 4..31 plus a unique tail, so the gate must flag
+    // both members of each pair with a 28-token shared span.
+    //
+    // Scale shape: windows come from the posexplode+lead codegen path
+    // (one doc-keyed exchange); duplicate detection is ONE fingerprint-
+    // keyed partial-agg shuffle over distinct (fp, doc) pairs — the
+    // inherent cost, same as a suffix-array sort's one global pass; span
+    // coverage explodes only DUPLICATED windows (candidates x W, never
+    // corpus tokens). No pairwise doc comparison anywhere.
+    "Q-llm-40" -> { (s, d) =>
+      val W = 10
+      val docs = Tables.documents(s, d)
+      val toks = split(col("text"), " ")
+      val twins = docs
+        .filter(col("doc_id") % 97 === 0 && size(toks) >= 31)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+          concat(concat_ws(" ", slice(toks, 4, 28)),
+            lit(" unique tail "), col("doc_id")).as("text"))
+      val corpus = docs.select("doc_id", "text").unionAll(twins)
+      val w = Window.partitionBy("doc_id").orderBy("__pos")
+      val tok = corpus.select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__w0")
+      val leads = (1 until W).map(k => lead("__w0", k).over(w).as(s"__w$k"))
+      val wins = tok
+        .select(Seq(col("doc_id"), col("__pos").as("pos"), col("__w0")) ++ leads: _*)
+        .filter(col(s"__w${W - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          md5(concat_ws(" ", (0 until W).map(k => col(s"__w$k")): _*)).as("fp"))
+        .persist()
+      val dup = wins.groupBy("fp").agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("fp")
+      val cov = wins.join(dup, "fp")
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(W - 1))).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+      val nt = corpus.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      val ndup = coalesce(col("n_dup"), lit(0L))
+      nt.join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          ndup.cast("bigint").as("n_dup_tokens"),
+          Portable.r(ndup.cast("double") / col("n_tokens"), 9).as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-llm-32: per-domain cap (RefinedWeb-style source balancing) —
     // canonicalize each doc's origin to a domain, keep at most 15 docs
     // per domain chosen by the deterministic key-hash rank (never arrival
@@ -1025,6 +1076,31 @@ object LlmOps {
   val oracle: Map[String, String] = Map(
     "Q-llm-38" -> bpeSql,
     "Q-llm-39" -> bpeApplyFullSql,
+    "Q-llm-40" ->
+      s"""WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id,
+                  array_to_string(list_slice(string_split(text, ' '), 4, 31), ' ')
+                    || ' unique tail ' || doc_id AS text
+           FROM documents
+           WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 31),
+         toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         wins AS (
+           SELECT doc_id, i - 1 AS pos,
+                  md5(array_to_string(list_slice(ws, i, i + 9), ' ')) AS fp
+           FROM toks, UNNEST(generate_series(1, len(ws) - 9)) AS g(i)),
+         dup AS (SELECT fp FROM wins GROUP BY fp
+                 HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT DISTINCT w.doc_id, g.p
+                 FROM wins w JOIN dup USING (fp),
+                      UNNEST(generate_series(w.pos, w.pos + 9)) AS g(p)),
+         nd AS (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id)
+         SELECT t.doc_id,
+                len(t.ws)::BIGINT AS n_tokens,
+                COALESCE(nd.n, 0)::BIGINT AS n_dup_tokens,
+                ${Portable.rSql("COALESCE(nd.n, 0)::DOUBLE / len(t.ws)", 9)} AS dup_ratio
+         FROM toks t LEFT JOIN nd USING (doc_id) ORDER BY t.doc_id""",
     "Q-llm-34" -> {
       val nStop = "len(list_intersect(list_distinct(ws), ['the','a','of','to','and']))"
       val meanLen = "CAST(list_sum(list_transform(ws, w -> strlen(w))) AS DOUBLE) / len(ws)"

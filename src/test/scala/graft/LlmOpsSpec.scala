@@ -179,4 +179,26 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(flag == (n >= 3), s"doc $id: flag $flag inconsistent with n=$n")
     }
   }
+
+  test("Q-llm-40 substring-span dedup: planted twins carry the exact 28-token span") {
+    val rows = SparkEntry.queries("Q-llm-40")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val twins = rows.keys.filter(_ >= 3000000L)
+    assert(twins.nonEmpty)
+    twins.foreach { id =>
+      val (nTok, nDup) = rows(id)
+      // twin text = 28 quoted tokens + "unique tail <id>"; windows fully
+      // inside the quoted span cover exactly its 28 tokens
+      assert(nTok == 31L, s"twin $id token count $nTok")
+      assert(nDup == 28L, s"twin $id dup span $nDup")
+      // the quoted ORIGINAL is flagged with at least the same 28 tokens
+      // (more if it also duplicates naturally)
+      val orig = rows(id - 3000000L)
+      assert(orig._2 >= 28L, s"original ${id - 3000000L} dup span ${orig._2}")
+    }
+    // every reported span is within the doc's token count
+    rows.foreach { case (id, (n, dup)) =>
+      assert(dup <= n, s"doc $id: dup $dup > tokens $n")
+    }
+  }
 }

@@ -848,6 +848,77 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ---- Q-llm-41: TRAINED Naive-Bayes language classifier — unlike
+    // Q-llm-09's fixed n-gram heuristic, this one LEARNS char-bigram
+    // class-conditionals from an 80% key-hash train split (Q-llm-22's
+    // split device) and predicts on the held-out 20%. The synthetic
+    // corpus's lang labels are uncorrelated with its text, so a
+    // learnable signal is PLANTED (Q-llm-30's device): every doc carries
+    // a repeated lang marker, and the gate proves the pipeline learns it
+    // (spec pins held-out accuracy).
+    //
+    // Scale shape: bigrams are extracted NARROWLY (per-row transform, no
+    // exchange at all — trading codegen for zero shuffle); training is
+    // two partial-agg shuffles keyed by (lang, bigram); the model
+    // (langs x vocab) broadcasts back, so scoring never shuffles test
+    // text — only the (doc, lang) score rollup crosses the wire.
+    // Numerics follow Q-llm-28: log-probs cast to DECIMAL(20,10), count
+    // x decimal products summed exactly, so argmax is engine-portable.
+    "Q-llm-41" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val docs = Tables.documents(s, d)
+      val marked = concat(col("text"), lit(" "),
+        repeat(concat(lit("xq"), col("lang"), lit(" ")), 3))
+      val base = docs.select(col("doc_id"), col("lang"),
+          regexp_replace(lower(marked), "[^a-z]+", " ").as("t"))
+        .withColumn("is_train",
+          substring(md5(concat(lit("nb42:"), col("doc_id"))), 1, 2) < "cc")
+        .filter(length(col("t")) >= 2)
+      val bg = base.select(col("doc_id"), col("lang"), col("is_train"),
+        explode(expr("transform(sequence(1, length(t) - 1), i -> substr(t, i, 2))"))
+          .as("b"))
+      val trainCounts = bg.filter(col("is_train"))
+        .groupBy("lang", "b").agg(count(lit(1)).as("c"))
+      val langTot = trainCounts.groupBy("lang").agg(sum(col("c")).as("tot"))
+      val vocabN = trainCounts.select("b").distinct().count().toDouble
+      val nTrainDocs = base.filter(col("is_train")).count().toDouble
+      val langStats = langTot
+        .join(base.filter(col("is_train")).groupBy("lang")
+          .agg(count(lit(1)).as("n_docs")), "lang")
+        .select(col("lang"),
+          log(col("n_docs").cast("double") / lit(nTrainDocs))
+            .cast(DecimalType(20, 10)).as("prior"),
+          log(lit(1.0) / (col("tot").cast("double") + lit(vocabN)))
+            .cast(DecimalType(20, 10)).as("lp_unseen"),
+          (col("tot").cast("double") + lit(vocabN)).as("denom"))
+      val model = trainCounts.join(langStats, "lang")
+        .select(col("lang"), col("b"),
+          log((col("c").cast("double") + lit(1.0)) / col("denom"))
+            .cast(DecimalType(20, 10)).as("lp"))
+      val testBG = bg.filter(!col("is_train"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).cast(DecimalType(8, 0)).as("n"))
+      val scored = testBG
+        .crossJoin(broadcast(langStats.select(col("lang").as("cl"),
+          col("prior"), col("lp_unseen"))))
+        .join(broadcast(model),
+          col("cl") === model("lang") && testBG("b") === model("b"), "left")
+        .groupBy(col("doc_id"), col("cl"))
+        .agg((max(col("prior")) +
+          sum(col("n") * coalesce(col("lp"), col("lp_unseen")))).as("score"))
+      val wPred = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("cl"))
+      val pred = scored
+        .withColumn("rk", row_number().over(wPred))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("cl").as("pred"),
+          Portable.r(col("score").cast("double"), 6).as("score"))
+      base.filter(!col("is_train")).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred"),
+          (col("lang") === col("pred")).as("correct"), col("score"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-llm-32: per-domain cap (RefinedWeb-style source balancing) —
     // canonicalize each doc's origin to a domain, keep at most 15 docs
     // per domain chosen by the deterministic key-hash rank (never arrival
@@ -1076,6 +1147,55 @@ object LlmOps {
   val oracle: Map[String, String] = Map(
     "Q-llm-38" -> bpeSql,
     "Q-llm-39" -> bpeApplyFullSql,
+    "Q-llm-41" ->
+      s"""WITH base AS (
+           SELECT doc_id, lang,
+                  regexp_replace(lower(text || ' ' || repeat('xq' || lang || ' ', 3)),
+                                 '[^a-z]+', ' ', 'g') AS t,
+                  substr(md5('nb42:' || doc_id), 1, 2) < 'cc' AS is_train
+           FROM documents),
+         base2 AS (SELECT * FROM base WHERE strlen(t) >= 2),
+         bg AS (
+           SELECT doc_id, lang, is_train, substr(t, i, 2) AS b
+           FROM base2, UNNEST(generate_series(1, strlen(t) - 1)) AS g(i)),
+         tc AS (SELECT lang, b, count(*) AS c FROM bg WHERE is_train
+                GROUP BY lang, b),
+         lt AS (SELECT lang, sum(c) AS tot FROM tc GROUP BY lang),
+         v AS (SELECT count(DISTINCT b)::DOUBLE AS vn FROM tc),
+         nd AS (SELECT count(*)::DOUBLE AS n FROM base2 WHERE is_train),
+         ld AS (SELECT lang, count(*) AS n_docs FROM base2 WHERE is_train
+                GROUP BY lang),
+         ls AS (
+           SELECT l.lang,
+                  CAST(ln(ld.n_docs::DOUBLE / (SELECT n FROM nd))
+                       AS DECIMAL(20,10)) AS prior,
+                  CAST(ln(1.0 / (l.tot::DOUBLE + (SELECT vn FROM v)))
+                       AS DECIMAL(20,10)) AS lp_unseen,
+                  l.tot::DOUBLE + (SELECT vn FROM v) AS denom
+           FROM lt l JOIN ld USING (lang)),
+         model AS (
+           SELECT tc.lang, tc.b,
+                  CAST(ln((tc.c::DOUBLE + 1.0) / ls.denom)
+                       AS DECIMAL(20,10)) AS lp
+           FROM tc JOIN ls USING (lang)),
+         tbg AS (SELECT doc_id, b, count(*)::DECIMAL(8,0) AS n
+                 FROM bg WHERE NOT is_train GROUP BY doc_id, b),
+         scored AS (
+           SELECT t.doc_id, ls.lang AS cl,
+                  max(ls.prior) + sum(t.n * COALESCE(m.lp, ls.lp_unseen)) AS score
+           FROM tbg t CROSS JOIN ls
+                LEFT JOIN model m ON m.lang = ls.lang AND m.b = t.b
+           GROUP BY t.doc_id, ls.lang),
+         pred AS (
+           SELECT doc_id, cl, score,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cl) AS rk
+           FROM scored)
+         SELECT b.doc_id, b.lang, p.cl AS pred, b.lang = p.cl AS correct,
+                ${Portable.rSql("p.score::DOUBLE", 6)} AS score
+         FROM (SELECT doc_id, lang FROM base2 WHERE NOT is_train) b
+         JOIN pred p ON b.doc_id = p.doc_id AND p.rk = 1
+         ORDER BY b.doc_id""",
     "Q-llm-40" ->
       s"""WITH corpus AS (
            SELECT doc_id, text FROM documents

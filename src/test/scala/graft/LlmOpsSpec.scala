@@ -201,4 +201,19 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(dup <= n, s"doc $id: dup $dup > tokens $n")
     }
   }
+
+  test("Q-llm-41 NB classifier: learns the planted signal on held-out docs") {
+    val rows = SparkEntry.queries("Q-llm-41")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // held-out only: ~20% of the corpus
+    assert(rows.length < 200, s"test split too large: ${rows.length}")
+    val acc = rows.count(_._4).toDouble / rows.length
+    info(s"held-out accuracy = $acc over ${rows.length} docs")
+    assert(acc >= 0.9, s"classifier failed to learn the planted marker: $acc")
+    // correct flag is consistent with the lang/pred pair
+    rows.foreach { case (id, lang, pred, ok) =>
+      assert(ok == (lang == pred), s"doc $id inconsistent correct flag")
+    }
+  }
 }

@@ -72,7 +72,9 @@ object Bench {
     "Q-qual-08",  // ACID table CDC: CoW delete + log-only change feed
     "Q-str-21",   // stream -> table -> incremental change-feed downstream
     "Q-llm-40",   // exact substring-span dedup (duplicated 10-token windows)
-    "Q-graph-01"  // PageRank, 8 rounds over the symmetrized trade graph
+    "Q-graph-01", // PageRank, 8 rounds over the symmetrized trade graph
+    "Q-llm-41",   // trained Naive-Bayes language classifier (train + score)
+    "Q-llm-42"    // trained logistic-regression quality gate (12 GD rounds)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -21,6 +21,9 @@ import graft.operators.IvfIndex
 object LlmOps {
 
   private val BANDS = 6      // MinHash-LSH band count (R=1 rows/band)
+  private val LR_ITERS = 12  // Q-llm-42 full-batch GD rounds (shared w/ oracle;
+                             // DuckDB plans the unrolled chain superlinearly,
+                             // so rounds stay low and the learning rate high)
   private val LSH_BITS = 6   // hyperplane-LSH bucket bits (Q-llm-14)
   private val LSH_TABLES = 4 // hyperplane-LSH independent tables (Q-llm-14)
 
@@ -919,6 +922,75 @@ object LlmOps {
         .orderBy("doc_id")
     },
 
+    // ---- Q-llm-42: TRAINED logistic-regression quality classifier —
+    // the fastText-style quality gate real pipelines train: 3 document
+    // statistics (mean token length, stopword rate, distinct-token
+    // ratio), portably standardized, then 12 rounds of full-batch
+    // gradient descent. The supervision target is a deterministic rule
+    // over two of the features, so the learner's job (recover a
+    // separating plane through the standardized space) is honest and
+    // the spec can pin accuracy.
+    //
+    // Scale shape: the driver loop is the treeAggregate pattern — each
+    // round is ONE partial-agg scan of the persisted feature table
+    // producing 4 scalar gradient sums (shuffle = 4 decimals x
+    // partitions); features/weights never fan out. Cross-engine
+    // exactness: every per-doc gradient contribution is floor-rounded
+    // to 9 decimals before the exact decimal sum (the PageRank lesson),
+    // so all 50 weight vectors — and therefore every prediction — are
+    // bit-identical to the DuckDB unrolled-CTE oracle.
+    "Q-llm-42" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ws = split(col("text"), " ")
+      val stopF = "size(filter(split(text, ' '), " +
+        "w -> array_contains(array('the','a','of','to','and'), w)))"
+      val feats = docs.select(col("doc_id"),
+          Portable.r(length(col("text")).cast("double") / size(ws), 6).as("x1"),
+          Portable.r(expr(stopF).cast("double") / size(ws), 6).as("x2"),
+          Portable.r(size(array_distinct(ws)).cast("double") / size(ws), 6).as("x3"))
+        .withColumn("y",
+          when(col("x1") <= 6.0 && col("x2") >= 0.04, 1.0).otherwise(0.0))
+        .persist()
+      val n = feats.count().toDouble
+      val muRow = feats.agg(
+        Portable.r(Portable.dsum(col("x1")) / lit(n), 6),
+        Portable.r(Portable.dsum(col("x2")) / lit(n), 6),
+        Portable.r(Portable.dsum(col("x3")) / lit(n), 6)).collect()(0)
+      val mu = (0 to 2).map(muRow.getDouble)
+      val sdRow = feats.agg(
+        Portable.r(sqrt(Portable.dsum((col("x1") - lit(mu(0))) * (col("x1") - lit(mu(0)))) / lit(n)), 6),
+        Portable.r(sqrt(Portable.dsum((col("x2") - lit(mu(1))) * (col("x2") - lit(mu(1)))) / lit(n)), 6),
+        Portable.r(sqrt(Portable.dsum((col("x3") - lit(mu(2))) * (col("x3") - lit(mu(2)))) / lit(n)), 6)).collect()(0)
+      val sd = (0 to 2).map(sdRow.getDouble)
+      val zf = feats.select(col("doc_id"), col("y"),
+          Portable.r((col("x1") - lit(mu(0))) / lit(sd(0)), 6).as("z1"),
+          Portable.r((col("x2") - lit(mu(1))) / lit(sd(1)), 6).as("z2"),
+          Portable.r((col("x3") - lit(mu(2))) / lit(sd(2)), 6).as("z3"))
+        .persist()
+      zf.count()
+      feats.unpersist()
+      val ETA = 8.0
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 1 to LR_ITERS) {
+        val z = lit(w(0)) + lit(w(1)) * col("z1") +
+          lit(w(2)) * col("z2") + lit(w(3)) * col("z3")
+        val sig = lit(1.0) / (lit(1.0) + exp(-z))
+        val g = zf.agg(
+          Portable.dsum(Portable.r(sig - col("y"), 9)),
+          Portable.dsum(Portable.r((sig - col("y")) * col("z1"), 9)),
+          Portable.dsum(Portable.r((sig - col("y")) * col("z2"), 9)),
+          Portable.dsum(Portable.r((sig - col("y")) * col("z3"), 9))).collect()(0)
+        w = Array.tabulate(4)(j => w(j) - ETA * (g.getDouble(j) / n))
+      }
+      val zFin = lit(w(0)) + lit(w(1)) * col("z1") +
+        lit(w(2)) * col("z2") + lit(w(3)) * col("z3")
+      val p = Portable.r(lit(1.0) / (lit(1.0) + exp(-zFin)), 6)
+      zf.select(col("doc_id"), col("y").cast("bigint").as("y"),
+          p.as("p"), (p >= 0.5).as("pred"),
+          ((p >= 0.5) === (col("y") === 1.0)).as("correct"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-llm-32: per-domain cap (RefinedWeb-style source balancing) —
     // canonicalize each doc's origin to a domain, keep at most 15 docs
     // per domain chosen by the deterministic key-hash rank (never arrival
@@ -1147,6 +1219,76 @@ object LlmOps {
   val oracle: Map[String, String] = Map(
     "Q-llm-38" -> bpeSql,
     "Q-llm-39" -> bpeApplyFullSql,
+    "Q-llm-42" -> {
+      def dsum9(x: String) = Portable.dsumSql(s"floor(($x) * 1e9 + 0.5) / 1e9")
+      // each CTE references its predecessor EXACTLY ONCE (weights carried
+      // as columns through a cross join, re-read via max()) — a scalar
+      // subquery per weight re-binds the whole upstream chain at every
+      // reference, which DuckDB's binder expands exponentially
+      val rounds = (1 to LR_ITERS).map { k =>
+        val prev = s"w${k - 1}"
+        s"""s$k AS (
+              SELECT w.w0, w.w1, w.w2, w.w3, f.y, f.z1, f.z2, f.z3,
+                     1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.z1 +
+                                        w.w2 * f.z2 + w.w3 * f.z3))) AS sig
+              FROM zf f CROSS JOIN $prev w),
+            g$k AS (
+              SELECT max(w0) AS w0, max(w1) AS w1,
+                     max(w2) AS w2, max(w3) AS w3,
+                     ${dsum9("sig - y")} AS g0,
+                     ${dsum9("(sig - y) * z1")} AS g1,
+                     ${dsum9("(sig - y) * z2")} AS g2,
+                     ${dsum9("(sig - y) * z3")} AS g3,
+                     count(*)::DOUBLE AS n
+              FROM s$k),
+            w$k AS (
+              SELECT w0 - 8.0 * (g0 / n) AS w0,
+                     w1 - 8.0 * (g1 / n) AS w1,
+                     w2 - 8.0 * (g2 / n) AS w2,
+                     w3 - 8.0 * (g3 / n) AS w3
+              FROM g$k)"""
+      }.mkString(",\n")
+      val wf = s"w$LR_ITERS"
+      val stop = "len(list_filter(string_split(text, ' '), " +
+        "w -> list_contains(['the','a','of','to','and'], w)))"
+      s"""WITH f0 AS (
+            SELECT doc_id,
+                   ${Portable.rSql("strlen(text)::DOUBLE / len(string_split(text, ' '))", 6)} AS x1,
+                   ${Portable.rSql(s"$stop::DOUBLE / len(string_split(text, ' '))", 6)} AS x2,
+                   ${Portable.rSql("len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' '))", 6)} AS x3
+            FROM documents),
+          f1 AS (
+            SELECT *, CASE WHEN x1 <= 6.0 AND x2 >= 0.04
+                           THEN 1.0 ELSE 0.0 END AS y FROM f0),
+          mu AS (
+            SELECT ${Portable.rSql(Portable.dsumSql("x1") + " / count(*)::DOUBLE", 6)} AS m1,
+                   ${Portable.rSql(Portable.dsumSql("x2") + " / count(*)::DOUBLE", 6)} AS m2,
+                   ${Portable.rSql(Portable.dsumSql("x3") + " / count(*)::DOUBLE", 6)} AS m3,
+                   count(*)::DOUBLE AS n
+            FROM f1),
+          sd AS (
+            SELECT ${Portable.rSql("sqrt(" + Portable.dsumSql("(x1 - (SELECT m1 FROM mu)) * (x1 - (SELECT m1 FROM mu))") + " / (SELECT n FROM mu))", 6)} AS s1,
+                   ${Portable.rSql("sqrt(" + Portable.dsumSql("(x2 - (SELECT m2 FROM mu)) * (x2 - (SELECT m2 FROM mu))") + " / (SELECT n FROM mu))", 6)} AS s2,
+                   ${Portable.rSql("sqrt(" + Portable.dsumSql("(x3 - (SELECT m3 FROM mu)) * (x3 - (SELECT m3 FROM mu))") + " / (SELECT n FROM mu))", 6)} AS s3
+            FROM f1),
+          zf AS (
+            SELECT doc_id, y,
+                   ${Portable.rSql("(x1 - (SELECT m1 FROM mu)) / (SELECT s1 FROM sd)", 6)} AS z1,
+                   ${Portable.rSql("(x2 - (SELECT m2 FROM mu)) / (SELECT s2 FROM sd)", 6)} AS z2,
+                   ${Portable.rSql("(x3 - (SELECT m3 FROM mu)) / (SELECT s3 FROM sd)", 6)} AS z3
+            FROM f1),
+          w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+          $rounds
+          SELECT doc_id, y::BIGINT AS y,
+                 p, p >= 0.5 AS pred,
+                 (p >= 0.5) = (y = 1.0) AS correct
+          FROM (SELECT f.doc_id, f.y,
+                       ${Portable.rSql(
+                         "1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.z1 + " +
+                         "w.w2 * f.z2 + w.w3 * f.z3)))", 6)} AS p
+                FROM zf f CROSS JOIN $wf w)
+          ORDER BY doc_id"""
+    },
     "Q-llm-41" ->
       s"""WITH base AS (
            SELECT doc_id, lang,

@@ -216,4 +216,20 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(ok == (lang == pred), s"doc $id inconsistent correct flag")
     }
   }
+
+  test("Q-llm-42 LR quality classifier: beats the base rate on its target") {
+    val rows = SparkEntry.queries("Q-llm-42")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    val acc = rows.count(_._4).toDouble / rows.length
+    val baseRate = math.max(rows.count(_._2 == 1L), rows.count(_._2 == 0L))
+      .toDouble / rows.length
+    info(s"accuracy = $acc vs base rate $baseRate over ${rows.length} docs")
+    assert(acc >= 0.9, s"GD failed to fit the separating plane: $acc")
+    assert(acc > baseRate, "classifier no better than majority vote")
+    // probabilities are calibrated into [0, 1]
+    rows.foreach { case (id, _, p, _) =>
+      assert(p >= 0.0 && p <= 1.0, s"doc $id probability $p out of range")
+    }
+  }
 }

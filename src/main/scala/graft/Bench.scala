@@ -74,7 +74,8 @@ object Bench {
     "Q-llm-40",   // exact substring-span dedup (duplicated 10-token windows)
     "Q-graph-01", // PageRank, 8 rounds over the symmetrized trade graph
     "Q-llm-41",   // trained Naive-Bayes language classifier (train + score)
-    "Q-llm-42"    // trained logistic-regression quality gate (12 GD rounds)
+    "Q-llm-42",   // trained logistic-regression quality gate (12 GD rounds)
+    "Q-qual-09"   // ACID table OPTIMIZE: epoch appends -> re-cluster -> pruned read
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

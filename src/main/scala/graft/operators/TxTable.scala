@@ -500,6 +500,48 @@ object TxTable {
       s"commit to $root failed after $maxAttempts attempts (contention)")
   }
 
+  /** APPEND: the new batch lands as new files; every existing file
+    * carries over by reference — the per-epoch ingest commit. */
+  def append(spark: SparkSession, root: String, batch: DataFrame,
+             tag: Option[String] = None): CommitResult =
+    transactFiles(spark, root, "append", tag)(snap => (snap.files, batch))
+
+  /** OPTIMIZE: re-cluster the live snapshot by the table's stats key —
+    * range partition + within-file sort into `targetFiles` files, as a
+    * normal optimistic commit. A streamed-into table accretes files that
+    * EACH span the whole key domain (every epoch carries all keys), so
+    * the log's per-file [min, max] can never exclude anything and
+    * [[readPruned]] degenerates to a full scan. After OPTIMIZE the files
+    * tile the key space with tight disjoint stats, so a range read opens
+    * ~(selected range / table range) of the files — the layout move that
+    * turns a 100 TB table's point/range lookups from O(table) to
+    * O(result). Time travel to pre-OPTIMIZE versions still resolves. */
+  def optimize(spark: SparkSession, root: String,
+               targetFiles: Int = 4): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val key = snapshot(root).statsKey.getOrElse(
+      throw new IllegalArgumentException(
+        s"optimize needs a stats key — create(df, root, statsKey = Some(...))"))
+    transact(spark, root, "optimize")(
+      _.repartitionByRange(targetFiles, col(key)).sortWithinPartitions(key))
+  }
+
+  /** Metadata-only pruning accounting: (files a [lo, hi] range read
+    * would open, live files total) — [[readPruned]]'s selection rule,
+    * exposed so layout decisions (did OPTIMIZE help?) are checkable
+    * without scanning data. */
+  def pruneAccounting(root: String, lo: Long, hi: Long): (Int, Int) = {
+    val snap = snapshot(root)
+    val st = snap.fileStats
+    val kept = snap.files.count { f =>
+      st.get(f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    (kept, snap.files.length)
+  }
+
   /** Copy-on-write MERGE — the merge shape that holds at 100 TB: only
     * files whose key range can CONTAIN a changed key are rewritten
     * (anti-join + union, exactly [[merge]]'s semantics); every other

@@ -915,6 +915,40 @@ object Extras {
         .orderBy("k")
     },
 
+    // ---- Q-qual-09: OPTIMIZE (layout re-clustering) + metadata pruning
+    // on the ACID table — the streamed-into layout problem made
+    // concrete: 4 per-epoch appends each spanning the WHOLE key domain,
+    // so the log's per-file [min, max] can exclude NOTHING and a range
+    // read opens every file. One transactional OPTIMIZE (range partition
+    // + within-file sort by the stats key) re-tiles the key space; the
+    // same range read then opens at most half the files (asserted from
+    // the LOG alone, zero data I/O). The returned rows — the pruned
+    // range read's aggregate — hash-match the plain filtered aggregate
+    // over the source, proving layout maintenance is invisible to
+    // results while the accounting proves it is visible to cost.
+    "Q-qual-09" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual09").toString + "/tbl"
+      val ev = Tables.events(s, d).select(
+        col("user_id").as("k"), col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("bigint").as("cents"),
+        col("event_id"))
+      def batch(b: Int) = ev.filter(col("event_id") % 4 === b).drop("event_id")
+      TxTable.create(batch(0), root, statsKey = Some("k"))     // v0
+      (1 to 3).foreach(b => TxTable.append(s, root, batch(b))) // v1..v3
+      val (kBefore, nBefore) = TxTable.pruneAccounting(root, 3L, 5L)
+      if (kBefore != nBefore || nBefore < 4) throw new IllegalStateException(
+        s"expected an unprunable epoch layout, got $kBefore/$nBefore")
+      TxTable.optimize(s, root, targetFiles = 4)               // v4
+      val (kAfter, nAfter) = TxTable.pruneAccounting(root, 3L, 5L)
+      if (kAfter * 2 > nAfter) throw new IllegalStateException(
+        s"optimize did not tighten file stats: range read opens $kAfter/$nAfter")
+      TxTable.readPruned(s, root, 3L, 5L)
+        .groupBy("k", "event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("k", "event_type")
+    },
+
     // ---- Q-evt-08: activity-quartile segmentation — users bucketed into
     // engagement quartiles (ntile over the AGGREGATED per-user table:
     // |users| rows, not |events|, so the single-partition rank is cheap;
@@ -1178,6 +1212,15 @@ object Extras {
                 'NEW', cents0
          FROM s1 WHERE k % 10 = 1
          ORDER BY k""",
+    // layout maintenance is invisible to results: the pruned range read
+    // over the optimized table equals the plain filtered aggregate
+    "Q-qual-09" ->
+      """SELECT user_id AS k, event_type,
+                count(*)::BIGINT AS n,
+                sum(floor(value * 100 + 0.5)::BIGINT)::BIGINT AS cents
+         FROM events WHERE user_id BETWEEN 3 AND 5
+         GROUP BY user_id, event_type
+         ORDER BY k, event_type""",
     // final ACID-table state derived from the source in one pass: the
     // k%3 batch committed after k%7, so it wins the k%21 overlap
     "Q-qual-06" ->

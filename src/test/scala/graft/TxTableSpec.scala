@@ -382,6 +382,35 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize: content-invariant, prunable layout, history travelable") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // 3 epoch appends, each spanning the whole key domain 0..99
+    def batch(b: Int) = (0L until 100L).map(k => (k, s"v$b-$k"))
+      .toDF("k", "s").repartition(1)
+    TxTable.create(batch(0), root, statsKey = Some("k"))
+    TxTable.append(spark, root, batch(1))
+    TxTable.append(spark, root, batch(2))
+    val before = rows(root)
+    val (kb, nb) = TxTable.pruneAccounting(root, 10L, 19L)
+    assert(kb == nb && nb >= 3, s"epoch layout should be unprunable: $kb/$nb")
+    val res = TxTable.optimize(spark, root, targetFiles = 5)
+    assert(res.version == 3L)
+    // identical content, now range-prunable
+    assert(rows(root) == before)
+    val (ka, na) = TxTable.pruneAccounting(root, 10L, 19L)
+    assert(na >= 5 && ka <= 1, s"10% key range should open <=1 of $na files, opened $ka")
+    val pruned = TxTable.readPruned(spark, root, 10L, 19L)
+      .as[(Long, String)].collect().toSet
+    assert(pruned == before.filter { case (k, _) => k >= 10 && k <= 19 })
+    // the pre-optimize version still resolves exactly
+    assert(rows(root, 2L) == before)
+    // optimize without a stats key refuses loudly
+    val root2 = freshRoot() + "/t2"
+    TxTable.create(batch(0), root2)
+    assertThrows[IllegalArgumentException](TxTable.optimize(spark, root2))
+  }
+
   test("create refuses an existing table; read refuses a non-table") {
     import spark.implicits._
     val root = freshRoot()

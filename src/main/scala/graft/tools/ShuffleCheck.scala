@@ -29,8 +29,11 @@ object ShuffleCheck {
   def main(args: Array[String]): Unit = {
     val s = EngineSession.getOrCreate("shuffle-check")
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // dev knob (same as Bench): SPARK_GRAFT_ONLY="Q-a,Q-b" restricts the run
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     println(f"${"query"}%-12s ${"input MB"}%10s ${"shuffle MB"}%11s ${"shuffle rows"}%13s")
-    for (name <- batchHeadline) {
+    for (name <- batchHeadline if only.forall(_(name))) {
       val input = new AtomicLong; val sw = new AtomicLong; val srec = new AtomicLong
       val listener = new SparkListener {
         override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {

@@ -75,7 +75,8 @@ object Bench {
     "Q-graph-01", // PageRank, 8 rounds over the symmetrized trade graph
     "Q-llm-41",   // trained Naive-Bayes language classifier (train + score)
     "Q-llm-42",   // trained logistic-regression quality gate (12 GD rounds)
-    "Q-qual-09"   // ACID table OPTIMIZE: epoch appends -> re-cluster -> pruned read
+    "Q-qual-09",  // ACID table OPTIMIZE: epoch appends -> re-cluster -> pruned read
+    "Q-llm-43"    // trained k-means (Lloyd's, 6 rounds over broadcast model)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -28,7 +28,8 @@ object SparkEntry {
     (StreamingQueries.queries, StreamingQueries.oracle),
     (Extras.queries, Extras.oracle),
     (SqlSurface.queries, SqlSurface.oracle),
-    (Graph.queries, Graph.oracle)
+    (Graph.queries, Graph.oracle),
+    (Clustering.queries, Clustering.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

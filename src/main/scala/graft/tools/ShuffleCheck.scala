@@ -24,7 +24,8 @@ object ShuffleCheck {
     "Q-llm-26", "Q-llm-27", "Q-llm-28", "Q-llm-30", "Q-agg-16", "Q-join-17",
     "Q-llm-32", "Q-llm-33", "Q-qual-05", "Q-sql-16",
     "Q-llm-38", "Q-qual-06", "Q-mm-07", "Q-mm-08", "Q-mm-09", "Q-qual-08",
-    "Q-llm-40", "Q-graph-01", "Q-llm-41", "Q-llm-42", "Q-qual-09")
+    "Q-llm-40", "Q-graph-01", "Q-llm-41", "Q-llm-42", "Q-qual-09",
+    "Q-llm-43")
 
   def main(args: Array[String]): Unit = {
     val s = EngineSession.getOrCreate("shuffle-check")

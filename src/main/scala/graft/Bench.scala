@@ -76,7 +76,8 @@ object Bench {
     "Q-llm-41",   // trained Naive-Bayes language classifier (train + score)
     "Q-llm-42",   // trained logistic-regression quality gate (12 GD rounds)
     "Q-qual-09",  // ACID table OPTIMIZE: epoch appends -> re-cluster -> pruned read
-    "Q-llm-43"    // trained k-means (Lloyd's, 6 rounds over broadcast model)
+    "Q-llm-43",   // trained k-means (Lloyd's, 6 rounds over broadcast model)
+    "Q-llm-44"    // SemDeDup: trained-cluster blocking + int64 cosine prune
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -33,7 +33,17 @@ object KMeans {
     * final assignment: (vec_id, cluster, dist2), quantized-space squared
     * L2 distance to the learned centroid. */
   def run(emb: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+          k: Int, iters: Int, scale: Int = 1000): DataFrame =
+    trained(emb, idCol, vecCol, k, iters, scale)
+      .select(col("id").as("vec_id"),
+        col("cluster").cast("bigint").as("cluster"), col("dist2"))
+
+  /** Same training, but keep the quantized vector alongside the
+    * assignment: (id, qv, cluster, dist2). Consumers that need the
+    * vector in the learned-cluster space (SemDeDup's within-cluster
+    * prune) read it here instead of re-joining the corpus on id. */
+  def trained(emb: DataFrame, idCol: String, vecCol: String,
+              k: Int, iters: Int, scale: Int = 1000): DataFrame = {
     // fixed-point quantization: float -> exact double -> floor(x*scale)
     val q = emb.select(
         col(idCol).cast("long").as("id"),
@@ -74,7 +84,6 @@ object KMeans {
       cents = next
     }
 
-    assigned.select(col("id").as("vec_id"),
-      col("cluster").cast("bigint").as("cluster"), col("dist2"))
+    assigned.select(col("id"), col("qv"), col("cluster"), col("dist2"))
   }
 }

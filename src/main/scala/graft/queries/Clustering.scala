@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.KMeans
 
-/** Trained clustering over the embeddings table.
+/** Trained clustering over the embeddings table, and the semantic
+  * dedup built on top of it.
   *
   * The reference's declared surface has no learned operators, but a
   * training-data pipeline needs clustering immediately: semantic-dedup
@@ -21,6 +22,14 @@ object Clustering {
   private val K = 8
   private val ITERS = 6
   private val SCALE = 1000
+
+  // SemDeDup cosine threshold τ = 0.4 as the exact rational TAU_NUM/TAU_DEN
+  // (τ² = 4/25), so cos(a,b) ≥ τ is decided in pure int64:
+  //   dot > 0  AND  TAU_DEN·dot² ≥ TAU_NUM·|a|²·|b|²
+  // Headroom: |qv_i| ≤ ~600 at these SFs, so dot ≤ 64·3.6e5 ≈ 2.3e7,
+  // 25·dot² ≤ 1.3e16 — far inside int64 on both engines.
+  private val TAU_NUM = 4L
+  private val TAU_DEN = 25L
 
   /** DuckDB text of one unrolled Lloyd round: assignment against
     * c{t-1}, then the floor-div mean update into c{t}. Mirrors
@@ -62,34 +71,106 @@ object Clustering {
       KMeans.run(Tables.embeddings(s, d), "vec_id", "embedding", K, ITERS,
           SCALE)
         .orderBy("vec_id")
+    },
+
+    // ---- Q-llm-44: SemDeDup — semantic dedup by trained-cluster
+    // blocking (the 8th dedup mode, and the one that catches PARAPHRASE
+    // duplicates no fingerprint mode can): k-means first, then the
+    // pairwise cosine prune runs WITHIN each learned cluster only.
+    // Policy (the paper's keep-one-per-group, made deterministic): drop
+    // a vector iff a lower-id cluster-mate sits within cosine τ.
+    // Scale shape: pair space is Σ cell² — the operator's k is the
+    // blocking knob (real runs size k ≈ N/target_cell; K keeps cells
+    // small at these SFs), norms attach map-side BEFORE the pair join,
+    // the hot loop is the native codegen long_dot (no per-pair array
+    // allocation), and the threshold compare is pure int64 on the
+    // quantized vectors so the oracle replays it exactly (no IEEE
+    // division or sqrt anywhere).
+    "Q-llm-44" -> { (s, d) =>
+      graft.functions.LongDot.register(s)
+      val t = KMeans.trained(Tables.embeddings(s, d), "vec_id", "embedding",
+        K, ITERS, SCALE)
+      // localCheckpoint: the assignment feeds three consumers (both pair
+      // sides and the verdict frame); truncating the lineage here means
+      // the k×dim model literal is analyzed/codegen'd ONCE and the
+      // assignment rows are materialized once, instead of three times
+      val withNorm = t.withColumn("n", expr("long_dot(qv, qv)"))
+        .localCheckpoint()
+      val x = withNorm.select(col("cluster"), col("id").as("a"),
+        col("qv").as("qa"), col("n").as("na"))
+      val y = withNorm.select(col("cluster"), col("id").as("b"),
+        col("qv").as("qb"), col("n").as("nb"))
+      val dropped = x.join(y, Seq("cluster"))
+        .filter(col("a") < col("b"))
+        .withColumn("dot", expr("long_dot(qa, qb)"))
+        .filter(col("dot") > 0 &&
+          lit(TAU_DEN) * col("dot") * col("dot") >=
+            lit(TAU_NUM) * col("na") * col("nb"))
+        .select(col("b").as("id")).distinct()
+      withNorm.select(col("id"), col("cluster"))
+        .join(dropped.withColumn("hit", lit(true)), Seq("id"), "left")
+        .select(col("id").as("vec_id"),
+          col("cluster").cast("bigint").as("cluster"),
+          col("hit").isNull.as("kept"))
+        .orderBy("vec_id")
     }
   )
 
-  val oracle: Map[String, String] = Map(
-    "Q-llm-43" -> {
-      val rounds = (1 to ITERS).map(round).mkString(",\n")
-      s"""WITH q AS (
-            SELECT vec_id AS id,
-                   unnest(generate_series(1, len(embedding))) - 1 AS d,
-                   unnest(list_transform(generate_series(1, len(embedding)),
-                     i -> CAST(floor(embedding[i]::DOUBLE * $SCALE)
-                               AS BIGINT))) AS qv
-            FROM embeddings),
-          c0 AS (SELECT id AS cl, d, qv AS c FROM q WHERE id < $K),
-          $rounds,
-          fdist AS (
-            SELECT q.id, c.cl,
-                   sum((q.qv - c.c) * (q.qv - c.c)) AS dist2
-            FROM q JOIN c$ITERS c ON q.d = c.d
-            GROUP BY q.id, c.cl)
-          SELECT id::BIGINT AS vec_id, cl::BIGINT AS cluster,
-                 dist2::BIGINT AS dist2
-          FROM (
+  /** The shared oracle prefix: per-dim quantized layout `q`, seed
+    * centroids `c0`, ITERS unrolled rounds, and the final assignment
+    * `asg(id, cl, dist2)` — the DuckDB replay of KMeans.trained. */
+  private def kmeansCtes: String = {
+    val rounds = (1 to ITERS).map(round).mkString(",\n")
+    s"""WITH q AS (
+          SELECT vec_id AS id,
+                 unnest(generate_series(1, len(embedding))) - 1 AS d,
+                 unnest(list_transform(generate_series(1, len(embedding)),
+                   i -> CAST(floor(embedding[i]::DOUBLE * $SCALE)
+                             AS BIGINT))) AS qv
+          FROM embeddings),
+        c0 AS (SELECT id AS cl, d, qv AS c FROM q WHERE id < $K),
+        $rounds,
+        fdist AS (
+          SELECT q.id, c.cl,
+                 sum((q.qv - c.c) * (q.qv - c.c)) AS dist2
+          FROM q JOIN c$ITERS c ON q.d = c.d
+          GROUP BY q.id, c.cl),
+        asg AS (
+          SELECT id, cl, dist2 FROM (
             SELECT id, cl, dist2,
                    row_number() OVER (PARTITION BY id
                                       ORDER BY dist2, cl) AS rn
-            FROM fdist) WHERE rn = 1
-          ORDER BY vec_id"""
-    }
+            FROM fdist) WHERE rn = 1)"""
+  }
+
+  val oracle: Map[String, String] = Map(
+    "Q-llm-43" ->
+      s"""$kmeansCtes
+          SELECT id::BIGINT AS vec_id, cl::BIGINT AS cluster,
+                 dist2::BIGINT AS dist2
+          FROM asg ORDER BY vec_id""",
+
+    "Q-llm-44" ->
+      s"""$kmeansCtes,
+          norms AS (SELECT id, sum(qv * qv) AS n FROM q GROUP BY id),
+          pairs AS (
+            SELECT a.id AS a, b.id AS b
+            FROM asg a JOIN asg b ON a.cl = b.cl AND a.id < b.id),
+          dots AS (
+            SELECT p.a, p.b, sum(x.qv * y.qv) AS dot
+            FROM pairs p
+            JOIN q x ON x.id = p.a
+            JOIN q y ON y.id = p.b AND y.d = x.d
+            GROUP BY p.a, p.b),
+          dups AS (
+            SELECT DISTINCT d.b
+            FROM dots d
+            JOIN norms na ON na.id = d.a
+            JOIN norms nb ON nb.id = d.b
+            WHERE d.dot > 0
+              AND $TAU_DEN * d.dot * d.dot >= $TAU_NUM * na.n * nb.n)
+          SELECT asg.id::BIGINT AS vec_id, asg.cl::BIGINT AS cluster,
+                 asg.id NOT IN (SELECT b FROM dups) AS kept
+          FROM asg ORDER BY vec_id"""
   )
 }

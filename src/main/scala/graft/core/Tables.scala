@@ -20,15 +20,28 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries timestamp[ns] (see FIXTURES.md), which Spark's
-    // parquet reader rejects unless nanos are surfaced as long. The testdata
-    // nanos are exact microseconds, so `DIV 1000` is lossless; integer DIV
-    // (not `/`) because 1.7e18 ns exceeds double's 2^53 exact-integer range.
+    // Older testdata generations carry events.ts as timestamp[ns], which
+    // Spark's parquet reader rejects unless nanos are surfaced as long;
+    // newer generations write standard timestamp[us]. Read with the nanos
+    // escape hatch on and normalize whatever arrives (see normalizeEvents).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(path(dir, name))
-    if (name == "events") df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else df
+    if (name == "events") normalizeEvents(df) else df
   }
+
+  /** Normalize events.ts to a session-zone TIMESTAMP regardless of the
+    * testdata generation: long nanos (timestamp[ns] footer read under
+    * nanosAsLong — exact microseconds, so `DIV 1000` is lossless; integer
+    * DIV because 1.7e18 ns exceeds double's 2^53 exact-integer range) or a
+    * native timestamp/timestamp_ntz column (cast is value-preserving under
+    * the UTC-pinned session zone). */
+  def normalizeEvents(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ =>
+        df.withColumn("ts", expr("cast(ts AS timestamp)"))
+    }
 
   def region(s: SparkSession, d: String): DataFrame     = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = t(s, d, "nation")

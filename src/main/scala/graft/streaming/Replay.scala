@@ -45,10 +45,10 @@ object Replay {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(Tables.path(dir, "events")) // schema only
-    spark.readStream
-      .schema(raw.schema)
-      .parquet(eventsDir(dir))
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    Tables.normalizeEvents(
+      spark.readStream
+        .schema(raw.schema)
+        .parquet(eventsDir(dir)))
   }
 
   /** Stateful micro-batches pay a per-partition state-store open/commit on

@@ -29,7 +29,8 @@ object SparkEntry {
     (Extras.queries, Extras.oracle),
     (SqlSurface.queries, SqlSurface.oracle),
     (Graph.queries, Graph.oracle),
-    (Clustering.queries, Clustering.oracle)
+    (Clustering.queries, Clustering.oracle),
+    (Mining.queries, Mining.oracle)
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -57,6 +57,92 @@ object Graph {
         .select(col("id").cast("long").as("id"),
           Portable.r(col("rank"), 9).as("rank"))
         .orderBy("id")
+    },
+
+    // ---- Q-graph-02: triangle counting over the part co-purchase graph
+    // (parts sharing an order), the clustering-coefficient primitive.
+    // Scale shape: the CLASSIC degree-orientation algorithm — every edge
+    // is directed from its lower-(degree,id) endpoint to the higher, so
+    // out-degrees are O(sqrt m)-bounded and the wedge join (the only
+    // super-linear step) touches sum(outdeg²), not sum(deg²); hub nodes
+    // never fan out. Every step is an equi-join or partial agg: pair
+    // extraction (per-order self-join, fan-out bounded by lines/order),
+    // degree partial agg, two |V|-scale ord attaches, the u-keyed wedge
+    // self-join, and the (v,w)-keyed closing-edge join. No cartesian, no
+    // driver loop. ord packs (deg, id) into one sortable int64
+    // (deg·1e8 + id — exact while id < 1e8; a planet-scale graph widens
+    // to a struct compare, same plan).
+    "Q-graph-02" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val deg = pairs.select(col("a").as("v"))
+        .unionAll(pairs.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .select(col("v"), (col("deg") * lit(100000000L) + col("v")).as("ord"))
+      val o = pairs
+        .join(deg.select(col("v").as("a"), col("ord").as("ord_a")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("ord").as("ord_b")), Seq("b"))
+        .select(
+          when(col("ord_a") < col("ord_b"), col("a")).otherwise(col("b")).as("u"),
+          when(col("ord_a") < col("ord_b"), col("b")).otherwise(col("a")).as("v"),
+          greatest(col("ord_a"), col("ord_b")).as("ordv"))
+      val w = o.as("o1").join(o.as("o2"),
+          col("o1.u") === col("o2.u") && col("o1.ordv") < col("o2.ordv"))
+        .select(col("o1.v").as("x"), col("o2.v").as("y"))
+      val tri = w.join(o.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      deg.agg(count(lit(1)).cast("bigint").as("n_nodes"))
+        .crossJoin(pairs.agg(count(lit(1)).cast("bigint").as("n_edges")))
+        .crossJoin(w.agg(count(lit(1)).cast("bigint").as("n_wedges")))
+        .crossJoin(tri.agg(count(lit(1)).cast("bigint").as("n_triangles")))
+    },
+
+    // ---- Q-graph-03: multi-source BFS hop distance (≤4 hops) from the
+    // %100-keyed customer seed set over the symmetrized trade graph —
+    // the reachability/contamination-radius primitive. Scale shape:
+    // FRONTIER-based — each round joins edges only against the nodes
+    // first reached last round (never the full distance table), dedups
+    // the expansion, and anti-joins out already-settled nodes; per-round
+    // shuffle = frontier-adjacent edges, and the plan stays constant-size
+    // via per-round localCheckpoint (the ConnectedComponents discipline).
+    // The fixpoint (min hop count, capped) is identical to the oracle's
+    // full min-union unrolled-CTE rendering.
+    "Q-graph-03" -> { (s, d) =>
+      val hops = 4
+      val pairs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + lit(1000000L)).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        .repartition(col("src")).persist()
+      var dist = Tables.customer(s, d)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("id"), lit(0).as("dist"))
+        .localCheckpoint()
+      var frontier = dist
+      for (r <- 1 to hops) {
+        val reached = edges
+          .join(frontier, edges("src") === frontier("id"))
+          .select(edges("dst").as("id")).distinct()
+        val fresh = reached.join(dist, Seq("id"), "left_anti")
+          .select(col("id"), lit(r).as("dist"))
+          .localCheckpoint()
+        dist = dist.unionAll(fresh).localCheckpoint()
+        frontier = fresh
+      }
+      edges.unpersist(blocking = false)
+      dist.groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("dist").cast("bigint").as("dist"),
+          col("n_nodes").cast("bigint").as("n_nodes"))
+        .orderBy("dist")
     }
   )
 
@@ -80,6 +166,57 @@ object Graph {
           $rounds
           SELECT id::BIGINT AS id, ${Portable.rSql("rank", 9)} AS rank
           FROM r$ITERS ORDER BY id"""
+    },
+
+    "Q-graph-02" ->
+      """WITH pairs AS (
+           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         deg AS (
+           SELECT v, count(*) * 100000000 + v AS ord
+           FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)
+           GROUP BY v),
+         o AS (
+           SELECT CASE WHEN da.ord < db.ord THEN p.a ELSE p.b END AS u,
+                  CASE WHEN da.ord < db.ord THEN p.b ELSE p.a END AS v,
+                  greatest(da.ord, db.ord) AS ordv
+           FROM pairs p JOIN deg da ON p.a = da.v JOIN deg db ON p.b = db.v),
+         w AS (
+           SELECT o1.v AS x, o2.v AS y
+           FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.ordv < o2.ordv),
+         t AS (
+           SELECT w.x, w.y FROM w
+           WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y))
+         SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+                (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+                (SELECT count(*) FROM t)::BIGINT AS n_triangles""",
+
+    "Q-graph-03" -> {
+      val hops = 4
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (
+              SELECT id, min(dist) AS dist FROM (
+                SELECT id, dist FROM $prev
+                UNION ALL
+                SELECT e.dst AS id, d.dist + 1 AS dist
+                FROM edges e JOIN $prev d ON e.src = d.id)
+              GROUP BY id)"""
+      val rounds = (1 to hops).map(i => round(s"d${i - 1}", s"d$i"))
+        .mkString(",\n")
+      s"""WITH pairs AS (
+            SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          edges AS (
+            SELECT cust AS src, supp AS dst FROM pairs
+            UNION ALL
+            SELECT supp AS src, cust AS dst FROM pairs),
+          d0 AS (SELECT c_custkey AS id, 0 AS dist
+                 FROM customer WHERE c_custkey % 100 = 0),
+          $rounds
+          SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes
+          FROM d$hops GROUP BY dist ORDER BY dist"""
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -65,6 +66,92 @@ object Mining {
             .cast("bigint").as("score_ppm"))
         .orderBy(col("score_ppm").desc, col("w1"), col("w2"))
         .limit(25)
+    },
+
+    // ---- Q-llm-46: TRAINED depth-2 decision tree (model #4 after
+    // NB/LR/k-means — the tree family): quality gating by recursive 0-1
+    // loss split search over 16-level quantized document statistics.
+    // The split criterion is INTEGER misclassification count
+    // (min(posL,negL) + min(posR,negR)), argmin total-ordered by
+    // (err, f, t) — no Gini fractions, no float comparisons, so the
+    // learned tree and every prediction hash-match the DuckDB replay of
+    // the identical search.
+    //
+    // Scale shape: the treeAggregate discipline — the corpus crosses
+    // the wire only as |F|x16x2-bounded (f, q, y) count partial aggs
+    // (one pass for the root, one sided pass for the leaves); the
+    // candidate-split argmin runs driver-side on <=96 collected rows,
+    // exactly like LR's gradient scalars. Features/labels never fan
+    // out; final scoring is a narrow map with the tree as literals.
+    "Q-llm-46" -> { (s, d) =>
+      val ws = split(col("text"), " ")
+      val stopF = "size(filter(split(text, ' '), " +
+        "w -> array_contains(array('the','a','of','to','and'), w)))"
+      val feats = Tables.documents(s, d).select(col("doc_id"),
+          Portable.r(length(col("text")).cast("double") / size(ws), 6).as("x1"),
+          Portable.r(expr(stopF).cast("double") / size(ws), 6).as("x2"),
+          Portable.r(size(array_distinct(ws)).cast("double") / size(ws), 6).as("x3"))
+        .select(col("doc_id"),
+          least(lit(15), floor(col("x1"))).cast("int").as("q1"),
+          least(lit(15), floor(col("x2") * lit(50.0))).cast("int").as("q2"),
+          least(lit(15), floor(col("x3") * lit(16.0))).cast("int").as("q3"),
+          when(col("x1") <= 6.0 && col("x2") >= 0.04, 1).otherwise(0).as("y"))
+        .persist()
+      def qcol(f: Int): Column = col(s"q$f")
+      val longForm = feats.select(col("y"), explode(array(
+          struct(lit(1).as("f"), col("q1").as("q")),
+          struct(lit(2).as("f"), col("q2").as("q")),
+          struct(lit(3).as("f"), col("q3").as("q")))).as("fq"))
+        .select(col("fq.f"), col("fq.q"), col("y"))
+      // (f, q) -> (pos, neg), collected: bounded by |F| x 16 levels x 2
+      def collectCounts(df: DataFrame, keys: Seq[String]): Seq[(Seq[Int], Long, Long)] =
+        df.groupBy(keys.map(col): _*)
+          .agg(sum(col("y")).as("pos"), (count(lit(1)) - sum(col("y"))).as("neg"))
+          .collect().toSeq
+          .map(r => (keys.indices.map(r.getInt), r.getLong(keys.size), r.getLong(keys.size + 1)))
+      // argmin over (f, t) of integer 0-1 loss, total-ordered by (err, f, t)
+      def bestSplit(cs: Seq[(Int, Int, Long, Long)]): (Int, Int, Long, Long, Long, Long) =
+        (for { f <- 1 to 3; t <- 0 to 14 } yield {
+          val (l, rgt) = cs.filter(_._1 == f).partition(_._2 <= t)
+          val (posL, negL) = (l.map(_._3).sum, l.map(_._4).sum)
+          val (posR, negR) = (rgt.map(_._3).sum, rgt.map(_._4).sum)
+          val err = math.min(posL, negL) + math.min(posR, negR)
+          ((err, f, t), (f, t, posL, negL, posR, negR))
+        }).minBy(_._1)._2
+      val root = bestSplit(collectCounts(longForm, Seq("f", "q"))
+        .map { case (k, p, n) => (k(0), k(1), p, n) })
+      val sided = feats.withColumn("side",
+        when(qcol(root._1) <= root._2, 1).otherwise(0))
+      val sidedLong = sided.select(col("side"), col("y"), explode(array(
+          struct(lit(1).as("f"), col("q1").as("q")),
+          struct(lit(2).as("f"), col("q2").as("q")),
+          struct(lit(3).as("f"), col("q3").as("q")))).as("fq"))
+        .select(col("side"), col("fq.f"), col("fq.q"), col("y"))
+      val sideCounts = collectCounts(sidedLong, Seq("side", "f", "q"))
+      // per side: best leaf split + majority label per leaf (pos >= neg -> 1)
+      val leaves = Seq(1, 0).map { sd =>
+        val cs = sideCounts.collect { case (k, p, n) if k(0) == sd => (k(1), k(2), p, n) }
+        val b = bestSplit(cs)
+        (sd, b._1, b._2,
+          if (b._3 >= b._4) 1 else 0,  // left-leaf majority
+          if (b._5 >= b._6) 1 else 0)  // right-leaf majority
+      }
+      val leafExpr = leaves.map { case (sd, f, t, _, _) =>
+        (sd, when(qcol(f) <= t, 1).otherwise(0))
+      }
+      val predExpr = leaves.map { case (sd, f, t, pl, pr) =>
+        (sd, when(qcol(f) <= t, lit(pl)).otherwise(lit(pr)))
+      }
+      def bySide(m: Seq[(Int, Column)]): Column =
+        when(col("side") === 1, m.find(_._1 == 1).get._2)
+          .otherwise(m.find(_._1 == 0).get._2)
+      sided.select(col("doc_id"),
+          col("y").cast("bigint").as("y"),
+          col("side").cast("bigint").as("side"),
+          bySide(leafExpr).cast("bigint").as("leaf"),
+          bySide(predExpr).cast("bigint").as("pred"))
+        .withColumn("correct", col("pred") === col("y"))
+        .orderBy("doc_id")
     }
   )
 
@@ -85,6 +172,81 @@ object Mining {
                 ((c_ab * (SELECT n_bg FROM n) * 1000000) // (a.c * b.c))::BIGINT
                   AS score_ppm
          FROM cand JOIN wc a ON cand.w1 = a.w JOIN wc b ON cand.w2 = b.w
-         ORDER BY score_ppm DESC, cand.w1, cand.w2 LIMIT 25"""
+         ORDER BY score_ppm DESC, cand.w1, cand.w2 LIMIT 25""",
+
+    "Q-llm-46" -> {
+      // carried-columns discipline (the Q-llm-42 lesson): the learned
+      // root/leaf splits ride CROSS JOINs as columns — a scalar subquery
+      // per reference would re-bind (and re-scan) the whole upstream chain
+      val stop = "len(list_filter(string_split(text, ' '), " +
+        "w -> list_contains(['the','a','of','to','and'], w)))"
+      s"""WITH f0 AS (
+            SELECT doc_id,
+                   ${Portable.rSql("strlen(text)::DOUBLE / len(string_split(text, ' '))", 6)} AS x1,
+                   ${Portable.rSql(s"$stop::DOUBLE / len(string_split(text, ' '))", 6)} AS x2,
+                   ${Portable.rSql("len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' '))", 6)} AS x3
+            FROM documents),
+          feats AS (
+            SELECT doc_id,
+                   least(15, floor(x1))::INT AS q1,
+                   least(15, floor(x2 * 50.0))::INT AS q2,
+                   least(15, floor(x3 * 16.0))::INT AS q3,
+                   CASE WHEN x1 <= 6.0 AND x2 >= 0.04 THEN 1 ELSE 0 END AS y
+            FROM f0),
+          longf AS (
+            SELECT 1 AS f, q1 AS q, y FROM feats
+            UNION ALL SELECT 2, q2, y FROM feats
+            UNION ALL SELECT 3, q3, y FROM feats),
+          c0 AS (SELECT f, q, sum(y) AS pos, count(*) - sum(y) AS neg
+                 FROM longf GROUP BY f, q),
+          th AS (SELECT unnest(range(0, 15)) AS t),
+          e0 AS (
+            SELECT c.f, th.t,
+                   sum(CASE WHEN c.q <= th.t THEN c.pos ELSE 0 END) AS posL,
+                   sum(CASE WHEN c.q <= th.t THEN c.neg ELSE 0 END) AS negL,
+                   sum(CASE WHEN c.q > th.t THEN c.pos ELSE 0 END) AS posR,
+                   sum(CASE WHEN c.q > th.t THEN c.neg ELSE 0 END) AS negR
+            FROM c0 c CROSS JOIN th GROUP BY c.f, th.t),
+          root AS (
+            SELECT f AS rf, t AS rt FROM e0
+            ORDER BY least(posL, negL) + least(posR, negR), f, t LIMIT 1),
+          sided AS (
+            SELECT feats.*, r.rf, r.rt,
+                   CASE WHEN (CASE r.rf WHEN 1 THEN q1 WHEN 2 THEN q2
+                              ELSE q3 END) <= r.rt THEN 1 ELSE 0 END AS side
+            FROM feats CROSS JOIN root r),
+          longs AS (
+            SELECT side, 1 AS f, q1 AS q, y FROM sided
+            UNION ALL SELECT side, 2, q2, y FROM sided
+            UNION ALL SELECT side, 3, q3, y FROM sided),
+          c1 AS (SELECT side, f, q, sum(y) AS pos, count(*) - sum(y) AS neg
+                 FROM longs GROUP BY side, f, q),
+          e1 AS (
+            SELECT c.side, c.f, th.t,
+                   sum(CASE WHEN c.q <= th.t THEN c.pos ELSE 0 END) AS posL,
+                   sum(CASE WHEN c.q <= th.t THEN c.neg ELSE 0 END) AS negL,
+                   sum(CASE WHEN c.q > th.t THEN c.pos ELSE 0 END) AS posR,
+                   sum(CASE WHEN c.q > th.t THEN c.neg ELSE 0 END) AS negR
+            FROM c1 c CROSS JOIN th GROUP BY c.side, c.f, th.t),
+          b AS (
+            SELECT side, f, t,
+                   CASE WHEN posL >= negL THEN 1 ELSE 0 END AS predL,
+                   CASE WHEN posR >= negR THEN 1 ELSE 0 END AS predR,
+                   row_number() OVER (PARTITION BY side
+                     ORDER BY least(posL, negL) + least(posR, negR), f, t) AS rk
+            FROM e1),
+          model AS (SELECT side, f, t, predL, predR FROM b WHERE rk = 1)
+          SELECT s.doc_id, s.y::BIGINT AS y, s.side::BIGINT AS side,
+                 (CASE WHEN (CASE m.f WHEN 1 THEN s.q1 WHEN 2 THEN s.q2
+                             ELSE s.q3 END) <= m.t THEN 1 ELSE 0 END)::BIGINT AS leaf,
+                 (CASE WHEN (CASE m.f WHEN 1 THEN s.q1 WHEN 2 THEN s.q2
+                             ELSE s.q3 END) <= m.t
+                       THEN m.predL ELSE m.predR END)::BIGINT AS pred,
+                 (CASE WHEN (CASE m.f WHEN 1 THEN s.q1 WHEN 2 THEN s.q2
+                             ELSE s.q3 END) <= m.t
+                       THEN m.predL ELSE m.predR END) = s.y AS correct
+          FROM sided s JOIN model m ON s.side = m.side
+          ORDER BY s.doc_id"""
+    }
   )
 }

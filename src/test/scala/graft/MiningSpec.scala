@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.EngineSession
+import graft.queries.{Graph, Mining}
+
+/** Pins the mining operators' semantics beyond the oracle hash:
+  * the decision tree (Q-llm-46) must actually LEARN its rule-derived
+  * label, the PMI scorer (Q-llm-45) must order by true lift, and the
+  * triangle counter (Q-graph-02) must satisfy the wedge/triangle
+  * combinatorial invariants. */
+class MiningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("Q-llm-46 depth-2 tree recovers the label rule (accuracy >= 0.9)") {
+    val rows = Mining.queries("Q-llm-46")(spark, sf).collect()
+    val acc = rows.count(_.getBoolean(5)).toDouble / rows.length
+    assert(rows.nonEmpty)
+    assert(acc >= 0.9, s"held accuracy $acc — the 0-1-loss search should " +
+      "recover a rule defined by two of its own quantized features")
+    // all four leaves of a depth-2 tree are reachable on this corpus
+    val leaves = rows.map(r => (r.getLong(2), r.getLong(3))).distinct
+    assert(leaves.length >= 3, s"degenerate tree: leaves=$leaves")
+  }
+
+  test("Q-llm-45 scores are PMI-monotone and support-filtered") {
+    val rows = Mining.queries("Q-llm-45")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cab, ca, cb, score) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(cab >= 5, "support filter")
+      assert(cab <= math.min(ca, cb), "pair count bounded by word counts")
+      assert(score >= 0)
+    }
+    val scores = rows.map(_.getLong(5))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "descending score order")
+  }
+
+  test("Q-graph-02 invariants: triangles <= wedges, wedges consistent") {
+    val r = Graph.queries("Q-graph-02")(spark, sf).collect()(0)
+    val (nodes, edges, wedges, tris) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nodes > 0 && edges > 0)
+    assert(tris <= wedges, "every triangle closes exactly one wedge")
+    assert(edges <= nodes.toLong * (nodes - 1) / 2)
+  }
+
+  test("Q-graph-03 BFS histogram: seeds at dist 0, monotone reachability") {
+    val rows = Graph.queries("Q-graph-03")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(0) == 0L, "seed set present at distance 0")
+    val dists = rows.map(_.getLong(0))
+    assert(dists.sameElements(dists.sorted), "ordered by distance")
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+}

@@ -77,7 +77,14 @@ object Bench {
     "Q-llm-42",   // trained logistic-regression quality gate (12 GD rounds)
     "Q-qual-09",  // ACID table OPTIMIZE: epoch appends -> re-cluster -> pruned read
     "Q-llm-43",   // trained k-means (Lloyd's, 6 rounds over broadcast model)
-    "Q-llm-44"    // SemDeDup: trained-cluster blocking + int64 cosine prune
+    "Q-llm-44",   // SemDeDup: trained-cluster blocking + int64 cosine prune
+    "Q-llm-45",   // PMI collocations (integer lift, vocab-scale joins)
+    "Q-llm-46",   // trained depth-2 decision tree (0-1-loss split search)
+    "Q-graph-02", // triangle counting (degree-oriented wedge join)
+    "Q-graph-03", // multi-source BFS (frontier expansion, 4 hops)
+    "Q-graph-04", // weighted shortest path (Bellman-Ford, 4 rounds)
+    "Q-llm-47",   // importance resampling (key-hash acceptance)
+    "Q-qual-10"   // ACID point read: log blooms prune residue-class files
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

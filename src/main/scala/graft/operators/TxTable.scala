@@ -61,7 +61,8 @@ object TxTable {
       removes: Seq[String],
       tag: Option[String],
       statsKey: Option[String] = None,
-      addStats: Seq[(Long, Long)] = Seq.empty)
+      addStats: Seq[(Long, Long)] = Seq.empty,
+      addBlooms: Seq[String] = Seq.empty)
 
   /** A resolved table state. `commits` holds only the SUFFIX folded on
     * top of the base checkpoint (the whole history when no checkpoint
@@ -73,7 +74,8 @@ object TxTable {
       commits: Seq[Commit],
       statsKey: Option[String],
       fileStats: Map[String, (Long, Long)],
-      tags: Set[String])
+      tags: Set[String],
+      fileBlooms: Map[String, String] = Map.empty)
 
   private val emptySnapshot =
     Snapshot(-1L, Seq.empty, Seq.empty, None, Map.empty, Set.empty)
@@ -104,7 +106,10 @@ object TxTable {
       if (c.addStats.isEmpty) ""
       else s""","amin":${c.addStats.map(_._1).mkString("[", ",", "]")}""" +
         s""","amax":${c.addStats.map(_._2).mkString("[", ",", "]")}"""
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$st}"""
+    val bl =
+      if (c.addBlooms.isEmpty) ""
+      else s""","abloom":${arr(c.addBlooms)}"""
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$st$bl}"""
   }
 
   // minimal JSON field readers for the exact shapes render() writes
@@ -143,7 +148,8 @@ object TxTable {
     Commit(v, strField(json, "op").getOrElse("?"), arrField(json, "adds"),
       arrField(json, "removes"), strField(json, "tag"),
       strField(json, "statskey"),
-      numArrField(json, "amin").zip(numArrField(json, "amax")))
+      numArrField(json, "amin").zip(numArrField(json, "amax")),
+      arrField(json, "abloom"))
   }
 
   /** Every `checkpointInterval` commits the winner consolidates the live
@@ -165,7 +171,13 @@ object TxTable {
         s""","fmin":${s.files.map(f => s.fileStats(f)._1).mkString("[", ",", "]")}""" +
           s""","fmax":${s.files.map(f => s.fileStats(f)._2).mkString("[", ",", "]")}"""
       else ""
-    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$st}"""
+    // blooms consolidate aligned with files; "" marks a file without one
+    // (pre-bloom commits) — membership then stays conservative
+    val bl =
+      if (s.fileBlooms.nonEmpty)
+        s""","fbloom":${arr(s.files.map(f => s.fileBlooms.getOrElse(f, "")))}"""
+      else ""
+    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$st$bl}"""
   }
 
   /** Best-effort checkpoint after a winning commit; losing the ckpt race
@@ -220,6 +232,7 @@ object TxTable {
     }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
+    val blooms = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val tags = scala.collection.mutable.LinkedHashSet.empty[String]
     var statsKey: Option[String] = None
     if (base >= 0) {
@@ -229,6 +242,9 @@ object TxTable {
       val mins = numArrField(j, "fmin"); val maxs = numArrField(j, "fmax")
       if (mins.nonEmpty)
         files.zip(mins.zip(maxs)).foreach { case (f, st) => stats(f) = st }
+      val bl = arrField(j, "fbloom")
+      if (bl.nonEmpty)
+        files.zip(bl).foreach { case (f, b) => if (b.nonEmpty) blooms(f) = b }
       tags ++= arrField(j, "tags")
       statsKey = strField(j, "statskey")
     }
@@ -245,13 +261,18 @@ object TxTable {
       live ++= c.adds; live --= c.removes
       if (c.addStats.nonEmpty)
         c.adds.zip(c.addStats).foreach { case (f, st) => stats(f) = st }
+      if (c.addBlooms.nonEmpty)
+        c.adds.zip(c.addBlooms).foreach { case (f, b) => blooms(f) = b }
       c.removes.foreach(stats.remove)
+      c.removes.foreach(blooms.remove)
       c.tag.foreach(tags += _)
       if (c.version == 0L) statsKey = c.statsKey
     }
     // drop stats for files no longer live (removed after the checkpoint)
     val liveStats = stats.filter { case (f, _) => live.contains(f) }
-    Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet)
+    val liveBlooms = blooms.filter { case (f, _) => live.contains(f) }
+    Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet,
+      liveBlooms.toMap)
   }
 
   /** Snapshot-isolated read (optionally at a historical version).
@@ -304,6 +325,57 @@ object TxTable {
     else readFiles(spark, root, kept).where(pred)
   }
 
+  /** Which files a point read of `keys` must open, decided from the LOG
+    * alone: a file survives only if its [min,max] range admits some key
+    * AND its bloom (when present) claims possible membership of some key
+    * — zero data I/O either way. Blooms have no false negatives, so the
+    * kept set is always a superset of the files actually holding the
+    * keys; the residual IN-filter inside kept files makes the result
+    * exact. This is the point-lookup story on the layout range stats
+    * can't help with: per-epoch appended files each spanning the whole
+    * key domain. */
+  private def pointKept(snap: Snapshot, keys: Seq[Long]): Seq[String] =
+    snap.files.filter { f =>
+      val rangeOk = snap.fileStats.get(f) match {
+        case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+        case None => true
+      }
+      rangeOk && (snap.fileBlooms.get(f) match {
+        case Some(b) if b.nonEmpty =>
+          keys.exists(k => KeyBloom.mightContain(b, k))
+        case _ => true
+      })
+    }
+
+  /** Point read: result ≡ `read(...).where(key IN keys)`, but only the
+    * bloom-and-range-surviving files are opened. */
+  def pointRead(spark: SparkSession, root: String,
+                keys: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(root)
+    require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    val key = snap.statsKey.getOrElse(throw new IllegalArgumentException(
+      s"table at $root declares no stats key — use create(df, root, Some(col))"))
+    val kept = pointKept(snap, keys)
+    val pred = col(key).cast("long").isin(keys: _*)
+    if (kept.isEmpty)
+      readFiles(spark, root, Seq(snap.files.head)).where(pred).limit(0)
+    else readFiles(spark, root, kept).where(pred)
+  }
+
+  /** (files kept by range stats alone, files kept by range+bloom, total
+    * live files) for a point read — the log-only pruning ledger. */
+  def pointPruneAccounting(root: String, keys: Seq[Long]): (Int, Int, Int) = {
+    val snap = snapshot(root)
+    val rangeKept = snap.files.count { f =>
+      snap.fileStats.get(f) match {
+        case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
+        case None => true
+      }
+    }
+    (rangeKept, pointKept(snap, keys).size, snap.files.size)
+  }
+
   // ------------------------------------------------------------- writes
   /** Write `df` as new immutable data files; returns table-relative paths
     * plus (when the table declares a stats key) each file's [min, max] of
@@ -313,7 +385,8 @@ object TxTable {
     * every later pruning decision is metadata-only. Empty files get the
     * empty range (MaxValue, MinValue) — always prunable. */
   private def stageData(df: DataFrame, root: String,
-                        statsKey: Option[String]): (Seq[String], Seq[(Long, Long)]) = {
+                        statsKey: Option[String])
+      : (Seq[String], Seq[(Long, Long)], Seq[String]) = {
     val unique = java.util.UUID.randomUUID().toString.take(8)
     val dir = dataDir(root).resolve(unique)
     df.write.mode("overwrite").parquet(dir.toString)
@@ -323,24 +396,31 @@ object TxTable {
       .filter(_.endsWith(".parquet"))
       .map(f => s"data/$unique/$f")
       .toSeq.sorted
-    val stats = statsKey match {
-      case None => Seq.empty
+    val (stats, blooms) = statsKey match {
+      case None => (Seq.empty[(Long, Long)], Seq.empty[String])
       case Some(k) =>
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+        import org.apache.spark.sql.functions.{col, input_file_name, max, min, udaf}
+        // one pass per staged batch computes [min,max] AND the key bloom
+        // per file — the bloom is a distributed OR-merge agg (8 KiB per
+        // file crosses the wire, never the keys)
+        val bloomAgg = udaf(new KeyBloom.Agg(), org.apache.spark.sql.Encoders.scalaLong)
         val byName = df.sparkSession.read
           .parquet(files.map(f => s"$root/$f"): _*)
           .select(input_file_name().as("f"), col(k).cast("long").as("k"))
-          .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"))
+          .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+            bloomAgg(col("k")).as("bloom"))
           .collect()
           .map { r =>
             val name = Paths.get(java.net.URI.create(r.getString(0)).getPath)
               .getFileName.toString
-            name -> (r.getLong(1), r.getLong(2))
+            name -> ((r.getLong(1), r.getLong(2)), r.getString(3))
           }.toMap
-        files.map(f => byName.getOrElse(
-          Paths.get(f).getFileName.toString, (Long.MaxValue, Long.MinValue)))
+        (files.map(f => byName.get(Paths.get(f).getFileName.toString)
+            .map(_._1).getOrElse((Long.MaxValue, Long.MinValue))),
+          files.map(f => byName.get(Paths.get(f).getFileName.toString)
+            .map(_._2).getOrElse("")))
     }
-    (files, stats)
+    (files, stats, blooms)
   }
 
   /** Atomic publish of version `v`: hard-link the rendered body into the
@@ -368,9 +448,9 @@ object TxTable {
     * [[readPruned]] and [[mergeCow]]'s file selection metadata-only. */
   def create(df: DataFrame, root: String,
              statsKey: Option[String]): CommitResult = {
-    val (adds, st) = stageData(df, root, statsKey)
+    val (adds, st, bl) = stageData(df, root, statsKey)
     val ok = tryPublish(root,
-      Commit(0L, "create", adds, Seq.empty, None, statsKey, st))
+      Commit(0L, "create", adds, Seq.empty, None, statsKey, st, bl))
     if (!ok) throw new IllegalStateException(s"table already exists: $root")
     CommitResult(0L, 1, skipped = false)
   }
@@ -394,9 +474,9 @@ object TxTable {
         return CommitResult(snap.version, attempt, skipped = true) // replayed epoch
       val current = readFiles(spark, root, snap.files)
       val next = body(current)
-      val (adds, st) = stageData(next, root, snap.statsKey)
+      val (adds, st, bl) = stageData(next, root, snap.statsKey)
       val c = Commit(snap.version + 1, op, adds, snap.files, tag,
-        statsKey = None, addStats = st)
+        statsKey = None, addStats = st, addBlooms = bl)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
@@ -487,10 +567,10 @@ object TxTable {
       if (tag.exists(snap.tags))
         return CommitResult(snap.version, attempt, skipped = true)
       val (keep, rewrite) = body(snap)
-      val (adds, st) = stageData(rewrite, root, snap.statsKey)
+      val (adds, st, bl) = stageData(rewrite, root, snap.statsKey)
       val removes = snap.files.diff(keep)
       val c = Commit(snap.version + 1, op, adds, removes, tag,
-        statsKey = None, addStats = st)
+        statsKey = None, addStats = st, addBlooms = bl)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)

@@ -949,6 +949,38 @@ object Extras {
         .orderBy("k", "event_type")
     },
 
+    // ---- Q-qual-10: POINT-LOOKUP bloom pruning from the commit log —
+    // the layout range stats can't help with: four per-epoch appends
+    // each spanning the whole key domain (residue classes), so every
+    // file's [min,max] admits every probe. The log's per-file key
+    // blooms (built by a distributed OR-merge agg at write, 8 KiB each)
+    // decide membership with ZERO data I/O; the probe set lives in two
+    // of the four residue classes, so at least the other two files are
+    // never opened. In-query invariants pin the accounting (range
+    // pruning powerless, bloom pruning effective); the result
+    // hash-matches the plain IN-filter over the source. Bounded slice
+    // (o_orderkey <= 6000) keeps per-file key counts inside the fixed
+    // 64 Ki-bit filter's design load at every SF.
+    "Q-qual-10" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual10").toString + "/tbl"
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      def batch(b: Int) = src.filter(col("o_orderkey") % 4 === b).coalesce(1)
+      TxTable.create(batch(0), root, statsKey = Some("o_orderkey")) // v0
+      (1 to 3).foreach(b => TxTable.append(s, root, batch(b)))      // v1..v3
+      val keys = Seq(8L, 13L, 121L, 517L, 1001L, 1004L) // classes {0,1} only
+      val (rangeKept, bloomKept, total) = TxTable.pointPruneAccounting(root, keys)
+      if (rangeKept != total || total < 4) throw new IllegalStateException(
+        s"expected range-unprunable epoch layout, got $rangeKept/$total")
+      if (bloomKept > total - 2) throw new IllegalStateException(
+        s"blooms failed to prune the keyless residue classes: $bloomKept/$total")
+      TxTable.pointRead(s, root, keys)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- Q-evt-08: activity-quartile segmentation — users bucketed into
     // engagement quartiles (ntile over the AGGREGATED per-user table:
     // |users| rows, not |events|, so the single-partition rank is cheap;
@@ -1221,6 +1253,11 @@ object Extras {
          FROM events WHERE user_id BETWEEN 3 AND 5
          GROUP BY user_id, event_type
          ORDER BY k, event_type""",
+    "Q-qual-10" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority
+         FROM orders
+         WHERE o_orderkey IN (8, 13, 121, 517, 1001, 1004)
+         ORDER BY o_orderkey""",
     // final ACID-table state derived from the source in one pass: the
     // k%3 batch committed after k%7, so it wins the k%21 overlap
     "Q-qual-06" ->

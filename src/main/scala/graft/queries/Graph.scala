@@ -143,6 +143,48 @@ object Graph {
         .select(col("dist").cast("bigint").as("dist"),
           col("n_nodes").cast("bigint").as("n_nodes"))
         .orderBy("dist")
+    },
+
+    // ---- Q-graph-04: bounded-round Bellman-Ford — WEIGHTED shortest
+    // path from the same seed set, edge cost = min line number of the
+    // trade relationship (1..7, data-derived, integer). 4 relaxation
+    // rounds; with all weights >= 1 that equals true shortest distance
+    // for every node within 4 hops — the declared semantic. Scale
+    // shape: each round is ONE shuffled join (edges x current dists,
+    // edges pre-partitioned by src and never re-shuffled) + a
+    // |V|-bounded min partial agg; plans stay constant-size via
+    // per-round localCheckpoint. Integer min is order-free, so the
+    // DuckDB unrolled-CTE chain matches bit-for-bit.
+    "Q-graph-04" -> { (s, d) =>
+      val rounds = 4
+      val wpairs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + lit(1000000L)).as("supp"),
+          col("l_linenumber").cast("long").as("w"))
+        .groupBy("cust", "supp").agg(min(col("w")).as("w"))
+      val edges = wpairs.select(col("cust").as("src"), col("supp").as("dst"), col("w"))
+        .unionAll(wpairs.select(col("supp").as("src"), col("cust").as("dst"), col("w")))
+        .repartition(col("src")).persist()
+      var dist = Tables.customer(s, d)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("id"), lit(0L).as("dist"))
+        .localCheckpoint()
+      for (_ <- 1 to rounds) {
+        val relaxed = edges
+          .join(dist, edges("src") === dist("id"))
+          .select(edges("dst").as("id"), (dist("dist") + edges("w")).as("dist"))
+        dist = dist.unionAll(relaxed)
+          .groupBy("id").agg(min(col("dist")).as("dist"))
+          .localCheckpoint()
+      }
+      edges.unpersist(blocking = false)
+      dist.groupBy("dist")
+        .agg(count(lit(1)).as("n_nodes"))
+        .select(col("dist").cast("bigint").as("dist"),
+          col("n_nodes").cast("bigint").as("n_nodes"))
+        .orderBy("dist")
     }
   )
 
@@ -217,6 +259,34 @@ object Graph {
           $rounds
           SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes
           FROM d$hops GROUP BY dist ORDER BY dist"""
+    },
+
+    "Q-graph-04" -> {
+      val rounds = 4
+      def round(prev: String, cur: String): String =
+        s"""$cur AS (
+              SELECT id, min(dist) AS dist FROM (
+                SELECT id, dist FROM $prev
+                UNION ALL
+                SELECT e.dst AS id, d.dist + e.w AS dist
+                FROM edges e JOIN $prev d ON e.src = d.id)
+              GROUP BY id)"""
+      val chain = (1 to rounds).map(i => round(s"d${i - 1}", s"d$i"))
+        .mkString(",\n")
+      s"""WITH wpairs AS (
+            SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp,
+                   min(l_linenumber)::BIGINT AS w
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY 1, 2),
+          edges AS (
+            SELECT cust AS src, supp AS dst, w FROM wpairs
+            UNION ALL
+            SELECT supp AS src, cust AS dst, w FROM wpairs),
+          d0 AS (SELECT c_custkey AS id, 0::BIGINT AS dist
+                 FROM customer WHERE c_custkey % 100 = 0),
+          $chain
+          SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes
+          FROM d$rounds GROUP BY dist ORDER BY dist"""
     }
   )
 }

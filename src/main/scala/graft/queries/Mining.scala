@@ -152,6 +152,35 @@ object Mining {
           bySide(predExpr).cast("bigint").as("pred"))
         .withColumn("correct", col("pred") === col("y"))
         .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-47: importance resampling (the DSIR-shaped selection
+    // step): each doc accepted with probability proportional to an
+    // importance weight, but the coin flip is a PURE KEY-HASH function
+    // — accept iff (md5(doc_id) as int) mod 1e6 < w_ppm — so selection
+    // is reproducible across runs, engines, and repartitioning (the
+    // Q-scan-06 discipline, weight-dependent instead of fixed-rate).
+    // The weight here is a target-affinity proxy in exact integer ppm
+    // (stopword mass vs token count, saturated at 1); a production DSIR
+    // run swaps in its target/source likelihood-ratio ppm and keeps the
+    // identical plan. Scale shape: scan -> narrow map -> filter, fully
+    // codegen, no shuffle but the output sort; nothing global, nothing
+    // random.
+    "Q-llm-47" -> { (s, d) =>
+      val ws = words(col("text"))
+      val nStop = size(org.apache.spark.sql.functions.filter(ws, w =>
+        w.isin("the", "a", "of", "to", "and")))
+      val wPpm = least(lit(1000000L),
+        expr("4000000L * n_stop div n_tok"))
+      val hPpm = expr("conv(substring(md5(cast(doc_id AS string)), 1, 13), 16, 10)")
+        .cast("bigint") % 1000000L
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(ws).cast("bigint").as("n_tok"),
+          nStop.cast("bigint").as("n_stop"))
+        .select(col("doc_id"), col("n_tok"), col("n_stop"),
+          wPpm.cast("bigint").as("w_ppm"), hPpm.as("h_ppm"))
+        .filter(col("h_ppm") < col("w_ppm"))
+        .orderBy("doc_id")
     }
   )
 
@@ -247,6 +276,21 @@ object Mining {
                        THEN m.predL ELSE m.predR END) = s.y AS correct
           FROM sided s JOIN model m ON s.side = m.side
           ORDER BY s.doc_id"""
-    }
+    },
+
+    "Q-llm-47" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  len(string_split(text, ' '))::BIGINT AS n_tok,
+                  len(list_filter(string_split(text, ' '),
+                    w -> list_contains(['the','a','of','to','and'], w)))::BIGINT AS n_stop
+           FROM documents),
+         w AS (
+           SELECT doc_id, n_tok, n_stop,
+                  least(1000000, (4000000 * n_stop) // n_tok)::BIGINT AS w_ppm,
+                  (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT % 1000000)::BIGINT AS h_ppm
+           FROM t)
+         SELECT doc_id, n_tok, n_stop, w_ppm, h_ppm
+         FROM w WHERE h_ppm < w_ppm ORDER BY doc_id"""
   )
 }

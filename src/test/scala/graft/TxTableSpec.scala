@@ -422,4 +422,43 @@ class TxTableSpec extends AnyFunSuite {
       TxTable.read(spark, freshRoot()) // empty dir: no log
     }
   }
+
+  test("point blooms: no false negatives, prune residue-class files") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // 4 epoch files, each spanning the whole key domain (k % 4 classes)
+    def batch(b: Int) = (0 until 400).map(i => (i.toLong * 4 + b, s"v$b-$i"))
+      .toDF("k", "v").coalesce(1)
+    TxTable.create(batch(0), root, statsKey = Some("k"))
+    (1 to 3).foreach(b => TxTable.append(spark, root, batch(b)))
+    // probes in classes {0, 2} only
+    val keys = Seq(0L, 8L, 202L, 1046L)
+    val (rangeKept, bloomKept, total) = TxTable.pointPruneAccounting(root, keys)
+    assert(total == 4 && rangeKept == 4, "range stats must be powerless here")
+    assert(bloomKept <= 2, s"blooms kept $bloomKept of $total")
+    // exactness: pointRead ≡ full-read + IN filter (no false negatives)
+    val got = TxTable.pointRead(spark, root, keys)
+      .as[(Long, String)].collect().toSet
+    val want = TxTable.read(spark, root)
+      .where(col("k").isin(keys: _*)).as[(Long, String)].collect().toSet
+    assert(got == want && want.size == keys.size)
+  }
+
+  test("blooms survive checkpoint consolidation and removals") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    def batch(b: Int) = (0 until 100).map(i => (i.toLong * 16 + b, b.toLong))
+      .toDF("k", "v").coalesce(1)
+    TxTable.create(batch(0), root, statsKey = Some("k"))
+    (1 to 11).foreach(b => TxTable.append(spark, root, batch(b)))  // v11: ckpt at v10
+    assert(TxTable.snapshot(root).commits.size < 12,
+      "snapshot must resolve from the v10 checkpoint, not the full history")
+    val keys = Seq(3L, 19L) // class 3 only
+    val (_, bloomKept, total) = TxTable.pointPruneAccounting(root, keys)
+    assert(total == 12 && bloomKept <= 2,
+      s"checkpoint-resolved blooms kept $bloomKept of $total")
+    val got = TxTable.pointRead(spark, root, keys)
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((3L, 3L), (19L, 3L)))
+  }
 }

@@ -84,7 +84,9 @@ object Bench {
     "Q-graph-03", // multi-source BFS (frontier expansion, 4 hops)
     "Q-graph-04", // weighted shortest path (Bellman-Ford, 4 rounds)
     "Q-llm-47",   // importance resampling (key-hash acceptance)
-    "Q-qual-10"   // ACID point read: log blooms prune residue-class files
+    "Q-qual-10",  // ACID point read: log blooms prune residue-class files
+    "Q-llm-48",   // binary-sign ANN (XOR+POPCOUNT ranking, cosine re-rank)
+    "Q-qual-11"   // incremental materialized join from change feeds
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.{CosineSim, WInput, WeightedStats}
@@ -130,6 +131,45 @@ object CustomOps {
         .orderBy("query_id", "rk")
     },
 
+    // ---- Q-llm-48: BINARY (1-bit sign) quantization + Hamming ranking —
+    // the eighth similarity path and the cheapest index of them all: each
+    // 64-float vector collapses to 64 SIGN BITS packed in two 32-bit
+    // halves (shifts stay <= 31, so the packing fold can never trip ANSI
+    // overflow), 16x smaller than float32. Stage 1 ranks by Hamming
+    // distance — two XOR+POPCOUNT ops per comparison, pure integer,
+    // codegen — and stage 2 re-ranks the top-50 survivors with exact
+    // cosine. Everything from the packed bits to the final ranks is
+    // integer-or-portable algebra, so the whole pipeline hash-matches.
+    "Q-llm-48" -> { (s, d) =>
+      graft.functions.CosineSim.register(s)
+      def half(lo: Int): Column = expr(
+        s"aggregate(sequence($lo, ${lo + 31}), 0L, (acc, i) -> " +
+          s"acc + IF(element_at(embedding, i) > 0, shiftleft(1L, i - $lo), 0L))")
+      val emb = Tables.embeddings(s, d)
+        .withColumn("b1", half(1)).withColumn("b2", half(33))
+      val qs = emb.filter(col("vec_id") < 5).select(
+        col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("b1").as("qb1"), col("b2").as("qb2"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("ham"), col("vec_id"))
+      val cand = broadcast(qs)
+        .crossJoin(emb.select(col("vec_id"), col("embedding"), col("b1"), col("b2")))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("ham",
+          expr("bit_count(qb1 ^ b1) + bit_count(qb2 ^ b2)").cast("bigint"))
+        .withColumn("qrk", row_number().over(w1))
+        .filter(col("qrk") <= 50)
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+      cand
+        .withColumn("sim", expr("cosine_sim(q_emb, embedding)"))
+        .withColumn("rk", row_number().over(w2).cast("bigint"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"), col("ham"),
+          Portable.r(col("sim"), 6).as("sim"), col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
     // ---- Q-llm-37: product-quantization ANN (operators/PqIndex) — the
     // sixth similarity scale path: 8 subspaces × 16 strided codewords
     // compress each 64-float vector to 8 codes (32x); queries scan the
@@ -211,6 +251,35 @@ object CustomOps {
            FROM embeddings q, embeddings e
            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
          WHERE rk <= 10 ORDER BY query_id, rk"""
+    },
+    "Q-llm-48" -> {
+      def half(lo: Int) =
+        s"""list_sum(list_transform(generate_series($lo, ${lo + 31}),
+           i -> CASE WHEN embedding[i] > 0
+                THEN (1::BIGINT << (i - $lo)) ELSE 0::BIGINT END))::BIGINT"""
+      s"""WITH emb AS (
+            SELECT vec_id, embedding,
+                   ${half(1)} AS b1, ${half(33)} AS b2
+            FROM embeddings),
+          cand0 AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   q.embedding AS q_emb, e.embedding AS embedding,
+                   (bit_count(xor(q.b1, e.b1)) +
+                    bit_count(xor(q.b2, e.b2)))::BIGINT AS ham
+            FROM emb q, emb e
+            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+          cand AS (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY ham, vec_id) AS qrk
+            FROM cand0),
+          rr AS (
+            SELECT query_id, vec_id, ham,
+                   ${Portable.cosSql("q_emb", "embedding")} AS sim
+            FROM cand WHERE qrk <= 50)
+          SELECT query_id, vec_id, ham, ${Portable.rSql("sim", 6)} AS sim, rk
+          FROM (SELECT *, (row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, vec_id))::BIGINT AS rk FROM rr)
+          WHERE rk <= 10 ORDER BY query_id, rk"""
     },
     "Q-llm-37" -> {
       // sequential-double squared L2 over an 8-dim slice pair

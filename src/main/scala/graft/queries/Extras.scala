@@ -981,6 +981,83 @@ object Extras {
         .orderBy("o_orderkey")
     },
 
+    // ---- Q-qual-11: incremental MATERIALIZED-JOIN maintenance from
+    // change feeds — how a 100 TB fact⋈dim stays fresh without rescans.
+    // Three ACID tables: fact, dim, and the materialized view (itself
+    // transactional, keyed by the fact key). Each epoch merges deltas
+    // into fact and dim, then repairs the MV from the two CHANGE FEEDS
+    // alone: (a) fact-changed rows join the CURRENT dim restricted to
+    // exactly the referenced keys via a bloom/stats POINT READ (the
+    // Q-qual-10 machinery doing real work); (b) dim-changed rows refresh
+    // the MV rows that reference them — sourced from the MV itself, so
+    // no fact scan happens; rows hit by both take path (a), which
+    // already sees the post-merge dim. The repair lands as one CoW merge
+    // whose file selection is log-only. Final MV hash-matches the
+    // from-scratch join the oracle computes directly from the sources.
+    "Q-qual-11" -> { (s, d) =>
+      import graft.operators.TxTable
+      val base = tempDir("graft_qual11").toString
+      val (fRoot, dRoot, mRoot) = (s"$base/fact", s"$base/dim", s"$base/mv")
+      val dim0 = Tables.customer(s, d).filter(col("c_custkey") <= 2000)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val fact0 = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 6000 && col("o_custkey") <= 2000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.create(fact0.coalesce(2), fRoot, Some("o_orderkey"))
+      TxTable.create(dim0.coalesce(1), dRoot, Some("c_custkey"))
+      val mvCols = Seq("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal")
+      TxTable.create(
+        TxTable.read(s, fRoot)
+          .join(TxTable.read(s, dRoot), col("o_custkey") === col("c_custkey"))
+          .select(mvCols.map(col): _*).coalesce(2),
+        mRoot, Some("o_orderkey"))
+      for (e <- 1 to 2) {
+        val (fm, dm) = if (e == 1) (17, 13) else (23, 19)
+        // CDC producers: deltas derive from CURRENT table state
+        val fDelta = TxTable.read(s, fRoot)
+          .filter(col("o_orderkey") % fm === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + e.toDouble)
+        val dDelta = TxTable.read(s, dRoot)
+          .filter(col("c_custkey") % dm === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 10.0 * e)
+        val fv = TxTable.snapshot(fRoot).version
+        val dv = TxTable.snapshot(dRoot).version
+        TxTable.mergeCow(s, fRoot, fDelta, "o_orderkey")
+        TxTable.mergeCow(s, dRoot, dDelta, "c_custkey")
+        // MV repair from the feeds alone
+        val fFeed = TxTable.changeFeed(s, fRoot, fv, fv + 1, Seq("o_orderkey"))
+        val dFeed = TxTable.changeFeed(s, dRoot, dv, dv + 1, Seq("c_custkey"))
+        if (fFeed.isEmpty || dFeed.isEmpty) throw new IllegalStateException(
+          s"epoch $e produced an empty change feed — scenario broken")
+        val fPost = fFeed.filter(col("change") =!= "delete")
+          .select(col("o_orderkey"), col("post.o_custkey").as("o_custkey"),
+            col("post.o_totalprice").as("o_totalprice"))
+        val dPost = dFeed.filter(col("change") =!= "delete")
+          .select(col("c_custkey"), col("post.c_name").as("c_name"),
+            col("post.c_acctbal").as("c_acctbal"))
+        // (a) fact-changed rows ⋈ current dim, dim restricted by POINT READ
+        // to the referenced keys (delta-bounded, the broadcast-dim shape)
+        val custKeys = fPost.select("o_custkey").distinct()
+          .collect().map(_.getLong(0)).toSeq.sorted
+        val dimNow = TxTable.pointRead(s, dRoot, custKeys)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val factRefresh = fPost
+          .join(broadcast(dimNow), col("o_custkey") === col("c_custkey"))
+          .select(mvCols.map(col): _*)
+        // (b) dim-changed rows refresh MV rows referencing them (no fact scan)
+        val dimRefresh = TxTable.read(s, mRoot)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .join(broadcast(dPost), col("o_custkey") === col("c_custkey"))
+          .select(mvCols.map(col): _*)
+          .join(factRefresh.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        TxTable.mergeCow(s, mRoot,
+          factRefresh.unionByName(dimRefresh), "o_orderkey")
+        if (TxTable.snapshot(mRoot).version != e) throw new IllegalStateException(
+          s"MV version drifted: ${TxTable.snapshot(mRoot).version} != $e")
+      }
+      TxTable.read(s, mRoot).select(mvCols.map(col): _*).orderBy("o_orderkey")
+    },
+
     // ---- Q-evt-08: activity-quartile segmentation — users bucketed into
     // engagement quartiles (ntile over the AGGREGATED per-user table:
     // |users| rows, not |events|, so the single-partition rank is cheap;
@@ -1257,6 +1334,22 @@ object Extras {
       """SELECT o_orderkey, o_totalprice, o_orderpriority
          FROM orders
          WHERE o_orderkey IN (8, 13, 121, 517, 1001, 1004)
+         ORDER BY o_orderkey""",
+    // the maintained MV must equal the from-scratch join with both
+    // epochs' adjustments applied in epoch order (left-assoc adds)
+    "Q-qual-11" ->
+      """SELECT o_orderkey, o_custkey,
+                o_totalprice
+                  + (CASE WHEN o_orderkey % 17 = 0 THEN 1.0 ELSE 0.0 END)
+                  + (CASE WHEN o_orderkey % 23 = 0 THEN 2.0 ELSE 0.0 END)
+                  AS o_totalprice,
+                c_name,
+                c_acctbal
+                  + (CASE WHEN c_custkey % 13 = 0 THEN 10.0 ELSE 0.0 END)
+                  + (CASE WHEN c_custkey % 19 = 0 THEN 20.0 ELSE 0.0 END)
+                  AS c_acctbal
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_orderkey <= 6000 AND o_custkey <= 2000
          ORDER BY o_orderkey""",
     // final ACID-table state derived from the source in one pass: the
     // k%3 batch committed after k%7, so it wins the k%21 overlap

@@ -25,7 +25,9 @@ object ShuffleCheck {
     "Q-llm-32", "Q-llm-33", "Q-qual-05", "Q-sql-16",
     "Q-llm-38", "Q-qual-06", "Q-mm-07", "Q-mm-08", "Q-mm-09", "Q-qual-08",
     "Q-llm-40", "Q-graph-01", "Q-llm-41", "Q-llm-42", "Q-qual-09",
-    "Q-llm-43", "Q-llm-44")
+    "Q-llm-43", "Q-llm-44", "Q-llm-45", "Q-llm-46", "Q-llm-47",
+    "Q-llm-48", "Q-graph-02", "Q-graph-03", "Q-graph-04", "Q-qual-10",
+    "Q-qual-11")
 
   def main(args: Array[String]): Unit = {
     val s = EngineSession.getOrCreate("shuffle-check")

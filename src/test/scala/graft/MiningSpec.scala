@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.EngineSession
-import graft.queries.{Graph, Mining}
+import graft.queries.{CustomOps, Graph, Mining}
 
 /** Pins the mining operators' semantics beyond the oracle hash:
   * the decision tree (Q-llm-46) must actually LEARN its rule-derived
@@ -50,6 +50,18 @@ class MiningSpec extends AnyFunSuite {
     assert(nodes > 0 && edges > 0)
     assert(tris <= wedges, "every triangle closes exactly one wedge")
     assert(edges <= nodes.toLong * (nodes - 1) / 2)
+  }
+
+  test("Q-llm-48 binary-sign ANN: recall@10 vs exact cosine bounded") {
+    val exact = CustomOps.queries("Q-llm-03")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bin = CustomOps.queries("Q-llm-48")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bin.size == exact.size)
+    val recall = (bin & exact).size.toDouble / exact.size
+    // 64 sign bits keep coarse direction; the exact re-rank of 50
+    // recovers most of the exact top-10
+    assert(recall >= 0.5, s"binary-sign recall@10 = $recall")
   }
 
   test("Q-graph-03 BFS histogram: seeds at dist 0, monotone reachability") {

@@ -1055,6 +1055,28 @@ object Extras {
         if (TxTable.snapshot(mRoot).version != e) throw new IllegalStateException(
           s"MV version drifted: ${TxTable.snapshot(mRoot).version} != $e")
       }
+      // epoch 3: DELETES propagate through the feeds — a fact delete
+      // removes its MV row directly; a dim delete CASCADES to every MV
+      // row referencing it (keys sourced from the MV, no fact scan).
+      val fv3 = TxTable.snapshot(fRoot).version
+      val dv3 = TxTable.snapshot(dRoot).version
+      TxTable.deleteCow(s, fRoot,
+        TxTable.read(s, fRoot).filter(col("o_orderkey") % 29 === 0)
+          .select("o_orderkey"), "o_orderkey")
+      TxTable.deleteCow(s, dRoot,
+        TxTable.read(s, dRoot).filter(col("c_custkey") % 31 === 0)
+          .select("c_custkey"), "c_custkey")
+      val fDel = TxTable.changeFeed(s, fRoot, fv3, fv3 + 1, Seq("o_orderkey"))
+        .filter(col("change") === "delete").select("o_orderkey")
+      val dDel = TxTable.changeFeed(s, dRoot, dv3, dv3 + 1, Seq("c_custkey"))
+        .filter(col("change") === "delete").select(col("c_custkey").as("delc"))
+      val doomed = TxTable.read(s, mRoot)
+        .join(broadcast(dDel), col("o_custkey") === col("delc"))
+        .select("o_orderkey")
+        .unionByName(fDel).distinct()
+      TxTable.deleteCow(s, mRoot, doomed, "o_orderkey")
+      if (TxTable.snapshot(mRoot).version != 3) throw new IllegalStateException(
+        s"MV version drifted: ${TxTable.snapshot(mRoot).version} != 3")
       TxTable.read(s, mRoot).select(mvCols.map(col): _*).orderBy("o_orderkey")
     },
 
@@ -1350,6 +1372,7 @@ object Extras {
                   AS c_acctbal
          FROM orders JOIN customer ON o_custkey = c_custkey
          WHERE o_orderkey <= 6000 AND o_custkey <= 2000
+           AND o_orderkey % 29 <> 0 AND c_custkey % 31 <> 0
          ORDER BY o_orderkey""",
     // final ACID-table state derived from the source in one pass: the
     // k%3 batch committed after k%7, so it wins the k%21 overlap

@@ -194,10 +194,27 @@ object ExplainCheck {
     // corpus would shuffle); the index paths (IVF/LSH/PQ) must reach
     // candidates via equi-joins, with the only BNLJ allowed being a
     // broadcast of the tiny centroid/query side.
-    for (q <- Seq("Q-llm-03", "Q-llm-36", "Q-llm-15", "Q-llm-29"))
+    for (q <- Seq("Q-llm-03", "Q-llm-36", "Q-llm-15", "Q-llm-29", "Q-llm-48"))
       check(q, "brute-force scoring is a BNLJ with broadcast query side",
         p => p.contains("BroadcastNestedLoopJoin") &&
              !p.contains("CartesianProduct"))
+    // the triangle counter's wedge and closing-edge steps must be keyed
+    // joins — a planner fallback to a nested loop would turn the
+    // degree-orientation bound into all-pairs. (The final four-way
+    // single-row stat assembly IS a BNLJ by construction — 1×1 rows —
+    // so the pin asserts no cartesian anywhere and that the data-sized
+    // joins planned as hash/merge joins.)
+    check("Q-graph-02", "wedge/closing joins are keyed (no cartesian)",
+      p => !p.contains("CartesianProduct") &&
+           (p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")))
+    // importance resampling is scan → project → filter → sort: the only
+    // exchange is the output ordering's range partition
+    check("Q-llm-47", "selection has no hash exchange (pure per-row hash)",
+      p => !p.contains("Exchange hashpartitioning"))
+    // PMI's final top-25 must stay a TakeOrderedAndProject (k rows per
+    // partition cross the wire, never the candidate set)
+    check("Q-llm-45", "top-k collocations via TakeOrderedAndProject",
+      p => p.contains("TakeOrderedAndProject"))
     for (q <- Seq("Q-llm-08", "Q-llm-37"))
       check(q, "index probe path has no CartesianProduct",
         p => !p.contains("CartesianProduct"))

@@ -530,6 +530,52 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-mm-10: SCENE-CUT detection over really-decoded frames — the
+    // shot-segmentation pass a video training pipeline runs before
+    // sampling clips. Each asset's AVI carries a planted scene change at
+    // frame s = 2 + id % 3 (+64 per pixel, values capped < 128 so no
+    // mod-256 wrap muddies the algebra); the kernel REALLY decodes via
+    // the RIFF walker and emits per-frame luma sums; the cut rule
+    // |luma(f) − luma(f−1)| > 32·w·h runs as a Spark window lag keyed by
+    // asset — decode is a narrow map, the only shuffle carries one row
+    // per frame. Exact integers end to end: the oracle recomputes every
+    // frame sum analytically from the generator formula.
+    "Q-mm-10" -> { (s, d) =>
+      import s.implicits._
+      val frames = Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.flatMap { id =>
+            val w = (8 + id % 5).toInt
+            val h = 6
+            val sCut = (2 + id % 3).toInt
+            val payload = graft.multimodal.AviCodec.encode(w, h,
+              Seq.tabulate(6)(f => (x, y) =>
+                (x + 2 * y) % 64 + (if (f >= sCut) 64 else 0) + f % 2))
+            val v = graft.multimodal.AviCodec.decode(payload)
+              .getOrElse(throw new IllegalStateException(
+                s"asset $id: RIFF walker failed to decode generated AVI"))
+            v.lumaSums.iterator.zipWithIndex.map { case (ls, f) =>
+              (id, f.toLong, ls, w.toLong * h)
+            }
+          }
+        }
+        .toDF("asset_id", "f", "luma", "wh")
+      val wLag = Window.partitionBy("asset_id").orderBy("f")
+      frames
+        .withColumn("prev", lag("luma", 1).over(wLag))
+        .withColumn("cut",
+          when(col("prev").isNotNull &&
+            abs(col("luma") - col("prev")) > col("wh") * 32, 1L).otherwise(0L))
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_frames"), sum(col("cut")).as("n_cuts"),
+          coalesce(min(when(col("cut") === 1L, col("f"))), lit(-1L))
+            .as("cut_frame"))
+        .select(col("asset_id"), col("n_frames").cast("bigint").as("n_frames"),
+          col("n_cuts").cast("bigint").as("n_cuts"),
+          col("cut_frame").cast("bigint").as("cut_frame"))
+        .orderBy("asset_id")
+    },
+
     // ---- Q-evt-04: path/transition analysis — the per-user event-type
     // bigram matrix (prev -> next counts, globally ranked). One window
     // lag per user + one counting groupBy: the shuffle is keyed by
@@ -1318,6 +1364,36 @@ object Extras {
                   AS n_bytes,
                 sum(v)::BIGINT AS sampled_luma_sum
          FROM px GROUP BY doc_id ORDER BY asset_id""",
+    // per-frame sums recomputed analytically from the generator formula
+    "Q-mm-10" ->
+      """WITH dims AS (
+           SELECT doc_id, 8 + doc_id % 5 AS w, 6 AS h, 2 + doc_id % 3 AS s
+           FROM documents),
+         base AS (
+           SELECT doc_id, w, h, s,
+                  sum((x.range + 2 * y.range) % 64) AS s0
+           FROM dims CROSS JOIN range(12) x CROSS JOIN range(6) y
+           WHERE x.range < w AND y.range < h
+           GROUP BY doc_id, w, h, s),
+         frames AS (
+           SELECT doc_id, w, h, f.range AS f,
+                  s0 + w * h * ((CASE WHEN f.range >= s THEN 64 ELSE 0 END)
+                                + f.range % 2) AS luma
+           FROM base CROSS JOIN range(6) f),
+         d AS (
+           SELECT doc_id, w, h, f, luma,
+                  lag(luma) OVER (PARTITION BY doc_id ORDER BY f) AS prev
+           FROM frames),
+         c AS (
+           SELECT doc_id, f,
+                  CASE WHEN prev IS NOT NULL AND abs(luma - prev) > 32 * w * h
+                       THEN 1 ELSE 0 END AS cut
+           FROM d)
+         SELECT doc_id AS asset_id, count(*)::BIGINT AS n_frames,
+                sum(cut)::BIGINT AS n_cuts,
+                coalesce(min(CASE WHEN cut = 1 THEN f END), -1)::BIGINT
+                  AS cut_frame
+         FROM c GROUP BY doc_id ORDER BY asset_id""",
     // net v1 -> v3 diff derived from the source in one pass: pre images
     // are the v1 state (k%7 already UPD1-merged), deletes are the k%5
     // set (regardless of the k%15 update-then-delete overlap — net

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.EngineSession
-import graft.queries.{CustomOps, Graph, Mining}
+import graft.queries.{CustomOps, Extras, Graph, Mining}
 
 /** Pins the mining operators' semantics beyond the oracle hash:
   * the decision tree (Q-llm-46) must actually LEARN its rule-derived
@@ -62,6 +62,16 @@ class MiningSpec extends AnyFunSuite {
     // 64 sign bits keep coarse direction; the exact re-rank of 50
     // recovers most of the exact top-10
     assert(recall >= 0.5, s"binary-sign recall@10 = $recall")
+  }
+
+  test("Q-mm-10 scene-cut: exactly the planted cut found, at its frame") {
+    val rows = Extras.queries("Q-mm-10")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nCuts, cutAt) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(nCuts == 1L, s"asset $id: expected exactly one cut, got $nCuts")
+      assert(cutAt == 2 + id % 3, s"asset $id: cut at $cutAt")
+    }
   }
 
   test("Q-graph-03 BFS histogram: seeds at dist 0, monotone reachability") {

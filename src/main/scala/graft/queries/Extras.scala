@@ -1146,12 +1146,53 @@ object Extras {
           sum(col("n_events")).as("n_events"),
           Portable.r(Portable.dsum(col("v_sum")), 2).as("v_total"))
         .orderBy("quartile")
+    },
+
+    // ---- Q-evt-09: per-entity EWMA (α = 1/4) of event values in
+    // event-time order — the time-series smoothing pass (monitoring,
+    // engagement decay). A running EWMA is an inherently SEQUENTIAL
+    // fold, so cross-engine exactness comes from the BPE discipline
+    // (Q-llm-38): each user's history is collected, total-ordered
+    // inside the array by (ts, event_id), and folded with the IDENTICAL
+    // IEEE op sequence on both engines (Spark aggregate() vs DuckDB
+    // list_reduce with a prepended zero — same init, same steps, bit
+    // identical). Scale shape: one shuffle keyed by user; the fold is
+    // entity-history-bounded (67 events/user at sf0.1 — a fleet-scale
+    // run segments the fold by (user, day) and chains the carry).
+    "Q-evt-09" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            Portable.r(col("value"), 6).as("v")).as("e"))
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("user_id"),
+          size(col("es")).cast("bigint").as("n_events"),
+          Portable.r(expr("aggregate(es, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc * 0.75 + x.v * 0.25)"), 6).as("ewma"))
+        .orderBy("user_id")
     }
   )
 
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    "Q-evt-09" ->
+      s"""WITH e AS (
+           SELECT user_id, ts, event_id,
+                  ${Portable.rSql("value", 6)} AS v
+           FROM events),
+         g AS (
+           SELECT user_id,
+                  list_transform(
+                    list_sort(list({'ts': ts, 'event_id': event_id, 'v': v})),
+                    x -> x.v) AS vals
+           FROM e GROUP BY user_id)
+         SELECT user_id, len(vals)::BIGINT AS n_events,
+                ${Portable.rSql(
+                  "list_reduce(list_prepend(0.0, vals), " +
+                  "(acc, v) -> acc * 0.75 + v * 0.25)", 6)} AS ewma
+         FROM g ORDER BY user_id""",
     "Q-evt-07" ->
       s"""WITH gaps AS (
            SELECT user_id,

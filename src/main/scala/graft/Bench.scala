@@ -86,7 +86,11 @@ object Bench {
     "Q-llm-47",   // importance resampling (key-hash acceptance)
     "Q-qual-10",  // ACID point read: log blooms prune residue-class files
     "Q-llm-48",   // binary-sign ANN (XOR+POPCOUNT ranking, cosine re-rank)
-    "Q-qual-11"   // incremental materialized join from change feeds
+    "Q-qual-11",  // incremental materialized join from change feeds
+    "Q-llm-49",   // late-interaction MaxSim retrieval (ColBERT shape)
+    "Q-graph-05", // k-core peeling (4 rounds, alive semi-joins)
+    "Q-evt-09",   // per-entity EWMA (sequential fold parity)
+    "Q-mm-10"     // scene-cut detection over decoded frames
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -145,6 +145,42 @@ object Graph {
         .orderBy("dist")
     },
 
+    // ---- Q-graph-05: k-core PEELING (k = 64, 4 fixed rounds) over the
+    // part co-purchase graph — the density-filtering primitive (spam/
+    // boilerplate subgraph extraction in crawl graphs). Each round
+    // recomputes degrees on the surviving subgraph (two alive semi-joins
+    // + one partial-agg count, all keyed) and drops nodes below k; the
+    // per-round survivor set is localCheckpoint'd so plans stay
+    // constant. Output = the monotone peeling trajectory (round, alive),
+    // the per-round sizes an operator dashboard tracks; integer exact vs
+    // the unrolled-CTE oracle.
+    "Q-graph-05" -> { (s, d) =>
+      val K = 64
+      val rounds = 4
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("v"), col("y.l_partkey").as("w"))
+        .distinct()
+      val sym = pairs.unionAll(pairs.select(col("w").as("v"), col("v").as("w")))
+        .repartition(col("v")).persist()
+      var alive = sym.select("v").distinct().localCheckpoint()
+      val trajectory =
+        scala.collection.mutable.Buffer[(Long, Long)]((0L, alive.count()))
+      for (r <- 1 to rounds) {
+        val deg = sym
+          .join(alive, Seq("v"), "left_semi")
+          .join(alive.select(col("v").as("w")), Seq("w"), "left_semi")
+          .groupBy("v").agg(count(lit(1)).as("n"))
+        alive = deg.filter(col("n") >= K).select("v").localCheckpoint()
+        trajectory += ((r.toLong, alive.count()))
+      }
+      sym.unpersist(blocking = false)
+      import s.implicits._
+      trajectory.toSeq.toDF("round", "n_alive").orderBy("round")
+    },
+
     // ---- Q-graph-04: bounded-round Bellman-Ford — WEIGHTED shortest
     // path from the same seed set, edge cost = min line number of the
     // trade relationship (1..7, data-derived, integer). 4 relaxation
@@ -287,6 +323,31 @@ object Graph {
           $chain
           SELECT dist::BIGINT AS dist, count(*)::BIGINT AS n_nodes
           FROM d$rounds GROUP BY dist ORDER BY dist"""
+    },
+
+    "Q-graph-05" -> {
+      val K = 64
+      val rounds = 4
+      def round(prev: String, i: Int): String =
+        s"""d$i AS (
+              SELECT s.v, count(*) AS n
+              FROM sym s JOIN $prev x ON s.v = x.v JOIN $prev y ON s.w = y.v
+              GROUP BY s.v),
+            a$i AS (SELECT v FROM d$i WHERE n >= $K)"""
+      val chain = (1 to rounds).map(i => round(s"a${i - 1}", i)).mkString(",\n")
+      val counts = (0 to rounds)
+        .map(i => s"SELECT $i AS round, count(*) AS n FROM a$i")
+        .mkString(" UNION ALL ")
+      s"""WITH pairs AS (
+            SELECT DISTINCT x.l_partkey AS v, y.l_partkey AS w
+            FROM lineitem x JOIN lineitem y
+              ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+          sym AS (
+            SELECT v, w FROM pairs UNION ALL SELECT w AS v, v AS w FROM pairs),
+          a0 AS (SELECT DISTINCT v FROM sym),
+          $chain
+          SELECT round::BIGINT AS round, n::BIGINT AS n_alive
+          FROM ($counts) ORDER BY round"""
     }
   )
 }

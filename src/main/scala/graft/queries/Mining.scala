@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -181,6 +182,37 @@ object Mining {
           wPpm.cast("bigint").as("w_ppm"), hPpm.as("h_ppm"))
         .filter(col("h_ppm") < col("w_ppm"))
         .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-49: LATE-INTERACTION retrieval (the ColBERT scoring
+    // shape): documents are SETS of vectors (multi-vector docs derived
+    // by grouping the embedding table on vec_id % 100), queries are
+    // 2-vector sets, and the score is MaxSim — for each query vector
+    // take the max cosine over the doc's vectors, then sum over query
+    // vectors. Plan shape: query-vector set broadcast (the brute-force
+    // discipline), one codegen cosine per (qvec, docvec) pair, then the
+    // max and sum collapse as PARTIAL AGGS keyed by (doc, qvec) and
+    // (doc) — the pair scores never cross an exchange unreduced. Exact:
+    // cosine is the sequential-double algebra, max is order-free, the
+    // final sum is the 2-element addition both engines do identically.
+    "Q-llm-49" -> { (s, d) =>
+      graft.functions.CosineSim.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select((col("vec_id") % 100).as("doc"), col("vec_id"), col("embedding"))
+      val qv = emb.filter(col("vec_id") < 2)
+        .select(col("vec_id").as("qvec"), col("embedding").as("q_emb"))
+      val pair = emb.crossJoin(broadcast(qv))
+        .withColumn("sim", expr("cosine_sim(q_emb, embedding)"))
+      val perQvec = pair.groupBy("doc", "qvec")
+        .agg(max(col("sim")).as("maxsim"))
+      val w = Window.orderBy(col("score").desc, col("doc"))
+      perQvec.groupBy("doc")
+        .agg(sum(Portable.r(col("maxsim"), 9)).as("score"))
+        .select(col("doc").cast("bigint").as("doc"),
+          Portable.r(col("score"), 6).as("score"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 15)
+        .orderBy("rk")
     }
   )
 
@@ -291,6 +323,28 @@ object Mining {
                   (('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT % 1000000)::BIGINT AS h_ppm
            FROM t)
          SELECT doc_id, n_tok, n_stop, w_ppm, h_ppm
-         FROM w WHERE h_ppm < w_ppm ORDER BY doc_id"""
+         FROM w WHERE h_ppm < w_ppm ORDER BY doc_id""",
+
+    "Q-llm-49" -> {
+      s"""WITH emb AS (
+            SELECT vec_id % 100 AS doc, vec_id, embedding FROM embeddings),
+          qv AS (
+            SELECT vec_id AS qvec, embedding AS q_emb
+            FROM embeddings WHERE vec_id < 2),
+          pair AS (
+            SELECT e.doc, e.vec_id, q.qvec,
+                   ${Portable.cosSql("q.q_emb", "e.embedding")} AS sim
+            FROM emb e CROSS JOIN qv q),
+          m AS (SELECT doc, qvec, max(sim) AS maxsim
+                FROM pair GROUP BY doc, qvec),
+          sc AS (SELECT doc,
+                        sum(${Portable.rSql("maxsim", 9)}) AS score
+                 FROM m GROUP BY doc)
+          SELECT doc::BIGINT AS doc, ${Portable.rSql("score", 6)} AS score, rk
+          FROM (SELECT doc, score,
+                       (row_number() OVER (ORDER BY score DESC, doc))::BIGINT AS rk
+                FROM sc)
+          WHERE rk <= 15 ORDER BY rk"""
+    }
   )
 }

@@ -74,6 +74,27 @@ class MiningSpec extends AnyFunSuite {
     }
   }
 
+  test("Q-llm-49 late interaction: query-home docs rank top (self MaxSim = 1)") {
+    val rows = Mining.queries("Q-llm-49")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // qvecs 0 and 1 live in docs 0 and 1; each contributes a MaxSim of
+    // exactly 1.0 to its home doc, so docs 0/1 must hold the top ranks
+    val top2 = rows.take(2).map(_.getLong(0)).toSet
+    assert(top2 == Set(0L, 1L), s"top-2 docs were $top2")
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("Q-graph-05 k-core peeling: trajectory monotone non-increasing") {
+    val rows = Graph.queries("Q-graph-05")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 5 && rows.head._1 == 0L)
+    val ns = rows.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+      s"peeling grew the graph: ${ns.toSeq}")
+    assert(ns.head > 0)
+  }
+
   test("Q-graph-03 BFS histogram: seeds at dist 0, monotone reachability") {
     val rows = Graph.queries("Q-graph-03")(spark, sf).collect()
     assert(rows.nonEmpty)

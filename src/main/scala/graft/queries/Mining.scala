@@ -213,6 +213,39 @@ object Mining {
         .withColumn("rk", row_number().over(w).cast("bigint"))
         .filter(col("rk") <= 15)
         .orderBy("rk")
+    },
+
+    // ---- Q-llm-50: LEAVE-ONE-OUT target encoding — the
+    // feature-engineering op for categorical columns (here: source →
+    // smoothed quality-label mean), in the leakage-safe LOO form real
+    // training pipelines use (a doc's own label never feeds its own
+    // feature). The smoothed estimate ((s−y)·gn + m·gs) / (gn·(n−1+m))
+    // is formed as an INTEGER ratio — one identical double division +
+    // portable round at the end, so both engines agree bit-for-bit.
+    // Plan: one |cat|-bounded partial agg + one global agg, both
+    // broadcast back against the doc stream; no doc-side shuffle but
+    // the output sort.
+    "Q-llm-50" -> { (s, d) =>
+      val m = 20
+      val ws = split(col("text"), " ")
+      val stopF = "size(filter(split(text, ' '), " +
+        "w -> array_contains(array('the','a','of','to','and'), w)))"
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          Portable.r(length(col("text")).cast("double") / size(ws), 6).as("x1"),
+          Portable.r(expr(stopF).cast("double") / size(ws), 6).as("x2"))
+        .withColumn("y",
+          when(col("x1") <= 6.0 && col("x2") >= 0.04, 1L).otherwise(0L))
+      val cat = base.groupBy("source")
+        .agg(sum(col("y")).as("cs"), count(lit(1)).as("cn"))
+      val glob = base.agg(sum(col("y")).as("gs"), count(lit(1)).as("gn"))
+      base.join(broadcast(cat), Seq("source"))
+        .crossJoin(broadcast(glob))
+        .select(col("doc_id"), col("source"), col("y").cast("bigint").as("y"),
+          Portable.r(
+            ((col("cs") - col("y")) * col("gn") + lit(m.toLong) * col("gs"))
+              .cast("double") /
+            (col("gn") * (col("cn") - 1 + m)).cast("double"), 6).as("enc"))
+        .orderBy("doc_id")
     }
   )
 
@@ -345,6 +378,29 @@ object Mining {
                        (row_number() OVER (ORDER BY score DESC, doc))::BIGINT AS rk
                 FROM sc)
           WHERE rk <= 15 ORDER BY rk"""
+    },
+
+    "Q-llm-50" -> {
+      val stop = "len(list_filter(string_split(text, ' '), " +
+        "w -> list_contains(['the','a','of','to','and'], w)))"
+      s"""WITH f0 AS (
+            SELECT doc_id, source,
+                   ${Portable.rSql("strlen(text)::DOUBLE / len(string_split(text, ' '))", 6)} AS x1,
+                   ${Portable.rSql(s"$stop::DOUBLE / len(string_split(text, ' '))", 6)} AS x2
+            FROM documents),
+          base AS (
+            SELECT doc_id, source,
+                   CASE WHEN x1 <= 6.0 AND x2 >= 0.04 THEN 1 ELSE 0 END AS y
+            FROM f0),
+          cat AS (SELECT source, sum(y) AS cs, count(*) AS cn
+                  FROM base GROUP BY source),
+          g AS (SELECT sum(y) AS gs, count(*) AS gn FROM base)
+          SELECT b.doc_id, b.source, b.y::BIGINT AS y,
+                 ${Portable.rSql(
+                   "((cs - b.y) * gn + 20 * gs)::DOUBLE / (gn * (cn - 1 + 20))::DOUBLE",
+                   6)} AS enc
+          FROM base b JOIN cat USING (source) CROSS JOIN g
+          ORDER BY b.doc_id"""
     }
   )
 }

@@ -500,6 +500,26 @@ object SqlSurface {
               CAST(max(k) AS BIGINT) AS last_k
        FROM tree GROUP BY depth ORDER BY depth"""
 
+  /** Named-WINDOW-clause parity (SQL:2003 WINDOW): one spec shared by a
+    * running total, a row number, and a 3-row moving average. Window
+    * sums run through DECIMAL(30,10) — DuckDB evaluates sliding frames
+    * with a segment tree, so double accumulation ORDER differs from
+    * Spark's running scan; exact decimal is associative and order-free. */
+  private val sql26: String =
+    """SELECT CAST(user_id AS BIGINT) AS user_id,
+              CAST(event_id AS BIGINT) AS event_id,
+              floor(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                    * 1e4 + 0.5) / 1e4 AS run_sum,
+              CAST(row_number() OVER w AS BIGINT) AS rn,
+              floor(CAST(sum(CAST(value AS DECIMAL(30,10))) OVER w3 AS DOUBLE)
+                    / CAST(count(*) OVER w3 AS DOUBLE) * 1e4 + 0.5) / 1e4
+                AS avg3
+       FROM events
+       WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+              w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       ORDER BY user_id, rn"""
+
   private val texts: Map[String, String] = Map(
     "Q-sql-01" -> sql01,
     "Q-sql-02" -> sql02,
@@ -526,7 +546,8 @@ object SqlSurface {
     "Q-sql-22" -> sql22,
     "Q-sql-23" -> sql23,
     "Q-sql-24" -> sql24,
-    "Q-sql-25" -> sql25)
+    "Q-sql-25" -> sql25,
+    "Q-sql-26" -> sql26)
 
   val queries: Map[String, Q] = texts.map { case (name, text) =>
     val q: Q = (s, d) => { Tables.registerViews(s, d); s.sql(text) }

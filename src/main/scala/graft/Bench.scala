@@ -90,7 +90,10 @@ object Bench {
     "Q-llm-49",   // late-interaction MaxSim retrieval (ColBERT shape)
     "Q-graph-05", // k-core peeling (4 rounds, alive semi-joins)
     "Q-evt-09",   // per-entity EWMA (sequential fold parity)
-    "Q-mm-10"     // scene-cut detection over decoded frames
+    "Q-mm-10",    // scene-cut detection over decoded frames
+    "Q-llm-50",   // leave-one-out target encoding (integer-ratio exact)
+    "Q-sql-26",   // named WINDOW clause (decimal-exact frames)
+    "Q-graph-06"  // personalized PageRank from the seed cohort
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -79,4 +79,45 @@ object PageRank {
     nodes.unpersist()
     ranks
   }
+
+  /** PERSONALIZED PageRank: identical iteration shape, but teleport mass
+    * lands only on the seed set (`seeds`: a 1-column `id` DataFrame) —
+    * rank = 0.15·isSeed + 0.85·Σ in-contributions, started from the seed
+    * indicator. Same two bounded exchanges per round, same decimal
+    * portability; the seed flag joins once into the node table (a
+    * broadcast at typical seed-set sizes) and rides every round as a
+    * column, never re-joined. */
+  def runPersonalized(edges: DataFrame, iterations: Int,
+                      seeds: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    val e = edges.join(deg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).distinct()
+      .join(broadcast(seeds.select(col("id").as("sid"), lit(1.0).as("t"))),
+        col("id") === col("sid"), "left")
+      .select(col("id"), coalesce(col("t"), lit(0.0)).as("t"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = nodes.select(col("id"), col("t").as("rank"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(ranks, e("src") === ranks("id"))
+        .select(col("dst"),
+          Portable.r(col("rank") / col("outdeg"), 9).as("c"))
+        .groupBy("dst")
+        .agg(Portable.dsum(col("c")).as("c"))
+      val next = nodes.join(contrib, nodes("id") === contrib("dst"), "left")
+        .select(col("id"),
+          (lit(0.15) * col("t") +
+            lit(0.85) * coalesce(col("c"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      ranks = next
+    }
+    e.unpersist()
+    nodes.unpersist()
+    ranks
+  }
 }

@@ -38,6 +38,17 @@ object Graph {
             FROM edeg e JOIN $prev r ON e.src = r.id
             GROUP BY e.dst) c ON n.id = c.id)"""
 
+  /** The personalized variant: teleport mass only on seed nodes (n.t). */
+  private def pprRound(prev: String, cur: String): String =
+    s"""$cur AS (
+          SELECT n.id, n.t, 0.15 * n.t + 0.85 * COALESCE(c.c, 0.0) AS rank
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS id,
+                   CAST(sum(CAST(${Portable.rSql("r.rank / e.outdeg", 9)}
+                            AS DECIMAL(30,10))) AS DOUBLE) AS c
+            FROM edeg e JOIN $prev r ON e.src = r.id
+            GROUP BY e.dst) c ON n.id = c.id)"""
+
   val queries: Map[String, Q] = Map(
     // ---- Q-graph-01: PageRank over the symmetrized customer–supplier
     // trade graph, 8 fixed iterations, scaled form (rank mass = |V|).
@@ -179,6 +190,32 @@ object Graph {
       sym.unpersist(blocking = false)
       import s.implicits._
       trajectory.toSeq.toDF("round", "n_alive").orderBy("round")
+    },
+
+    // ---- Q-graph-06: PERSONALIZED PageRank from the %100 customer
+    // cohort — authority RELATIVE to a seed set (the "expand this
+    // curated corpus" crawl primitive; same seeds as BFS/Q-graph-03).
+    // Teleport mass lands only on seeds; everything else is the
+    // Q-graph-01 machinery: two bounded exchanges per round, decimal
+    // contribution sums, bit-exact vs the unrolled-CTE chain. Output
+    // trimmed to the nonzero-rank nodes (reached mass) ordered by id.
+    "Q-graph-06" -> { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + lit(1000000L)).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      val seeds = Tables.customer(s, d)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("id"))
+      PageRank.runPersonalized(edges, ITERS, seeds)
+        .filter(col("rank") > 0.0)
+        .select(col("id").cast("long").as("id"),
+          Portable.r(col("rank"), 9).as("rank"))
+        .orderBy("id")
     },
 
     // ---- Q-graph-04: bounded-round Bellman-Ford — WEIGHTED shortest
@@ -348,6 +385,32 @@ object Graph {
           $chain
           SELECT round::BIGINT AS round, n::BIGINT AS n_alive
           FROM ($counts) ORDER BY round"""
+    },
+
+    "Q-graph-06" -> {
+      val rounds = (1 to ITERS).map(i => pprRound(s"r${i - 1}", s"r$i"))
+        .mkString(",\n")
+      s"""WITH pairs AS (
+            SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          edges AS (
+            SELECT cust AS src, supp AS dst FROM pairs
+            UNION ALL
+            SELECT supp AS src, cust AS dst FROM pairs),
+          deg AS (SELECT src, count(*)::DOUBLE AS outdeg
+                  FROM edges GROUP BY src),
+          edeg AS (SELECT e.src, e.dst, d.outdeg
+                   FROM edges e JOIN deg d ON e.src = d.src),
+          seeds AS (SELECT c_custkey AS id FROM customer
+                    WHERE c_custkey % 100 = 0),
+          nodes AS (SELECT src AS id,
+                           CASE WHEN src IN (SELECT id FROM seeds)
+                                THEN 1.0 ELSE 0.0 END AS t
+                    FROM deg),
+          r0 AS (SELECT id, t, t AS rank FROM nodes),
+          $rounds
+          SELECT id::BIGINT AS id, ${Portable.rSql("rank", 9)} AS rank
+          FROM r$ITERS WHERE rank > 0.0 ORDER BY id"""
     }
   )
 }

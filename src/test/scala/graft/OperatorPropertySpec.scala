@@ -7,7 +7,7 @@ import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.core.EngineSession
-import graft.operators.{AsOfJoin, RangeJoin, SaltedJoin}
+import graft.operators.{AsOfJoin, KeyBloom, RangeJoin, SaltedJoin}
 
 /** Equivalence properties for the custom join operators on seeded random
   * data: each scale-oriented implementation must produce EXACTLY the result
@@ -29,6 +29,25 @@ class OperatorPropertySpec extends AnyFunSuite {
         (i.toLong, uid, new java.sql.Timestamp(1700000000000L + off * 1000L))
       }
       .toDF("id", "uid", "ts")
+  }
+
+  test("KeyBloom: NO false negatives ever; false positives bounded (5 seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val members = Seq.fill(4000)(rnd.nextLong()).distinct
+      val words = new Array[Long](KeyBloom.Words)
+      members.foreach(k => KeyBloom.set(words, k))
+      val hex = KeyBloom.toHex(words)
+      // round-trip through the log's hex form
+      assert(KeyBloom.fromHex(hex).sameElements(words))
+      // the contract pruning correctness rests on: members ALWAYS hit
+      members.foreach(k => assert(KeyBloom.mightContain(hex, k)))
+      // FP rate at design load (4k keys, 64Ki bits, k=3): ~0.4%
+      val probes = Seq.fill(20000)(rnd.nextLong()).filterNot(members.toSet)
+      val fp = probes.count(KeyBloom.mightContain(hex, _))
+      assert(fp.toDouble / probes.size < 0.02,
+        s"seed $seed: FP rate ${fp.toDouble / probes.size}")
+    }
   }
 
   test("RangeJoin.timeBand == naive theta join (5 random datasets)") {

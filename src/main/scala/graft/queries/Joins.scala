@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.operators.RangeJoin
@@ -167,10 +168,60 @@ object Joins {
                                 WHERE o_orderpriority = '1-URGENT') AS has_urgent
            FROM customer
            ORDER BY c_custkey""")
+    },
+
+    // ---- Q-join-19: POINT-IN-TIME (temporal) join — the feature-store
+    // primitive: each purchase event enriched with the SCD2 state
+    // version VALID AT event time (training-serving skew prevention:
+    // features as they were, not as they are). The dim is the Q-qual-04
+    // SCD2 build (per-user state intervals); the join carries the
+    // user_id EQUI key, so it plans as a keyed hash/merge join with the
+    // interval bounds as residual predicates — never an interval BNLJ;
+    // per-user interval counts bound the match fan-in, and intervals
+    // partition the timeline so each probe lands in exactly one version.
+    "Q-join-19" -> { (s, d) =>
+      val wo = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = Tables.events(s, d)
+      val scd = ev
+        .withColumn("prev", lag("event_type", 1).over(wo))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("valid_to", lead("ts", 1).over(wo))
+        .select(col("user_id").as("d_uid"), col("event_type").as("state"),
+          col("ts").as("valid_from"), col("valid_to"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      probes.join(scd,
+          probes("user_id") === scd("d_uid") &&
+          scd("valid_from") <= probes("ts") &&
+          (scd("valid_to").isNull || probes("ts") < scd("valid_to")))
+        .select(col("event_id").cast("bigint").as("event_id"),
+          col("user_id").cast("bigint").as("user_id"), col("state"))
+        .orderBy("event_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-join-19" ->
+      """WITH ch AS (
+           SELECT user_id, ts, event_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev
+           FROM events),
+         scd AS (
+           SELECT user_id, state, valid_from,
+                  lead(valid_from) OVER (PARTITION BY user_id
+                    ORDER BY valid_from, event_id) AS valid_to
+           FROM (SELECT user_id, event_type AS state, ts AS valid_from,
+                        event_id
+                 FROM ch WHERE prev IS NULL OR prev <> event_type)),
+         p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase')
+         SELECT p.event_id::BIGINT AS event_id, p.user_id::BIGINT AS user_id,
+                s.state
+         FROM p JOIN scd s ON p.user_id = s.user_id
+           AND s.valid_from <= p.ts
+           AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+         ORDER BY event_id""",
     "Q-join-18" ->
       """SELECT c_custkey, c_mktsegment,
                 c_custkey IN (SELECT o_custkey FROM orders

@@ -576,6 +576,49 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-qual-12: DISTRIBUTION-DRIFT monitor — the training-data
+    // health check run between two ingestion periods: per event_type,
+    // the value distribution (10 fixed equi-width bins) of the first
+    // half-month vs the second, scored by the chi-square statistic.
+    // Counts are exact integers; the statistic is formed with the
+    // IDENTICAL double op sequence on both engines (counts cast to
+    // double, same nesting), so the result hash-matches. Plan: one
+    // (type, period, bin)-keyed partial agg over the events scan —
+    // 2×10×|types| cells — then per-type assembly on the tiny cell
+    // table; the fact crosses the wire once as bounded cells.
+    "Q-qual-12" -> { (s, d) =>
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), 0L)
+            .otherwise(1L).as("period"),
+          least(lit(9L), greatest(lit(0L),
+            floor(col("value") / 10.0).cast("long"))).as("bin"))
+        .groupBy("event_type", "period", "bin")
+        .agg(count(lit(1)).as("o"))
+      val totals = cells.groupBy("event_type")
+        .agg(sum(col("o")).as("t_all"),
+          sum(when(col("period") === 0L, col("o")).otherwise(0L)).as("n0"),
+          sum(when(col("period") === 1L, col("o")).otherwise(0L)).as("n1"))
+      val binTot = cells.groupBy("event_type", "bin")
+        .agg(sum(col("o")).as("t_bin"))
+      val contrib = cells
+        .join(binTot, Seq("event_type", "bin"))
+        .join(totals, Seq("event_type"))
+        .withColumn("n_p",
+          when(col("period") === 0L, col("n0")).otherwise(col("n1")))
+        .withColumn("e",
+          col("n_p").cast("double") * col("t_bin").cast("double") /
+            col("t_all").cast("double"))
+        .withColumn("x",
+          (col("o").cast("double") - col("e")) *
+            (col("o").cast("double") - col("e")) / col("e"))
+      contrib.groupBy("event_type")
+        .agg(max(col("n0")).cast("bigint").as("n0"),
+          max(col("n1")).cast("bigint").as("n1"),
+          Portable.r(Portable.dsum(Portable.r(col("x"), 9)), 6).as("chi2"))
+        .orderBy("event_type")
+    },
+
     // ---- Q-evt-04: path/transition analysis — the per-user event-type
     // bigram matrix (prev -> next counts, globally ranked). One window
     // lag per user + one counting groupBy: the shuffle is keyed by
@@ -1177,6 +1220,34 @@ object Extras {
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    "Q-qual-12" ->
+      s"""WITH cells AS (
+           SELECT event_type,
+                  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                    AS period,
+                  least(9, greatest(0, floor(value / 10.0)::BIGINT)) AS bin,
+                  count(*) AS o
+           FROM events GROUP BY 1, 2, 3),
+         totals AS (
+           SELECT event_type, sum(o) AS t_all,
+                  sum(CASE WHEN period = 0 THEN o ELSE 0 END) AS n0,
+                  sum(CASE WHEN period = 1 THEN o ELSE 0 END) AS n1
+           FROM cells GROUP BY event_type),
+         bintot AS (
+           SELECT event_type, bin, sum(o) AS t_bin
+           FROM cells GROUP BY event_type, bin),
+         contrib AS (
+           SELECT c.event_type, t.n0, t.n1,
+                  ${Portable.rSql(
+                    "(c.o::DOUBLE - (CASE WHEN c.period = 0 THEN t.n0 ELSE t.n1 END)::DOUBLE * b.t_bin::DOUBLE / t.t_all::DOUBLE)" +
+                    " * (c.o::DOUBLE - (CASE WHEN c.period = 0 THEN t.n0 ELSE t.n1 END)::DOUBLE * b.t_bin::DOUBLE / t.t_all::DOUBLE)" +
+                    " / ((CASE WHEN c.period = 0 THEN t.n0 ELSE t.n1 END)::DOUBLE * b.t_bin::DOUBLE / t.t_all::DOUBLE)", 9)} AS x
+           FROM cells c
+           JOIN bintot b ON c.event_type = b.event_type AND c.bin = b.bin
+           JOIN totals t ON c.event_type = t.event_type)
+         SELECT event_type, max(n0)::BIGINT AS n0, max(n1)::BIGINT AS n1,
+                ${Portable.rSql(Portable.dsumSql("x"), 6)} AS chi2
+         FROM contrib GROUP BY event_type ORDER BY event_type""",
     "Q-evt-09" ->
       s"""WITH e AS (
            SELECT user_id, ts, event_id,

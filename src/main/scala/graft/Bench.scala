@@ -93,7 +93,9 @@ object Bench {
     "Q-mm-10",    // scene-cut detection over decoded frames
     "Q-llm-50",   // leave-one-out target encoding (integer-ratio exact)
     "Q-sql-26",   // named WINDOW clause (decimal-exact frames)
-    "Q-graph-06"  // personalized PageRank from the seed cohort
+    "Q-graph-06", // personalized PageRank from the seed cohort
+    "Q-join-19",  // point-in-time join against the SCD2 dimension
+    "Q-qual-12"   // chi-square distribution-drift monitor
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -95,7 +95,8 @@ object Bench {
     "Q-sql-26",   // named WINDOW clause (decimal-exact frames)
     "Q-graph-06", // personalized PageRank from the seed cohort
     "Q-join-19",  // point-in-time join against the SCD2 dimension
-    "Q-qual-12"   // chi-square distribution-drift monitor
+    "Q-qual-12",  // chi-square distribution-drift monitor
+    "Q-llm-51"    // THE PIPELINE: clean->gate->dedup->decontam->shard
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.functions.TextFunctions.words
+import graft.functions.TextFunctions.{shingleRows, words}
 
 /** Corpus-mining operators: collocation discovery and (next) trained
   * tree models. These extend the LLM-pipeline surface (SURVEY §2B
@@ -246,6 +246,52 @@ object Mining {
               .cast("double") /
             (col("gn") * (col("cn") - 1 + m)).cast("double"), 6).as("enc"))
         .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-51: THE PIPELINE — the whole curation chain a training
+    // run executes, composed as ONE declarative plan: clean → quality
+    // gate (Gopher rules) → exact dedup (md5 group, min-id winner) →
+    // decontaminate (5-gram overlap vs the held-out benchmark split) →
+    // deterministic shuffle-shard. This is the capstone composability
+    // claim: every stage is an operator proven elsewhere (Q-llm-18/34/
+    // 01/30/19), and Catalyst fuses the chain — the narrow stages
+    // (clean, gate, token stats, shard keys) collapse into the scans;
+    // the only exchanges are the dedup hash, the shingle distinct, the
+    // broadcast-bench hit join, and the final shard window. At 100 TB
+    // every stage keeps its individual scale shape because composition
+    // adds no new shuffle.
+    "Q-llm-51" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val cleaned = docs.select(col("doc_id"), lower(trim(col("text"))).as("tc"))
+      val ws = split(col("tc"), " ")
+      val sumLen = aggregate(transform(ws, w => length(w)),
+        lit(0), (acc, x) => acc + x)
+      val meanLen = sumLen.cast("double") / size(ws)
+      val nStop = size(array_intersect(array_distinct(ws),
+        array(lit("the"), lit("a"), lit("of"), lit("to"), lit("and"))))
+      val gated = cleaned
+        .filter(col("doc_id") % 97 =!= 0) // benchmark split never trains
+        .filter(nStop >= 2 && meanLen >= 3.0 && meanLen <= 10.0)
+      val wD = Window.partitionBy(md5(col("tc"))).orderBy("doc_id")
+      val deduped = gated.withColumn("rk", row_number().over(wD))
+        .filter(col("rk") === 1).drop("rk")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), lower(trim(col("text"))).as("tc"))
+      val benchSh = shingleRows(bench, "doc_id", "tc", 5)
+        .select(col("sh").as("bsh")).distinct()
+      val hits = shingleRows(deduped, "doc_id", "tc", 5).distinct()
+        .join(broadcast(benchSh), col("sh") === col("bsh"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+      val survivors = deduped.join(hits, Seq("doc_id"), "left")
+        .filter(coalesce(col("n_hits"), lit(0L)) < 3)
+      val keyed = survivors.select(col("doc_id"),
+          size(split(col("tc"), " ")).cast("bigint").as("n_tokens"),
+          md5(concat(lit("pipe42:"), col("doc_id"))).as("k"))
+        .withColumn("shard", substring(col("k"), 1, 1))
+      val wS = Window.partitionBy("shard").orderBy("k")
+      keyed.withColumn("pos", row_number().over(wS).cast("bigint"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("n_tokens"))
+        .orderBy("shard", "pos")
     }
   )
 
@@ -401,6 +447,57 @@ object Mining {
                    6)} AS enc
           FROM base b JOIN cat USING (source) CROSS JOIN g
           ORDER BY b.doc_id"""
+    },
+
+    "Q-llm-51" -> {
+      val sh5 = """CASE WHEN len(ws) >= 5 THEN list_transform(
+          generate_series(1, len(ws) - 4),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+               ws[i+3] || ' ' || ws[i+4])
+        ELSE [] END"""
+      s"""WITH c AS (
+           SELECT doc_id, lower(trim(text)) AS tc FROM documents),
+         t AS (SELECT doc_id, tc, str_split(tc, ' ') AS ws FROM c),
+         gated AS (
+           SELECT doc_id, tc, ws FROM t
+           WHERE doc_id % 97 <> 0
+             AND len(list_intersect(list_distinct(ws),
+                   ['the','a','of','to','and'])) >= 2
+             AND list_sum(list_transform(ws, w -> strlen(w)))::DOUBLE
+                   / len(ws) >= 3.0
+             AND list_sum(list_transform(ws, w -> strlen(w)))::DOUBLE
+                   / len(ws) <= 10.0),
+         dd AS (
+           SELECT doc_id, tc, ws FROM (
+             SELECT doc_id, tc, ws,
+                    row_number() OVER (PARTITION BY md5(tc)
+                      ORDER BY doc_id) AS rk
+             FROM gated)
+           WHERE rk = 1),
+         bsh AS (
+           SELECT DISTINCT sh AS bsh FROM (
+             SELECT unnest($sh5) AS sh
+             FROM t WHERE doc_id % 97 = 0)),
+         tsh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest($sh5) AS sh FROM dd)),
+         hits AS (
+           SELECT doc_id, count(*) AS n_hits
+           FROM tsh JOIN bsh ON sh = bsh GROUP BY doc_id),
+         surv AS (
+           SELECT d.doc_id, d.ws FROM dd d
+           LEFT JOIN hits h ON d.doc_id = h.doc_id
+           WHERE coalesce(h.n_hits, 0) < 3),
+         keyed AS (
+           SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+                  md5('pipe42:' || doc_id) AS k,
+                  substr(md5('pipe42:' || doc_id), 1, 1) AS shard
+           FROM surv)
+         SELECT shard,
+                (row_number() OVER (PARTITION BY shard ORDER BY k))::BIGINT
+                  AS pos,
+                doc_id, n_tokens
+         FROM keyed ORDER BY shard, pos"""
     }
   )
 }

@@ -96,7 +96,8 @@ object Bench {
     "Q-graph-06", // personalized PageRank from the seed cohort
     "Q-join-19",  // point-in-time join against the SCD2 dimension
     "Q-qual-12",  // chi-square distribution-drift monitor
-    "Q-llm-51"    // THE PIPELINE: clean->gate->dedup->decontam->shard
+    "Q-llm-51",   // THE PIPELINE: clean->gate->dedup->decontam->shard
+    "Q-qual-13"   // cross-table consistent snapshots (group commits)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

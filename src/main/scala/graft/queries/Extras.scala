@@ -576,6 +576,64 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-qual-13: cross-table CONSISTENT snapshots — two ACID tables
+    // (fact + dim) advance over three epochs where each epoch's new fact
+    // rows reference customers that only exist in the SAME epoch's dim;
+    // a SnapshotGroup commit pins the (factV, dimV) vector after both
+    // land. The hazard is demonstrated in-query (latest fact × epoch-0
+    // dim leaves dangling foreign keys) and the fix is proven for EVERY
+    // group version: the pinned-pair join has zero dangling rows. Output
+    // = per-group-version join sizes, hash-matched against the oracle's
+    // per-epoch derivation from the sources. Group commits are
+    // metadata-only (one tiny JSON per version, same atomic publish as
+    // the table log).
+    "Q-qual-13" -> { (s, d) =>
+      import graft.operators.{SnapshotGroup, TxTable}
+      val base = tempDir("graft_qual13").toString
+      val (fRoot, dRoot, gRoot) = (s"$base/fact", s"$base/dim", s"$base/grp")
+      // epoch e introduces the custkey % 3 == e cohort on BOTH sides, so
+      // epoch-e fact rows reference customers only the epoch-e dim has
+      def dimSlice(e: Int) = Tables.customer(s, d)
+        .filter(col("c_custkey") % 3 === e)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      def factSlice(e: Int) = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 4000 && col("o_custkey") % 3 === e)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.create(factSlice(0).coalesce(1), fRoot, Some("o_orderkey"))
+      TxTable.create(dimSlice(0).coalesce(1), dRoot, Some("c_custkey"))
+      SnapshotGroup.publish(gRoot, Map(
+        "fact" -> TxTable.snapshot(fRoot).version,
+        "dim" -> TxTable.snapshot(dRoot).version))
+      (1 to 2).foreach { e =>
+        TxTable.append(s, fRoot, factSlice(e).coalesce(1))
+        TxTable.append(s, dRoot, dimSlice(e).coalesce(1))
+        SnapshotGroup.publish(gRoot, Map(
+          "fact" -> TxTable.snapshot(fRoot).version,
+          "dim" -> TxTable.snapshot(dRoot).version))
+      }
+      // the hazard: mixing LATEST fact with the epoch-0 dim dangles
+      val mixed = TxTable.read(s, fRoot)
+        .join(TxTable.read(s, dRoot, 0L),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+      if (mixed.isEmpty) throw new IllegalStateException(
+        "mixed-version read should leave dangling foreign keys")
+      // the fix: every group version resolves to a pair with ZERO dangling
+      import s.implicits._
+      val perGv = (0L to SnapshotGroup.currentVersion(gRoot)).map { gv =>
+        val vec = SnapshotGroup.resolve(gRoot, gv)
+        val f = TxTable.read(s, fRoot, vec("fact"))
+        val dm = TxTable.read(s, dRoot, vec("dim"))
+        val dangling = f.join(dm,
+          col("o_custkey") === col("c_custkey"), "left_anti").count()
+        if (dangling != 0) throw new IllegalStateException(
+          s"group v$gv: $dangling dangling rows in the pinned pair")
+        val joined = f.join(dm, col("o_custkey") === col("c_custkey"))
+        (gv, joined.count(),
+          joined.agg(max(col("c_custkey"))).collect()(0).getLong(0))
+      }
+      perGv.toDF("gv", "n_rows", "max_cust").orderBy("gv")
+    },
+
     // ---- Q-qual-12: DISTRIBUTION-DRIFT monitor — the training-data
     // health check run between two ingestion periods: per event_type,
     // the value distribution (10 fixed equi-width bins) of the first
@@ -1220,6 +1278,22 @@ object Extras {
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    // per-epoch join sizes derived from the sources: epoch e sees the
+    // custkey % 3 <= e cohorts on both sides
+    "Q-qual-13" ->
+      """SELECT e::BIGINT AS gv,
+                (SELECT count(*) FROM orders o JOIN customer c
+                   ON o.o_custkey = c.c_custkey
+                 WHERE o.o_orderkey <= 4000
+                   AND o.o_custkey % 3 <= e
+                   AND c.c_custkey % 3 <= e)::BIGINT AS n_rows,
+                (SELECT max(c.c_custkey) FROM orders o JOIN customer c
+                   ON o.o_custkey = c.c_custkey
+                 WHERE o.o_orderkey <= 4000
+                   AND o.o_custkey % 3 <= e
+                   AND c.c_custkey % 3 <= e)::BIGINT AS max_cust
+         FROM (SELECT unnest([0, 1, 2]) AS e)
+         ORDER BY gv""",
     "Q-qual-12" ->
       s"""WITH cells AS (
            SELECT event_type,

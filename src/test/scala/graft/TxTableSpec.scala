@@ -423,6 +423,35 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot groups: concurrent publishes serialize; history resolves") {
+    import graft.operators.SnapshotGroup
+    val root = freshRoot() + "/grp"
+    // 4 concurrent publishers race; all must land, at distinct versions
+    val landed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val pubs = (1 to 4).map { i =>
+      new Thread(() => {
+        landed.add(SnapshotGroup.publish(root,
+          Map("fact" -> i.toLong, "dim" -> (10L + i))))
+      })
+    }
+    pubs.foreach(_.start())
+    pubs.foreach(_.join(60000))
+    import scala.jdk.CollectionConverters._
+    assert(landed.asScala.toList.sorted == List(0L, 1L, 2L, 3L))
+    assert(SnapshotGroup.currentVersion(root) == 3L)
+    // every historical vector stays resolvable and self-consistent
+    (0L to 3L).foreach { gv =>
+      val vec = SnapshotGroup.resolve(root, gv)
+      assert(vec.keySet == Set("fact", "dim"))
+      assert(vec("dim") == vec("fact") + 10L)
+    }
+    // resolve beyond head clamps to latest; empty group refuses
+    assert(SnapshotGroup.resolve(root) == SnapshotGroup.resolve(root, 3L))
+    assertThrows[IllegalArgumentException] {
+      SnapshotGroup.resolve(freshRoot() + "/none")
+    }
+  }
+
   test("point blooms: no false negatives, prune residue-class files") {
     import spark.implicits._
     val root = freshRoot() + "/t"

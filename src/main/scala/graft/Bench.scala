@@ -97,7 +97,8 @@ object Bench {
     "Q-join-19",  // point-in-time join against the SCD2 dimension
     "Q-qual-12",  // chi-square distribution-drift monitor
     "Q-llm-51",   // THE PIPELINE: clean->gate->dedup->decontam->shard
-    "Q-qual-13"   // cross-table consistent snapshots (group commits)
+    "Q-qual-13",  // cross-table consistent snapshots (group commits)
+    "Q-qual-14"   // RESTORE: metadata-only rollback of a bad epoch
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -363,6 +363,47 @@ object TxTable {
     else readFiles(spark, root, kept).where(pred)
   }
 
+  /** RESTORE: roll the table back to the content of `toVersion` as a NEW
+    * commit (the Delta RESTORE semantic): adds = files live at the target
+    * version, removes = files live now. Metadata-only — no data is
+    * rewritten or deleted; the bad epochs stay in history (time travel to
+    * them keeps working) and their files remain referenced by their own
+    * commits, so vacuum won't reclaim them. Stats and blooms for the
+    * restored files re-enter the live state from the log fold of their
+    * original adds. */
+  def restore(spark: SparkSession, root: String, toVersion: Long,
+              tag: Option[String] = None): CommitResult = {
+    val target = snapshot(root, toVersion)
+    require(target.version == toVersion,
+      s"restore target v$toVersion unresolvable (log at ${target.version})")
+    var attempt = 0
+    val maxAttempts = 12
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val now = snapshot(root)
+      if (tag.exists(now.tags))
+        return CommitResult(now.version, attempt, skipped = true)
+      val c = Commit(now.version + 1, "restore",
+        adds = target.files, removes = now.files.diff(target.files), tag,
+        statsKey = None,
+        addStats = target.files.flatMap(f => target.fileStats.get(f)) match {
+          case st if st.size == target.files.size => st
+          case _ => Seq.empty // partial stats: drop rather than misalign
+        },
+        addBlooms = target.files.map(f =>
+          target.fileBlooms.getOrElse(f, "")) match {
+          case bl if bl.exists(_.nonEmpty) => bl
+          case _ => Seq.empty
+        })
+      if (tryPublish(root, c)) {
+        maybeCheckpoint(root, c.version)
+        return CommitResult(c.version, attempt, skipped = false)
+      }
+    }
+    throw new IllegalStateException(
+      s"restore of $root failed after $maxAttempts attempts (contention)")
+  }
+
   /** (files kept by range stats alone, files kept by range+bloom, total
     * live files) for a point read — the log-only pruning ledger. */
   def pointPruneAccounting(root: String, keys: Seq[Long]): (Int, Int, Int) = {

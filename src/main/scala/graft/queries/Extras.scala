@@ -576,6 +576,46 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-qual-14: RESTORE — the bad-deploy rollback: three good
+    // epochs land, a corrupting merge ships (prices zeroed for a key
+    // cohort), and RESTORE rolls the table back to the last good
+    // version as a NEW metadata-only commit — no data rewritten, the
+    // bad epoch stays in history (time travel to it still works, and
+    // still shows the corruption), and the restored live state
+    // hash-matches the oracle's good-epochs derivation. In-query
+    // invariants pin the version arithmetic, the restored-equals-v2
+    // content, and that the bad version remains travelable and wrong.
+    "Q-qual-14" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual14").toString + "/tbl"
+      def slice(e: Int) = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 4000 && col("o_orderkey") % 3 === e)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .coalesce(1)
+      TxTable.create(slice(0), root, Some("o_orderkey"))   // v0
+      (1 to 2).foreach(e => TxTable.append(s, root, slice(e))) // v1, v2
+      val bad = TxTable.read(s, root)
+        .filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", lit(0.0))
+      TxTable.mergeCow(s, root, bad, "o_orderkey")         // v3: corruption
+      val r = TxTable.restore(s, root, 2L)                 // v4: rollback
+      if (r.version != 4L) throw new IllegalStateException(
+        s"restore landed at v${r.version}, expected 4")
+      val zeroedAtV3 = TxTable.read(s, root, 3L)
+        .filter(col("o_totalprice") === 0.0).count()
+      if (zeroedAtV3 == 0) throw new IllegalStateException(
+        "bad epoch must stay travelable (and corrupt) in history")
+      val diff = TxTable.read(s, root)
+        .exceptAll(TxTable.read(s, root, 2L)).count()
+      if (diff != 0) throw new IllegalStateException(
+        s"restored content differs from v2 by $diff rows")
+      TxTable.read(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("o_totalprice")), 2).as("price_sum"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- Q-qual-13: cross-table CONSISTENT snapshots — two ACID tables
     // (fact + dim) advance over three epochs where each epoch's new fact
     // rows reference customers that only exist in the SAME epoch's dim;
@@ -1278,6 +1318,13 @@ object Extras {
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    // the restored table is exactly the three good epochs
+    "Q-qual-14" ->
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("o_totalprice"), 2)}
+                  AS price_sum
+         FROM orders WHERE o_orderkey <= 4000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // per-epoch join sizes derived from the sources: epoch e sees the
     // custkey % 3 <= e cohorts on both sides
     "Q-qual-13" ->

@@ -423,6 +423,29 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("restore: metadata-only rollback; stats and blooms stay live") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    def batch(b: Int) = (0 until 200).map(i => (i.toLong * 4 + b, s"e$b"))
+      .toDF("k", "v").coalesce(1)
+    TxTable.create(batch(0), root, statsKey = Some("k"))
+    (1 to 2).foreach(b => TxTable.append(spark, root, batch(b)))   // v1, v2
+    val filesAtV2 = TxTable.snapshot(root).files.toSet
+    TxTable.merge(spark, root,
+      Seq((0L, "CORRUPT")).toDF("k", "v"), Seq("k"))               // v3
+    val r = TxTable.restore(spark, root, 2L)                       // v4
+    assert(r.version == 4L)
+    // restore re-references the v2 files — nothing rewritten
+    assert(TxTable.snapshot(root).files.toSet == filesAtV2)
+    assert(rows(root) == rows(root, 2L))
+    assert(rows(root, 3L).contains((0L, "CORRUPT")), "history intact")
+    // log stats and blooms re-entered the live state: pruning still works
+    val (rangeKept, bloomKept, total) =
+      TxTable.pointPruneAccounting(root, Seq(1L, 5L)) // class 1 only
+    assert(total == 3 && bloomKept <= 1,
+      s"post-restore pruning: $rangeKept/$bloomKept/$total")
+  }
+
   test("snapshot groups: concurrent publishes serialize; history resolves") {
     import graft.operators.SnapshotGroup
     val root = freshRoot() + "/grp"

@@ -126,6 +126,56 @@ object StreamingQueries {
         "complete").orderBy("ws_sec", "event_type")
     },
 
+    // ---- Q-str-22: STREAMING drift monitor — Q-qual-12's chi-square
+    // taken online: the stateful stage streams (window, type, bin)
+    // counts under the watermark (fixed-width state per window — the
+    // histogram IS the sketch), and the batch side scores each drained
+    // window against the all-time per-type distribution with the
+    // identical double algebra. At fleet scale the streamed cells are
+    // the only state (10 bins × types × open windows); the reference
+    // distribution would come from a maintained table instead of the
+    // drain itself, same join shape.
+    "Q-str-22" -> { (s, d) =>
+      val bin = least(lit(9L), greatest(lit(0L),
+        floor(col("value") / 10.0).cast("long")))
+      val cells = Replay.run(
+        Replay.eventsStream(s, d)
+          .withWatermark("ts", WM)
+          .withColumn("bin", bin)
+          .groupBy(window(col("ts"), "10 seconds"), col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("o"))
+          .select(wsSec("window.start"), col("event_type"), col("bin"), col("o")),
+        "complete")
+      // batch scoring via SQL over a per-invocation view: each scan of
+      // the memory sink gets fresh attribute ids (a DataFrame self-join
+      // of a MemoryPlan view trips conflicting-reference resolution)
+      val vn = s"drift_cells_${java.util.UUID.randomUUID().toString.take(8)}"
+      cells.createOrReplaceTempView(vn)
+      val eSql = "w.n_w * b.t_bin / t.t_all"
+      val out = s.sql(
+        s"""WITH tt AS (SELECT event_type, CAST(sum(o) AS DOUBLE) AS t_all
+                        FROM $vn GROUP BY event_type),
+             bt AS (SELECT event_type, bin, CAST(sum(o) AS DOUBLE) AS t_bin
+                    FROM $vn GROUP BY event_type, bin),
+             wt AS (SELECT ws_sec, event_type, CAST(sum(o) AS DOUBLE) AS n_w
+                    FROM $vn GROUP BY ws_sec, event_type),
+             contrib AS (
+               SELECT c.ws_sec, c.event_type, w.n_w,
+                      ${Portable.rSql(
+                        s"(CAST(c.o AS DOUBLE) - $eSql) * " +
+                        s"(CAST(c.o AS DOUBLE) - $eSql) / ($eSql)", 9)} AS x
+               FROM $vn c
+               JOIN bt b ON c.event_type = b.event_type AND c.bin = b.bin
+               JOIN tt t ON c.event_type = t.event_type
+               JOIN wt w ON c.ws_sec = w.ws_sec AND c.event_type = w.event_type)
+             SELECT ws_sec, event_type, CAST(max(n_w) AS BIGINT) AS n,
+                    ${Portable.rSql(Portable.dsumSql("x"), 6)} AS chi2
+             FROM contrib GROUP BY ws_sec, event_type
+             ORDER BY ws_sec, event_type""")
+      s.catalog.dropTempView(vn)
+      out
+    },
+
     // ---- Q-str-18: chunked-arrival invariance — the SAME tumbling
     // window agg as Q-str-01, but the input arrives as FOUR time-ordered
     // micro-batches (ntile(4) chunks, maxFilesPerTrigger=1) instead of
@@ -861,6 +911,31 @@ object StreamingQueries {
                 ${Portable.rSql(
                   "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS val_sum
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    "Q-str-22" ->
+      s"""WITH cells AS (
+           SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                  least(9, greatest(0, floor(value / 10.0)::BIGINT)) AS bin,
+                  count(*) AS o
+           FROM events GROUP BY 1, 2, 3),
+         tt AS (SELECT event_type, sum(o) AS t_all FROM cells GROUP BY 1),
+         bt AS (SELECT event_type, bin, sum(o) AS t_bin
+                FROM cells GROUP BY 1, 2),
+         wt AS (SELECT ws_sec, event_type, sum(o) AS n_w
+                FROM cells GROUP BY 1, 2),
+         contrib AS (
+           SELECT c.ws_sec, c.event_type, w.n_w,
+                  ${Portable.rSql(
+                    "(c.o::DOUBLE - w.n_w::DOUBLE * b.t_bin::DOUBLE / t.t_all::DOUBLE)" +
+                    " * (c.o::DOUBLE - w.n_w::DOUBLE * b.t_bin::DOUBLE / t.t_all::DOUBLE)" +
+                    " / (w.n_w::DOUBLE * b.t_bin::DOUBLE / t.t_all::DOUBLE)", 9)} AS x
+           FROM cells c
+           JOIN bt b ON c.event_type = b.event_type AND c.bin = b.bin
+           JOIN tt t ON c.event_type = t.event_type
+           JOIN wt w ON c.ws_sec = w.ws_sec AND c.event_type = w.event_type)
+         SELECT ws_sec, event_type, max(n_w)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("x"), 6)} AS chi2
+         FROM contrib GROUP BY ws_sec, event_type
+         ORDER BY ws_sec, event_type""",
     "Q-str-19" ->
       """WITH chunked AS (
            SELECT event_type, ts,

@@ -292,6 +292,40 @@ object Mining {
       keyed.withColumn("pos", row_number().over(wS).cast("bigint"))
         .select(col("shard"), col("pos"), col("doc_id"), col("n_tokens"))
         .orderBy("shard", "pos")
+    },
+
+    // ---- Q-llm-52: EMBEDDING-CENTROID drift — the vector-space member
+    // of the drift family (Q-qual-12 histograms, Q-str-22 online): per
+    // label, the centroid of period-A vectors (even vec_id) vs period-B
+    // (odd), shift = ||c_A − c_B||. Detects representation drift no
+    // scalar histogram can see. Scale shape: vectors collapse to
+    // (label, period, dim) decimal partial sums — the ONLY exchange is
+    // labels × 2 × dim cells; raw vectors never shuffle. Exactness:
+    // per-dim means are decimal-exact then floor-rounded, squared
+    // deltas re-enter the decimal sum (order-free), one sqrt at the
+    // end — bit-identical cross-engine.
+    "Q-llm-52" -> { (s, d) =>
+      val cells = Tables.embeddings(s, d)
+        .select(col("label"), (col("vec_id") % 2).as("period"),
+          posexplode(col("embedding")))
+        .groupBy("label", "period", "pos")
+        .agg(Portable.r(Portable.dsum(col("col").cast("double")) /
+          count(lit(1)), 9).as("m"),
+          count(lit(1)).as("n"))
+      val a = cells.filter(col("period") === 0)
+        .select(col("label"), col("pos"), col("m").as("ma"), col("n").as("na"))
+      val b = cells.filter(col("period") === 1)
+        .select(col("label"), col("pos"), col("m").as("mb"), col("n").as("nb"))
+      a.join(b, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(max(col("na")).cast("bigint").as("n_a"),
+          max(col("nb")).cast("bigint").as("n_b"),
+          Portable.r(sqrt(Portable.dsum(Portable.r(
+            (col("ma") - col("mb")) * (col("ma") - col("mb")), 9))), 6)
+            .as("shift"))
+        .select(col("label").cast("bigint").as("label"),
+          col("n_a"), col("n_b"), col("shift"))
+        .orderBy("label")
     }
   )
 
@@ -498,6 +532,26 @@ object Mining {
                   AS pos,
                 doc_id, n_tokens
          FROM keyed ORDER BY shard, pos"""
+    },
+
+    "Q-llm-52" -> {
+      s"""WITH cells AS (
+           SELECT label, vec_id % 2 AS period, i.i AS pos,
+                  ${Portable.rSql(
+                    Portable.dsumSql("embedding[i.i + 1]::DOUBLE") +
+                    " / count(*)", 9)} AS m,
+                  count(*) AS n
+           FROM embeddings,
+                (SELECT unnest(generate_series(0, 63)) AS i) i
+           GROUP BY label, vec_id % 2, i.i),
+         a AS (SELECT label, pos, m AS ma, n AS na FROM cells WHERE period = 0),
+         b AS (SELECT label, pos, m AS mb, n AS nb FROM cells WHERE period = 1)
+         SELECT a.label::BIGINT AS label,
+                max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b,
+                ${Portable.rSql("sqrt(" + Portable.dsumSql(
+                  Portable.rSql("(ma - mb) * (ma - mb)", 9)) + ")", 6)} AS shift
+         FROM a JOIN b ON a.label = b.label AND a.pos = b.pos
+         GROUP BY a.label ORDER BY label"""
     }
   )
 }

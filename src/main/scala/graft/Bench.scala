@@ -98,7 +98,8 @@ object Bench {
     "Q-qual-12",  // chi-square distribution-drift monitor
     "Q-llm-51",   // THE PIPELINE: clean->gate->dedup->decontam->shard
     "Q-qual-13",  // cross-table consistent snapshots (group commits)
-    "Q-qual-14"   // RESTORE: metadata-only rollback of a bad epoch
+    "Q-qual-14",  // RESTORE: metadata-only rollback of a bad epoch
+    "Q-llm-52"    // embedding-centroid drift (label x period x dim cells)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -99,7 +99,8 @@ object Bench {
     "Q-llm-51",   // THE PIPELINE: clean->gate->dedup->decontam->shard
     "Q-qual-13",  // cross-table consistent snapshots (group commits)
     "Q-qual-14",  // RESTORE: metadata-only rollback of a bad epoch
-    "Q-llm-52"    // embedding-centroid drift (label x period x dim cells)
+    "Q-llm-52",   // embedding-centroid drift (label x period x dim cells)
+    "Q-qual-15"   // table CHECK constraints (refusal + flow-through)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

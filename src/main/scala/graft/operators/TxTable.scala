@@ -62,7 +62,8 @@ object TxTable {
       tag: Option[String],
       statsKey: Option[String] = None,
       addStats: Seq[(Long, Long)] = Seq.empty,
-      addBlooms: Seq[String] = Seq.empty)
+      addBlooms: Seq[String] = Seq.empty,
+      check: Option[String] = None)
 
   /** A resolved table state. `commits` holds only the SUFFIX folded on
     * top of the base checkpoint (the whole history when no checkpoint
@@ -75,7 +76,8 @@ object TxTable {
       statsKey: Option[String],
       fileStats: Map[String, (Long, Long)],
       tags: Set[String],
-      fileBlooms: Map[String, String] = Map.empty)
+      fileBlooms: Map[String, String] = Map.empty,
+      check: Option[String] = None)
 
   private val emptySnapshot =
     Snapshot(-1L, Seq.empty, Seq.empty, None, Map.empty, Set.empty)
@@ -102,6 +104,7 @@ object TxTable {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val tag = c.tag.map(t => s""","tag":"${esc(t)}"""").getOrElse("")
     val sk = c.statsKey.map(k => s""","statskey":"${esc(k)}"""").getOrElse("")
+    val ck = c.check.map(k => s""","check":"${esc(k)}"""").getOrElse("")
     val st =
       if (c.addStats.isEmpty) ""
       else s""","amin":${c.addStats.map(_._1).mkString("[", ",", "]")}""" +
@@ -109,7 +112,7 @@ object TxTable {
     val bl =
       if (c.addBlooms.isEmpty) ""
       else s""","abloom":${arr(c.addBlooms)}"""
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$st$bl}"""
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl}"""
   }
 
   // minimal JSON field readers for the exact shapes render() writes
@@ -149,7 +152,8 @@ object TxTable {
       arrField(json, "removes"), strField(json, "tag"),
       strField(json, "statskey"),
       numArrField(json, "amin").zip(numArrField(json, "amax")),
-      arrField(json, "abloom"))
+      arrField(json, "abloom"),
+      strField(json, "check"))
   }
 
   /** Every `checkpointInterval` commits the winner consolidates the live
@@ -166,6 +170,7 @@ object TxTable {
   private def renderCkpt(s: Snapshot): String = {
     def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString("[", ",", "]")
     val sk = s.statsKey.map(k => s""","statskey":"${esc(k)}"""").getOrElse("")
+    val ck = s.check.map(k => s""","check":"${esc(k)}"""").getOrElse("")
     val st =
       if (s.files.forall(s.fileStats.contains) && s.files.nonEmpty && s.fileStats.nonEmpty)
         s""","fmin":${s.files.map(f => s.fileStats(f)._1).mkString("[", ",", "]")}""" +
@@ -177,7 +182,7 @@ object TxTable {
       if (s.fileBlooms.nonEmpty)
         s""","fbloom":${arr(s.files.map(f => s.fileBlooms.getOrElse(f, "")))}"""
       else ""
-    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$st$bl}"""
+    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl}"""
   }
 
   /** Best-effort checkpoint after a winning commit; losing the ckpt race
@@ -235,6 +240,7 @@ object TxTable {
     val blooms = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val tags = scala.collection.mutable.LinkedHashSet.empty[String]
     var statsKey: Option[String] = None
+    var check: Option[String] = None
     if (base >= 0) {
       val j = Files.readString(ckptPath(root, base))
       val files = arrField(j, "files")
@@ -247,6 +253,7 @@ object TxTable {
         files.zip(bl).foreach { case (f, b) => if (b.nonEmpty) blooms(f) = b }
       tags ++= arrField(j, "tags")
       statsKey = strField(j, "statskey")
+      check = strField(j, "check")
     }
     val suffix = ((base + 1) to upTo).map { i =>
       try parse(Files.readString(commitPath(root, i)))
@@ -266,13 +273,13 @@ object TxTable {
       c.removes.foreach(stats.remove)
       c.removes.foreach(blooms.remove)
       c.tag.foreach(tags += _)
-      if (c.version == 0L) statsKey = c.statsKey
+      if (c.version == 0L) { statsKey = c.statsKey; check = c.check }
     }
     // drop stats for files no longer live (removed after the checkpoint)
     val liveStats = stats.filter { case (f, _) => live.contains(f) }
     val liveBlooms = blooms.filter { case (f, _) => live.contains(f) }
     Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet,
-      liveBlooms.toMap)
+      liveBlooms.toMap, check)
   }
 
   /** Snapshot-isolated read (optionally at a historical version).
@@ -479,6 +486,19 @@ object TxTable {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Refuse a batch that violates the table's declared CHECK constraint.
+    * Validation runs over the INCOMING data only — one extra codegen pass
+    * on the batch, never the table (rows carried by reference were
+    * validated at their own commit); the violation count is reported so
+    * the refusal is actionable. */
+  private def enforceCheck(batch: DataFrame, check: Option[String],
+                           where: String): Unit =
+    check.foreach { c =>
+      val bad = batch.where(s"NOT ($c)").count()
+      if (bad > 0) throw new IllegalStateException(
+        s"CHECK constraint ($c) violated by $bad row(s) in $where — commit refused")
+    }
+
   /** Create a new table at `root` from `df` (version 0). */
   def create(df: DataFrame, root: String): CommitResult = {
     create(df, root, None)
@@ -488,10 +508,18 @@ object TxTable {
     * then records per-file [min, max] of `statsKey` for its adds, making
     * [[readPruned]] and [[mergeCow]]'s file selection metadata-only. */
   def create(df: DataFrame, root: String,
-             statsKey: Option[String]): CommitResult = {
+             statsKey: Option[String]): CommitResult =
+    create(df, root, statsKey, check = None)
+
+  /** Create with a declared CHECK constraint (a boolean SQL predicate):
+    * this and every later append/merge batch must satisfy it or the
+    * commit is refused — the data-quality gate at the table boundary. */
+  def create(df: DataFrame, root: String, statsKey: Option[String],
+             check: Option[String]): CommitResult = {
+    enforceCheck(df, check, "create batch")
     val (adds, st, bl) = stageData(df, root, statsKey)
     val ok = tryPublish(root,
-      Commit(0L, "create", adds, Seq.empty, None, statsKey, st, bl))
+      Commit(0L, "create", adds, Seq.empty, None, statsKey, st, bl, check))
     if (!ok) throw new IllegalStateException(s"table already exists: $root")
     CommitResult(0L, 1, skipped = false)
   }
@@ -624,8 +652,10 @@ object TxTable {
   /** APPEND: the new batch lands as new files; every existing file
     * carries over by reference — the per-epoch ingest commit. */
   def append(spark: SparkSession, root: String, batch: DataFrame,
-             tag: Option[String] = None): CommitResult =
+             tag: Option[String] = None): CommitResult = {
+    enforceCheck(batch, snapshot(root).check, "append batch")
     transactFiles(spark, root, "append", tag)(snap => (snap.files, batch))
+  }
 
   /** OPTIMIZE: re-cluster the live snapshot by the table's stats key —
     * range partition + within-file sort into `targetFiles` files, as a
@@ -787,6 +817,7 @@ object TxTable {
     require(mk.contains(key),
       s"mergeKeys $mk must contain the file-selection key '$key' — " +
         "otherwise a matching row could hide in an unselected file")
+    enforceCheck(changes, snapshot(root).check, "merge changes")
     transactFiles(spark, root, "merge-cow", tag) { snap =>
       import org.apache.spark.sql.functions.col
       // selection reads ONLY the commit log's per-file [min,max] when the

@@ -576,6 +576,44 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-qual-15: CHECK constraints — the data-quality gate at the
+    // TABLE boundary (the contract layer above the dataflow-level
+    // audits Q-qual-01/02): the table declares `o_totalprice >= 0 AND
+    // o_orderkey >= 0` at create; good epochs commit, a poisoned batch
+    // (negated prices) is REFUSED atomically — version unchanged,
+    // nothing staged becomes visible — and the pipeline continues with
+    // the valid remainder. Validation costs one codegen pass over the
+    // INCOMING batch only, never the table. Final state hash-matches
+    // the all-good derivation.
+    "Q-qual-15" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual15").toString + "/tbl"
+      def slice(e: Int) = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 4000 && col("o_orderkey") % 3 === e)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .coalesce(1)
+      TxTable.create(slice(0), root, Some("o_orderkey"),
+        Some("o_totalprice >= 0 AND o_orderkey >= 0"))          // v0
+      TxTable.append(s, root, slice(1))                        // v1
+      val poisoned = slice(2).withColumn("o_totalprice",
+        when(col("o_orderkey") % 2 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      val refused =
+        try { TxTable.append(s, root, poisoned); false }
+        catch { case e: IllegalStateException =>
+          e.getMessage.contains("CHECK constraint") }
+      if (!refused) throw new IllegalStateException(
+        "poisoned batch must be refused by the CHECK constraint")
+      if (TxTable.snapshot(root).version != 1L) throw new IllegalStateException(
+        "refused batch must leave the version unchanged")
+      TxTable.append(s, root, slice(2))                        // v2: clean
+      TxTable.read(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("o_totalprice")), 2).as("price_sum"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- Q-qual-14: RESTORE — the bad-deploy rollback: three good
     // epochs land, a corrupting merge ships (prices zeroed for a key
     // cohort), and RESTORE rolls the table back to the last good
@@ -1318,6 +1356,13 @@ object Extras {
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    // constraint refusals are invisible: the table is the three epochs
+    "Q-qual-15" ->
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("o_totalprice"), 2)}
+                  AS price_sum
+         FROM orders WHERE o_orderkey <= 4000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the restored table is exactly the three good epochs
     "Q-qual-14" ->
       s"""SELECT o_orderpriority, count(*)::BIGINT AS n,

@@ -423,6 +423,31 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("CHECK constraints: violating batches refused atomically, everywhere") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create(Seq((1L, 5L), (2L, 7L)).toDF("k", "v"), root,
+      Some("k"), Some("v >= 0"))
+    // append and merge of violating batches refuse; version unchanged
+    assertThrows[IllegalStateException] {
+      TxTable.append(spark, root, Seq((3L, -1L)).toDF("k", "v"))
+    }
+    assertThrows[IllegalStateException] {
+      TxTable.mergeCow(spark, root, Seq((1L, -9L)).toDF("k", "v"), "k")
+    }
+    assert(TxTable.snapshot(root).version == 0L)
+    // the constraint survives the log (and a fresh resolve) — clean
+    // batches still flow
+    assert(TxTable.snapshot(root).check.contains("v >= 0"))
+    TxTable.append(spark, root, Seq((3L, 9L)).toDF("k", "v"))
+    assert(rows(root) == Set((1L, "5"), (2L, "7"), (3L, "9")))
+    // create itself refuses a violating initial batch
+    assertThrows[IllegalStateException] {
+      TxTable.create(Seq((1L, -1L)).toDF("k", "v"), freshRoot() + "/t2",
+        Some("k"), Some("v >= 0"))
+    }
+  }
+
   test("restore: metadata-only rollback; stats and blooms stay live") {
     import spark.implicits._
     val root = freshRoot() + "/t"

@@ -156,9 +156,20 @@ object Bench {
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMed = results.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""value_median":$totalMed,"queries":${jmap(_._2._1)},""" +
-      s""""queries_median":${jmap(_._2._2)},"sf":"$sfDir"}""")
+    // field order matters: the driver's artifact keeps only a bounded TAIL
+    // of this line, so the headline min map goes LAST (truncation then
+    // eats the median map first, never the metric the rounds compare on) —
+    // and the full JSON also lands in bench_out.json, which survives
+    // whole regardless.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""value_median":$totalMed,"sf":"$sfDir",""" +
+      s""""queries_median":${jmap(_._2._2)},"queries":${jmap(_._2._1)}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), json)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -51,13 +51,17 @@ object KeyBloom {
   def fromHex(s: String): Array[Long] =
     s.grouped(16).map(java.lang.Long.parseUnsignedLong(_, 16)).toArray
 
-  /** Membership against the hex form (no false negatives). */
-  def mightContain(hexBloom: String, key: Long): Boolean = {
-    val words = fromHex(hexBloom)
+  /** Membership against a decoded word array (no false negatives) —
+    * batch callers decode the 16 Kchar hex once via [[fromHex]] and
+    * probe many keys against the same array. */
+  def mightContainWords(words: Array[Long], key: Long): Boolean =
     positions(key, words.length * 64).forall { p =>
       (words(p >> 6) & (1L << (p & 63))) != 0L
     }
-  }
+
+  /** Membership against the hex form (no false negatives). */
+  def mightContain(hexBloom: String, key: Long): Boolean =
+    mightContainWords(fromHex(hexBloom), key)
 
   /** Distributed construction: per-file bitset built by OR-merge partial
     * aggregation — each file's bloom costs one m-bit buffer per

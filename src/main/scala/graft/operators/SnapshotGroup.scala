@@ -33,6 +33,17 @@ object SnapshotGroup {
   private def slot(root: String, v: Long): Path =
     dir(root).resolve(f"$v%020d.json")
 
+  // member names must be plain identifiers: anything needing JSON escaping
+  // (quotes, backslashes) would corrupt render(), and a member literally
+  // named "gv" would vanish in parse()'s header filter — reject both at
+  // publish time rather than silently mis-reading later.
+  private val memberName = "[A-Za-z0-9_-]+".r
+  private def validateNames(members: Map[String, Long]): Unit =
+    members.keys.foreach { t =>
+      require(memberName.matches(t) && t != "gv",
+        s"invalid group member name '$t' — must match [A-Za-z0-9_-]+ and not be 'gv'")
+    }
+
   private def render(v: Long, members: Map[String, Long]): String =
     members.toSeq.sortBy(_._1)
       .map { case (t, tv) => s""""$t":$tv""" }
@@ -49,10 +60,13 @@ object SnapshotGroup {
     val d = dir(root)
     if (!Files.isDirectory(d)) return -1L
     import scala.jdk.CollectionConverters._
-    val present = Files.list(d).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".json"))
-      .map(_.stripSuffix(".json").toLong).toSet
+    val listing = Files.list(d)
+    val present =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").toLong).toSet
+      finally listing.close()
     var v = 0L
     while (present.contains(v)) v += 1
     v - 1
@@ -62,6 +76,7 @@ object SnapshotGroup {
     * retries the slot until it wins. Returns the group version. */
   def publish(root: String, members: Map[String, Long],
               maxAttempts: Int = 12): Long = {
+    validateNames(members)
     Files.createDirectories(dir(root))
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -78,10 +93,16 @@ object SnapshotGroup {
       s"group commit to $root failed after $maxAttempts attempts")
   }
 
-  /** The member version vector at group version `gv` (default: latest). */
+  /** The member version vector at group version `gv` (default: latest).
+    * Only the Long.MaxValue default means "latest": an EXPLICIT gv above
+    * the head is an error — silently clamping would hand a reader pinned
+    * to a not-yet-published (or mistyped) epoch a different epoch's
+    * vector. */
   def resolve(root: String, gv: Long = Long.MaxValue): Map[String, Long] = {
     val cur = currentVersion(root)
     require(cur >= 0, s"no group commits at $root")
+    require(gv == Long.MaxValue || gv <= cur,
+      s"group version $gv of $root not published yet (head is $cur)")
     val v = math.min(gv, cur)
     require(v >= 0 && Files.exists(slot(root, v)),
       s"group version $v of $root is unresolvable")

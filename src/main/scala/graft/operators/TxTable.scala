@@ -341,18 +341,24 @@ object TxTable {
     * exact. This is the point-lookup story on the layout range stats
     * can't help with: per-epoch appended files each spanning the whole
     * key domain. */
-  private def pointKept(snap: Snapshot, keys: Seq[Long]): Seq[String] =
+  private def pointKept(snap: Snapshot, keys: Seq[Long]): Seq[String] = {
+    // decode each file's 16 Kchar hex bloom ONCE, probe all keys against
+    // the word array — not per (file, key)
+    val decoded: Map[String, Array[Long]] = snap.fileBlooms.collect {
+      case (f, b) if b.nonEmpty => f -> KeyBloom.fromHex(b)
+    }
     snap.files.filter { f =>
       val rangeOk = snap.fileStats.get(f) match {
         case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
         case None => true
       }
-      rangeOk && (snap.fileBlooms.get(f) match {
-        case Some(b) if b.nonEmpty =>
-          keys.exists(k => KeyBloom.mightContain(b, k))
-        case _ => true
+      rangeOk && (decoded.get(f) match {
+        case Some(words) =>
+          keys.exists(k => KeyBloom.mightContainWords(words, k))
+        case None => true
       })
     }
+  }
 
   /** Point read: result ≡ `read(...).where(key IN keys)`, but only the
     * bloom-and-range-surviving files are opened. */
@@ -452,9 +458,15 @@ object TxTable {
         // per file — the bloom is a distributed OR-merge agg (8 KiB per
         // file crosses the wire, never the keys)
         val bloomAgg = udaf(new KeyBloom.Agg(), org.apache.spark.sql.Encoders.scalaLong)
+        // NULL keys never match a BETWEEN/IN pruning predicate, so they
+        // carry no stats signal — and the non-nullable Long input encoder
+        // of the bloom agg would fail on them. Drop them before the agg;
+        // a file holding ONLY null keys gets the empty range (always
+        // prunable), which is correct for the same reason.
         val byName = df.sparkSession.read
           .parquet(files.map(f => s"$root/$f"): _*)
           .select(input_file_name().as("f"), col(k).cast("long").as("k"))
+          .where(col("k").isNotNull)
           .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
             bloomAgg(col("k")).as("bloom"))
           .collect()

@@ -493,11 +493,49 @@ class TxTableSpec extends AnyFunSuite {
       assert(vec.keySet == Set("fact", "dim"))
       assert(vec("dim") == vec("fact") + 10L)
     }
-    // resolve beyond head clamps to latest; empty group refuses
+    // default = latest; an EXPLICIT version beyond the head is an error
+    // (silent clamping would hand a pinned reader the wrong epoch), and
+    // an empty group refuses
     assert(SnapshotGroup.resolve(root) == SnapshotGroup.resolve(root, 3L))
+    assertThrows[IllegalArgumentException] {
+      SnapshotGroup.resolve(root, 4L)
+    }
     assertThrows[IllegalArgumentException] {
       SnapshotGroup.resolve(freshRoot() + "/none")
     }
+    // names that would corrupt the JSON or collide with the version
+    // header are refused at publish time
+    assertThrows[IllegalArgumentException] {
+      SnapshotGroup.publish(freshRoot(), Map("gv" -> 1L))
+    }
+    assertThrows[IllegalArgumentException] {
+      SnapshotGroup.publish(freshRoot(), Map("a\"b" -> 1L))
+    }
+  }
+
+  test("stats key with NULLs: stats pass drops them, pruning stays sound") {
+    import spark.implicits._
+    val root = freshRoot()
+    // k is the stats key and carries nulls — the bloom/min-max pass must
+    // not fail, and null-key rows must still be readable in full scans
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "a"),
+      (null.asInstanceOf[java.lang.Long], "n1"),
+      (java.lang.Long.valueOf(5L), "b"),
+      (null.asInstanceOf[java.lang.Long], "n2")).toDF("k", "v")
+    TxTable.create(df, root, Some("k"))
+    assert(TxTable.read(spark, root).count() == 4L) // nulls survive reads
+    // point/range reads filter k IN/BETWEEN — nulls can never match, so
+    // pruning on non-null stats alone is exact
+    assert(TxTable.pointRead(spark, root, Seq(5L)).count() == 1L)
+    import org.apache.spark.sql.functions.col
+    val all = TxTable.read(spark, root).where(col("k").isin(1L, 5L)).count()
+    assert(all == 2L)
+    // an all-null batch appends without error and its file is prunable
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], "n3")).toDF("k", "v")
+    TxTable.append(spark, root, nulls)
+    assert(TxTable.read(spark, root).count() == 5L)
+    assert(TxTable.pointRead(spark, root, Seq(1L)).count() == 1L)
   }
 
   test("point blooms: no false negatives, prune residue-class files") {

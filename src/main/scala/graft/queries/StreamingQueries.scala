@@ -381,6 +381,172 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    // ---- Q-str-23: CRASH-RECOVERED exactly-once table sink — the
+    // Q-str-20 drain, but the process "dies" at the worst possible
+    // moment: AFTER epoch 1's merge COMMITS to the table and BEFORE the
+    // streaming engine records the batch as complete (the window the
+    // reference's transactional-id prefix exists for,
+    // `WeatherProcessingJob.java:97`). Recovery happens in a FRESH
+    // SparkSession over the SAME checkpoint dir — new session state,
+    // nothing carried over but the checkpoint and the table log (the
+    // closest a single JVM gets to a process restart). The recovered
+    // stream must (a) re-plan epoch 1 from the offset WAL and re-present
+    // it with the same epoch id, (b) have the table's tag ledger detect
+    // the replay and no-op it, (c) restore the windowed-agg state store
+    // so counts accumulated before the crash carry into the batches
+    // after it. One committed version per distinct epoch, and the final
+    // table must hash-match the one-shot batch aggregate — the whole
+    // point: a crash mid-stream is invisible in the sink.
+    "Q-str-23" -> { (s, d) =>
+      import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+      import scala.jdk.CollectionConverters._
+      import graft.operators.TxTable
+      val tmp = tempDir("graft_str23")
+      val (dir, raw) = stageChunks(s, d, tmp)
+      val root = s"$tmp/tbl"
+      val ckpt = tempDir("graft_ckpt23").toString
+      TxTable.create(
+        raw.groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(wsSec("window.start"), col("event_type"), col("n"))
+          .limit(0).coalesce(1),
+        root, statsKey = Some("ws_sec"))
+      def aggOf(session: SparkSession) =
+        session.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+          .withWatermark("ts", WM)
+          .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(wsSec("window.start"), col("event_type"), col("n"))
+      // phase 1: commit epochs 0 and 1, then die after 1's commit lands
+      val crashed = new AtomicBoolean(false)
+      val q1 = aggOf(s).writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           epoch: Long) =>
+            TxTable.mergeCow(s, root, df.toDF(), "ws_sec",
+              Some(s"app=str23/epoch=$epoch"), Seq("ws_sec", "event_type"))
+            if (epoch == 1L) {
+              crashed.set(true)
+              throw new RuntimeException("simulated crash after epoch-1 commit")
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q1.awaitTermination()
+      catch {
+        case _: org.apache.spark.sql.streaming.StreamingQueryException => ()
+      }
+      if (!crashed.get()) throw new IllegalStateException(
+        "crash point never reached — epoch 1 did not run")
+      val verAtCrash = TxTable.snapshot(root).version
+      if (verAtCrash != 2L) throw new IllegalStateException(
+        s"expected epochs 0+1 committed at crash (v2), table is at v$verAtCrash")
+      // phase 2: recover in a fresh session over the same checkpoint
+      val s2 = s.newSession()
+      val skips = new AtomicLong(0L)
+      val epochsSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q2 = aggOf(s2).writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           epoch: Long) =>
+            epochsSeen.add(epoch)
+            val r = TxTable.mergeCow(s2, root, df.toDF(), "ws_sec",
+              Some(s"app=str23/epoch=$epoch"), Seq("ws_sec", "event_type"))
+            if (r.skipped) {
+              skips.incrementAndGet()
+              // a detected replay is consumed-and-discarded, not left
+              // unread: the engine still requires the batch fully
+              // processed (state stores must commit for this epoch —
+              // Spark validates it), only the sink effect is elided
+              df.toDF().write.format("noop").mode("overwrite").save()
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+      if (!epochsSeen.contains(1L) || skips.get() < 1L)
+        throw new IllegalStateException(
+          s"recovered stream never replayed the committed epoch " +
+            s"(saw $epochsSeen, ${skips.get()} skips) — the crash window " +
+            "was not exercised")
+      // exactly one committed version per DISTINCT epoch across both
+      // processes (epochs 0,1 pre-crash + post-crash non-replayed ones)
+      val distinctEpochs = 2L + epochsSeen.asScala.count(_ > 1L)
+      val ver = TxTable.snapshot(root).version
+      if (ver != distinctEpochs) throw new IllegalStateException(
+        s"$distinctEpochs distinct epochs delivered but table is at " +
+          s"v$ver — a commit was lost or double-applied across the restart")
+      TxTable.read(s, root).orderBy("ws_sec", "event_type")
+    },
+
+    // ---- Q-str-24: CRASH-RECOVERED presence state — the Q-str-05 state
+    // machine (one last-seen timestamp per device) run over the 4-chunk
+    // arrival, crashed after epoch 1's transitions are already in the
+    // sink log, recovered in a fresh SparkSession from the same
+    // checkpoint. The restored state store must carry every device's
+    // last-seen across the restart: a lost state store would re-emit
+    // spurious 'online' rows for every device already seen (hash
+    // mismatch), a lost offset WAL would drop or double transitions.
+    // The replayed epoch's duplicate sink rows are removed by (row,
+    // epoch) identity — the at-least-once sink contract made idempotent
+    // on the read side, exactly Q-str-19's discipline.
+    "Q-str-24" -> { (s, d) =>
+      import java.util.concurrent.atomic.AtomicBoolean
+      val tmp = tempDir("graft_str24")
+      val (dir, raw) = stageChunks(s, d, tmp)
+      val log = s"$tmp/log"
+      val ckpt = tempDir("graft_ckpt24").toString
+      def transitionsOf(session: SparkSession) =
+        Presence.detect(session,
+          session.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", 1).parquet(dir)
+            .select(col("user_id").cast("string").as("device_id"),
+              unix_millis(col("ts")).as("ts_ms")),
+          ttlMillis = 3600000L).toDF()
+      def drain(session: SparkSession, crashAt: Option[Long]): Unit = {
+        val crashed = new AtomicBoolean(false)
+        val q = transitionsOf(session).writeStream
+          .outputMode("append")
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             epoch: Long) =>
+              df.toDF().withColumn("epoch", lit(epoch))
+                .write.mode("append").parquet(log)
+              if (crashAt.contains(epoch)) {
+                crashed.set(true)
+                throw new RuntimeException("simulated crash after sink write")
+              }
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            if (crashAt.isEmpty) throw e
+        }
+        if (crashAt.isDefined && !crashed.get())
+          throw new IllegalStateException("crash point never reached")
+      }
+      drain(s, crashAt = Some(1L))       // dies after epoch 1's rows landed
+      drain(s.newSession(), crashAt = None) // fresh session, same checkpoint
+      // a replayed epoch re-appends IDENTICAL (row, epoch) tuples — each
+      // transition derives from exactly one source event processed under
+      // exactly one epoch id, so distinct() removes precisely the replay
+      s.read.parquet(log)
+        .select("device_id", "state", "ts_ms", "epoch").distinct()
+        .select("device_id", "state", "ts_ms")
+        .orderBy("device_id", "ts_ms", "state")
+    },
+
     // ---- Q-str-02: sliding 10 s / 5 s window
     "Q-str-02" -> { (s, d) =>
       Replay.run(
@@ -956,6 +1122,14 @@ object StreamingQueries {
       """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
                 count(*)::BIGINT AS n
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    // a crash-recovered drain must land exactly the same batch aggregate
+    // as the uninterrupted one
+    "Q-str-23" ->
+      """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    // crash-recovered presence must equal the uninterrupted state machine
+    "Q-str-24" -> presenceSql,
     // netted change-feed deltas must recover the from-scratch totals
     "Q-str-21" ->
       """SELECT event_type, count(*)::BIGINT AS n

@@ -119,6 +119,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected)
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("crash recovery: restarted-from-checkpoint drains equal the uninterrupted batch answer") {
+    // Q-str-23 / Q-str-24 internally crash a streaming query AFTER a
+    // sink effect lands, restart it in a FRESH SparkSession over the same
+    // checkpoint, and throw if the replayed epoch double-applies, a
+    // commit is lost, or the crash point never fires. Here we pin their
+    // RESULTS: the exactly-once table drain must equal the one-shot batch
+    // aggregate, and recovered presence must equal uninterrupted presence
+    // (state restored — a lost state store would emit spurious 'online'
+    // rows for every already-seen device).
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val recovered = SparkEntry.queries("Q-str-23")(spark, d)
+    val batch = graft.core.Tables.events(spark, d)
+      .groupBy((floor(unix_timestamp(col("ts")) / 10) * 10).cast("long").as("ws_sec"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(recovered.collect().map(_.toString).sorted.toSeq ==
+      batch.collect().map(_.toString).sorted.toSeq)
+
+    val presRecovered = SparkEntry.queries("Q-str-24")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    val presStraight = SparkEntry.queries("Q-str-05")(spark, d)
+      .collect().map(_.toString).sorted.toSeq
+    assert(presRecovered == presStraight)
+  }
 }
 
 /** Minimal GroupState stub for pure-function tests of the state logic. */

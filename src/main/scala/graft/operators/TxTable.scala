@@ -376,6 +376,31 @@ object TxTable {
     else readFiles(spark, root, kept).where(pred)
   }
 
+  /** Point read driven by a DATAFRAME of keys — the delta-join shape
+    * ([[pointRead]] fed by a change feed) made scale-safe: the distinct
+    * key set is collected to the driver ONLY while it fits
+    * `maxDriverKeys` (small deltas get the zero-I/O bloom/range file
+    * pruning); an oversized delta — a bulk backfill epoch — falls back
+    * to a distributed semi-join over the snapshot, same result, nothing
+    * driver-bounded. `keys`'s first column must cast to long. */
+  def pointReadKeys(spark: SparkSession, root: String, keys: DataFrame,
+                    maxDriverKeys: Int = 10000): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(root)
+    require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    val key = snap.statsKey.getOrElse(throw new IllegalArgumentException(
+      s"table at $root declares no stats key — use create(df, root, Some(col))"))
+    // probe column name must not collide with any table column
+    val kd = keys.select(
+      col(keys.columns.head).cast("long").as("__graft_probe_k")).distinct()
+    val head = kd.limit(maxDriverKeys + 1).collect()
+    if (head.length <= maxDriverKeys)
+      pointRead(spark, root, head.map(_.getLong(0)).toSeq.sorted)
+    else
+      readFiles(spark, root, snap.files)
+        .join(kd, col(key).cast("long") === col("__graft_probe_k"), "left_semi")
+  }
+
   /** RESTORE: roll the table back to the content of `toVersion` as a NEW
     * commit (the Delta RESTORE semantic): adds = files live at the target
     * version, removes = files live now. Metadata-only — no data is

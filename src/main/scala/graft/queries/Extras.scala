@@ -1260,11 +1260,13 @@ object Extras {
         val dPost = dFeed.filter(col("change") =!= "delete")
           .select(col("c_custkey"), col("post.c_name").as("c_name"),
             col("post.c_acctbal").as("c_acctbal"))
-        // (a) fact-changed rows ⋈ current dim, dim restricted by POINT READ
-        // to the referenced keys (delta-bounded, the broadcast-dim shape)
-        val custKeys = fPost.select("o_custkey").distinct()
-          .collect().map(_.getLong(0)).toSeq.sorted
-        val dimNow = TxTable.pointRead(s, dRoot, custKeys)
+        // (a) fact-changed rows ⋈ current dim, dim restricted to exactly
+        // the referenced keys: a small delta collects its key list and
+        // gets the bloom/stats POINT READ; a bulk epoch would exceed the
+        // driver cap and fall back to a distributed semi-join inside
+        // pointReadKeys — either way nothing unbounded lands driver-side
+        val dimNow = TxTable.pointReadKeys(s, dRoot,
+            fPost.select("o_custkey"))
           .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         val factRefresh = fPost
           .join(broadcast(dimNow), col("o_custkey") === col("c_custkey"))

@@ -513,6 +513,29 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("pointReadKeys: small deltas collect+prune, bulk deltas fall back to a semi-join") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(
+      spark.range(150000).select(col("id").as("k"),
+        (col("id") % 97).cast("string").as("v")).repartition(4),
+      root, Some("k"))
+    // small delta: under the driver cap — the bloom/stats pointRead path
+    val small = TxTable.pointReadKeys(spark, root,
+        spark.range(5).select((col("id") * 31).as("k")))
+      .select("k").as[Long].collect().toSet
+    assert(small == Set(0L, 31L, 62L, 93L, 124L))
+    // bulk delta: 120k distinct keys blow past the cap — the distributed
+    // semi-join fallback must produce the identical IN-filter semantics
+    // with NO driver-side key list
+    val bulk = TxTable.pointReadKeys(spark, root,
+        spark.range(120000).select(col("id").as("k")))
+      .agg(count(lit(1)).as("n"), sum("k").as("s")).collect()(0)
+    assert(bulk.getLong(0) == 120000L)
+    assert(bulk.getLong(1) == 119999L * 120000L / 2)
+  }
+
   test("stats key with NULLs: stats pass drops them, pruning stays sound") {
     import spark.implicits._
     val root = freshRoot()

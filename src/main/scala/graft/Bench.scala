@@ -100,7 +100,8 @@ object Bench {
     "Q-qual-13",  // cross-table consistent snapshots (group commits)
     "Q-qual-14",  // RESTORE: metadata-only rollback of a bad epoch
     "Q-llm-52",   // embedding-centroid drift (label x period x dim cells)
-    "Q-qual-15"   // table CHECK constraints (refusal + flow-through)
+    "Q-qual-15",  // table CHECK constraints (refusal + flow-through)
+    "Q-qual-16"   // merge-on-read deletes (ledger commits, zero rewrites)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -63,7 +63,18 @@ object TxTable {
       statsKey: Option[String] = None,
       addStats: Seq[(Long, Long)] = Seq.empty,
       addBlooms: Seq[String] = Seq.empty,
-      check: Option[String] = None)
+      check: Option[String] = None,
+      dadds: Seq[String] = Seq.empty)
+
+  /** A live MERGE-ON-READ delete ledger: a tiny parquet file of doomed
+    * keys (its single column names the key column) that reads subtract
+    * from every data file added at or before `version` — the
+    * deletion-vector idea expressed through the log's total order, so a
+    * point delete commits in O(doomed keys) without rewriting any data
+    * file. Files added AFTER the ledger are untouched (a re-inserted
+    * key stays alive); compaction folds live ledgers into the rewrite
+    * and retires them. */
+  final case class Ledger(path: String, version: Long)
 
   /** A resolved table state. `commits` holds only the SUFFIX folded on
     * top of the base checkpoint (the whole history when no checkpoint
@@ -77,7 +88,9 @@ object TxTable {
       fileStats: Map[String, (Long, Long)],
       tags: Set[String],
       fileBlooms: Map[String, String] = Map.empty,
-      check: Option[String] = None)
+      check: Option[String] = None,
+      fileAddV: Map[String, Long] = Map.empty,
+      ledgers: Seq[Ledger] = Seq.empty)
 
   private val emptySnapshot =
     Snapshot(-1L, Seq.empty, Seq.empty, None, Map.empty, Set.empty)
@@ -112,7 +125,10 @@ object TxTable {
     val bl =
       if (c.addBlooms.isEmpty) ""
       else s""","abloom":${arr(c.addBlooms)}"""
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl}"""
+    val da =
+      if (c.dadds.isEmpty) ""
+      else s""","dadds":${arr(c.dadds)}"""
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da}"""
   }
 
   // minimal JSON field readers for the exact shapes render() writes
@@ -153,7 +169,8 @@ object TxTable {
       strField(json, "statskey"),
       numArrField(json, "amin").zip(numArrField(json, "amax")),
       arrField(json, "abloom"),
-      strField(json, "check"))
+      strField(json, "check"),
+      arrField(json, "dadds"))
   }
 
   /** Every `checkpointInterval` commits the winner consolidates the live
@@ -182,7 +199,16 @@ object TxTable {
       if (s.fileBlooms.nonEmpty)
         s""","fbloom":${arr(s.files.map(f => s.fileBlooms.getOrElse(f, "")))}"""
       else ""
-    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl}"""
+    // per-file add versions + live delete ledgers must survive the
+    // consolidation: merge-on-read applicability is an ORDER between them
+    val fv =
+      s""","fver":${s.files.map(f =>
+        s.fileAddV.getOrElse(f, 0L)).mkString("[", ",", "]")}"""
+    val dl =
+      if (s.ledgers.isEmpty) ""
+      else s""","dfiles":${arr(s.ledgers.map(_.path))}""" +
+        s""","dvers":${s.ledgers.map(_.version).mkString("[", ",", "]")}"""
+    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl$fv$dl}"""
   }
 
   /** Best-effort checkpoint after a winning commit; losing the ckpt race
@@ -239,6 +265,8 @@ object TxTable {
     val stats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long)]
     val blooms = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val tags = scala.collection.mutable.LinkedHashSet.empty[String]
+    val addV = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val ledgers = scala.collection.mutable.ArrayBuffer.empty[Ledger]
     var statsKey: Option[String] = None
     var check: Option[String] = None
     if (base >= 0) {
@@ -254,6 +282,12 @@ object TxTable {
       tags ++= arrField(j, "tags")
       statsKey = strField(j, "statskey")
       check = strField(j, "check")
+      val fv = numArrField(j, "fver")
+      files.zipAll(fv, "", 0L).foreach { case (f, v) =>
+        if (f.nonEmpty) addV(f) = v
+      }
+      ledgers ++= arrField(j, "dfiles").zip(numArrField(j, "dvers"))
+        .map { case (p, v) => Ledger(p, v) }
     }
     val suffix = ((base + 1) to upTo).map { i =>
       try parse(Files.readString(commitPath(root, i)))
@@ -266,20 +300,28 @@ object TxTable {
     }
     suffix.foreach { c =>
       live ++= c.adds; live --= c.removes
+      c.adds.foreach(f => addV(f) = c.version)
       if (c.addStats.nonEmpty)
         c.adds.zip(c.addStats).foreach { case (f, st) => stats(f) = st }
       if (c.addBlooms.nonEmpty)
         c.adds.zip(c.addBlooms).foreach { case (f, b) => blooms(f) = b }
       c.removes.foreach(stats.remove)
       c.removes.foreach(blooms.remove)
+      c.removes.foreach(addV.remove)
+      c.dadds.foreach(p => ledgers += Ledger(p, c.version))
+      if (c.removes.nonEmpty) {
+        val gone = c.removes.toSet
+        ledgers.filterInPlace(l => !gone.contains(l.path))
+      }
       c.tag.foreach(tags += _)
       if (c.version == 0L) { statsKey = c.statsKey; check = c.check }
     }
     // drop stats for files no longer live (removed after the checkpoint)
     val liveStats = stats.filter { case (f, _) => live.contains(f) }
     val liveBlooms = blooms.filter { case (f, _) => live.contains(f) }
+    val liveAddV = addV.filter { case (f, _) => live.contains(f) }
     Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet,
-      liveBlooms.toMap, check)
+      liveBlooms.toMap, check, liveAddV.toMap, ledgers.toSeq)
   }
 
   /** Snapshot-isolated read (optionally at a historical version).
@@ -292,13 +334,51 @@ object TxTable {
     require(snap.version >= 0, s"not a TxTable (no committed log): $root")
     if (snap.files.isEmpty)
       throw new IllegalStateException(s"empty table snapshot v${snap.version}")
-    readFiles(spark, root, snap.files)
+    morRead(spark, root, snap, snap.files)
   }
 
   private def readFiles(spark: SparkSession, root: String,
                         files: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$root/$f"): _*)
+
+  /** MERGE-ON-READ resolution: the content of `files` under `snap`'s
+    * live delete ledgers. A ledger applies to a data file iff the file
+    * was added at or before the ledger's version — so files land in
+    * groups by the SUFFIX of ledgers that applies to them (ledgers are
+    * totally ordered by the log), each group anti-joins its ledgers'
+    * keys, and the groups union back. With no live ledgers this IS
+    * readFiles. The anti-join build sides are the tiny ledger key
+    * files — broadcast-sized by construction (a bulk delete should be
+    * copy-on-write instead; the ledger is the POINT-delete path). */
+  private def morRead(spark: SparkSession, root: String, snap: Snapshot,
+                      files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val sorted = snap.ledgers.sortBy(_.version)
+    if (sorted.isEmpty || files.isEmpty) readFiles(spark, root, files)
+    else {
+      // group key = index of the first ledger applying to the file
+      // (all later ledgers apply too); sorted.length = none apply
+      def firstApplicable(f: String): Int = {
+        val av = snap.fileAddV.getOrElse(f, Long.MaxValue)
+        val i = sorted.indexWhere(_.version >= av)
+        if (i < 0) sorted.length else i
+      }
+      files.groupBy(firstApplicable).toSeq.sortBy(_._1)
+        .map { case (start, fs) =>
+          sorted.drop(start).foldLeft(readFiles(spark, root, fs)) {
+            (df, l) =>
+              val keys = spark.read.parquet(s"$root/${l.path}")
+              val kc = keys.columns.head // the ledger names its key column
+              df.join(
+                broadcast(keys.select(
+                  col(kc).cast("long").as("__graft_del_k")).distinct()),
+                col(kc).cast("long") === col("__graft_del_k"), "left_anti")
+          }
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
 
   /** Range read with METADATA-ONLY file pruning: the commit log's
     * per-file [min, max] stats decide which files can hold rows in
@@ -329,7 +409,7 @@ object TxTable {
     val pred = col(key).cast("long").between(lo, hi)
     if (kept.isEmpty) // every file pruned: empty result, correct schema
       readFiles(spark, root, Seq(snap.files.head)).where(pred).limit(0)
-    else readFiles(spark, root, kept).where(pred)
+    else morRead(spark, root, snap, kept).where(pred)
   }
 
   /** Which files a point read of `keys` must open, decided from the LOG
@@ -373,7 +453,7 @@ object TxTable {
     val pred = col(key).cast("long").isin(keys: _*)
     if (kept.isEmpty)
       readFiles(spark, root, Seq(snap.files.head)).where(pred).limit(0)
-    else readFiles(spark, root, kept).where(pred)
+    else morRead(spark, root, snap, kept).where(pred)
   }
 
   /** Point read driven by a DATAFRAME of keys — the delta-join shape
@@ -397,7 +477,7 @@ object TxTable {
     if (head.length <= maxDriverKeys)
       pointRead(spark, root, head.map(_.getLong(0)).toSeq.sorted)
     else
-      readFiles(spark, root, snap.files)
+      morRead(spark, root, snap, snap.files)
         .join(kd, col(key).cast("long") === col("__graft_probe_k"), "left_semi")
   }
 
@@ -414,6 +494,15 @@ object TxTable {
     val target = snapshot(root, toVersion)
     require(target.version == toVersion,
       s"restore target v$toVersion unresolvable (log at ${target.version})")
+    // a target with LIVE delete ledgers can't be restored by reference:
+    // re-added files and ledgers would all share the restore version,
+    // losing the add-order that scopes each ledger (a key deleted then
+    // re-inserted at the target would come back dead). Materialize the
+    // target's effective content instead — still one commit, but a
+    // data rewrite.
+    if (target.ledgers.nonEmpty)
+      return transact(spark, root, "restore", tag)(_ =>
+        morRead(spark, root, target, target.files))
     var attempt = 0
     val maxAttempts = 12
     while (attempt < maxAttempts) {
@@ -422,7 +511,8 @@ object TxTable {
       if (tag.exists(now.tags))
         return CommitResult(now.version, attempt, skipped = true)
       val c = Commit(now.version + 1, "restore",
-        adds = target.files, removes = now.files.diff(target.files), tag,
+        adds = target.files,
+        removes = now.files.diff(target.files) ++ now.ledgers.map(_.path), tag,
         statsKey = None,
         addStats = target.files.flatMap(f => target.fileStats.get(f)) match {
           case st if st.size == target.files.size => st
@@ -578,10 +668,15 @@ object TxTable {
       require(snap.version >= 0, s"not a TxTable: $root")
       if (tag.exists(snap.tags))
         return CommitResult(snap.version, attempt, skipped = true) // replayed epoch
-      val current = readFiles(spark, root, snap.files)
+      // a full-snapshot rewrite starts from the EFFECTIVE content (live
+      // delete ledgers applied) and retires those ledgers in the same
+      // commit — this is how compaction/OPTIMIZE fold merge-on-read
+      // deletes back into the data
+      val current = morRead(spark, root, snap, snap.files)
       val next = body(current)
       val (adds, st, bl) = stageData(next, root, snap.statsKey)
-      val c = Commit(snap.version + 1, op, adds, snap.files, tag,
+      val c = Commit(snap.version + 1, op, adds,
+        snap.files ++ snap.ledgers.map(_.path), tag,
         statsKey = None, addStats = st, addBlooms = bl)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
@@ -620,7 +715,10 @@ object TxTable {
     val referenced: Set[String] = Files.list(logDir(root)).iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".json") && !n.endsWith(".ckpt.json"))
-      .flatMap(n => parse(Files.readString(logDir(root).resolve(n))).adds)
+      .flatMap { n =>
+        val c = parse(Files.readString(logDir(root).resolve(n)))
+        c.adds ++ c.dadds // delete ledgers are referenced files too
+      }
       .toSet
     val dd = dataDir(root)
     if (!Files.isDirectory(dd)) return 0L
@@ -767,7 +865,7 @@ object TxTable {
       val rewrite =
         if (touched.isEmpty) // nothing can match: empty rewrite, table schema
           readFiles(spark, root, Seq(snap.files.head)).limit(0)
-        else readFiles(spark, root, touched.toSeq)
+        else morRead(spark, root, snap, touched.toSeq)
           .join(doomed.select(col(key)).distinct(), Seq(key), "left_anti")
       (keep, rewrite)
     }
@@ -831,14 +929,50 @@ object TxTable {
         s"log has [${from.version}, ${to.version}]")
     val preFiles = from.files.diff(to.files)
     val postFiles = to.files.diff(from.files)
+    // MERGE-ON-READ deletes change content WITHOUT changing the file
+    // set: a ledger added in (fromV, toV] kills rows inside files live
+    // on both sides. Those common files join the diff on BOTH sides —
+    // each side resolved under its own version's ledgers — so the
+    // killed rows surface as 'delete' and the untouched rows cancel
+    // under the null-safe image comparison. The candidate set is pruned
+    // by the log's stats/blooms against a bounded sample of the new
+    // ledgers' keys (an oversized ledger keeps every applicable common
+    // file — conservative, never wrong).
+    val newLedgers = to.ledgers.filter(l => l.version > fromV)
+    val common = from.files.intersect(to.files)
+    val morTouched: Seq[String] =
+      if (newLedgers.isEmpty) Seq.empty
+      else {
+        val applicable = common.filter { f =>
+          val av = to.fileAddV.getOrElse(f, Long.MaxValue)
+          newLedgers.exists(_.version >= av)
+        }
+        val keyRows = newLedgers
+          .map { l =>
+            val lf = spark.read.parquet(s"$root/${l.path}")
+            lf.select(col(lf.columns.head).cast("long").as("k"))
+          }
+          .reduce(_.unionByName(_)).distinct()
+          .limit(10001).collect()
+        if (keyRows.length > 10000) applicable // too many to prune by
+        else {
+          val doomedKeys = keyRows.map(_.getLong(0)).toSeq
+          val prunable = pointKept(
+            to.copy(files = applicable,
+              fileStats = to.fileStats, fileBlooms = to.fileBlooms),
+            doomedKeys).toSet
+          applicable.filter(prunable)
+        }
+      }
     val template = readFiles(spark, root, to.files.take(1)).limit(0)
     val valueCols = template.columns.filterNot(keys.contains).toSeq
-    def side(files: Seq[String], name: String): DataFrame = {
-      val df = if (files.isEmpty) template else readFiles(spark, root, files)
+    def side(snap: Snapshot, files: Seq[String], name: String): DataFrame = {
+      val df = if (files.isEmpty) template else morRead(spark, root, snap, files)
       df.select(keys.map(col) :+
         struct(valueCols.map(col): _*).as(name): _*)
     }
-    side(preFiles, "pre").join(side(postFiles, "post"), keys, "full_outer")
+    side(from, preFiles ++ morTouched, "pre")
+      .join(side(to, postFiles ++ morTouched, "post"), keys, "full_outer")
       .filter(!(col("pre") <=> col("post")))
       .select(keys.map(col) ++ Seq(
         when(col("pre").isNull, "insert")
@@ -861,12 +995,52 @@ object TxTable {
       // table has a stats key — zero data I/O before the rewrite itself
       val touched = selectTouched(spark, root, snap, changes, key)
       val keep = snap.files.filterNot(touched)
+      // rewrites start from EFFECTIVE content: a key deleted by a live
+      // ledger must not resurrect through a rewrite it wasn't part of
+      // (the rewritten file postdates the ledger, escaping it)
       val touchedContent =
         if (touched.isEmpty) changes
-        else readFiles(spark, root, touched.toSeq)
+        else morRead(spark, root, snap, touched.toSeq)
           .join(changes.select(mk.map(col): _*).distinct(), mk, "left_anti")
           .unionByName(changes, allowMissingColumns = true)
       (keep, touchedContent)
     }
+  }
+
+  /** MERGE-ON-READ delete — the point-delete path that rewrites ZERO
+    * data files: the doomed keys land as one tiny ledger file and the
+    * commit references it; every read subtracts live ledgers from the
+    * files they postdate ([[morRead]]), a later re-insert of the same
+    * key is NOT re-deleted (newer files escape older ledgers), and any
+    * full rewrite — compact / OPTIMIZE / merge touching the file —
+    * folds the ledger's effect into data and retires it. This is the
+    * deletion-vector trade: O(doomed keys) commit cost now, one extra
+    * anti-join per read until the next compaction — what per-epoch
+    * streaming upserts against a hot 100 TB table need (CoW would pay
+    * file-rewrite costs every epoch). `key` must cast to long. */
+  def deleteMor(spark: SparkSession, root: String, doomed: DataFrame,
+                key: String, tag: Option[String] = None,
+                maxAttempts: Int = 12): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    // stage the ledger once; rebased retries re-reference the same file
+    val (dfiles, _, _) = stageData(
+      doomed.select(col(key).cast("long").as(key)).distinct().coalesce(1),
+      root, statsKey = None)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(root)
+      require(snap.version >= 0, s"not a TxTable: $root")
+      if (tag.exists(snap.tags))
+        return CommitResult(snap.version, attempt, skipped = true)
+      val c = Commit(snap.version + 1, "delete-mor",
+        adds = Seq.empty, removes = Seq.empty, tag, dadds = dfiles)
+      if (tryPublish(root, c)) {
+        maybeCheckpoint(root, c.version)
+        return CommitResult(c.version, attempt, skipped = false)
+      }
+    }
+    throw new IllegalStateException(
+      s"delete-mor commit to $root failed after $maxAttempts attempts (contention)")
   }
 }

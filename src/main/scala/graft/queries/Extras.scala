@@ -576,6 +576,64 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-qual-16: MERGE-ON-READ deletes — the point-delete path a
+    // hot 100 TB table needs: a delete-ledger commit (deletion-vector
+    // style) lands the doomed keys as one tiny file and rewrites ZERO
+    // data files (asserted); reads subtract live ledgers from the data
+    // files they postdate; a later merge RE-INSERTS a subset of deleted
+    // keys (newer files escape older ledgers — asserted by the final
+    // content); a second ledger then applies to the post-merge files
+    // too; compaction folds every ledger into data and retires it
+    // (asserted), leaving the effective content unchanged. Final state
+    // hash-matches the oracle's closed-form derivation.
+    "Q-qual-16" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual16").toString + "/tbl"
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      def batch(b: Int) = src.filter(col("o_orderkey") % 4 === b).coalesce(1)
+      TxTable.create(batch(0), root, statsKey = Some("o_orderkey")) // v0
+      (1 to 3).foreach(b => TxTable.append(s, root, batch(b)))      // v1..v3
+      val filesV3 = TxTable.snapshot(root).files.toSet
+      // v4: MoR-delete the %7 cohort — a metadata-plus-ledger commit
+      TxTable.deleteMor(s, root,
+        src.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        "o_orderkey")
+      val s4 = TxTable.snapshot(root)
+      if (s4.files.toSet != filesV3) throw new IllegalStateException(
+        "merge-on-read delete rewrote data files")
+      if (s4.ledgers.size != 1) throw new IllegalStateException(
+        s"expected 1 live ledger, got ${s4.ledgers.size}")
+      // v5: re-insert the %14 sub-cohort with adjusted prices — the
+      // rewrite starts from EFFECTIVE content (no resurrection) and the
+      // new files escape the v4 ledger
+      TxTable.mergeCow(s, root,
+        src.filter(col("o_orderkey") % 14 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        "o_orderkey")
+      // v6: second MoR delete (%5 cohort) — applies to the post-merge
+      // files too (they predate THIS ledger); again zero rewrites
+      val filesV5 = TxTable.snapshot(root).files.toSet
+      TxTable.deleteMor(s, root,
+        src.filter(col("o_orderkey") % 5 === 0).select("o_orderkey"),
+        "o_orderkey")
+      if (TxTable.snapshot(root).files.toSet != filesV5)
+        throw new IllegalStateException("second MoR delete rewrote data files")
+      // v7: compaction folds both ledgers into data and retires them
+      val effectivePreCompact = TxTable.read(s, root).count()
+      TxTable.compact(s, root, targetFiles = 2)
+      val s7 = TxTable.snapshot(root)
+      if (s7.ledgers.nonEmpty) throw new IllegalStateException(
+        "compaction must fold and retire live delete ledgers")
+      if (TxTable.read(s, root).count() != effectivePreCompact)
+        throw new IllegalStateException(
+          "compaction changed the effective content")
+      TxTable.read(s, root)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- Q-qual-15: CHECK constraints — the data-quality gate at the
     // TABLE boundary (the contract layer above the dataflow-level
     // audits Q-qual-01/02): the table declares `o_totalprice >= 0 AND
@@ -1358,6 +1416,18 @@ object Extras {
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    // closed form of the MoR-delete / re-insert / delete / compact run:
+    // %7 deleted except the re-inserted %14 (at +1000), then %5 deleted
+    "Q-qual-16" ->
+      """SELECT o_orderkey,
+                CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice + 1000
+                     ELSE o_totalprice END AS o_totalprice,
+                o_orderpriority
+         FROM orders
+         WHERE o_orderkey <= 6000
+           AND (o_orderkey % 7 <> 0 OR o_orderkey % 14 = 0)
+           AND o_orderkey % 5 <> 0
+         ORDER BY o_orderkey""",
     // constraint refusals are invisible: the table is the three epochs
     "Q-qual-15" ->
       s"""SELECT o_orderpriority, count(*)::BIGINT AS n,

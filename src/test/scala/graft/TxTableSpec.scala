@@ -536,6 +536,67 @@ class TxTableSpec extends AnyFunSuite {
     assert(bulk.getLong(1) == 119999L * 120000L / 2)
   }
 
+  test("merge-on-read delete: zero rewrites, scoped ledgers, folding, correct feed") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(
+      (0L until 40L).map(i => (i, s"v$i")).toDF("k", "v").coalesce(2),
+      root, Some("k"))
+    val filesBefore = TxTable.snapshot(root).files.toSet
+    // v1: MoR-delete multiples of 5 — NO data file may be rewritten
+    val r = TxTable.deleteMor(spark, root,
+      Seq(0L, 5L, 10L, 15L, 20L, 25L, 30L, 35L).toDF("k"), "k")
+    assert(r.version == 1L)
+    val s1 = TxTable.snapshot(root)
+    assert(s1.files.toSet == filesBefore, "a point delete rewrote data files")
+    assert(s1.ledgers.size == 1)
+    // reads subtract the ledger (full, pruned, and point paths)
+    assert(rows(root).map(_._1).forall(_ % 5 != 0))
+    assert(rows(root).size == 32)
+    assert(TxTable.pointRead(spark, root, Seq(10L, 11L)).count() == 1L)
+    assert(TxTable.readPruned(spark, root, 4L, 6L).count() == 2L) // 4, 6
+    // time travel to v0 still sees everything
+    assert(rows(root, 0L).size == 40)
+    // the change feed nets the MoR delete as 'delete' rows, nothing else
+    val feed = TxTable.changeFeed(spark, root, 0L, 1L, Seq("k"))
+    val feedRows = feed.select("k", "change").as[(Long, String)].collect()
+    assert(feedRows.forall(_._2 == "delete"))
+    assert(feedRows.map(_._1).sorted.toSeq ==
+      Seq(0L, 5L, 10L, 15L, 20L, 25L, 30L, 35L))
+    // v2: re-insert key 10 via merge — newer files ESCAPE the older
+    // ledger, so the key stays alive afterwards
+    TxTable.mergeCow(spark, root, Seq((10L, "reborn")).toDF("k", "v"), "k")
+    assert(rows(root).contains((10L, "reborn")))
+    // the merge rewrote only files whose range admits key 10; deleted
+    // keys in those files must NOT resurrect through the rewrite
+    assert(rows(root).map(_._1).forall(k => k == 10L || k % 5 != 0))
+    // v3: second MoR delete on current content (applies to the rewritten
+    // files too — they predate THIS ledger)
+    TxTable.deleteMor(spark, root, Seq(7L, 10L).toDF("k"), "k")
+    assert(!rows(root).exists(r3 => r3._1 == 7L || r3._1 == 10L))
+    // v4: compaction folds every live ledger into data and retires it
+    val before = rows(root)
+    TxTable.compact(spark, root, targetFiles = 1)
+    val s4 = TxTable.snapshot(root)
+    assert(s4.ledgers.isEmpty, "compaction left ledgers live")
+    assert(rows(root) == before)
+    // feed across the whole interval nets out: 0 -> head equals a
+    // direct diff of the two effective contents
+    val net = TxTable.changeFeed(spark, root, 0L, s4.version, Seq("k"))
+    val deleted = net.filter(col("change") === "delete")
+      .select("k").as[Long].collect().toSet
+    val updated = net.filter(col("change") === "update")
+      .select("k").as[Long].collect().toSet
+    assert(deleted == ((0L until 40L).filter(_ % 5 == 0).toSet + 7L))
+    assert(updated.isEmpty)
+    // restore across live ledgers: to v3 (ledger live there) must give
+    // v3's EFFECTIVE content even though the restore materializes it
+    val v3rows = rows(root, 3L)
+    TxTable.restore(spark, root, 3L)
+    assert(rows(root) == v3rows)
+  }
+
   test("stats key with NULLs: stats pass drops them, pruning stays sound") {
     import spark.implicits._
     val root = freshRoot()

@@ -101,7 +101,9 @@ object Bench {
     "Q-qual-14",  // RESTORE: metadata-only rollback of a bad epoch
     "Q-llm-52",   // embedding-centroid drift (label x period x dim cells)
     "Q-qual-15",  // table CHECK constraints (refusal + flow-through)
-    "Q-qual-16"   // merge-on-read deletes (ledger commits, zero rewrites)
+    "Q-qual-16",  // merge-on-read deletes (ledger commits, zero rewrites)
+    "Q-qual-17",  // z-order OPTIMIZE + multi-column stats (2-dim pruning)
+    "Q-scan-19"   // schema evolution: widen + rename, era-reconciled reads
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -79,4 +79,26 @@ object KeyBloom {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
+
+  /** Null-tolerant variant for the MULTI-column stats pass: stats columns
+    * are aggregated side by side in one `groupBy(file)`, so a row NULL in
+    * one column must still contribute its other columns — a row filter
+    * can't express that. NULL keys contribute nothing (they never match a
+    * pruning predicate); an all-NULL file yields the all-zero bitset,
+    * which prunes every probe — correct for the same reason. */
+  class AggOpt extends Aggregator[java.lang.Long, Array[Long], String] {
+    def zero: Array[Long] = new Array[Long](Words)
+    def reduce(b: Array[Long], key: java.lang.Long): Array[Long] = {
+      if (key != null) set(b, key.longValue()); b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): String = toHex(b)
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
 }

@@ -64,7 +64,11 @@ object TxTable {
       addStats: Seq[(Long, Long)] = Seq.empty,
       addBlooms: Seq[String] = Seq.empty,
       check: Option[String] = None,
-      dadds: Seq[String] = Seq.empty)
+      dadds: Seq[String] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty,
+      addStatsN: Seq[Seq[(Long, Long)]] = Seq.empty,
+      addBloomsN: Seq[Seq[String]] = Seq.empty,
+      evos: Seq[String] = Seq.empty)
 
   /** A live MERGE-ON-READ delete ledger: a tiny parquet file of doomed
     * keys (its single column names the key column) that reads subtract
@@ -90,7 +94,11 @@ object TxTable {
       fileBlooms: Map[String, String] = Map.empty,
       check: Option[String] = None,
       fileAddV: Map[String, Long] = Map.empty,
-      ledgers: Seq[Ledger] = Seq.empty)
+      ledgers: Seq[Ledger] = Seq.empty,
+      statsCols: Seq[String] = Seq.empty,
+      fileStatsN: Map[String, Seq[(Long, Long)]] = Map.empty,
+      fileBloomsN: Map[String, Seq[String]] = Map.empty,
+      evos: Seq[(Long, String)] = Seq.empty)
 
   private val emptySnapshot =
     Snapshot(-1L, Seq.empty, Seq.empty, None, Map.empty, Set.empty)
@@ -128,7 +136,26 @@ object TxTable {
     val da =
       if (c.dadds.isEmpty) ""
       else s""","dadds":${arr(c.dadds)}"""
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da}"""
+    // SECONDARY stats columns (declared at create): per column j, min/max
+    // (+bloom) arrays aligned with adds — the metadata that makes pruning
+    // on a NON-primary dimension log-only after a z-order OPTIMIZE
+    val sc =
+      if (c.statsCols.isEmpty) ""
+      else s""","statscols":${arr(c.statsCols)}"""
+    val stN = c.addStatsN.zipWithIndex.collect {
+      case (ss, j) if ss.nonEmpty =>
+        s""","amin_$j":${ss.map(_._1).mkString("[", ",", "]")}""" +
+          s""","amax_$j":${ss.map(_._2).mkString("[", ",", "]")}"""
+    }.mkString
+    val blN = c.addBloomsN.zipWithIndex.collect {
+      case (bs, j) if bs.nonEmpty => s""","abloom_$j":${arr(bs)}"""
+    }.mkString
+    // schema-evolution ops ("rename:from:to" / "widen:col:type") — reads
+    // apply them to every data file the op POSTDATES
+    val ev =
+      if (c.evos.isEmpty) ""
+      else s""","evops":${arr(c.evos)}"""
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da$sc$stN$blN$ev}"""
   }
 
   // minimal JSON field readers for the exact shapes render() writes
@@ -164,13 +191,23 @@ object TxTable {
     val v = "\"version\":(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalStateException(s"corrupt commit: $json"))
+    // secondary stats/bloom arrays: probe j = 0, 1, ... until absent
+    val statsN = Iterator.from(0)
+      .map(j => numArrField(json, s"amin_$j").zip(numArrField(json, s"amax_$j")))
+      .takeWhile(_.nonEmpty).toSeq
+    val bloomsN = Iterator.from(0)
+      .map(j => arrField(json, s"abloom_$j"))
+      .takeWhile(_.nonEmpty).toSeq
     Commit(v, strField(json, "op").getOrElse("?"), arrField(json, "adds"),
       arrField(json, "removes"), strField(json, "tag"),
       strField(json, "statskey"),
       numArrField(json, "amin").zip(numArrField(json, "amax")),
       arrField(json, "abloom"),
       strField(json, "check"),
-      arrField(json, "dadds"))
+      arrField(json, "dadds"),
+      arrField(json, "statscols"),
+      statsN, bloomsN,
+      arrField(json, "evops"))
   }
 
   /** Every `checkpointInterval` commits the winner consolidates the live
@@ -208,7 +245,34 @@ object TxTable {
       if (s.ledgers.isEmpty) ""
       else s""","dfiles":${arr(s.ledgers.map(_.path))}""" +
         s""","dvers":${s.ledgers.map(_.version).mkString("[", ",", "]")}"""
-    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl$fv$dl}"""
+    // secondary stats consolidate only while COMPLETE (every live file
+    // covered) — partial coverage drops to conservative full reads rather
+    // than misaligning; "" marks a file without a bloom, as for primary
+    val sc =
+      if (s.statsCols.isEmpty) ""
+      else s""","statscols":${arr(s.statsCols)}"""
+    val stN =
+      if (s.statsCols.nonEmpty && s.files.nonEmpty &&
+          s.files.forall(f => s.fileStatsN.get(f).exists(_.length == s.statsCols.length)))
+        s.statsCols.indices.map { j =>
+          s""","fmin_$j":${s.files.map(f => s.fileStatsN(f)(j)._1).mkString("[", ",", "]")}""" +
+            s""","fmax_$j":${s.files.map(f => s.fileStatsN(f)(j)._2).mkString("[", ",", "]")}"""
+        }.mkString
+      else ""
+    val blN =
+      if (s.fileBloomsN.nonEmpty)
+        s.statsCols.indices.map { j =>
+          s""","fbloom_$j":${arr(s.files.map(f =>
+            s.fileBloomsN.get(f).flatMap(_.lift(j)).getOrElse("")))}"""
+        }.mkString
+      else ""
+    // schema-evolution ops persist with their commit versions: era
+    // grouping at read time needs the op-vs-file-add ORDER
+    val ev =
+      if (s.evos.isEmpty) ""
+      else s""","evv":${s.evos.map(_._1).mkString("[", ",", "]")}""" +
+        s""","evo":${arr(s.evos.map(_._2))}"""
+    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl$fv$dl$sc$stN$blN$ev}"""
   }
 
   /** Best-effort checkpoint after a winning commit; losing the ckpt race
@@ -267,7 +331,11 @@ object TxTable {
     val tags = scala.collection.mutable.LinkedHashSet.empty[String]
     val addV = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val ledgers = scala.collection.mutable.ArrayBuffer.empty[Ledger]
+    val statsN = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Long, Long)]]
+    val bloomsN = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+    val evos = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
     var statsKey: Option[String] = None
+    var statsCols: Seq[String] = Seq.empty
     var check: Option[String] = None
     if (base >= 0) {
       val j = Files.readString(ckptPath(root, base))
@@ -281,13 +349,27 @@ object TxTable {
         files.zip(bl).foreach { case (f, b) => if (b.nonEmpty) blooms(f) = b }
       tags ++= arrField(j, "tags")
       statsKey = strField(j, "statskey")
+      statsCols = arrField(j, "statscols")
       check = strField(j, "check")
+      statsCols.indices.foreach { jj =>
+        val mnN = numArrField(j, s"fmin_$jj"); val mxN = numArrField(j, s"fmax_$jj")
+        if (mnN.nonEmpty) files.zip(mnN.zip(mxN)).foreach { case (f, st) =>
+          statsN(f) = statsN.getOrElse(f, Seq.empty) :+ st
+        }
+        // "" placeholders stay: the Seq is POSITIONAL (aligned with
+        // statsCols); probes treat "" as bloom-absent
+        val blN = arrField(j, s"fbloom_$jj")
+        if (blN.nonEmpty) files.zip(blN).foreach { case (f, b) =>
+          bloomsN(f) = bloomsN.getOrElse(f, Seq.empty) :+ b
+        }
+      }
       val fv = numArrField(j, "fver")
       files.zipAll(fv, "", 0L).foreach { case (f, v) =>
         if (f.nonEmpty) addV(f) = v
       }
       ledgers ++= arrField(j, "dfiles").zip(numArrField(j, "dvers"))
         .map { case (p, v) => Ledger(p, v) }
+      evos ++= numArrField(j, "evv").zip(arrField(j, "evo"))
     }
     val suffix = ((base + 1) to upTo).map { i =>
       try parse(Files.readString(commitPath(root, i)))
@@ -305,23 +387,39 @@ object TxTable {
         c.adds.zip(c.addStats).foreach { case (f, st) => stats(f) = st }
       if (c.addBlooms.nonEmpty)
         c.adds.zip(c.addBlooms).foreach { case (f, b) => blooms(f) = b }
+      if (c.addStatsN.nonEmpty && c.addStatsN.forall(_.size == c.adds.size))
+        c.adds.zipWithIndex.foreach { case (f, i) =>
+          statsN(f) = c.addStatsN.map(_(i))
+        }
+      if (c.addBloomsN.nonEmpty && c.addBloomsN.forall(_.size == c.adds.size))
+        c.adds.zipWithIndex.foreach { case (f, i) =>
+          bloomsN(f) = c.addBloomsN.map(_(i))
+        }
       c.removes.foreach(stats.remove)
       c.removes.foreach(blooms.remove)
       c.removes.foreach(addV.remove)
+      c.removes.foreach(statsN.remove)
+      c.removes.foreach(bloomsN.remove)
       c.dadds.foreach(p => ledgers += Ledger(p, c.version))
+      c.evos.foreach(e => evos += ((c.version, e)))
       if (c.removes.nonEmpty) {
         val gone = c.removes.toSet
         ledgers.filterInPlace(l => !gone.contains(l.path))
       }
       c.tag.foreach(tags += _)
-      if (c.version == 0L) { statsKey = c.statsKey; check = c.check }
+      if (c.version == 0L) {
+        statsKey = c.statsKey; statsCols = c.statsCols; check = c.check
+      }
     }
     // drop stats for files no longer live (removed after the checkpoint)
     val liveStats = stats.filter { case (f, _) => live.contains(f) }
     val liveBlooms = blooms.filter { case (f, _) => live.contains(f) }
     val liveAddV = addV.filter { case (f, _) => live.contains(f) }
+    val liveStatsN = statsN.filter { case (f, _) => live.contains(f) }
+    val liveBloomsN = bloomsN.filter { case (f, _) => live.contains(f) }
     Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet,
-      liveBlooms.toMap, check, liveAddV.toMap, ledgers.toSeq)
+      liveBlooms.toMap, check, liveAddV.toMap, ledgers.toSeq,
+      statsCols, liveStatsN.toMap, liveBloomsN.toMap, evos.toSeq)
   }
 
   /** Snapshot-isolated read (optionally at a historical version).
@@ -342,6 +440,48 @@ object TxTable {
     spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => s"$root/$f"): _*)
 
+  /** Apply one logged evolution op to a frame of an era it postdates. */
+  private def applyEvo(df: DataFrame, op: String): DataFrame =
+    op.split(':') match {
+      case Array("rename", from, to) =>
+        // no-op when `from` is absent (the era already carries `to`)
+        df.withColumnRenamed(from, to)
+      case Array("widen", column, tpe) =>
+        if (df.columns.contains(column))
+          df.withColumn(column, df.col(column).cast(tpe))
+        else df
+      case other =>
+        throw new IllegalStateException(
+          s"unknown schema-evolution op in log: ${other.mkString(":")}")
+    }
+
+  /** Read `files` RECONCILED under the snapshot's schema evolutions: an
+    * op applies to every file it postdates (op version > file add
+    * version), so files group into eras by the SUFFIX of ops pending for
+    * them — each era reads with its own (internally merge-compatible)
+    * schema, applies its pending renames/widens in commit order, and the
+    * eras union by name. Old rows surface under the CURRENT column names
+    * and types; a parquet-level merge of int-vs-long or old-vs-new names
+    * (which `mergeSchema` would refuse or split) never happens because
+    * no single read spans an evolution boundary. */
+  private def readFilesEvolved(spark: SparkSession, root: String,
+                               snap: Snapshot, files: Seq[String]): DataFrame = {
+    val evos = snap.evos.sortBy(_._1)
+    if (evos.isEmpty || files.isEmpty) readFiles(spark, root, files)
+    else {
+      files.groupBy { f =>
+        val av = snap.fileAddV.getOrElse(f, Long.MaxValue)
+        evos.count(_._1 > av) // pending ops form a suffix of the order
+      }.toSeq.sortBy(_._1)
+        .map { case (pending, fs) =>
+          evos.takeRight(pending).foldLeft(readFiles(spark, root, fs)) {
+            (df, ev) => applyEvo(df, ev._2)
+          }
+        }
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+  }
+
   /** MERGE-ON-READ resolution: the content of `files` under `snap`'s
     * live delete ledgers. A ledger applies to a data file iff the file
     * was added at or before the ledger's version — so files land in
@@ -355,7 +495,7 @@ object TxTable {
                       files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val sorted = snap.ledgers.sortBy(_.version)
-    if (sorted.isEmpty || files.isEmpty) readFiles(spark, root, files)
+    if (sorted.isEmpty || files.isEmpty) readFilesEvolved(spark, root, snap, files)
     else {
       // group key = index of the first ledger applying to the file
       // (all later ledgers apply too); sorted.length = none apply
@@ -366,7 +506,7 @@ object TxTable {
       }
       files.groupBy(firstApplicable).toSeq.sortBy(_._1)
         .map { case (start, fs) =>
-          sorted.drop(start).foldLeft(readFiles(spark, root, fs)) {
+          sorted.drop(start).foldLeft(readFilesEvolved(spark, root, snap, fs)) {
             (df, l) =>
               val keys = spark.read.parquet(s"$root/${l.path}")
               val kc = keys.columns.head // the ledger names its key column
@@ -393,22 +533,57 @@ object TxTable {
     * that only touches pre-evolution files won't surface the new column
     * (read the full table when the complete schema matters). */
   def readPruned(spark: SparkSession, root: String,
-                 lo: Long, hi: Long): DataFrame = {
+                 lo: Long, hi: Long): DataFrame =
+    readPrunedOn(spark, root, primaryKey(snapshot(root), root), lo, hi)
+
+  private def primaryKey(snap: Snapshot, root: String): String = {
+    require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    snap.statsKey.getOrElse(throw new IllegalArgumentException(
+      s"table at $root declares no stats key — use create(df, root, Some(col))"))
+  }
+
+  /** Per-file [min, max] for any DECLARED stats column — the primary key
+    * or a secondary `statsCols` entry; files without an entry are read
+    * conservatively by every pruning decision. */
+  private def colStats(snap: Snapshot, column: String): Map[String, (Long, Long)] =
+    if (snap.statsKey.contains(column)) snap.fileStats
+    else {
+      val j = snap.statsCols.indexOf(column)
+      require(j >= 0, s"no stats declared for column '$column' " +
+        s"(primary = ${snap.statsKey.getOrElse("-")}, " +
+        s"secondary = ${snap.statsCols.mkString("[", ",", "]")})")
+      snap.fileStatsN.collect { case (f, ss) if ss.length > j => f -> ss(j) }
+    }
+
+  private def colBlooms(snap: Snapshot, column: String): Map[String, String] =
+    if (snap.statsKey.contains(column)) snap.fileBlooms
+    else {
+      val j = snap.statsCols.indexOf(column)
+      if (j < 0) Map.empty
+      else snap.fileBloomsN.collect {
+        case (f, bs) if bs.length > j && bs(j).nonEmpty => f -> bs(j)
+      }
+    }
+
+  /** [[readPruned]] on ANY declared stats column: after a z-order
+    * OPTIMIZE the files tile BOTH clustered dimensions, so a range read
+    * on the secondary column prunes from the log exactly like one on the
+    * primary key. Result ≡ `read(...).where(column BETWEEN lo AND hi)`. */
+  def readPrunedOn(spark: SparkSession, root: String, column: String,
+                   lo: Long, hi: Long): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(root)
     require(snap.version >= 0, s"not a TxTable (no committed log): $root")
-    val key = snap.statsKey.getOrElse(throw new IllegalArgumentException(
-      s"table at $root declares no stats key — use create(df, root, Some(col))"))
-    val st = snap.fileStats
+    val st = colStats(snap, column)
     val kept = snap.files.filter { f =>
       st.get(f) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       }
     }
-    val pred = col(key).cast("long").between(lo, hi)
+    val pred = col(column).cast("long").between(lo, hi)
     if (kept.isEmpty) // every file pruned: empty result, correct schema
-      readFiles(spark, root, Seq(snap.files.head)).where(pred).limit(0)
+      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
     else morRead(spark, root, snap, kept).where(pred)
   }
 
@@ -421,14 +596,17 @@ object TxTable {
     * exact. This is the point-lookup story on the layout range stats
     * can't help with: per-epoch appended files each spanning the whole
     * key domain. */
-  private def pointKept(snap: Snapshot, keys: Seq[Long]): Seq[String] = {
+  private def pointKeptMaps(files: Seq[String],
+                            st: Map[String, (Long, Long)],
+                            bl: Map[String, String],
+                            keys: Seq[Long]): Seq[String] = {
     // decode each file's 16 Kchar hex bloom ONCE, probe all keys against
     // the word array — not per (file, key)
-    val decoded: Map[String, Array[Long]] = snap.fileBlooms.collect {
+    val decoded: Map[String, Array[Long]] = bl.collect {
       case (f, b) if b.nonEmpty => f -> KeyBloom.fromHex(b)
     }
-    snap.files.filter { f =>
-      val rangeOk = snap.fileStats.get(f) match {
+    files.filter { f =>
+      val rangeOk = st.get(f) match {
         case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
         case None => true
       }
@@ -440,19 +618,28 @@ object TxTable {
     }
   }
 
+  private def pointKept(snap: Snapshot, keys: Seq[Long]): Seq[String] =
+    pointKeptMaps(snap.files, snap.fileStats, snap.fileBlooms, keys)
+
   /** Point read: result ≡ `read(...).where(key IN keys)`, but only the
     * bloom-and-range-surviving files are opened. */
   def pointRead(spark: SparkSession, root: String,
-                keys: Seq[Long]): DataFrame = {
+                keys: Seq[Long]): DataFrame =
+    pointReadOn(spark, root, primaryKey(snapshot(root), root), keys)
+
+  /** [[pointRead]] on ANY declared stats column — secondary columns carry
+    * their own per-file blooms in the log, so a point probe on a
+    * non-primary dimension skips files with zero data I/O too. */
+  def pointReadOn(spark: SparkSession, root: String, column: String,
+                  keys: Seq[Long]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(root)
     require(snap.version >= 0, s"not a TxTable (no committed log): $root")
-    val key = snap.statsKey.getOrElse(throw new IllegalArgumentException(
-      s"table at $root declares no stats key — use create(df, root, Some(col))"))
-    val kept = pointKept(snap, keys)
-    val pred = col(key).cast("long").isin(keys: _*)
+    val kept = pointKeptMaps(snap.files, colStats(snap, column),
+      colBlooms(snap, column), keys)
+    val pred = col(column).cast("long").isin(keys: _*)
     if (kept.isEmpty)
-      readFiles(spark, root, Seq(snap.files.head)).where(pred).limit(0)
+      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
     else morRead(spark, root, snap, kept).where(pred)
   }
 
@@ -522,7 +709,21 @@ object TxTable {
           target.fileBlooms.getOrElse(f, "")) match {
           case bl if bl.exists(_.nonEmpty) => bl
           case _ => Seq.empty
-        })
+        },
+        // secondary stats re-enter only while complete for every file
+        // (same drop-rather-than-misalign policy as primary)
+        addStatsN =
+          if (target.statsCols.nonEmpty && target.files.forall(f =>
+              target.fileStatsN.get(f).exists(_.length == target.statsCols.length)))
+            target.statsCols.indices.map(j =>
+              target.files.map(f => target.fileStatsN(f)(j)))
+          else Seq.empty,
+        addBloomsN =
+          if (target.statsCols.nonEmpty && target.files.forall(f =>
+              target.fileBloomsN.get(f).exists(_.length == target.statsCols.length)))
+            target.statsCols.indices.map(j =>
+              target.files.map(f => target.fileBloomsN(f)(j)))
+          else Seq.empty)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
@@ -534,15 +735,23 @@ object TxTable {
 
   /** (files kept by range stats alone, files kept by range+bloom, total
     * live files) for a point read — the log-only pruning ledger. */
-  def pointPruneAccounting(root: String, keys: Seq[Long]): (Int, Int, Int) = {
+  def pointPruneAccounting(root: String, keys: Seq[Long]): (Int, Int, Int) =
+    pointPruneAccountingOn(root, primaryKey(snapshot(root), root), keys)
+
+  /** [[pointPruneAccounting]] for any declared stats column. */
+  def pointPruneAccountingOn(root: String, column: String,
+                             keys: Seq[Long]): (Int, Int, Int) = {
     val snap = snapshot(root)
+    val st = colStats(snap, column)
     val rangeKept = snap.files.count { f =>
-      snap.fileStats.get(f) match {
+      st.get(f) match {
         case Some((mn, mx)) => keys.exists(k => k >= mn && k <= mx)
         case None => true
       }
     }
-    (rangeKept, pointKept(snap, keys).size, snap.files.size)
+    (rangeKept,
+      pointKeptMaps(snap.files, st, colBlooms(snap, column), keys).size,
+      snap.files.size)
   }
 
   // ------------------------------------------------------------- writes
@@ -554,8 +763,10 @@ object TxTable {
     * every later pruning decision is metadata-only. Empty files get the
     * empty range (MaxValue, MinValue) — always prunable. */
   private def stageData(df: DataFrame, root: String,
-                        statsKey: Option[String])
-      : (Seq[String], Seq[(Long, Long)], Seq[String]) = {
+                        statsKey: Option[String],
+                        statsCols: Seq[String] = Seq.empty)
+      : (Seq[String], Seq[(Long, Long)], Seq[String],
+         Seq[Seq[(Long, Long)]], Seq[Seq[String]]) = {
     val unique = java.util.UUID.randomUUID().toString.take(8)
     val dir = dataDir(root).resolve(unique)
     df.write.mode("overwrite").parquet(dir.toString)
@@ -565,37 +776,64 @@ object TxTable {
       .filter(_.endsWith(".parquet"))
       .map(f => s"data/$unique/$f")
       .toSeq.sorted
-    val (stats, blooms) = statsKey match {
-      case None => (Seq.empty[(Long, Long)], Seq.empty[String])
-      case Some(k) =>
-        import org.apache.spark.sql.functions.{col, input_file_name, max, min, udaf}
-        // one pass per staged batch computes [min,max] AND the key bloom
-        // per file — the bloom is a distributed OR-merge agg (8 KiB per
-        // file crosses the wire, never the keys)
-        val bloomAgg = udaf(new KeyBloom.Agg(), org.apache.spark.sql.Encoders.scalaLong)
-        // NULL keys never match a BETWEEN/IN pruning predicate, so they
-        // carry no stats signal — and the non-nullable Long input encoder
-        // of the bloom agg would fail on them. Drop them before the agg;
-        // a file holding ONLY null keys gets the empty range (always
-        // prunable), which is correct for the same reason.
-        val byName = df.sparkSession.read
-          .parquet(files.map(f => s"$root/$f"): _*)
-          .select(input_file_name().as("f"), col(k).cast("long").as("k"))
-          .where(col("k").isNotNull)
-          .groupBy("f").agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
-            bloomAgg(col("k")).as("bloom"))
-          .collect()
-          .map { r =>
-            val name = Paths.get(java.net.URI.create(r.getString(0)).getPath)
-              .getFileName.toString
-            name -> ((r.getLong(1), r.getLong(2)), r.getString(3))
-          }.toMap
-        (files.map(f => byName.get(Paths.get(f).getFileName.toString)
-            .map(_._1).getOrElse((Long.MaxValue, Long.MinValue))),
-          files.map(f => byName.get(Paths.get(f).getFileName.toString)
-            .map(_._2).getOrElse("")))
+    // ONE pass per staged batch computes [min,max] AND the key bloom per
+    // file for the primary stats key and every secondary stats column —
+    // all columns aggregated side by side under one groupBy(file), so a
+    // multi-column table pays no extra scans. The blooms are distributed
+    // OR-merge aggs (8 KiB per file per column crosses the wire, never
+    // the keys). NULL keys never match a BETWEEN/IN pruning predicate, so
+    // they contribute nothing: min/max skip them natively, the
+    // null-tolerant bloom agg ignores them (a row NULL in one column
+    // still feeds the others), and a file all-NULL in a column gets the
+    // empty range (MaxValue, MinValue) — always prunable, correctly.
+    val allCols = statsKey.toSeq ++ statsCols
+    if (allCols.isEmpty)
+      (files, Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+    else {
+      import org.apache.spark.sql.functions.{col, input_file_name, max, min, udaf}
+      val bloomAgg = udaf(new KeyBloom.AggOpt(),
+        org.apache.spark.sql.Encoders.LONG)
+      val keyed = allCols.zipWithIndex.map { case (k, j) =>
+        col(k).cast("long").as(s"k_$j")
+      }
+      val aggs = allCols.indices.flatMap { j =>
+        Seq(min(col(s"k_$j")).as(s"mn_$j"), max(col(s"k_$j")).as(s"mx_$j"),
+          bloomAgg(col(s"k_$j")).as(s"bl_$j"))
+      }
+      val byName = df.sparkSession.read
+        .parquet(files.map(f => s"$root/$f"): _*)
+        .select(input_file_name().as("f") +: keyed: _*)
+        .groupBy("f").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val name = Paths.get(java.net.URI.create(r.getString(0)).getPath)
+            .getFileName.toString
+          val perCol = allCols.indices.map { j =>
+            val mi = r.fieldIndex(s"mn_$j")
+            val st =
+              if (r.isNullAt(mi)) (Long.MaxValue, Long.MinValue)
+              else (r.getLong(mi), r.getLong(r.fieldIndex(s"mx_$j")))
+            (st, r.getString(r.fieldIndex(s"bl_$j")))
+          }
+          name -> perCol
+        }.toMap
+      def colOf(f: String, j: Int): ((Long, Long), String) =
+        byName.get(Paths.get(f).getFileName.toString).map(_(j))
+          .getOrElse(((Long.MaxValue, Long.MinValue), ""))
+      val nOff = if (statsKey.isDefined) 1 else 0
+      val (stats, blooms) = statsKey match {
+        case None => (Seq.empty[(Long, Long)], Seq.empty[String])
+        case Some(_) =>
+          (files.map(f => colOf(f, 0)._1), files.map(f => colOf(f, 0)._2))
+      }
+      val statsSecondary = statsCols.indices.map { j =>
+        files.map(f => colOf(f, nOff + j)._1)
+      }
+      val bloomsSecondary = statsCols.indices.map { j =>
+        files.map(f => colOf(f, nOff + j)._2)
+      }
+      (files, stats, blooms, statsSecondary, bloomsSecondary)
     }
-    (files, stats, blooms)
   }
 
   /** Atomic publish of version `v`: hard-link the rendered body into the
@@ -642,11 +880,25 @@ object TxTable {
     * this and every later append/merge batch must satisfy it or the
     * commit is refused — the data-quality gate at the table boundary. */
   def create(df: DataFrame, root: String, statsKey: Option[String],
-             check: Option[String]): CommitResult = {
+             check: Option[String]): CommitResult =
+    create(df, root, statsKey, check, Seq.empty)
+
+  /** Create with SECONDARY stats columns (each must cast to long):
+    * besides the primary `statsKey`, every commit records per-file
+    * [min, max] + key bloom for each of `statsCols` — so range and point
+    * reads on a NON-primary dimension prune files from the log alone.
+    * This is what makes a z-order OPTIMIZE ([[optimizeZ]]) pay off: after
+    * re-clustering, the second dimension's per-file ranges are tight and
+    * a predicate on it skips most files. */
+  def create(df: DataFrame, root: String, statsKey: Option[String],
+             check: Option[String], statsCols: Seq[String]): CommitResult = {
+    require(statsCols.forall(c => !statsKey.contains(c)),
+      s"statsCols $statsCols must not repeat the primary key $statsKey")
     enforceCheck(df, check, "create batch")
-    val (adds, st, bl) = stageData(df, root, statsKey)
+    val (adds, st, bl, stN, blN) = stageData(df, root, statsKey, statsCols)
     val ok = tryPublish(root,
-      Commit(0L, "create", adds, Seq.empty, None, statsKey, st, bl, check))
+      Commit(0L, "create", adds, Seq.empty, None, statsKey, st, bl, check,
+        statsCols = statsCols, addStatsN = stN, addBloomsN = blN))
     if (!ok) throw new IllegalStateException(s"table already exists: $root")
     CommitResult(0L, 1, skipped = false)
   }
@@ -674,10 +926,12 @@ object TxTable {
       // deletes back into the data
       val current = morRead(spark, root, snap, snap.files)
       val next = body(current)
-      val (adds, st, bl) = stageData(next, root, snap.statsKey)
+      val (adds, st, bl, stN, blN) =
+        stageData(next, root, snap.statsKey, snap.statsCols)
       val c = Commit(snap.version + 1, op, adds,
         snap.files ++ snap.ledgers.map(_.path), tag,
-        statsKey = None, addStats = st, addBlooms = bl)
+        statsKey = None, addStats = st, addBlooms = bl,
+        addStatsN = stN, addBloomsN = blN)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
@@ -771,10 +1025,12 @@ object TxTable {
       if (tag.exists(snap.tags))
         return CommitResult(snap.version, attempt, skipped = true)
       val (keep, rewrite) = body(snap)
-      val (adds, st, bl) = stageData(rewrite, root, snap.statsKey)
+      val (adds, st, bl, stN, blN) =
+        stageData(rewrite, root, snap.statsKey, snap.statsCols)
       val removes = snap.files.diff(keep)
       val c = Commit(snap.version + 1, op, adds, removes, tag,
-        statsKey = None, addStats = st, addBlooms = bl)
+        statsKey = None, addStats = st, addBlooms = bl,
+        addStatsN = stN, addBloomsN = blN)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
@@ -812,13 +1068,43 @@ object TxTable {
       _.repartitionByRange(targetFiles, col(key)).sortWithinPartitions(key))
   }
 
+  /** Multi-dimensional OPTIMIZE: re-cluster the live snapshot along the
+    * z-order (Morton) curve of (`x`, `y`) — [[ZOrderLayout]] composed
+    * with the transactional commit path. A single-key OPTIMIZE serves
+    * only that key's predicates: files tile the key axis, so a range
+    * read on ANY other column still opens every file. After optimizeZ
+    * each file covers a compact (x, y) TILE, so its logged per-file
+    * [min, max] is tight on BOTH dimensions and a range/point read on
+    * either one prunes most files from the log alone (the Delta
+    * `OPTIMIZE ... ZORDER BY` semantic). The dimensions should be the
+    * table's primary stats key and a declared secondary stats column —
+    * otherwise the tightened layout has no logged stats to prune with.
+    * Time travel to pre-OPTIMIZE versions still resolves. */
+  def optimizeZ(spark: SparkSession, root: String, x: String, y: String,
+                targetFiles: Int = 4): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(root)
+    val declared = snap.statsKey.toSeq ++ snap.statsCols
+    require(Seq(x, y).forall(declared.contains),
+      s"optimizeZ($x, $y) needs both dimensions declared for stats " +
+        s"(have ${declared.mkString("[", ",", "]")}) — the re-clustered " +
+        "layout would otherwise record no prunable metadata")
+    transact(spark, root, "optimize-z")(
+      ZOrderLayout.clusterByZ(_, col(x), col(y), targetFiles))
+  }
+
   /** Metadata-only pruning accounting: (files a [lo, hi] range read
     * would open, live files total) — [[readPruned]]'s selection rule,
     * exposed so layout decisions (did OPTIMIZE help?) are checkable
     * without scanning data. */
-  def pruneAccounting(root: String, lo: Long, hi: Long): (Int, Int) = {
+  def pruneAccounting(root: String, lo: Long, hi: Long): (Int, Int) =
+    pruneAccountingOn(root, primaryKey(snapshot(root), root), lo, hi)
+
+  /** [[pruneAccounting]] for any declared stats column. */
+  def pruneAccountingOn(root: String, column: String,
+                        lo: Long, hi: Long): (Int, Int) = {
     val snap = snapshot(root)
-    val st = snap.fileStats
+    val st = colStats(snap, column)
     val kept = snap.files.count { f =>
       st.get(f) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -864,7 +1150,7 @@ object TxTable {
       val keep = snap.files.filterNot(touched)
       val rewrite =
         if (touched.isEmpty) // nothing can match: empty rewrite, table schema
-          readFiles(spark, root, Seq(snap.files.head)).limit(0)
+          readFilesEvolved(spark, root, snap, Seq(snap.files.head)).limit(0)
         else morRead(spark, root, snap, touched.toSeq)
           .join(doomed.select(col(key)).distinct(), Seq(key), "left_anti")
       (keep, rewrite)
@@ -964,7 +1250,7 @@ object TxTable {
           applicable.filter(prunable)
         }
       }
-    val template = readFiles(spark, root, to.files.take(1)).limit(0)
+    val template = readFilesEvolved(spark, root, to, to.files.take(1)).limit(0)
     val valueCols = template.columns.filterNot(keys.contains).toSeq
     def side(snap: Snapshot, files: Seq[String], name: String): DataFrame = {
       val df = if (files.isEmpty) template else morRead(spark, root, snap, files)
@@ -1023,7 +1309,7 @@ object TxTable {
                 maxAttempts: Int = 12): CommitResult = {
     import org.apache.spark.sql.functions.col
     // stage the ledger once; rebased retries re-reference the same file
-    val (dfiles, _, _) = stageData(
+    val (dfiles, _, _, _, _) = stageData(
       doomed.select(col(key).cast("long").as(key)).distinct().coalesce(1),
       root, statsKey = None)
     var attempt = 0
@@ -1043,4 +1329,74 @@ object TxTable {
     throw new IllegalStateException(
       s"delete-mor commit to $root failed after $maxAttempts attempts (contention)")
   }
+
+  private val identName = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  /** Shared metadata-only commit loop for schema evolutions. */
+  private def commitEvo(root: String, op: String, evo: String,
+                        tag: Option[String], maxAttempts: Int = 12)
+                       (validate: Snapshot => Unit): CommitResult = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(root)
+      require(snap.version >= 0, s"not a TxTable: $root")
+      if (tag.exists(snap.tags))
+        return CommitResult(snap.version, attempt, skipped = true)
+      validate(snap)
+      val c = Commit(snap.version + 1, op, Seq.empty, Seq.empty, tag,
+        evos = Seq(evo))
+      if (tryPublish(root, c)) {
+        maybeCheckpoint(root, c.version)
+        return CommitResult(c.version, attempt, skipped = false)
+      }
+    }
+    throw new IllegalStateException(
+      s"$op commit to $root failed after $maxAttempts attempts (contention)")
+  }
+
+  /** SCHEMA EVOLUTION: rename a column as a METADATA-ONLY commit — zero
+    * data files rewritten (the Delta/Iceberg column-mapping idea held in
+    * the log's total order). Reads reconcile: files written BEFORE this
+    * commit surface the column under the new name; later appends/merges
+    * write the new name natively and are left untouched. Time travel to
+    * pre-rename versions still shows the old name (the op postdates
+    * nothing there). Refused for the stats key / stats columns (their
+    * identity anchors logged stats) and while merge-on-read ledgers are
+    * live (a ledger names its key column — compact first). */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+                   to: String, tag: Option[String] = None): CommitResult =
+    commitEvo(root, "rename-column", s"rename:$from:$to", tag) { snap =>
+      require(identName.matches(from) && identName.matches(to) && from != to,
+        s"rename needs two distinct identifier-shaped names, got '$from' -> '$to'")
+      require(!snap.statsKey.contains(from) && !snap.statsCols.contains(from),
+        s"cannot rename stats column '$from' — logged stats anchor to it")
+      require(snap.check.forall(c => !c.contains(from)),
+        s"cannot rename '$from': the table CHECK constraint references it")
+      require(snap.ledgers.isEmpty,
+        "cannot rename while merge-on-read delete ledgers are live — " +
+          "compact first to fold them")
+      val schema = readFilesEvolved(spark, root, snap,
+        snap.files.take(1)).schema.fieldNames.toSet
+      require(schema.contains(from), s"no column '$from' to rename")
+      require(!schema.contains(to), s"column '$to' already exists")
+    }
+
+  /** SCHEMA EVOLUTION: widen a column's type (int → long, float →
+    * double) as a METADATA-ONLY commit. Reads cast the files the op
+    * postdates, so old int rows and new long rows union under ONE wide
+    * type — the parquet-level merge that `mergeSchema` refuses never
+    * happens. Stats columns may only widen to an integral type (their
+    * logged [min, max]/blooms are already held as long). */
+  def widenColumn(spark: SparkSession, root: String, column: String,
+                  to: String, tag: Option[String] = None): CommitResult =
+    commitEvo(root, "widen-column", s"widen:$column:$to", tag) { snap =>
+      require(identName.matches(column), s"bad column name '$column'")
+      val allowed = Set("long", "bigint", "double")
+      require(allowed(to.toLowerCase),
+        s"widen target must be one of $allowed, got '$to'")
+      require(!(to.equalsIgnoreCase("double") &&
+          (snap.statsKey.contains(column) || snap.statsCols.contains(column))),
+        s"stats column '$column' may only widen to an integral type")
+    }
 }

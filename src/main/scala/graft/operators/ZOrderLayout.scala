@@ -70,7 +70,19 @@ object ZOrderLayout {
     * small here). */
   def writeClustered(df: DataFrame, x: Column, y: Column,
                      path: String, numFiles: Int = 1,
-                     blockSize: Int = 128 * 1024 * 1024): Unit = {
+                     blockSize: Int = 128 * 1024 * 1024): Unit =
+    withBlockSize(df, blockSize) {
+      clusterByZ(df, x, y, numFiles)
+        .write.mode("overwrite")
+        .parquet(path)
+    }
+
+  /** The clustering rearrangement alone — `df` re-partitioned and sorted
+    * so each of the `numFiles` output partitions covers a compact (x, y)
+    * tile, for callers that own the write (e.g. a TxTable OPTIMIZE
+    * commit, which stages files through its own transactional path). */
+  def clusterByZ(df: DataFrame, x: Column, y: Column,
+                 numFiles: Int): DataFrame = {
     val b = df.agg(
       min(x.cast("double")), max(x.cast("double")),
       min(y.cast("double")), max(y.cast("double"))).head()
@@ -81,13 +93,9 @@ object ZOrderLayout {
     val z = zvalue(
       bucket(x, b.getDouble(0), b.getDouble(1)),
       bucket(y, b.getDouble(2), b.getDouble(3)))
-    withBlockSize(df, blockSize) {
-      df.withColumn("__z", z)
-        .repartitionByRange(numFiles, col("__z"))
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
-    }
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
   }
 }

@@ -634,6 +634,52 @@ object Extras {
         .orderBy("o_orderkey")
     },
 
+    // ---- Q-qual-17: Z-ORDER OPTIMIZE + multi-column log stats — the
+    // layout move a 100 TB table needs for predicates on MORE than one
+    // dimension. Q-qual-09's single-key OPTIMIZE tiles only the primary
+    // key's axis; here the table declares a SECONDARY stats column
+    // (o_custkey, with its own per-file [min,max]+bloom in every
+    // commit), 4 per-epoch appends each span BOTH key domains (so
+    // neither dimension's stats can exclude anything — asserted), and
+    // one transactional OPTIMIZE along the z-order (Morton) curve
+    // re-tiles the (orderkey, custkey) plane. After it, a quarter-domain
+    // range read on EITHER dimension opens at most half the files,
+    // asserted from the LOG alone — zero data I/O. The returned rows —
+    // the pruned SECOND-dimension range read — hash-match the plain
+    // filter the oracle computes directly, proving multi-dim layout
+    // maintenance is invisible to results while the accounting proves
+    // it is visible to cost.
+    "Q-qual-17" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual17").toString + "/tbl"
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def batch(b: Int) = src.filter(col("o_orderkey") % 4 === b).coalesce(1)
+      TxTable.create(batch(0), root, Some("o_orderkey"), None,
+        statsCols = Seq("o_custkey"))                            // v0
+      (1 to 3).foreach(b => TxTable.append(s, root, batch(b)))   // v1..v3
+      // quarter-domain probe ranges, derived once (SF-adaptive)
+      val Array(maxK, maxC) = src
+        .agg(max("o_orderkey"), max("o_custkey")).head()
+        .toSeq.map(_.asInstanceOf[Number].longValue).toArray
+      val (kq, cq) = (maxK / 4, maxC / 4)
+      val (kb, nb) = TxTable.pruneAccountingOn(root, "o_orderkey", 1L, kq)
+      val (cb, _) = TxTable.pruneAccountingOn(root, "o_custkey", 1L, cq)
+      if (kb != nb || cb != nb || nb < 4) throw new IllegalStateException(
+        s"expected a layout unprunable on both dims, got k=$kb c=$cb of $nb")
+      TxTable.optimizeZ(s, root, "o_orderkey", "o_custkey",
+        targetFiles = 16)                                        // v4
+      val (ka, na) = TxTable.pruneAccountingOn(root, "o_orderkey", 1L, kq)
+      val (ca, nca) = TxTable.pruneAccountingOn(root, "o_custkey", 1L, cq)
+      if (ka * 2 > na) throw new IllegalStateException(
+        s"z-order did not tighten the primary dim: opens $ka/$na")
+      if (ca * 2 > nca) throw new IllegalStateException(
+        s"z-order did not tighten the secondary dim: opens $ca/$nca")
+      TxTable.readPrunedOn(s, root, "o_custkey", 1L, cq)
+        .orderBy("o_orderkey")
+    },
+
     // ---- Q-qual-15: CHECK constraints — the data-quality gate at the
     // TABLE boundary (the contract layer above the dataflow-level
     // audits Q-qual-01/02): the table declares `o_totalprice >= 0 AND
@@ -1075,6 +1121,49 @@ object Extras {
       df.queryExecution.assertAnalyzed()
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       df
+    },
+
+    // ---- Q-scan-19: reads over an EVOLVED table schema — the ALTER
+    // TABLE story beyond add-column: the ACID table starts with an INT
+    // column and the original name, then a type WIDEN (int → long) and a
+    // column RENAME commit as METADATA-ONLY log entries (zero data files
+    // rewritten — asserted), and a post-evolution CoW merge writes wide
+    // values under the new name into only the files it touches. The
+    // final read spans THREE schema eras in one result: untouched
+    // pre-evolution int files (reconciled by era grouping — renamed +
+    // cast at read), rewritten post-merge files, and nothing in between
+    // ever migrated. Asserted in-query: both eras are live (the merge
+    // must NOT have rewritten everything, or the reconcile path is
+    // untested). Hash-matches the oracle's direct derivation.
+    "Q-scan-19" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_scan19").toString + "/tbl"
+      val base = Tables.customer(s, d).filter(col("c_custkey") <= 1500)
+        .select(col("c_custkey"), col("c_nationkey").cast("int").as("nkey"),
+          col("c_mktsegment").as("seg"))
+      TxTable.create(
+        base.repartitionByRange(4, col("c_custkey"))
+          .sortWithinPartitions("c_custkey"),
+        root, statsKey = Some("c_custkey"))                       // v0
+      TxTable.widenColumn(s, root, "nkey", "long")                // v1
+      TxTable.renameColumn(s, root, "seg", "segment")             // v2
+      // SF-adaptive low-quartile cohort keeps the merge file-local
+      val maxK = base.agg(max("c_custkey")).head().getLong(0)
+      TxTable.mergeCow(s, root,                                   // v3
+        base.filter(col("c_custkey") % 5 === 0 &&
+            col("c_custkey") <= lit(maxK / 4))
+          .select(col("c_custkey"), (col("nkey") + 100L).as("nkey"),
+            lit("EVOLVED").as("segment")),
+        "c_custkey")
+      val v0Files = TxTable.snapshot(root, 0L).files.toSet
+      val live = TxTable.snapshot(root).files
+      if (!live.exists(v0Files.contains) || !live.exists(f => !v0Files(f)))
+        throw new IllegalStateException(
+          "expected MIXED schema eras after the file-local merge, got " +
+            s"${live.count(v0Files.contains)} old of ${live.size}")
+      TxTable.read(s, root)
+        .select(col("c_custkey"), col("nkey"), col("segment"))
+        .orderBy("c_custkey")
     },
 
     // ---- Q-qual-06: transactional MERGE into the ACID table — the
@@ -1782,6 +1871,28 @@ object Extras {
       """SELECT o_orderkey, o_totalprice, o_orderpriority
          FROM orders
          WHERE o_orderkey IN (8, 13, 121, 517, 1001, 1004)
+         ORDER BY o_orderkey""",
+    // the evolved table reads as if the schema had always been wide and
+    // renamed: old int files cast, old names mapped, merged cohort wins
+    "Q-scan-19" ->
+      """SELECT c_custkey,
+                (CASE WHEN c_custkey % 5 = 0 AND c_custkey <=
+                   (SELECT max(c_custkey) // 4 FROM customer WHERE c_custkey <= 1500)
+                 THEN c_nationkey + 100 ELSE c_nationkey END)::BIGINT AS nkey,
+                CASE WHEN c_custkey % 5 = 0 AND c_custkey <=
+                   (SELECT max(c_custkey) // 4 FROM customer WHERE c_custkey <= 1500)
+                 THEN 'EVOLVED' ELSE c_mktsegment END AS segment
+         FROM customer WHERE c_custkey <= 1500
+         ORDER BY c_custkey""",
+    // z-order layout maintenance is invisible to results: the pruned
+    // SECOND-dimension range read equals the plain filter (the quarter
+    // bound is derived from the same slice both engines see)
+    "Q-qual-17" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_orderkey <= 6000
+           AND o_custkey BETWEEN 1 AND
+             (SELECT max(o_custkey) // 4 FROM orders WHERE o_orderkey <= 6000)
          ORDER BY o_orderkey""",
     // the maintained MV must equal the from-scratch join with both
     // epochs' adjustments applied in epoch order (left-assoc adds)

@@ -29,6 +29,19 @@ object StreamingQueries {
   /** tumbling/sliding bucket start in epoch seconds (portable output). */
   private def wsSec(c: String) = unix_timestamp(col(c)).as("ws_sec")
 
+  /** Max event time of the events table, computed ONCE per input dir per
+    * JVM. The five sentinel-staging replays (Q-str-08/10/11/12/15) each
+    * need it to build a watermark-advancing far-future row, and each
+    * paid a full second scan of the input for the one value — this
+    * amortizes the aggregate to a single scan. Sound to cache: the
+    * driver's testdata dirs are immutable. */
+  private val maxTsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.sql.Timestamp]()
+  private def maxEventTs(s: org.apache.spark.sql.SparkSession,
+                         d: String): java.sql.Timestamp =
+    maxTsCache.computeIfAbsent(d,
+      _ => Tables.events(s, d).agg(max("ts")).collect()(0).getTimestamp(0))
+
   /** Copy `src`'s parquet part files into `dst` as `<prefix><i>.parquet`
     * with a fixed mod-time (file-source batch ordering is mtime-driven).
     * Closes the directory stream (`Files.list` leaks an fd otherwise). */
@@ -655,7 +668,7 @@ object StreamingQueries {
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/h1")
       ev.filter(col("event_id") % 2 === 1)
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/h2")
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val maxTs = maxEventTs(s, d)
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)
       import s.implicits._
       Seq((-1L, sentTs, -1L, "sentinel", 0.0, "{}"))
@@ -876,7 +889,7 @@ object StreamingQueries {
       val tmp = tempDir("graft_str08")
       val ev = Tables.events(s, d)
       ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/real")
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val maxTs = maxEventTs(s, d)
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)
       import s.implicits._
       Seq((-1L, sentTs, -1L, "purchase", 0.0, "{}"),
@@ -917,7 +930,7 @@ object StreamingQueries {
       val tmp = tempDir("graft_str15")
       val ev = Tables.events(s, d)
       ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/real")
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val maxTs = maxEventTs(s, d)
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)
       import s.implicits._
       Seq((-1L, sentTs, -1L, "purchase", 0.0, "{}"),
@@ -960,7 +973,7 @@ object StreamingQueries {
       val tmp = tempDir("graft_str10")
       val ev = Tables.events(s, d)
       ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/real")
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val maxTs = maxEventTs(s, d)
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 3600L * 1000)
       import s.implicits._
       Seq((-1L, sentTs, -1L, "purchase", 0.0, "{}"),
@@ -1008,7 +1021,7 @@ object StreamingQueries {
       val tmp = tempDir("graft_str11")
       val ev = Tables.events(s, d)
       ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/src")
-      val maxTs = ev.agg(max("ts")).collect()(0).getTimestamp(0)
+      val maxTs = maxEventTs(s, d)
       val sentTs = new java.sql.Timestamp(maxTs.getTime + 31L * 24 * 3600 * 1000)
       import s.implicits._
       Seq((-1L, sentTs, -1L, "sentinel", 0.0, "{}"))

@@ -126,4 +126,34 @@ object Replay {
     }
     (spark.table(name), dropped)
   }
+
+  /** Like `run` but also reports the FINAL state-store footprint per
+    * stateful operator — (operatorName, numRowsTotal, memoryUsedBytes)
+    * from the last progress that carried state metrics. This is the
+    * state-observability hook the bounded-state specs assert on: after
+    * a watermarked multi-chunk drain, the rows left in state must be
+    * the OPEN windows only — the watermark's purge is what makes a
+    * stateful query survive an unbounded stream, and this makes that
+    * contract measurable instead of assumed. */
+  def runWithStateUsage(streamDf: DataFrame, outputMode: String)
+      : (DataFrame, Seq[(String, Long, Long)]) = {
+    val spark = streamDf.sparkSession
+    val name = s"replay_${counter.incrementAndGet()}"
+    val usage = withReplayPartitions(spark) {
+      val q = streamDf.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .option("checkpointLocation", ckptDir(name))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Option(q.recentProgress).toSeq.flatten
+        .filter(p => Option(p.stateOperators).exists(_.nonEmpty))
+        .lastOption.toSeq
+        .flatMap(_.stateOperators.toSeq.map(op =>
+          (op.operatorName, op.numRowsTotal, op.memoryUsedBytes)))
+    }
+    (spark.table(name), usage)
+  }
 }

@@ -145,6 +145,87 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toString).sorted.toSeq
     assert(presRecovered == presStraight)
   }
+
+  test("watermark bounds state: a 4-chunk windowed drain ends with open windows only") {
+    // The Q-str-18/22 stateful shapes, drained in append mode across 4
+    // time-ordered chunks with state observability on: after the final
+    // batch the state store must hold roughly the windows the watermark
+    // has NOT yet closed — not the month of history that flowed through.
+    // This is the contract that lets the same query run forever on an
+    // unbounded stream; without the purge, state rows == total windows.
+    import java.nio.file.Files
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.core.Tables.events(spark, d)
+    val tmp = graft.queries.tempDir("graft_state_bound")
+    val wOrd = Window.orderBy(col("ts"), col("event_id"))
+    ev.withColumn("chunk", ntile(4).over(wOrd))
+      .coalesce(1)
+      .write.partitionBy("chunk").mode("overwrite").parquet(s"$tmp/chunks")
+    val dir = Files.createDirectory(tmp.resolve("stream"))
+    (1 to 4).foreach { c =>
+      val src = tmp.resolve("chunks").resolve(s"chunk=$c")
+      val listing = Files.list(src)
+      val parts =
+        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        finally listing.close()
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val out = dir.resolve(s"c${c}_$i.parquet")
+        Files.copy(f, out)
+        Files.setLastModifiedTime(out,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + c * 60000L))
+      }
+    }
+    val raw = spark.read.parquet(s"$tmp/chunks/chunk=1")
+    def src() = spark.readStream.schema(raw.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+
+    // ground truth: total groups that flowed through vs groups the final
+    // watermark (maxTs - 3.5 s) leaves open (window end > watermark)
+    val maxTsMs = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val wmMs = maxTsMs - 3500L
+    val groups = ev.select(
+      (floor(unix_millis(col("ts")) / 10000L) * 10000L).as("wsMs"),
+      col("event_type")).distinct()
+    val totalGroups = groups.count()
+    val openGroups = groups.where(col("wsMs") + 10000L > wmMs).count()
+
+    // Q-str-18 shape: windowed count per (window, type)
+    val (_, usage18) = graft.streaming.Replay.runWithStateUsage(
+      src().withWatermark("ts", "3500 milliseconds")
+        .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n")),
+      "append")
+    assert(usage18.nonEmpty, "no state metrics surfaced")
+    val rows18 = usage18.map(_._2).sum
+    assert(usage18.forall(_._3 > 0L), s"state bytes not surfaced: $usage18")
+    // purge lag tolerance: at most one extra batch of open windows
+    assert(rows18 <= openGroups * 2 + 10,
+      s"state holds $rows18 rows; only ~$openGroups groups are open")
+    assert(rows18 * 10 <= totalGroups,
+      s"state ($rows18) is not small vs history ($totalGroups groups)")
+
+    // Q-str-22 shape: (window, type, bin) histogram cells
+    val bin = least(lit(9L), greatest(lit(0L),
+      floor(col("value") / 10.0).cast("long")))
+    val cellsTotal = ev.select(
+      (floor(unix_millis(col("ts")) / 10000L) * 10000L).as("wsMs"),
+      col("event_type"), bin.as("bin")).distinct()
+    val openCells = cellsTotal.where(col("wsMs") + 10000L > wmMs).count()
+    val (_, usage22) = graft.streaming.Replay.runWithStateUsage(
+      src().withWatermark("ts", "3500 milliseconds")
+        .withColumn("bin", bin)
+        .groupBy(window(col("ts"), "10 seconds"), col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("o")),
+      "append")
+    val rows22 = usage22.map(_._2).sum
+    assert(rows22 <= openCells * 2 + 10,
+      s"cell state holds $rows22 rows; only ~$openCells cells are open")
+    assert(rows22 * 10 <= cellsTotal.count(),
+      s"cell state ($rows22) is not small vs history (${cellsTotal.count()} cells)")
+  }
 }
 
 /** Minimal GroupState stub for pure-function tests of the state logic. */

@@ -660,4 +660,189 @@ class TxTableSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(got == Set((3L, 3L), (19L, 3L)))
   }
+
+  test("secondary stats columns: range + point reads on a non-primary column prune") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // k (primary) spans every file; t is range-clustered per batch, so
+    // only t's logged stats can prune anything
+    def batch(b: Int) = (0 until 100)
+      .map(i => (i.toLong * 3 + b, b * 100L + i, s"v$b-$i"))
+      .toDF("k", "t", "v").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, statsCols = Seq("t"))
+    (1 to 2).foreach(b => TxTable.append(spark, root, batch(b)))
+    val (kk, nk) = TxTable.pruneAccountingOn(root, "k", 10L, 19L)
+    assert(kk == nk && nk == 3, s"k spans every file: $kk/$nk")
+    val (kt, nt) = TxTable.pruneAccountingOn(root, "t", 110L, 150L)
+    assert(kt == 1 && nt == 3, s"t range read must open 1 of 3 files, opened $kt")
+    val got = TxTable.readPrunedOn(spark, root, "t", 110L, 150L)
+      .as[(Long, Long, String)].collect().toSet
+    val want = TxTable.read(spark, root)
+      .where(col("t").between(110L, 150L))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == want && want.size == 41)
+    // point probes on t carry their own blooms: keys from one batch only
+    val (rk, bk, tot) = TxTable.pointPruneAccountingOn(root, "t", Seq(205L, 271L))
+    assert(tot == 3 && bk == 1, s"t point probe kept $bk of $tot")
+    val pts = TxTable.pointReadOn(spark, root, "t", Seq(205L, 271L))
+      .as[(Long, Long, String)].collect().toSet
+    assert(pts.map(_._2) == Set(205L, 271L))
+    // an undeclared column refuses loudly instead of pruning wrongly
+    assertThrows[IllegalArgumentException](
+      TxTable.pruneAccountingOn(root, "v", 0L, 1L))
+  }
+
+  test("secondary column with NULLs: stats pass tolerates them, reads stay exact") {
+    import spark.implicits._
+    val root = freshRoot()
+    val df = Seq(
+      (1L, java.lang.Long.valueOf(10L), "a"),
+      (2L, null.asInstanceOf[java.lang.Long], "n1"),
+      (3L, java.lang.Long.valueOf(30L), "b")).toDF("k", "t", "v")
+    TxTable.create(df, root, Some("k"), None, statsCols = Seq("t"))
+    assert(TxTable.read(spark, root).count() == 3L)
+    assert(TxTable.pointReadOn(spark, root, "t", Seq(30L)).count() == 1L)
+    // a batch all-NULL in t appends fine and its file prunes for t probes
+    val nulls = Seq((4L, null.asInstanceOf[java.lang.Long], "n2"))
+      .toDF("k", "t", "v")
+    TxTable.append(spark, root, nulls)
+    assert(TxTable.read(spark, root).count() == 4L)
+    assert(TxTable.readPrunedOn(spark, root, "t", 10L, 10L).count() == 1L)
+    // primary-key pruning is unaffected by the nullable secondary
+    assert(TxTable.pointRead(spark, root, Seq(4L)).count() == 1L)
+  }
+
+  test("optimizeZ: both dimensions prune >=2x, content invariant, history travelable") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // 4 epoch files, each a full 20x20 (k, t) grid — the dimensions are
+    // INDEPENDENT, so no single-key layout can serve both
+    def batch(b: Int) = (for { x <- 0 until 20; y <- 0 until 20 }
+      yield (x * 5L, y * 5L, s"v$b-$x-$y"))
+      .toDF("k", "t", "v").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, statsCols = Seq("t"))
+    (1 to 3).foreach(b => TxTable.append(spark, root, batch(b)))
+    val before = TxTable.read(spark, root)
+      .as[(Long, Long, String)].collect().toSet
+    val (kb, nb) = TxTable.pruneAccountingOn(root, "k", 0L, 24L)
+    val (tb, _) = TxTable.pruneAccountingOn(root, "t", 0L, 24L)
+    assert(kb == nb && tb == nb && nb == 4, "epoch layout must be unprunable on both dims")
+    val res = TxTable.optimizeZ(spark, root, "k", "t", targetFiles = 16)
+    assert(res.version == 4L)
+    assert(TxTable.read(spark, root)
+      .as[(Long, Long, String)].collect().toSet == before)
+    // each z-tile covers a compact (k, t) sub-square: a quarter-domain
+    // range on EITHER dimension opens at most half the files (ideal is a
+    // quarter; half leaves room for range-partition boundary wobble)
+    val (ka, na) = TxTable.pruneAccountingOn(root, "k", 0L, 24L)
+    val (ta, nta) = TxTable.pruneAccountingOn(root, "t", 0L, 24L)
+    assert(na >= 8 && ka * 2 <= na, s"k range read opens $ka/$na after optimizeZ")
+    assert(ta * 2 <= nta, s"t range read opens $ta/$nta after optimizeZ")
+    // pruned results stay exact on both dimensions
+    val gotT = TxTable.readPrunedOn(spark, root, "t", 0L, 24L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(gotT == before.filter { case (_, t, _) => t <= 24 })
+    // the pre-optimize snapshot still resolves exactly
+    assert(TxTable.read(spark, root, 3L)
+      .as[(Long, Long, String)].collect().toSet == before)
+    // undeclared dimensions refuse loudly
+    assertThrows[IllegalArgumentException](
+      TxTable.optimizeZ(spark, root, "k", "v"))
+  }
+
+  test("secondary stats survive checkpoint consolidation") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    def batch(b: Int) = (0 until 50)
+      .map(i => (i.toLong * 16 + b, b * 100L + i, b.toLong))
+      .toDF("k", "t", "v").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, statsCols = Seq("t"))
+    (1 to 11).foreach(b => TxTable.append(spark, root, batch(b))) // ckpt at v10
+    assert(TxTable.snapshot(root).commits.size < 12,
+      "snapshot must resolve from the v10 checkpoint, not the full history")
+    val (kt, nt) = TxTable.pruneAccountingOn(root, "t", 500L, 549L)
+    assert(nt == 12 && kt == 1,
+      s"checkpoint-resolved t stats kept $kt of $nt")
+    val got = TxTable.pointReadOn(spark, root, "t", Seq(503L))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((3L * 16 + 5, 503L, 5L)))
+  }
+
+  test("widenColumn: int files surface as long, merges mix eras, history intact") {
+    import spark.implicits._
+    val root = freshRoot()
+    // n lands as parquet int32
+    val df0 = Seq((1L, 1, "a"), (2L, 2, "b")).toDF("k", "n", "v")
+    TxTable.create(df0, root)                                     // v0
+    val r = TxTable.widenColumn(spark, root, "n", "long")         // v1
+    assert(r.version == 1L)
+    assert(TxTable.snapshot(root).files ==
+      TxTable.snapshot(root, 0L).files, "widen must rewrite no data files")
+    // reads reconcile the old int files under the wide type
+    assert(TxTable.read(spark, root).schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a post-widen append writes long natively; the eras union cleanly
+    TxTable.append(spark, root, Seq((3L, 3L, "c")).toDF("k", "n", "v"))
+    val got = TxTable.read(spark, root)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 1L, "a"), (2L, 2L, "b"), (3L, 3L, "c")))
+    // a merge across the boundary rewrites touched rows wide
+    TxTable.merge(spark, root, Seq((1L, 10L, "A")).toDF("k", "n", "v"), Seq("k"))
+    assert(TxTable.read(spark, root).as[(Long, Long, String)].collect().toSet ==
+      Set((1L, 10L, "A"), (2L, 2L, "b"), (3L, 3L, "c")))
+    // time travel to v0 still shows the narrow type
+    assert(TxTable.read(spark, root, 0L).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("renameColumn: metadata-only, reads reconcile, refusals guard identity") {
+    import spark.implicits._
+    val root = freshRoot()
+    TxTable.create(Seq((1L, "x"), (2L, "y")).toDF("k", "v"), root,
+      statsKey = Some("k"))
+    val filesV0 = TxTable.snapshot(root).files
+    val r = TxTable.renameColumn(spark, root, "v", "label")       // v1
+    assert(r.version == 1L)
+    assert(TxTable.snapshot(root).files == filesV0,
+      "rename must rewrite no data files")
+    assert(TxTable.read(spark, root).columns.toSeq == Seq("k", "label"))
+    // merges write the NEW name; carried-over old files reconcile
+    TxTable.merge(spark, root,
+      Seq((2L, "Y"), (3L, "z")).toDF("k", "label"), Seq("k"))
+    assert(TxTable.read(spark, root).as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "Y"), (3L, "z")))
+    // time travel to v0 shows the old name
+    assert(TxTable.read(spark, root, 0L).columns.toSeq == Seq("k", "v"))
+    // refusals: stats key, existing target, absent source, live ledger
+    assertThrows[IllegalArgumentException](
+      TxTable.renameColumn(spark, root, "k", "id"))
+    assertThrows[IllegalArgumentException](
+      TxTable.renameColumn(spark, root, "label", "k"))
+    assertThrows[IllegalArgumentException](
+      TxTable.renameColumn(spark, root, "ghost", "g2"))
+    TxTable.deleteMor(spark, root, Seq(Tuple1(3L)).toDF("k"), "k")
+    assertThrows[IllegalArgumentException](
+      TxTable.renameColumn(spark, root, "label", "tagname"))
+    // after compaction folds the ledger, the rename goes through
+    TxTable.compact(spark, root)
+    TxTable.renameColumn(spark, root, "label", "tagname")
+    assert(TxTable.read(spark, root).as[(Long, String)].collect().toSet ==
+      Set((1L, "x"), (2L, "Y")))
+  }
+
+  test("evolutions survive checkpoint consolidation") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create(Seq((0L, 0, "s0")).toDF("k", "n", "v"), root)  // int n
+    TxTable.widenColumn(spark, root, "n", "long")                 // v1
+    TxTable.renameColumn(spark, root, "v", "s")                   // v2
+    (1 to 9).foreach(b =>                                         // v3..v11
+      TxTable.append(spark, root, Seq((b.toLong, b.toLong, s"s$b")).toDF("k", "n", "s")))
+    assert(TxTable.snapshot(root).commits.size < 12,
+      "snapshot must resolve from the v10 checkpoint, not the full history")
+    val got = TxTable.read(spark, root).as[(Long, Long, String)].collect().toSet
+    assert(got == (0 to 9).map(i => (i.toLong, i.toLong, s"s$i")).toSet)
+    assert(TxTable.read(spark, root).schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+  }
 }

@@ -72,4 +72,33 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zRows < linearRows / 2,
       s"z-order should skip most row groups: z=$zRows linear=$linearRows")
   }
+
+  test("z-order survives a SKEWED dimension (equal-frequency bucketing)") {
+    // y is long-tail skewed: ~94% of rows land in y < 64 while the domain
+    // stretches to ~6000. Equal-WIDTH bucketing would pack those rows
+    // into the first of 256 buckets — one y-bucket value for most data,
+    // so tiles can't subdivide y there and a dense-region predicate reads
+    // ~everything. Quantile bucketing splits the dense region across
+    // many buckets, so tiles stay row-balanced and tight on y even
+    // inside the skew — which is where real predicates land.
+    val l = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").bitwiseAND(lit(65535L)).as("x"),
+        // quantity 1..50 (dense head), stretched tail for orderkey%16==0
+        when(col("l_orderkey") % 16 === 0,
+          col("l_quantity").cast("long") * 120)
+          .otherwise(col("l_quantity").cast("long")).as("y"),
+        col("l_quantity"))
+    val base = Files.createTempDirectory("graft_zskew").toString
+    val blk = 2 * 1024
+    ZOrderLayout.writeClustered(l, col("x"), col("y"), s"$base/z",
+      numFiles = 1, blockSize = blk)
+    // a predicate INSIDE the dense head (y in [10, 20)) — ~1/5 of rows
+    def q(path: String): DataFrame =
+      spark.read.parquet(path).filter(col("y") >= 10 && col("y") < 20)
+    val total = l.count()
+    val scanned = scannedRows(q(s"$base/z"))
+    assert(q(s"$base/z").count() == l.filter(col("y") >= 10 && col("y") < 20).count())
+    assert(scanned * 2 < total,
+      s"dense-head predicate should skip most row groups: scanned $scanned of $total")
+  }
 }

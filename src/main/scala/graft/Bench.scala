@@ -103,7 +103,8 @@ object Bench {
     "Q-qual-15",  // table CHECK constraints (refusal + flow-through)
     "Q-qual-16",  // merge-on-read deletes (ledger commits, zero rewrites)
     "Q-qual-17",  // z-order OPTIMIZE + multi-column stats (2-dim pruning)
-    "Q-scan-19"   // schema evolution: widen + rename, era-reconciled reads
+    "Q-scan-19",  // schema evolution: widen + rename, era-reconciled reads
+    "Q-qual-18"   // history retention: expire + vacuum, retained range intact
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

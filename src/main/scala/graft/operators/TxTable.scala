@@ -963,15 +963,26 @@ object TxTable {
     * snapshots reference — is a policy decision this minimal layer
     * deliberately leaves out; time travel stays fully intact.) */
   def vacuumOrphans(root: String): Long = {
-    // orphan detection needs the FULL history (a checkpoint-folded
-    // snapshot only carries the suffix commits): read every commit file
+    // orphan detection needs the FULL retained history (a checkpoint-
+    // folded snapshot only carries the suffix commits): read every commit
+    // file, AND every checkpoint — after expireHistory a file can be live
+    // while its adding commit is archived, so the checkpoint's file list
+    // is what still references it
     import scala.jdk.CollectionConverters._
-    val referenced: Set[String] = Files.list(logDir(root)).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith(".json") && !n.endsWith(".ckpt.json"))
+    val names = {
+      val listing = Files.list(logDir(root))
+      try listing.iterator().asScala.map(_.getFileName.toString).toList
+      finally listing.close()
+    }
+    val referenced: Set[String] = names.iterator
+      .filter(_.endsWith(".json"))
       .flatMap { n =>
-        val c = parse(Files.readString(logDir(root).resolve(n)))
-        c.adds ++ c.dadds // delete ledgers are referenced files too
+        val j = Files.readString(logDir(root).resolve(n))
+        if (n.endsWith(".ckpt.json")) arrField(j, "files") ++ arrField(j, "dfiles")
+        else {
+          val c = parse(j)
+          c.adds ++ c.dadds // delete ledgers are referenced files too
+        }
       }
       .toSet
     val dd = dataDir(root)
@@ -991,6 +1002,72 @@ object TxTable {
       finally walk.close()
     orphans.foreach(Files.deleteIfExists(_))
     orphans.length.toLong
+  }
+
+  /** Expire HISTORY — the retention policy [[vacuumOrphans]] deliberately
+    * leaves out (the Delta `VACUUM` semantic): drop data files that only
+    * snapshots OLDER than `beforeVersion` can reach, and archive their
+    * commit records. On a 100 TB table with per-epoch upserts, every
+    * rewritten file otherwise lives forever in the name of time travel —
+    * retention is the operator decision that bounds that cost.
+    *
+    * The cutoff snaps DOWN to the newest checkpoint ≤ `beforeVersion`
+    * (refused if none exists): versions ≥ the cutoff keep resolving from
+    * that checkpoint + the retained commit suffix — reads, time travel,
+    * restore, and change feeds in the retained range are untouched.
+    * Versions BELOW the cutoff become unresolvable and fail loudly (the
+    * resolver's existing archived-history guard). A file is deleted only
+    * if NO retained version can reach it: kept = the cutoff snapshot's
+    * live files + ledgers + everything added after it. Returns
+    * (data files deleted, commit files archived).
+    *
+    * Run it like any retention job: not concurrently with readers pinned
+    * to about-to-expire versions (their scans would lose files mid-read
+    * — same contract as Delta's retention window). Concurrent writers
+    * and current-snapshot readers are unaffected: nothing at or above
+    * the cutoff changes. */
+  def expireHistory(root: String, beforeVersion: Long): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val names = {
+      val listing = Files.list(logDir(root))
+      try listing.iterator().asScala.map(_.getFileName.toString).toList
+      finally listing.close()
+    }
+    val ckpts = names.filter(_.endsWith(".ckpt.json"))
+      .map(_.stripSuffix(".ckpt.json").toLong)
+    val eligible = ckpts.filter(_ <= beforeVersion)
+    require(eligible.nonEmpty,
+      s"no checkpoint at or below v$beforeVersion in $root — nothing can " +
+        "be expired yet (checkpoints land every " + checkpointInterval +
+        " commits)")
+    val cutoff = eligible.max
+    val head = snapshot(root)
+    val atCutoff = snapshot(root, cutoff)
+    require(atCutoff.version == cutoff,
+      s"cutoff checkpoint v$cutoff does not resolve cleanly")
+    // everything any retained version (>= cutoff) can reach
+    val needed: Set[String] =
+      atCutoff.files.toSet ++ atCutoff.ledgers.map(_.path) ++
+        ((cutoff + 1) to head.version).iterator.flatMap { v =>
+          val p = commitPath(root, v)
+          if (Files.exists(p)) {
+            val c = parse(Files.readString(p)); c.adds ++ c.dadds
+          } else Seq.empty
+        }
+    val archivable = names
+      .filter(n => n.endsWith(".json") && !n.endsWith(".ckpt.json"))
+      .map(_.stripSuffix(".json").toLong)
+      .filter(_ < cutoff)
+    // data files only pre-cutoff commits reference, minus the needed set
+    val doomed: Set[String] = archivable.iterator.flatMap { v =>
+      val c = parse(Files.readString(commitPath(root, v)))
+      c.adds ++ c.dadds
+    }.toSet -- needed
+    doomed.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
+    // archive the commit records below the cutoff, then stale checkpoints
+    archivable.foreach(v => Files.deleteIfExists(commitPath(root, v)))
+    ckpts.filter(_ < cutoff).foreach(v => Files.deleteIfExists(ckptPath(root, v)))
+    (doomed.size.toLong, archivable.size.toLong)
   }
 
   /** MERGE (upsert) convenience: rows in `changes` replace same-key rows
@@ -1091,6 +1168,38 @@ object TxTable {
         "layout would otherwise record no prunable metadata")
     transact(spark, root, "optimize-z")(
       ZOrderLayout.clusterByZ(_, col(x), col(y), targetFiles))
+  }
+
+  /** INCREMENTAL [[optimizeZ]]: re-tile ONLY the files added AFTER
+    * `sinceVersion`; everything older carries over by reference — zero
+    * bytes of the already-optimized tiles move. This is the per-epoch
+    * maintenance shape a streamed-into 100 TB table needs: appends
+    * accrete all day, the nightly pass re-tiles just the day's
+    * accretion, and the commit cost is proportional to the NEW data,
+    * never the table. Live merge-on-read ledgers stay correct: the
+    * rewrite starts from the subset's effective content (ledger rows
+    * already subtracted), kept files keep their ledgers applying, and
+    * the new files postdate every ledger. Typically `sinceVersion` is
+    * the previous optimize commit's version. */
+  def optimizeZSince(spark: SparkSession, root: String, x: String, y: String,
+                     sinceVersion: Long, targetFiles: Int = 4): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val snap0 = snapshot(root)
+    val declared = snap0.statsKey.toSeq ++ snap0.statsCols
+    require(Seq(x, y).forall(declared.contains),
+      s"optimizeZSince($x, $y) needs both dimensions declared for stats " +
+        s"(have ${declared.mkString("[", ",", "]")})")
+    transactFiles(spark, root, "optimize-z-incr") { snap =>
+      val keep = snap.files.filter(f =>
+        snap.fileAddV.getOrElse(f, Long.MaxValue) <= sinceVersion)
+      val fresh = snap.files.diff(keep)
+      val rewrite =
+        if (fresh.isEmpty)
+          readFilesEvolved(spark, root, snap, Seq(snap.files.head)).limit(0)
+        else ZOrderLayout.clusterByZ(
+          morRead(spark, root, snap, fresh), col(x), col(y), targetFiles)
+      (keep, rewrite)
+    }
   }
 
   /** Metadata-only pruning accounting: (files a [lo, hi] range read

@@ -680,6 +680,51 @@ object Extras {
         .orderBy("o_orderkey")
     },
 
+    // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
+    // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
+    // leave every rewritten file generation alive in the name of time
+    // travel; expireHistory snaps to the newest checkpoint ≤ the asked
+    // version (v10 here), deletes the data files only pre-cutoff
+    // snapshots could reach, and archives their commit records. Asserted
+    // in-query: exactly the 10 pre-checkpoint commits archive, data
+    // files were actually deleted, the retained range (v10..head) still
+    // resolves, an expired version fails LOUDLY rather than resolving
+    // wrong, and a follow-up vacuumOrphans (which now honors
+    // checkpoint-referenced files) eats nothing live. The final read
+    // hash-matches the closed-form 11-epoch derivation — retention is
+    // invisible to the current state.
+    "Q-qual-18" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual18").toString + "/tbl"
+      val base = Tables.customer(s, d).select(
+        col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + 0.5).cast("bigint").as("cents"))
+      TxTable.create(
+        base.repartitionByRange(3, col("k")).sortWithinPartitions("k"),
+        root, statsKey = Some("k"))                              // v0
+      (1 to 11).foreach { e =>                                   // v1..v11
+        TxTable.mergeCow(s, root,
+          base.filter(col("k") % 23 === e)
+            .select(col("k"), col("seg"),
+              (col("cents") + e * 100L).as("cents")),
+          "k")
+      }
+      val (dropped, archived) = TxTable.expireHistory(root, beforeVersion = 11L)
+      if (archived != 10L) throw new IllegalStateException(
+        s"expected commits 0..9 archived at cutoff v10, archived $archived")
+      if (dropped < 1L) throw new IllegalStateException(
+        "retention deleted no data files — nothing was expirable?")
+      if (TxTable.snapshot(root, 10L).version != 10L)
+        throw new IllegalStateException("retained cutoff v10 must resolve")
+      val expiredFails =
+        try { TxTable.snapshot(root, 5L); false }
+        catch { case _: IllegalStateException => true }
+      if (!expiredFails) throw new IllegalStateException(
+        "expired v5 must fail loudly, not resolve")
+      TxTable.vacuumOrphans(root)
+      TxTable.read(s, root).orderBy("k")
+    },
+
     // ---- Q-qual-15: CHECK constraints — the data-quality gate at the
     // TABLE boundary (the contract layer above the dataflow-level
     // audits Q-qual-01/02): the table declares `o_totalprice >= 0 AND
@@ -1872,6 +1917,14 @@ object Extras {
          FROM orders
          WHERE o_orderkey IN (8, 13, 121, 517, 1001, 1004)
          ORDER BY o_orderkey""",
+    // retention is invisible to the current state: the post-expiry read
+    // equals the closed-form 11-epoch merge derivation
+    "Q-qual-18" ->
+      """SELECT c_custkey AS k, c_mktsegment AS seg,
+                (floor(c_acctbal * 100 + 0.5)::BIGINT
+                 + CASE WHEN c_custkey % 23 BETWEEN 1 AND 11
+                        THEN (c_custkey % 23) * 100 ELSE 0 END) AS cents
+         FROM customer ORDER BY k""",
     // the evolved table reads as if the schema had always been wide and
     // renamed: old int files cast, old names mapped, merged cohort wins
     "Q-scan-19" ->

@@ -750,6 +750,39 @@ class TxTableSpec extends AnyFunSuite {
       TxTable.optimizeZ(spark, root, "k", "v"))
   }
 
+  test("optimizeZSince: re-tiles only the accretion; old tiles never move") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    def batch(b: Int) = (for { x <- 0 until 20; y <- 0 until 20 }
+      yield (x * 5L, y * 5L, s"v$b-$x-$y"))
+      .toDF("k", "t", "v").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, statsCols = Seq("t"))
+    TxTable.append(spark, root, batch(1))
+    val zed = TxTable.optimizeZ(spark, root, "k", "t", targetFiles = 8) // v2
+    val tiles = TxTable.snapshot(root).files.toSet
+    // two more epochs accrete on top of the optimized layout
+    TxTable.append(spark, root, batch(2))                               // v3
+    TxTable.append(spark, root, batch(3))                               // v4
+    val before = TxTable.read(spark, root)
+      .as[(Long, Long, String)].collect().toSet
+    val res = TxTable.optimizeZSince(spark, root, "k", "t",
+      sinceVersion = zed.version, targetFiles = 8)                      // v5
+    assert(res.version == 5L)
+    val after = TxTable.snapshot(root)
+    // every pre-existing tile carried over BY REFERENCE; only the two
+    // fresh epochs were rewritten
+    assert(tiles.subsetOf(after.files.toSet),
+      "incremental optimize must not touch already-optimized tiles")
+    assert(after.files.size == tiles.size + 8)
+    assert(TxTable.read(spark, root)
+      .as[(Long, Long, String)].collect().toSet == before)
+    // the accretion is now prunable on the secondary dim too: a quarter
+    // range opens at most half of the NEW tiles (old tiles already tile)
+    val (kept, total) = TxTable.pruneAccountingOn(root, "t", 0L, 24L)
+    assert(total == tiles.size + 8 && kept <= tiles.size / 2 + 4,
+      s"after incremental re-tile a quarter t-range opens $kept/$total")
+  }
+
   test("secondary stats survive checkpoint consolidation") {
     import spark.implicits._
     val root = freshRoot() + "/t"
@@ -766,6 +799,45 @@ class TxTableSpec extends AnyFunSuite {
     val got = TxTable.pointReadOn(spark, root, "t", Seq(503L))
       .as[(Long, Long, Long)].collect().toSet
     assert(got == Set((3L * 16 + 5, 503L, 5L)))
+  }
+
+  test("expireHistory: retention drops unreachable files; retained range intact") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = freshRoot() + "/t"
+    TxTable.create((0L until 30L).map(i => (i, "v0")).toDF("k", "v"), root,
+      statsKey = Some("k"))
+    // 12 full-rewrite merges: every version replaces its files, so the
+    // pre-checkpoint file generations become expirable
+    (1 to 12).foreach(e =>
+      TxTable.merge(spark, root,
+        (0L until 30L).map(i => (i, s"v$e")).toDF("k", "v"), Seq("k")))
+    val headBefore = rows(root)
+    val v11 = rows(root, 11L)
+    assert(rows(root, 2L).forall(_._2 == "v2"), "pre-expiry time travel works")
+    def dataFiles(): Long = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(root, "data"))
+      try walk.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet")).toLong
+      finally walk.close()
+    }
+    val filesBefore = dataFiles()
+    val (dropped, archived) = TxTable.expireHistory(root, beforeVersion = 12L)
+    assert(archived == 10L, s"commits 0..9 should archive, archived $archived")
+    assert(dropped > 0L && dataFiles() == filesBefore - dropped)
+    // retained range (>= cutoff 10) fully intact
+    assert(rows(root) == headBefore)
+    assert(rows(root, 11L) == v11)
+    assert(TxTable.snapshot(root, 10L).version == 10L)
+    // expired range fails loudly instead of resolving wrong
+    assertThrows[IllegalStateException](TxTable.read(spark, root, 2L))
+    // vacuumOrphans respects checkpoint-referenced files after expiry
+    TxTable.vacuumOrphans(root)
+    assert(rows(root) == headBefore, "vacuum must not eat live files")
+    // refusal: nothing below the first checkpoint yet
+    val root2 = freshRoot() + "/t2"
+    TxTable.create(Seq((1L, "a")).toDF("k", "v"), root2)
+    assertThrows[IllegalArgumentException](TxTable.expireHistory(root2, 1L))
   }
 
   test("widenColumn: int files surface as long, merges mix eras, history intact") {

@@ -1544,6 +1544,42 @@ object Extras {
           Portable.r(expr("aggregate(es, CAST(0.0 AS DOUBLE), " +
             "(acc, x) -> acc * 0.75 + x.v * 0.25)"), 6).as("ewma"))
         .orderBy("user_id")
+    },
+
+    // ---- Q-evt-10: time-grid RESAMPLE + GAP-FILL — the time-series
+    // regularization pass (dashboards and sequence-model feature tensors
+    // need a dense regular grid, not raw irregular events): per user,
+    // events collapse to hourly bins (count + exact decimal mean), each
+    // user's [first, last] active-hour span expands to the full hourly
+    // grid via sequence(), and empty bins forward-fill the last observed
+    // mean (last-observation-carried-forward via last(ignoreNulls) over
+    // an unbounded-preceding row frame). The user subset filter sits on
+    // the SCAN (pushed to parquet), not the result. Scale shape: bin agg
+    // and span agg shuffle on user_id once each (|bins| then |users|
+    // rows, never |events| past the first partial agg); the grid
+    // explosion is bounded by users x span/resolution; the fill is a
+    // per-user window — partition-local after the grid join's own
+    // user-keyed exchange. A leading gap cannot occur: the grid starts
+    // at each user's first ACTIVE hour, so the fill is total.
+    "Q-evt-10" -> { (s, d) =>
+      val bins = Tables.events(s, d)
+        .filter(col("user_id") % 10 === 0)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n_events"),
+          Portable.davg(col("value"), 6).as("v_mean"))
+      val grid = bins.groupBy("user_id")
+        .agg(min("h").as("lo"), max("h").as("hi"))
+        .select(col("user_id"),
+          explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+            .as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(bins, Seq("user_id", "h"), "left")
+        .select(col("user_id"), unix_seconds(col("h")).as("hour_s"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("v_mean"), ignoreNulls = true).over(w).as("value"),
+          col("n_events").isNull.as("filled"))
+        .orderBy("user_id", "hour_s")
     }
   )
 
@@ -2104,6 +2140,35 @@ object Extras {
                 max(delta_us) AS max_us,
                 ${Portable.rSql("quantile_cont(delta_us, 0.5)", 1)} AS median_us
          FROM deltas""",
+    // gap-fill: the forward fill is expressed engine-portably as the
+    // count-non-null cumulative-group trick (count(v_mean) OVER the
+    // running frame partitions each user's timeline into segments led by
+    // exactly one observation; max over the segment carries it) — same
+    // carried doubles as Spark's last(ignoreNulls) because both sides
+    // round the bin mean to 6 digits BEFORE the carry.
+    "Q-evt-10" ->
+      s"""WITH b AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   count(*)::BIGINT AS n_events,
+                   ${Portable.davgSql("value", 6)} AS v_mean
+            FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+          span AS (SELECT user_id, min(h) AS lo, max(h) AS hi
+                   FROM b GROUP BY 1),
+          grid AS (SELECT user_id,
+                          unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                   FROM span),
+          j AS (SELECT g.user_id, g.h, b.n_events, b.v_mean
+                FROM grid g LEFT JOIN b
+                  ON b.user_id = g.user_id AND b.h = g.h),
+          f AS (SELECT *, count(v_mean) OVER (
+                  PARTITION BY user_id ORDER BY h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+                FROM j)
+          SELECT user_id, (epoch_us(h) // 1000000)::BIGINT AS hour_s,
+                 coalesce(n_events, 0)::BIGINT AS n_events,
+                 max(v_mean) OVER (PARTITION BY user_id, grp) AS value,
+                 (n_events IS NULL) AS filled
+          FROM f ORDER BY user_id, hour_s""",
     "Q-llm-13" ->
       s"""WITH cents AS (
            SELECT (vec_id // $centStep)::INT AS centroid_id, embedding AS cv

@@ -1051,6 +1051,57 @@ object LlmOps {
           Portable.r(meanLen, 6).as("mean_word_len"),
           (nStop >= 2 && meanLen >= 3.0 && meanLen <= 10.0).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-53: BM25 RANKED RETRIEVAL — the lexical-search half of a
+    // data-curation stack (Q-llm-17's TF-IDF scores terms per doc; this
+    // ranks DOCS per query, the retrieval primitive behind hard-negative
+    // mining and RAG corpus selection). Okapi BM25 (k1=1.2, b=0.75,
+    // Lucene's always-positive idf = ln((N-df+0.5)/(df+0.5)+1)). Query
+    // set = first-5-word bags of every doc_id % 37 == 5 document.
+    // Scale shape: candidates come from the POSTINGS side — tf rows
+    // equi-join the tiny broadcast query-term table first, so only
+    // matched-term postings ever reach the df/doclen joins (word- and
+    // doc-keyed equi-joins); per-(query,doc) scores are partial-agg
+    // sums; top-10 is a per-query window. Nothing touches all (q,doc)
+    // pairs. Exactness: idf and each term score round at 9 digits, the
+    // per-doc sum is an order-free decimal, the final score rounds at 6
+    // — ranks compare ROUNDED scores with doc_id tie-break, so both
+    // engines order identically.
+    "Q-llm-53" -> { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws"))
+      val dl = toks.select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
+      val post = toks.select(col("doc_id"), explode(col("ws")).as("word"))
+      val tf = post.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfc = post.groupBy("word").agg(countDistinct("doc_id").as("df"))
+      val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        Portable.davg(col("dl"), 6).as("avgdl"))
+      val qt = toks.filter(col("doc_id") % 37 === 5)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(col("ws"), 1, 5)).as("word"))
+        .distinct()
+      val idf = Portable.r(
+        log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)), 9)
+      val nrm = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      val scored = tf.join(broadcast(qt), "word")
+        .join(dfc, "word")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("term_score", Portable.r(idf * nrm, 9))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).cast("bigint").as("n_terms"),
+          Portable.r(Portable.dsum(col("term_score")), 6).as("score"))
+      val rk = Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.withColumn("rank", row_number().over(rk).cast("bigint"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("n_terms"), col("score"))
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -1827,6 +1878,42 @@ object LlmOps {
                 (length(text) % 640)::BIGINT AS fake_width,
                 (length(text) * 7 % 256)::BIGINT AS fake_brightness,
                 (length(text) // 1000 + 1)::BIGINT AS frame_count
-         FROM documents ORDER BY asset_id"""
+         FROM documents ORDER BY asset_id""",
+    // BM25: identical arithmetic op sequence as the Spark side — idf and
+    // term scores rounded at 9 digits, decimal per-doc sum, final round
+    // at 6, ranks over the rounded score with doc_id tie-break.
+    "Q-llm-53" ->
+      s"""WITH toks AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+            dl AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM toks),
+            post AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+            tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+                   FROM post GROUP BY 1, 2),
+            dfc AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df
+                    FROM post GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                             ${Portable.davgSql("dl", 6)} AS avgdl
+                      FROM dl),
+            qt AS (SELECT DISTINCT doc_id AS query_id, unnest(ws[1:5]) AS word
+                   FROM toks WHERE doc_id % 37 = 5),
+            term AS (
+              SELECT qt.query_id, tf.doc_id,
+                     ${Portable.rSql(
+                       "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)", 9)} AS idf,
+                     (tf::DOUBLE * 2.2) /
+                       (tf::DOUBLE + 1.2 * (0.25 + 0.75 * dl.dl / avgdl)) AS nrm
+              FROM tf JOIN qt USING (word) JOIN dfc USING (word)
+                   JOIN dl ON dl.doc_id = tf.doc_id
+                   CROSS JOIN stats),
+            sc AS (
+              SELECT query_id, doc_id, count(*)::BIGINT AS n_terms,
+                     ${Portable.rSql(
+                       Portable.dsumSql(Portable.rSql("idf * nrm", 9)), 6)}
+                       AS score
+              FROM term GROUP BY 1, 2),
+            rk AS (SELECT *, row_number() OVER (
+                     PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS rnk FROM sc)
+          SELECT query_id, rnk::BIGINT AS "rank", doc_id, n_terms, score
+          FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk"""
   )
 }

@@ -225,6 +225,14 @@ object ExplainCheck {
     check("Q-qual-08", "change-feed image join is keyed (no BNLJ/cartesian)",
       p => !p.contains("BroadcastNestedLoopJoin") &&
            !p.contains("CartesianProduct"))
+    // BM25: the query-term table broadcasts into the postings side (the
+    // candidate generator is postings x tiny-queries, never all pairs),
+    // and the only nested-loop is the single-row stats scalar
+    check("Q-llm-53", "query terms broadcast into postings; no cartesian",
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // gap-fill: the user-subset predicate reaches the events parquet scan
+    check("Q-evt-10", "user subset filter pushed to events scan",
+      _.contains("PushedFilters: ["))
     s.stop()
   }
 }

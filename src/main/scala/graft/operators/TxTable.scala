@@ -68,7 +68,8 @@ object TxTable {
       statsCols: Seq[String] = Seq.empty,
       addStatsN: Seq[Seq[(Long, Long)]] = Seq.empty,
       addBloomsN: Seq[Seq[String]] = Seq.empty,
-      evos: Seq[String] = Seq.empty)
+      evos: Seq[String] = Seq.empty,
+      addRows: Seq[Long] = Seq.empty)
 
   /** A live MERGE-ON-READ delete ledger: a tiny parquet file of doomed
     * keys (its single column names the key column) that reads subtract
@@ -98,7 +99,8 @@ object TxTable {
       statsCols: Seq[String] = Seq.empty,
       fileStatsN: Map[String, Seq[(Long, Long)]] = Map.empty,
       fileBloomsN: Map[String, Seq[String]] = Map.empty,
-      evos: Seq[(Long, String)] = Seq.empty)
+      evos: Seq[(Long, String)] = Seq.empty,
+      fileRows: Map[String, Long] = Map.empty)
 
   private val emptySnapshot =
     Snapshot(-1L, Seq.empty, Seq.empty, None, Map.empty, Set.empty)
@@ -155,7 +157,12 @@ object TxTable {
     val ev =
       if (c.evos.isEmpty) ""
       else s""","evops":${arr(c.evos)}"""
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da$sc$stN$blN$ev}"""
+    // per-file row counts (parquet footer metadata captured at publish)
+    // — what makes count(*) and file-size accounting log-only reads
+    val ar =
+      if (c.addRows.isEmpty) ""
+      else s""","arows":${c.addRows.mkString("[", ",", "]")}"""
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da$sc$stN$blN$ev$ar}"""
   }
 
   // minimal JSON field readers for the exact shapes render() writes
@@ -207,7 +214,8 @@ object TxTable {
       arrField(json, "dadds"),
       arrField(json, "statscols"),
       statsN, bloomsN,
-      arrField(json, "evops"))
+      arrField(json, "evops"),
+      numArrField(json, "arows"))
   }
 
   /** Every `checkpointInterval` commits the winner consolidates the live
@@ -272,7 +280,13 @@ object TxTable {
       if (s.evos.isEmpty) ""
       else s""","evv":${s.evos.map(_._1).mkString("[", ",", "]")}""" +
         s""","evo":${arr(s.evos.map(_._2))}"""
-    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl$fv$dl$sc$stN$blN$ev}"""
+    // per-file row counts, aligned with files; -1 = unknown (pre-count
+    // commits) — metadata-only aggregates then scan those files
+    val fr =
+      if (s.fileRows.isEmpty) ""
+      else s""","frows":${s.files.map(f =>
+        s.fileRows.getOrElse(f, -1L)).mkString("[", ",", "]")}"""
+    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl$fv$dl$sc$stN$blN$ev$fr}"""
   }
 
   /** Best-effort checkpoint after a winning commit; losing the ckpt race
@@ -334,6 +348,7 @@ object TxTable {
     val statsN = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Long, Long)]]
     val bloomsN = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     val evos = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var statsKey: Option[String] = None
     var statsCols: Seq[String] = Seq.empty
     var check: Option[String] = None
@@ -367,6 +382,9 @@ object TxTable {
       files.zipAll(fv, "", 0L).foreach { case (f, v) =>
         if (f.nonEmpty) addV(f) = v
       }
+      val fr = numArrField(j, "frows")
+      if (fr.nonEmpty)
+        files.zip(fr).foreach { case (f, n) => if (n >= 0) rows(f) = n }
       ledgers ++= arrField(j, "dfiles").zip(numArrField(j, "dvers"))
         .map { case (p, v) => Ledger(p, v) }
       evos ++= numArrField(j, "evv").zip(arrField(j, "evo"))
@@ -395,11 +413,14 @@ object TxTable {
         c.adds.zipWithIndex.foreach { case (f, i) =>
           bloomsN(f) = c.addBloomsN.map(_(i))
         }
+      if (c.addRows.size == c.adds.size)
+        c.adds.zip(c.addRows).foreach { case (f, n) => if (n >= 0) rows(f) = n }
       c.removes.foreach(stats.remove)
       c.removes.foreach(blooms.remove)
       c.removes.foreach(addV.remove)
       c.removes.foreach(statsN.remove)
       c.removes.foreach(bloomsN.remove)
+      c.removes.foreach(rows.remove)
       c.dadds.foreach(p => ledgers += Ledger(p, c.version))
       c.evos.foreach(e => evos += ((c.version, e)))
       if (c.removes.nonEmpty) {
@@ -417,9 +438,11 @@ object TxTable {
     val liveAddV = addV.filter { case (f, _) => live.contains(f) }
     val liveStatsN = statsN.filter { case (f, _) => live.contains(f) }
     val liveBloomsN = bloomsN.filter { case (f, _) => live.contains(f) }
+    val liveRows = rows.filter { case (f, _) => live.contains(f) }
     Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet,
       liveBlooms.toMap, check, liveAddV.toMap, ledgers.toSeq,
-      statsCols, liveStatsN.toMap, liveBloomsN.toMap, evos.toSeq)
+      statsCols, liveStatsN.toMap, liveBloomsN.toMap, evos.toSeq,
+      liveRows.toMap)
   }
 
   /** Snapshot-isolated read (optionally at a historical version).
@@ -754,6 +777,66 @@ object TxTable {
       snap.files.size)
   }
 
+  /** Result of [[metaAggregate]]: the values plus the physical
+    * accounting proving HOW they were resolved — `filesMetaOnly` files
+    * contributed from the commit log alone, `filesScanned` had to be
+    * opened. */
+  final case class MetaAgg(count: Long, min: Option[Long], max: Option[Long],
+                           filesMetaOnly: Int, filesScanned: Int)
+
+  /** count(*) + min/max of `column`, resolved from the COMMIT LOG alone
+    * wherever possible — the lakehouse answer to `SELECT count(*),
+    * min(k), max(k) FROM t` on a 100 TB table: per-file row counts
+    * (parquet footers captured at publish) and per-file [min, max]
+    * stats fold in the driver, zero data I/O. A file is scanned only
+    * when the log CANNOT answer for it: a live merge-on-read ledger
+    * applies to it (deleted rows make its logged count/extremes stale),
+    * its commit predates row-count capture, or `column` carries no
+    * declared stats (then even a pure count scans it — one partition
+    * keeps the contract simple: meta files answer ALL three aggregates).
+    * Scanned files resolve through the same ledger-scoped read the
+    * query path uses, so the result always equals the full-scan answer;
+    * compaction folds ledgers away and returns the table to the all-
+    * metadata fast path. NULL `column` values count toward `count` but
+    * never min/max (file stats skip them at capture). */
+  def metaAggregate(spark: SparkSession, root: String, column: String,
+                    versionAsOf: Long = Long.MaxValue): MetaAgg = {
+    import org.apache.spark.sql.functions.{count, lit,
+      max => smax, min => smin}
+    val snap = snapshot(root, versionAsOf)
+    require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    val st: Map[String, (Long, Long)] =
+      if (snap.statsKey.contains(column)) snap.fileStats
+      else if (snap.statsCols.contains(column)) colStats(snap, column)
+      else Map.empty
+    val sorted = snap.ledgers.sortBy(_.version)
+    def ledgerScoped(f: String): Boolean = {
+      val av = snap.fileAddV.getOrElse(f, Long.MaxValue)
+      sorted.exists(_.version >= av)
+    }
+    val (scan, meta) = snap.files.partition(f =>
+      ledgerScoped(f) || !snap.fileRows.contains(f) || !st.contains(f))
+    var cnt = meta.map(snap.fileRows).sum
+    val ranges = meta.map(st).filter(r => r._1 <= r._2) // skip empty/all-NULL
+    var mn = if (ranges.isEmpty) None else Some(ranges.map(_._1).min)
+    var mx = if (ranges.isEmpty) None else Some(ranges.map(_._2).max)
+    if (scan.nonEmpty) {
+      // try_cast, not cast: a stats-less NON-numeric column must degrade
+      // to (count, None, None) rather than throw under ANSI mode
+      require(identName.matches(column), s"invalid column name '$column'")
+      val k = org.apache.spark.sql.functions.expr(
+        s"try_cast($column AS BIGINT)")
+      val r = morRead(spark, root, snap, scan)
+        .agg(count(lit(1)), smin(k), smax(k)).collect()(0)
+      cnt += r.getLong(0)
+      if (!r.isNullAt(1)) {
+        mn = Some(mn.fold(r.getLong(1))(math.min(_, r.getLong(1))))
+        mx = Some(mx.fold(r.getLong(2))(math.max(_, r.getLong(2))))
+      }
+    }
+    MetaAgg(cnt, mn, mx, meta.size, scan.size)
+  }
+
   // ------------------------------------------------------------- writes
   /** Write `df` as new immutable data files; returns table-relative paths
     * plus (when the table declares a stats key) each file's [min, max] of
@@ -836,14 +919,37 @@ object TxTable {
     }
   }
 
+  /** Per-file row counts from the parquet FOOTERS — pure metadata (a
+    * few-KB tail read per file, no page decompression), captured once at
+    * publish so later count(*)-style aggregates never open data. -1
+    * marks a file whose footer could not be read (the fold treats it as
+    * unknown and aggregates fall back to scanning it). */
+  private def footerRows(root: String, files: Seq[String]): Seq[Long] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.map { f =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$root/$f"), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      } catch { case NonFatal(_) => -1L }
+    }
+  }
+
   /** Atomic publish of version `v`: hard-link the rendered body into the
     * log slot — exactly one writer wins; everyone else gets
-    * FileAlreadyExistsException and must rebase. */
+    * FileAlreadyExistsException and must rebase. Every commit that adds
+    * data files gets their footer row counts stamped into the log here —
+    * one chokepoint covers create/append/merge/compact/optimize alike. */
   private def tryPublish(root: String, c: Commit): Boolean = {
     Files.createDirectories(logDir(root))
+    val cc =
+      if (c.adds.nonEmpty && c.addRows.isEmpty)
+        c.copy(addRows = footerRows(root, c.adds))
+      else c
     val tmp = logDir(root).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")
-    Files.writeString(tmp, render(c))
+    Files.writeString(tmp, render(cc))
     try { Files.createLink(commitPath(root, c.version), tmp); true }
     catch {
       case _: java.nio.file.FileAlreadyExistsException => false

@@ -725,6 +725,53 @@ object Extras {
       TxTable.read(s, root).orderBy("k")
     },
 
+    // ---- Q-qual-19: METADATA-ONLY AGGREGATES — `SELECT count(*),
+    // min(k), max(k)` answered from the COMMIT LOG (per-file row counts
+    // captured from parquet footers at publish + the per-file [min,max]
+    // stats every commit already carries), zero data I/O on a clean
+    // table. The interesting case is the DEGRADED one: a live
+    // merge-on-read delete ledger makes the logged counts stale for the
+    // files it scopes, so the aggregate scans exactly those files and
+    // folds the rest from metadata (accounting asserted in-query:
+    // post-delete, only the pre-ledger file scans; post-compaction,
+    // zero files scan). Values hash-match the oracle's closed form in
+    // both phases — the fast path is invisible to results, visible only
+    // to cost.
+    "Q-qual-19" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual19").toString + "/tbl"
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      TxTable.create(src.filter(col("o_orderkey") % 2 === 0).coalesce(1),
+        root, statsKey = Some("o_orderkey"))                       // v0
+      TxTable.deleteMor(s, root,                                   // v1
+        src.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") % 7 === 3)
+          .select("o_orderkey"),
+        "o_orderkey")
+      TxTable.append(s, root,                                      // v2
+        src.filter(col("o_orderkey") % 2 === 1).coalesce(1))
+      val mor = TxTable.metaAggregate(s, root, "o_orderkey")
+      if (mor.filesScanned != 1 || mor.filesMetaOnly != 1)
+        throw new IllegalStateException(
+          s"expected 1 ledger-scoped scan + 1 metadata-only file, " +
+            s"got scan=${mor.filesScanned} meta=${mor.filesMetaOnly}")
+      TxTable.compact(s, root, targetFiles = 2)                    // v3
+      val cp = TxTable.metaAggregate(s, root, "o_orderkey")
+      if (cp.filesScanned != 0 || cp.filesMetaOnly == 0)
+        throw new IllegalStateException(
+          s"post-compaction aggregate must be all-metadata, " +
+            s"got scan=${cp.filesScanned} meta=${cp.filesMetaOnly}")
+      if ((mor.count, mor.min, mor.max) != (cp.count, cp.min, cp.max))
+        throw new IllegalStateException(
+          "compaction changed the aggregate values")
+      import s.implicits._
+      Seq(("compacted", cp.count, cp.min.get, cp.max.get),
+          ("mor", mor.count, mor.min.get, mor.max.get))
+        .toDF("phase", "n_rows", "k_min", "k_max")
+        .orderBy("phase")
+    },
+
     // ---- Q-qual-15: CHECK constraints — the data-quality gate at the
     // TABLE boundary (the contract layer above the dataflow-level
     // audits Q-qual-01/02): the table declares `o_totalprice >= 0 AND
@@ -1586,6 +1633,21 @@ object Extras {
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
   val oracle: Map[String, String] = Map(
+    // closed form of the metadata-aggregate run: evens created, the
+    // even %7==3 cohort MoR-deleted, odds appended — identical values
+    // in both phases (compaction must not change them); the physical
+    // accounting (which files scanned) is asserted in-query, not here
+    "Q-qual-19" ->
+      """WITH kept AS (
+           SELECT o_orderkey FROM orders
+           WHERE o_orderkey <= 6000
+             AND NOT (o_orderkey % 2 = 0 AND o_orderkey % 7 = 3))
+         SELECT phase,
+                (SELECT count(*) FROM kept)::BIGINT AS n_rows,
+                (SELECT min(o_orderkey) FROM kept) AS k_min,
+                (SELECT max(o_orderkey) FROM kept) AS k_max
+         FROM (VALUES ('compacted'), ('mor')) p(phase)
+         ORDER BY phase""",
     // closed form of the MoR-delete / re-insert / delete / compact run:
     // %7 deleted except the re-inserted %14 (at +1000), then %5 deleted
     "Q-qual-16" ->

@@ -917,4 +917,48 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.read(spark, root).schema("n").dataType ==
       org.apache.spark.sql.types.LongType)
   }
+
+  test("metaAggregate: log-only on clean tables, ledger-scoped scans, null counting") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    def batch(b: Int) = (0 until 100)
+      .map(i => (i.toLong * 4 + b, s"v$b-$i")).toDF("k", "v").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"))            // v0: keys 0,4,..
+    TxTable.append(spark, root, batch(1))                // v1: keys 1,5,..
+    val clean = TxTable.metaAggregate(spark, root, "k")
+    assert(clean == TxTable.MetaAgg(200L, Some(0L), Some(397L), 2, 0),
+      s"clean-table aggregate must be all-metadata: $clean")
+    // a live MoR ledger staleness-scopes both files -> both scan, and
+    // the scanned values reflect the deletes
+    TxTable.deleteMor(spark, root,
+      Seq(0L, 397L, 8L).toDF("k"), "k")                  // v2
+    val mor = TxTable.metaAggregate(spark, root, "k")
+    assert(mor.count == 197L && mor.min == Some(1L) && mor.max == Some(396L),
+      s"ledger-scoped aggregate must see deletes: $mor")
+    assert(mor.filesScanned == 2 && mor.filesMetaOnly == 0)
+    // files added AFTER the ledger go back to the metadata path
+    TxTable.append(spark, root, batch(2))                // v3: keys 2,6,..
+    val mixed = TxTable.metaAggregate(spark, root, "k")
+    assert(mixed.count == 297L && mixed.max == Some(398L))
+    assert(mixed.filesScanned == 2 && mixed.filesMetaOnly == 1)
+    // compaction folds the ledger -> all-metadata again, same values
+    TxTable.compact(spark, root, targetFiles = 2)        // v4
+    val cp = TxTable.metaAggregate(spark, root, "k")
+    assert(cp.count == 297L && cp.min == Some(1L) && cp.max == Some(398L))
+    assert(cp.filesScanned == 0 && cp.filesMetaOnly > 0)
+    // time travel: the aggregate resolves at historical versions too
+    val v1 = TxTable.metaAggregate(spark, root, "k", versionAsOf = 1L)
+    assert(v1.count == 200L && v1.filesScanned == 0)
+    // NULL keys: counted by count(*), invisible to min/max — and a
+    // column with no declared stats degrades to a full scan, same values
+    val nulls = Seq((null.asInstanceOf[java.lang.Long], "n1"),
+      (java.lang.Long.valueOf(1000L), "x")).toDF("k", "v")
+    TxTable.append(spark, root, nulls)                   // v5
+    val wn = TxTable.metaAggregate(spark, root, "k")
+    assert(wn.count == 299L && wn.max == Some(1000L),
+      s"null keys must count but not rank: $wn")
+    val noStats = TxTable.metaAggregate(spark, root, "v")
+    assert(noStats.count == 299L && noStats.filesMetaOnly == 0,
+      "a column without declared stats must degrade to a scan")
+  }
 }

@@ -73,12 +73,13 @@ object TxTable {
 
   /** A live MERGE-ON-READ delete ledger: a tiny parquet file of doomed
     * keys (its single column names the key column) that reads subtract
-    * from every data file added at or before `version` — the
+    * from every data file added STRICTLY BEFORE `version` — the
     * deletion-vector idea expressed through the log's total order, so a
     * point delete commits in O(doomed keys) without rewriting any data
-    * file. Files added AFTER the ledger are untouched (a re-inserted
-    * key stays alive); compaction folds live ledgers into the rewrite
-    * and retires them. */
+    * file. Files added at or after the ledger's own commit are untouched
+    * (a re-inserted key stays alive, and [[mergeMor]]'s same-commit adds
+    * carry the keys' NEW versions past their own ledger); compaction
+    * folds live ledgers into the rewrite and retires them. */
   final case class Ledger(path: String, version: Long)
 
   /** A resolved table state. `commits` holds only the SUFFIX folded on
@@ -524,7 +525,7 @@ object TxTable {
       // (all later ledgers apply too); sorted.length = none apply
       def firstApplicable(f: String): Int = {
         val av = snap.fileAddV.getOrElse(f, Long.MaxValue)
-        val i = sorted.indexWhere(_.version >= av)
+        val i = sorted.indexWhere(_.version > av)
         if (i < 0) sorted.length else i
       }
       files.groupBy(firstApplicable).toSeq.sortBy(_._1)
@@ -706,10 +707,10 @@ object TxTable {
       s"restore target v$toVersion unresolvable (log at ${target.version})")
     // a target with LIVE delete ledgers can't be restored by reference:
     // re-added files and ledgers would all share the restore version,
-    // losing the add-order that scopes each ledger (a key deleted then
-    // re-inserted at the target would come back dead). Materialize the
-    // target's effective content instead — still one commit, but a
-    // data rewrite.
+    // losing the add-order that scopes each ledger (strictly-before
+    // applicability would scope the ledgers to NO re-added file, so
+    // deleted keys would come back alive). Materialize the target's
+    // effective content instead — still one commit, but a data rewrite.
     if (target.ledgers.nonEmpty)
       return transact(spark, root, "restore", tag)(_ =>
         morRead(spark, root, target, target.files))
@@ -812,7 +813,7 @@ object TxTable {
     val sorted = snap.ledgers.sortBy(_.version)
     def ledgerScoped(f: String): Boolean = {
       val av = snap.fileAddV.getOrElse(f, Long.MaxValue)
-      sorted.exists(_.version >= av)
+      sorted.exists(_.version > av)
     }
     val (scan, meta) = snap.files.partition(f =>
       ledgerScoped(f) || !snap.fileRows.contains(f) || !st.contains(f))
@@ -1446,7 +1447,7 @@ object TxTable {
       else {
         val applicable = common.filter { f =>
           val av = to.fileAddV.getOrElse(f, Long.MaxValue)
-          newLedgers.exists(_.version >= av)
+          newLedgers.exists(_.version > av)
         }
         val keyRows = newLedgers
           .map { l =>
@@ -1543,6 +1544,53 @@ object TxTable {
     }
     throw new IllegalStateException(
       s"delete-mor commit to $root failed after $maxAttempts attempts (contention)")
+  }
+
+  /** MERGE-ON-READ upsert — one commit, zero data-file rewrites: the
+    * changed keys land as a delete ledger AND their new row versions
+    * land as data adds in the SAME commit. The ledger (version v)
+    * scopes only files added strictly before v, so the commit's own
+    * adds carry the new versions while every older copy of the keys is
+    * suppressed at read. Commit cost is O(changed rows) — the per-epoch
+    * streaming-upsert path a hot, poorly-clustered 100 TB table needs,
+    * where [[mergeCow]] pays a rewrite of every file that merely
+    * CONTAINS a touched key. Reads pay the ledger anti-join until
+    * [[compact]]/[[optimize]] fold ledgers back into data; stats,
+    * blooms and row counts for the adds are captured as for any append,
+    * so pruning and [[metaAggregate]] stay correct across MoR upserts
+    * (ledger-scoped files simply drop off the metadata fast path until
+    * compaction). CHECK constraints validate the incoming batch exactly
+    * as [[append]] does. */
+  def mergeMor(spark: SparkSession, root: String, changes: DataFrame,
+               key: String, tag: Option[String] = None,
+               maxAttempts: Int = 12): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val snap0 = snapshot(root)
+    require(snap0.version >= 0, s"not a TxTable: $root")
+    enforceCheck(changes, snap0.check, "merge-mor batch")
+    // stage ledger and data once; rebased retries re-reference both
+    val (dfiles, _, _, _, _) = stageData(
+      changes.select(col(key).cast("long").as(key)).distinct().coalesce(1),
+      root, statsKey = None)
+    val (adds, st, bl, stN, blN) =
+      stageData(changes, root, snap0.statsKey, snap0.statsCols)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(root)
+      if (tag.exists(snap.tags))
+        return CommitResult(snap.version, attempt, skipped = true)
+      val c = Commit(snap.version + 1, "merge-mor",
+        adds = adds, removes = Seq.empty, tag,
+        statsKey = None, addStats = st, addBlooms = bl,
+        addStatsN = stN, addBloomsN = blN, dadds = dfiles)
+      if (tryPublish(root, c)) {
+        maybeCheckpoint(root, c.version)
+        return CommitResult(c.version, attempt, skipped = false)
+      }
+    }
+    throw new IllegalStateException(
+      s"merge-mor commit to $root failed after $maxAttempts attempts (contention)")
   }
 
   private val identName = "^[A-Za-z_][A-Za-z0-9_]*$".r

@@ -772,6 +772,52 @@ object Extras {
         .orderBy("phase")
     },
 
+    // ---- Q-qual-20: MERGE-ON-READ UPSERTS — the per-epoch streaming
+    // upsert path on a hot table: each epoch commits its changed keys as
+    // ONE commit carrying a delete ledger (old versions suppressed at
+    // read) plus the new row versions as adds — zero data files
+    // rewritten, cost O(changed rows). A TWIN table replays the exact
+    // same epochs copy-on-write; after every epoch the two reads must
+    // agree (asserted), after compaction folds the ledgers they must
+    // agree again (asserted) — MoR is a COST choice, invisible to
+    // results. Final content hash-matches the oracle's closed form
+    // (price + (key % 5) * 100, one addition per key on both engines).
+    "Q-qual-20" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual20").toString
+      val (mor, cow) = (root + "/mor", root + "/cow")
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      TxTable.create(src.coalesce(2), mor, statsKey = Some("o_orderkey"))
+      TxTable.create(src.coalesce(2), cow, statsKey = Some("o_orderkey"))
+      def epoch(e: Int) = src.filter(col("o_orderkey") % 5 === e)
+        .withColumn("o_totalprice", col("o_totalprice") + e * 100.0)
+      val baseFiles = TxTable.snapshot(mor).files.toSet
+      (1 to 4).foreach { e =>
+        TxTable.mergeMor(s, mor, epoch(e), "o_orderkey", Some(s"e$e"))
+        TxTable.mergeCow(s, cow, epoch(e), "o_orderkey", Some(s"e$e"))
+      }
+      val sm = TxTable.snapshot(mor)
+      if (!baseFiles.subsetOf(sm.files.toSet))
+        throw new IllegalStateException("MoR upserts rewrote base files")
+      if (sm.ledgers.size != 4) throw new IllegalStateException(
+        s"expected 4 live ledgers, got ${sm.ledgers.size}")
+      def diverges(): Boolean = {
+        val a = TxTable.read(s, mor); val b = TxTable.read(s, cow)
+        a.exceptAll(b).limit(1).count() + b.exceptAll(a).limit(1).count() > 0
+      }
+      if (diverges()) throw new IllegalStateException(
+        "MoR and CoW replays of the same epochs diverged")
+      TxTable.compact(s, mor, targetFiles = 2)
+      if (TxTable.snapshot(mor).ledgers.nonEmpty || diverges())
+        throw new IllegalStateException(
+          "compaction must retire ledgers without changing content")
+      TxTable.read(s, mor)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- Q-qual-15: CHECK constraints — the data-quality gate at the
     // TABLE boundary (the contract layer above the dataflow-level
     // audits Q-qual-01/02): the table declares `o_totalprice >= 0 AND
@@ -1648,6 +1694,14 @@ object Extras {
                 (SELECT max(o_orderkey) FROM kept) AS k_max
          FROM (VALUES ('compacted'), ('mor')) p(phase)
          ORDER BY phase""",
+    // closed form of the 4 MoR-upsert epochs: keys in residue class e of
+    // 5 (e = 1..4) got price + e*100 in epoch e; class 0 never touched
+    "Q-qual-20" ->
+      """SELECT o_orderkey,
+                o_totalprice + (o_orderkey % 5) * 100 AS o_totalprice,
+                o_orderpriority
+         FROM orders WHERE o_orderkey <= 6000
+         ORDER BY o_orderkey""",
     // closed form of the MoR-delete / re-insert / delete / compact run:
     // %7 deleted except the re-inserted %14 (at +1000), then %5 deleted
     "Q-qual-16" ->

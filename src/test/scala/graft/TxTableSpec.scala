@@ -961,4 +961,45 @@ class TxTableSpec extends AnyFunSuite {
     assert(noStats.count == 299L && noStats.filesMetaOnly == 0,
       "a column without declared stats must degrade to a scan")
   }
+
+  test("mergeMor: one-commit upsert, zero rewrites, chains, folds, replays idempotently") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create((1L to 8L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1), root, Some("k"))                        // v0
+    val before = TxTable.snapshot(root).files.toSet
+    // v1: update 2,3 + insert 9 — single commit, no file removed
+    TxTable.mergeMor(spark, root,
+      Seq((2L, "V2"), (3L, "V3"), (9L, "v9")).toDF("k", "v"), "k",
+      tag = Some("e1"))
+    val s1 = TxTable.snapshot(root)
+    assert(before.subsetOf(s1.files.toSet), "mergeMor must rewrite no file")
+    assert(s1.ledgers.size == 1)
+    assert(rows(root) ==
+      ((1L to 8L).toSet - 2L - 3L).map(k => (k, s"v$k")) +
+        ((2L, "V2")) + ((3L, "V3")) + ((9L, "v9")))
+    // v2: a second upsert touches a key the FIRST one wrote — the first
+    // merge's add file is scoped by the second ledger, so the newest
+    // version wins (ledger ordering, not file luck)
+    TxTable.mergeMor(spark, root, Seq((3L, "V3b")).toDF("k", "v"), "k")
+    assert(rows(root).contains((3L, "V3b")) &&
+      !rows(root).exists(r => r._1 == 3L && r._2 != "V3b"))
+    // replaying epoch e1 from a recovered writer must no-op
+    val replay = TxTable.mergeMor(spark, root,
+      Seq((2L, "V2"), (3L, "V3"), (9L, "v9")).toDF("k", "v"), "k",
+      tag = Some("e1"))
+    assert(replay.skipped, "tagged replay must be idempotent")
+    assert(rows(root).contains((3L, "V3b")))
+    // change feed across the upsert interval nets to the true deltas
+    val feed = TxTable.changeFeed(spark, root, 0L, 1L, Seq("k"))
+      .select("k", "change").as[(Long, String)].collect().toSet
+    assert(feed == Set((2L, "update"), (3L, "update"), (9L, "insert")),
+      s"feed was $feed")
+    // compaction folds both ledgers; content invariant; history intact
+    val eff = rows(root)
+    TxTable.compact(spark, root, targetFiles = 2)
+    assert(TxTable.snapshot(root).ledgers.isEmpty)
+    assert(rows(root) == eff)
+    assert(rows(root, 0L) == (1L to 8L).map(k => (k, s"v$k")).toSet)
+  }
 }

@@ -533,11 +533,24 @@ object TxTable {
           sorted.drop(start).foldLeft(readFilesEvolved(spark, root, snap, fs)) {
             (df, l) =>
               val keys = spark.read.parquet(s"$root/${l.path}")
-              val kc = keys.columns.head // the ledger names its key column
-              df.join(
-                broadcast(keys.select(
-                  col(kc).cast("long").as("__graft_del_k")).distinct()),
-                col(kc).cast("long") === col("__graft_del_k"), "left_anti")
+              // the ledger's columns NAME the key columns: one column =
+              // the long-normalized point-delete path; several = a
+              // composite-key ledger (natural types, null-safe equality)
+              if (keys.columns.length == 1) {
+                val kc = keys.columns.head
+                df.join(
+                  broadcast(keys.select(
+                    col(kc).cast("long").as("__graft_del_k")).distinct()),
+                  col(kc).cast("long") === col("__graft_del_k"), "left_anti")
+              } else {
+                val kcs = keys.columns.toSeq
+                val renamed = keys.toDF(kcs.map("__graft_del_" + _): _*)
+                  .distinct()
+                df.join(broadcast(renamed),
+                  kcs.map(c => df.col(c) <=> renamed.col("__graft_del_" + c))
+                    .reduce(_ && _),
+                  "left_anti")
+              }
           }
         }
         .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -1449,11 +1462,12 @@ object TxTable {
           val av = to.fileAddV.getOrElse(f, Long.MaxValue)
           newLedgers.exists(_.version > av)
         }
-        val keyRows = newLedgers
-          .map { l =>
-            val lf = spark.read.parquet(s"$root/${l.path}")
-            lf.select(col(lf.columns.head).cast("long").as("k"))
-          }
+        val lfs = newLedgers.map(l => spark.read.parquet(s"$root/${l.path}"))
+        if (lfs.exists(_.columns.length != 1))
+          applicable // composite-key ledgers: no long-key stats to prune by
+        else {
+        val keyRows = lfs
+          .map(lf => lf.select(col(lf.columns.head).cast("long").as("k")))
           .reduce(_.unionByName(_)).distinct()
           .limit(10001).collect()
         if (keyRows.length > 10000) applicable // too many to prune by
@@ -1464,6 +1478,7 @@ object TxTable {
               fileStats = to.fileStats, fileBlooms = to.fileBlooms),
             doomedKeys).toSet
           applicable.filter(prunable)
+        }
         }
       }
     val template = readFilesEvolved(spark, root, to, to.files.take(1)).limit(0)
@@ -1522,12 +1537,25 @@ object TxTable {
     * file-rewrite costs every epoch). `key` must cast to long. */
   def deleteMor(spark: SparkSession, root: String, doomed: DataFrame,
                 key: String, tag: Option[String] = None,
-                maxAttempts: Int = 12): CommitResult = {
+                maxAttempts: Int = 12): CommitResult =
+    deleteMorKeys(spark, root, doomed, Seq(key), tag, maxAttempts)
+
+  /** [[deleteMor]] on a COMPOSITE key: the ledger keeps every key column
+    * in its natural type and reads subtract by null-safe equality on all
+    * of them. A single-column ledger stays long-normalized (the form the
+    * change feed can prune against stats/blooms). */
+  def deleteMorKeys(spark: SparkSession, root: String, doomed: DataFrame,
+                    keys: Seq[String], tag: Option[String] = None,
+                    maxAttempts: Int = 12): CommitResult = {
     import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "deleteMorKeys needs at least one key column")
+    val ledgerDf =
+      if (keys.size == 1)
+        doomed.select(col(keys.head).cast("long").as(keys.head))
+      else doomed.select(keys.map(col): _*)
     // stage the ledger once; rebased retries re-reference the same file
     val (dfiles, _, _, _, _) = stageData(
-      doomed.select(col(key).cast("long").as(key)).distinct().coalesce(1),
-      root, statsKey = None)
+      ledgerDf.distinct().coalesce(1), root, statsKey = None)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -1563,15 +1591,28 @@ object TxTable {
     * as [[append]] does. */
   def mergeMor(spark: SparkSession, root: String, changes: DataFrame,
                key: String, tag: Option[String] = None,
-               maxAttempts: Int = 12): CommitResult = {
+               maxAttempts: Int = 12): CommitResult =
+    mergeMorKeys(spark, root, changes, Seq(key), tag, maxAttempts)
+
+  /** [[mergeMor]] on a COMPOSITE key — the upsert identity a keyed
+    * window aggregate sink needs (e.g. (window, event_type)): the ledger
+    * carries all key columns in natural types; reads subtract by
+    * null-safe equality on the whole tuple. */
+  def mergeMorKeys(spark: SparkSession, root: String, changes: DataFrame,
+                   keys: Seq[String], tag: Option[String] = None,
+                   maxAttempts: Int = 12): CommitResult = {
     import org.apache.spark.sql.functions.col
+    require(keys.nonEmpty, "mergeMorKeys needs at least one key column")
     val snap0 = snapshot(root)
     require(snap0.version >= 0, s"not a TxTable: $root")
     enforceCheck(changes, snap0.check, "merge-mor batch")
     // stage ledger and data once; rebased retries re-reference both
+    val ledgerDf =
+      if (keys.size == 1)
+        changes.select(col(keys.head).cast("long").as(keys.head))
+      else changes.select(keys.map(col): _*)
     val (dfiles, _, _, _, _) = stageData(
-      changes.select(col(key).cast("long").as(key)).distinct().coalesce(1),
-      root, statsKey = None)
+      ledgerDf.distinct().coalesce(1), root, statsKey = None)
     val (adds, st, bl, stN, blN) =
       stageData(changes, root, snap0.statsKey, snap0.statsCols)
     var attempt = 0

@@ -560,6 +560,71 @@ object StreamingQueries {
         .orderBy("device_id", "ts_ms", "state")
     },
 
+    // ---- Q-str-25: streaming MERGE-ON-READ upsert sink — Q-str-20's
+    // exactly-once drain with the epoch commit cost 100 TB actually
+    // allows: each micro-batch's changed (window, event_type) rows land
+    // via mergeMorKeys as ONE commit (composite-key delete ledger + new
+    // row versions), so an epoch REWRITES NOTHING no matter how the
+    // table is clustered (asserted: the file set only grows across the
+    // drain) — where the CoW sink pays a rewrite of every file holding
+    // a touched window. The same epoch-tag idempotence gates replays
+    // (asserted: a deliberate re-merge no-ops), a post-drain compaction
+    // folds all ledgers (asserted), and the final content hash-matches
+    // the one-shot batch aggregate — the cost model changed, the
+    // results did not.
+    "Q-str-25" -> { (s, d) =>
+      import graft.operators.TxTable
+      val tmp = tempDir("graft_str25")
+      val (dir, raw) = stageChunks(s, d, tmp)
+      val root = s"$tmp/tbl"
+      val agg = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+        .withWatermark("ts", WM)
+        .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(wsSec("window.start"), col("event_type"), col("n"))
+      TxTable.create(
+        raw.groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(wsSec("window.start"), col("event_type"), col("n"))
+          .limit(0).coalesce(1),
+        root, statsKey = Some("ws_sec"))
+      val stash = new java.util.concurrent.atomic.AtomicReference[
+        (Array[org.apache.spark.sql.Row], org.apache.spark.sql.types.StructType)]()
+      val shrank = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           epoch: Long) =>
+            val changes = df.toDF()
+            if (epoch == 1L) stash.set((changes.collect(), changes.schema))
+            val before = TxTable.snapshot(root).files.toSet
+            TxTable.mergeMorKeys(s, root, changes,
+              Seq("ws_sec", "event_type"), Some(s"app=str25/epoch=$epoch"))
+            if (!before.subsetOf(TxTable.snapshot(root).files.toSet))
+              shrank.set(true)
+            ()
+        }
+        .option("checkpointLocation", tempDir("graft_ckpt25").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (shrank.get()) throw new IllegalStateException(
+        "a MoR epoch rewrote or removed a data file")
+      val (rows, schema) = stash.get()
+      val replay = TxTable.mergeMorKeys(s,
+        root, s.createDataFrame(java.util.Arrays.asList(rows: _*), schema),
+        Seq("ws_sec", "event_type"), Some("app=str25/epoch=1"))
+      if (!replay.skipped) throw new IllegalStateException(
+        "replayed MoR epoch was double-applied — idempotence ledger broken")
+      TxTable.compact(s, root, targetFiles = 2)
+      if (TxTable.snapshot(root).ledgers.nonEmpty)
+        throw new IllegalStateException(
+          "compaction must retire the per-epoch ledgers")
+      TxTable.read(s, root).orderBy("ws_sec", "event_type")
+    },
+
     // ---- Q-str-02: sliding 10 s / 5 s window
     "Q-str-02" -> { (s, d) =>
       Replay.run(
@@ -1132,6 +1197,12 @@ object StreamingQueries {
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
     // the exactly-once table drain must land exactly the batch aggregate
     "Q-str-20" ->
+      """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    // the merge-on-read drain must land exactly the same batch aggregate
+    // as the copy-on-write one — MoR changes epoch cost, never content
+    "Q-str-25" ->
       """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
                 count(*)::BIGINT AS n
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",

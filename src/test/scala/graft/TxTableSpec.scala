@@ -1002,4 +1002,30 @@ class TxTableSpec extends AnyFunSuite {
     assert(rows(root) == eff)
     assert(rows(root, 0L) == (1L to 8L).map(k => (k, s"v$k")).toSet)
   }
+
+  test("composite-key MoR: the ledger subtracts on the whole tuple") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    def all = TxTable.read(spark, root)
+      .as[(Long, String, String)].collect().toSet
+    TxTable.create(Seq((1L, "a", "x"), (1L, "b", "y"), (2L, "a", "z"))
+      .toDF("k", "t", "v").coalesce(1), root, Some("k"))
+    // deleting (1, a) must not touch (1, b) — same k, different tuple
+    TxTable.deleteMorKeys(spark, root,
+      Seq((1L, "a")).toDF("k", "t"), Seq("k", "t"))
+    assert(all == Set((1L, "b", "y"), (2L, "a", "z")))
+    // composite upsert: replace (2, a), insert (3, c), leave (1, b)
+    TxTable.mergeMorKeys(spark, root,
+      Seq((2L, "a", "Z2"), (3L, "c", "w")).toDF("k", "t", "v"),
+      Seq("k", "t"))
+    assert(all == Set((1L, "b", "y"), (2L, "a", "Z2"), (3L, "c", "w")))
+    // change feed joins on the composite key across the MoR interval
+    val feed = TxTable.changeFeed(spark, root, 0L, 2L, Seq("k", "t"))
+      .select("k", "t", "change").as[(Long, String, String)].collect().toSet
+    assert(feed == Set((1L, "a", "delete"), (2L, "a", "update"),
+      (3L, "c", "insert")), s"feed was $feed")
+    TxTable.compact(spark, root)
+    assert(TxTable.snapshot(root).ledgers.isEmpty)
+    assert(all == Set((1L, "b", "y"), (2L, "a", "Z2"), (3L, "c", "w")))
+  }
 }

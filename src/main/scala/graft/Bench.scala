@@ -104,7 +104,12 @@ object Bench {
     "Q-qual-16",  // merge-on-read deletes (ledger commits, zero rewrites)
     "Q-qual-17",  // z-order OPTIMIZE + multi-column stats (2-dim pruning)
     "Q-scan-19",  // schema evolution: widen + rename, era-reconciled reads
-    "Q-qual-18"   // history retention: expire + vacuum, retained range intact
+    "Q-qual-18",  // history retention: expire + vacuum, retained range intact
+    "Q-llm-53",   // BM25 ranked retrieval (postings x broadcast query terms)
+    "Q-evt-10",   // time-grid resample + forward-fill gap-fill
+    "Q-qual-19",  // metadata-only aggregates from the commit log
+    "Q-qual-20",  // merge-on-read upserts vs the copy-on-write twin
+    "Q-str-25"    // streaming MoR upsert sink (zero-rewrite epochs)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

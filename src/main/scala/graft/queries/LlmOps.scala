@@ -1073,14 +1073,24 @@ object LlmOps {
         .select(col("doc_id"), words(col("text")).as("ws"))
       val dl = toks.select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
       val post = toks.select(col("doc_id"), explode(col("ws")).as("word"))
-      val tf = post.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val dfc = post.groupBy("word").agg(countDistinct("doc_id").as("df"))
       val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
         Portable.davg(col("dl"), 6).as("avgdl"))
       val qt = toks.filter(col("doc_id") % 37 === 5)
         .select(col("doc_id").as("query_id"),
           explode(slice(col("ws"), 1, 5)).as("word"))
         .distinct()
+      // the query VOCABULARY filters the posting stream BEFORE any
+      // aggregation (broadcast join on word): tf/df for non-query terms
+      // are never computed, so the (doc, word) and (word) aggs shuffle
+      // Σ_t∈queries df(t) postings — bounded by the QUERY SET, not the
+      // corpus vocabulary. (With this query set the bound is loose —
+      // first-5-word bags are stopword-heavy, so matched postings ≈ the
+      // stream; a rarer-term workload prunes proportionally. df over
+      // the filtered stream is still the corpus-wide df of those words:
+      // every posting of a kept word is kept.)
+      val postQ = post.join(broadcast(qt.select("word").distinct()), "word")
+      val tf = postQ.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val dfc = postQ.groupBy("word").agg(countDistinct("doc_id").as("df"))
       val idf = Portable.r(
         log((col("n_docs") - col("df") + lit(0.5)) /
           (col("df") + lit(0.5)) + lit(1.0)), 9)

@@ -791,6 +791,24 @@ object TxTable {
       snap.files.size)
   }
 
+  /** Retained commit history, oldest first: (version, op, n_adds,
+    * n_removes, n_ledger_adds, tag). Versions archived by
+    * [[expireHistory]] are absent — the listing is what time travel can
+    * still reach. Cost: one small JSON read per retained commit (the
+    * log is metadata, never data). */
+  def history(root: String): Seq[(Long, String, Int, Int, Int, Option[String])] = {
+    val head = snapshot(root).version
+    require(head >= 0, s"not a TxTable (no committed log): $root")
+    (0L to head).flatMap { v =>
+      val p = commitPath(root, v)
+      if (!Files.exists(p)) None
+      else {
+        val c = parse(Files.readString(p))
+        Some((v, c.op, c.adds.size, c.removes.size, c.dadds.size, c.tag))
+      }
+    }
+  }
+
   /** Result of [[metaAggregate]]: the values plus the physical
     * accounting proving HOW they were resolved — `filesMetaOnly` files
     * contributed from the commit log alone, `filesScanned` had to be

@@ -772,6 +772,48 @@ object Extras {
         .orderBy("phase")
     },
 
+    // ---- Q-sql-27: the TABLE-SQL COMMAND SURFACE — the whole ACID-table
+    // lifecycle driven through SQL text alone (graft.sql.TableSql):
+    // CREATE ... AS SELECT, INSERT INTO, a merge-on-read MERGE, a
+    // copy-on-write DELETE, OPTIMIZE, with time travel (`VERSION AS OF`)
+    // and DESCRIBE HISTORY asserted mid-flight. SELECTs rewrite to
+    // snapshot views and plan through spark.sql — the command layer is
+    // driver-side string work, the data path is the operator layer's.
+    // Final aggregate hash-matches the closed-form oracle.
+    "Q-sql-27" -> { (s, d) =>
+      import graft.sql.TableSql
+      Tables.registerViews(s, d)
+      val q = TableSql(s)
+      val dir = tempDir("graft_sql27").toString
+      val cols = "o_orderkey, o_totalprice, o_orderpriority"
+      q.exec(s"CREATE TABLE ord LOCATION '$dir/ord' STATS KEY o_orderkey " +
+        s"AS SELECT $cols FROM orders WHERE o_orderkey <= 4000")
+      q.exec(s"INSERT INTO ord SELECT $cols FROM orders " +
+        "WHERE o_orderkey > 4000 AND o_orderkey <= 6000")
+      q.exec("MERGE INTO ord USING (SELECT o_orderkey, " +
+        "o_totalprice + 100 AS o_totalprice, o_orderpriority FROM orders " +
+        "WHERE o_orderkey <= 6000 AND o_orderkey % 3 = 0) " +
+        "ON (o_orderkey) MODE MOR")
+      q.exec("DELETE FROM ord WHERE o_orderkey % 7 = 2")
+      q.exec("OPTIMIZE ord INTO 4 FILES")
+      // time travel through the SQL path: v0 must still be the creation
+      val v0 = q.exec("SELECT count(*) AS n FROM ord VERSION AS OF 0")
+        .head().getLong(0)
+      val v0Direct = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 4000).count()
+      if (v0 != v0Direct) throw new IllegalStateException(
+        s"VERSION AS OF 0 returned $v0, expected $v0Direct")
+      val ops = q.exec("DESCRIBE HISTORY ord")
+        .orderBy("version").select("op").collect().map(_.getString(0)).toSeq
+      if (ops != Seq("create", "append", "merge-mor", "delete-cow",
+          "optimize"))
+        throw new IllegalStateException(s"history ops were $ops")
+      q.exec("SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n, " +
+        "floor(CAST(sum(CAST(o_totalprice AS DECIMAL(30,10))) AS DOUBLE) " +
+        "* 1e2 + 0.5) / 1e2 AS total " +
+        "FROM ord GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    },
+
     // ---- Q-qual-20: MERGE-ON-READ UPSERTS — the per-epoch streaming
     // upsert path on a hot table: each epoch commits its changed keys as
     // ONE commit carrying a delete ledger (old versions suppressed at
@@ -1694,6 +1736,19 @@ object Extras {
                 (SELECT max(o_orderkey) FROM kept) AS k_max
          FROM (VALUES ('compacted'), ('mor')) p(phase)
          ORDER BY phase""",
+    // closed form of the SQL-surface lifecycle: keys <= 6000, %3 == 0
+    // upserted to price+100, %7 == 2 deleted; per-priority rollup
+    "Q-sql-27" ->
+      """WITH t AS (
+           SELECT o_orderpriority,
+                  o_totalprice +
+                    CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS p
+           FROM orders
+           WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 2)
+         SELECT o_orderpriority, count(*)::BIGINT AS n,
+                floor(CAST(sum(CAST(p AS DECIMAL(30,10))) AS DOUBLE)
+                  * 1e2 + 0.5) / 1e2 AS total
+         FROM t GROUP BY 1 ORDER BY 1""",
     // closed form of the 4 MoR-upsert epochs: keys in residue class e of
     // 5 (e = 1..4) got price + e*100 in epoch e; class 0 never touched
     "Q-qual-20" ->

@@ -1,0 +1,199 @@
+package graft.sql
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+import graft.operators.TxTable
+
+/** A Delta-style SQL command surface over [[TxTable]] — the last mile
+  * that lets a SQL-first user drive the ACID table without touching the
+  * Scala API: DDL/DML statements parse here and delegate to the
+  * transactional operator layer; SELECT statements rewrite table
+  * references (with optional `VERSION AS OF` time travel) to snapshot
+  * views and run through the ordinary `spark.sql` path, so the full
+  * parser → analyzer → Catalyst pipeline plans them.
+  *
+  * Grammar (one statement per call; `;` optional; keywords
+  * case-insensitive; table names `[A-Za-z_][A-Za-z0-9_]*`):
+  *
+  *   CREATE TABLE t LOCATION '<root>' [STATS KEY k1[, k2...]] AS <select>
+  *   INSERT INTO t <select>                        -- append commit
+  *   MERGE INTO t USING (<select>) ON (k1[, ...]) [MODE MOR]
+  *   DELETE FROM t WHERE <predicate> [MODE MOR]    -- keys via stats key
+  *   OPTIMIZE t [ZORDER BY (x, y)] [INTO <n> FILES]
+  *   VACUUM t                                      -- orphaned files
+  *   RESTORE t TO VERSION <v>
+  *   DESCRIBE HISTORY t
+  *   SELECT ... FROM/JOIN t [VERSION AS OF <v>] ...
+  *
+  * `SELECT count(*) FROM t` (exactly that shape) is served from
+  * [[TxTable.metaAggregate]] — the commit log's row counts — with zero
+  * data I/O when no merge-on-read ledger is live; the result is
+  * identical to the scan by [[TxTable.metaAggregate]]'s contract
+  * (spec-pinned). Every DML statement returns a one-row DataFrame
+  * (table, op, version, skipped) so scripts can chain on the outcome.
+  *
+  * Scale posture: parsing is driver-side string work on statements, the
+  * data path is exactly the operator layer's (same commits, same
+  * pruning, same snapshot isolation); a SELECT's rewritten views are
+  * per-(table, version) snapshot reads, so concurrent writers never
+  * shift a running query's file list. Non-goals, stated: this is a
+  * COMMAND surface, not a dialect — nested statements, DML subqueries,
+  * and quoted identifiers are out of scope (the operator API covers
+  * them); table names inside string literals of a SELECT would be
+  * rewritten too, so don't name tables after data values.
+  */
+final class TableSql(spark: SparkSession) {
+
+  private val tables = TrieMap.empty[String, String] // lower(name) -> root
+
+  /** Attach an existing TxTable root under a SQL name. */
+  def register(name: String, root: String): Unit = {
+    require(TableSql.ident.matches(name), s"invalid table name '$name'")
+    tables(name.toLowerCase) = root
+  }
+
+  def rootOf(name: String): String =
+    tables.getOrElse(name.toLowerCase,
+      throw new IllegalArgumentException(s"unknown table '$name' — " +
+        s"registered: ${tables.keys.toSeq.sorted.mkString(", ")}"))
+
+  private def result(table: String, op: String,
+                     r: TxTable.CommitResult): DataFrame =
+    spark.range(1).select(lit(table).as("table"), lit(op).as("op"),
+      lit(r.version).as("version"), lit(r.skipped).as("skipped"))
+
+  def exec(sql: String): DataFrame = {
+    val s = sql.trim.stripSuffix(";").trim
+    s match {
+      case TableSql.createRe(name, root, statsKeys, select) =>
+        val cols = Option(statsKeys).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val df = spark.sql(select)
+        val r = TxTable.create(df, root, cols.headOption, None, cols.drop(1))
+        register(name, root)
+        result(name, "create", r)
+
+      case TableSql.insertRe(name, select) =>
+        result(name, "append",
+          TxTable.append(spark, rootOf(name), spark.sql(select)))
+
+      case TableSql.mergeRe(name, select, keys, mor) =>
+        val root = rootOf(name)
+        val ks = keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val changes = spark.sql(select)
+        val r =
+          if (mor != null) TxTable.mergeMorKeys(spark, root, changes, ks)
+          else {
+            // CoW file selection wants the stats key when it's a merge key
+            val sel = TxTable.snapshot(root).statsKey
+              .filter(ks.contains).getOrElse(ks.head)
+            TxTable.mergeCow(spark, root, changes, sel, mergeKeys = ks)
+          }
+        result(name, if (mor != null) "merge-mor" else "merge-cow", r)
+
+      case TableSql.deleteRe(name, pred, mor) =>
+        val root = rootOf(name)
+        val key = TxTable.snapshot(root).statsKey.getOrElse(
+          throw new IllegalArgumentException(
+            s"DELETE needs a stats key on '$name' (the delete identity)"))
+        val doomed = TxTable.read(spark, root).where(pred)
+          .select(col(key)).distinct()
+        val r =
+          if (mor != null) TxTable.deleteMor(spark, root, doomed, key)
+          else TxTable.deleteCow(spark, root, doomed, key)
+        result(name, if (mor != null) "delete-mor" else "delete-cow", r)
+
+      case TableSql.optimizeRe(name, zx, zy, n) =>
+        val root = rootOf(name)
+        val files = Option(n).map(_.toInt)
+        val r =
+          if (zx != null)
+            TxTable.optimizeZ(spark, root, zx.trim, zy.trim,
+              targetFiles = files.getOrElse(16))
+          else TxTable.optimize(spark, root, files.getOrElse(4))
+        result(name, if (zx != null) "optimize-z" else "optimize", r)
+
+      case TableSql.vacuumRe(name) =>
+        val n = TxTable.vacuumOrphans(rootOf(name))
+        spark.range(1).select(lit(name).as("table"),
+          lit("vacuum").as("op"), lit(n).as("files_deleted"))
+
+      case TableSql.restoreRe(name, v) =>
+        result(name, "restore",
+          TxTable.restore(spark, rootOf(name), v.toLong))
+
+      case TableSql.historyRe(name) =>
+        import spark.implicits._
+        TxTable.history(rootOf(name))
+          .map { case (v, op, a, rm, dl, tag) =>
+            (v, op, a, rm, dl, tag.orNull) }
+          .toDF("version", "op", "n_adds", "n_removes", "n_ledger_adds",
+            "tag")
+
+      case TableSql.countStarRe(name) =>
+        // metadata fast path: identical to the scan per metaAggregate's
+        // contract; keep Spark's column name so callers can't tell
+        val root = rootOf(name)
+        val cnt = TxTable.snapshot(root).statsKey match {
+          case Some(k) => TxTable.metaAggregate(spark, root, k).count
+          case None => TxTable.read(spark, root).count() // no stats: scan
+        }
+        spark.range(1).select(lit(cnt).as("count(1)"))
+
+      case sel if TableSql.selectRe.matches(sel) =>
+        spark.sql(rewriteSelect(sel))
+
+      case other =>
+        throw new IllegalArgumentException(
+          s"unrecognized statement: ${other.linesIterator.next()} …")
+    }
+  }
+
+  /** Replace each registered-table reference (with optional `VERSION AS
+    * OF n`) by a snapshot temp view pinned to that version. */
+  private def rewriteSelect(sel: String): String = {
+    if (tables.isEmpty) return sel
+    val names = tables.keys.map(java.util.regex.Pattern.quote).mkString("|")
+    val ref = ("(?i)\\b(" + names + ")\\b" +
+      "(\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?").r
+    ref.replaceAllIn(sel, m => {
+      val name = m.group(1).toLowerCase
+      val ver = Option(m.group(3)).map(_.toLong).getOrElse(Long.MaxValue)
+      val view = s"graft_sql_${name}_" +
+        (if (ver == Long.MaxValue) "head" else s"v$ver")
+      TxTable.read(spark, rootOf(name), ver).createOrReplaceTempView(view)
+      view
+    })
+  }
+}
+
+object TableSql {
+  def apply(spark: SparkSession): TableSql = new TableSql(spark)
+
+  private val ident = "^[A-Za-z_][A-Za-z0-9_]*$".r
+
+  private val createRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s+LOCATION\\s+'([^']+)'" +
+      "(?:\\s+STATS\\s+KEY\\s+([\\w\\s,]+?))?\\s+AS\\s+(SELECT\\b.+)$").r
+  private val insertRe =
+    "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+(SELECT\\b.+)$".r
+  private val mergeRe =
+    ("(?is)^MERGE\\s+INTO\\s+(\\w+)\\s+USING\\s+\\((.+)\\)\\s+" +
+      "ON\\s+\\(([\\w\\s,]+)\\)(\\s+MODE\\s+MOR)?$").r
+  private val deleteRe =
+    "(?is)^DELETE\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.+?)(\\s+MODE\\s+MOR)?$".r
+  private val optimizeRe =
+    ("(?is)^OPTIMIZE\\s+(\\w+)" +
+      "(?:\\s+ZORDER\\s+BY\\s+\\((\\w+)\\s*,\\s*(\\w+)\\))?" +
+      "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?$").r
+  private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)$".r
+  private val restoreRe =
+    "(?is)^RESTORE\\s+(\\w+)\\s+TO\\s+VERSION\\s+(\\d+)$".r
+  private val historyRe = "(?is)^DESCRIBE\\s+HISTORY\\s+(\\w+)$".r
+  private val countStarRe =
+    "(?is)^SELECT\\s+COUNT\\s*\\(\\s*\\*\\s*\\)\\s+FROM\\s+(\\w+)$".r
+  private val selectRe = "(?is)^(?:SELECT|WITH)\\b.*$".r
+}

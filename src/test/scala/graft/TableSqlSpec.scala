@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.EngineSession
+import graft.operators.TxTable
+import graft.sql.TableSql
+
+/** The SQL command surface: every statement shape drives the ACID table
+  * end-to-end, SELECTs (incl. time travel) plan through spark.sql over
+  * snapshot views, and the count(*) fast path is indistinguishable from
+  * the scan. */
+class TableSqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+
+  private def fresh(): (TableSql, String) =
+    (TableSql(spark), Files.createTempDirectory("graft_tsql").toString)
+
+  private def seedView(): Unit = {
+    import spark.implicits._
+    (1L to 100L).map(k => (k, s"v$k", k % 10))
+      .toDF("k", "v", "grp").createOrReplaceTempView("tsql_src")
+  }
+
+  test("create / insert / select round-trip with time travel") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE t LOCATION '$dir/t' STATS KEY k AS " +
+      "SELECT * FROM tsql_src WHERE k <= 50")
+    q.exec("INSERT INTO t SELECT * FROM tsql_src WHERE k > 50")
+    assert(q.exec("SELECT count(*) FROM t").as[Long].head() == 100L)
+    // time travel pins the pre-insert snapshot
+    assert(q.exec("SELECT max(k) AS m FROM t VERSION AS OF 0")
+      .as[Long].head() == 50L)
+    // a join of two versions of the SAME table resolves independent views
+    val both = q.exec(
+      "SELECT count(*) AS n FROM t a JOIN t VERSION AS OF 0 b ON a.k = b.k")
+    assert(both.as[Long].head() == 50L)
+  }
+
+  test("merge (CoW + MoR), delete (CoW + MoR), describe history") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE m LOCATION '$dir/m' STATS KEY k AS " +
+      "SELECT * FROM tsql_src")
+    q.exec("MERGE INTO m USING (SELECT k, 'UP' AS v, grp FROM tsql_src " +
+      "WHERE k <= 5) ON (k)")
+    q.exec("MERGE INTO m USING (SELECT k, 'MOR' AS v, grp FROM tsql_src " +
+      "WHERE k > 95) ON (k) MODE MOR")
+    q.exec("DELETE FROM m WHERE grp = 0")
+    q.exec("DELETE FROM m WHERE grp = 1 MODE MOR")
+    val left = q.exec("SELECT k, v FROM m ORDER BY k")
+      .as[(Long, String)].collect()
+    assert(left.length == 80)
+    // k = 1 fell to the grp-1 delete, so the surviving UP rows are 2..5
+    assert(left.take(4).map(_._1).toSeq == Seq(2L, 3L, 4L, 5L))
+    assert(left.take(4).forall(_._2 == "UP"))
+    assert(left.takeRight(4).forall(_._2 == "MOR"))
+    assert(!left.exists(r => r._1 % 10 == 0 || r._1 % 10 == 1))
+    val hist = q.exec("DESCRIBE HISTORY m")
+      .select("version", "op").as[(Long, String)].collect().toMap
+    assert(hist == Map(0L -> "create", 1L -> "merge-cow", 2L -> "merge-mor",
+      3L -> "delete-cow", 4L -> "delete-mor"))
+  }
+
+  test("optimize (plain + zorder), vacuum, restore") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE o LOCATION '$dir/o' STATS KEY k, grp AS " +
+      "SELECT * FROM tsql_src")
+    q.exec("MERGE INTO o USING (SELECT k, 'BAD' AS v, grp FROM tsql_src) " +
+      "ON (k)")
+    q.exec("RESTORE o TO VERSION 0")
+    assert(q.exec("SELECT v FROM o WHERE k = 1").as[String].head() == "v1")
+    q.exec("OPTIMIZE o ZORDER BY (k, grp) INTO 8 FILES")
+    assert(TxTable.snapshot(q.rootOf("o")).files.size == 8)
+    assert(q.exec("SELECT count(*) FROM o").as[Long].head() == 100L)
+    val vac = q.exec("VACUUM o").select("files_deleted").as[Long].head()
+    assert(vac >= 0L)
+    q.exec("OPTIMIZE o INTO 2 FILES")
+    assert(q.exec("SELECT count(*) FROM o").as[Long].head() == 100L)
+  }
+
+  test("count(*) fast path equals the scan, including under a live ledger") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE c LOCATION '$dir/c' STATS KEY k AS " +
+      "SELECT * FROM tsql_src")
+    q.exec("DELETE FROM c WHERE k <= 7 MODE MOR") // ledger live
+    val fast = q.exec("SELECT count(*) FROM c").as[Long].head()
+    val scan = TxTable.read(spark, q.rootOf("c")).count()
+    assert(fast == 93L && fast == scan)
+    // schema parity with the ordinary SQL path
+    assert(q.exec("SELECT count(*) FROM c").columns.toSeq ==
+      spark.sql("SELECT count(*) FROM tsql_src").columns.toSeq)
+  }
+
+  test("errors are loud: unknown table, bad syntax, delete without stats key") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    intercept[IllegalArgumentException](q.exec("INSERT INTO nope SELECT 1"))
+    intercept[IllegalArgumentException](q.exec("FROBNICATE the table"))
+    q.exec(s"CREATE TABLE nk LOCATION '$dir/nk' AS SELECT * FROM tsql_src")
+    intercept[IllegalArgumentException](
+      q.exec("DELETE FROM nk WHERE grp = 0"))
+  }
+}

@@ -109,7 +109,9 @@ object Bench {
     "Q-evt-10",   // time-grid resample + forward-fill gap-fill
     "Q-qual-19",  // metadata-only aggregates from the commit log
     "Q-qual-20",  // merge-on-read upserts vs the copy-on-write twin
-    "Q-str-25"    // streaming MoR upsert sink (zero-rewrite epochs)
+    "Q-str-25",   // streaming MoR upsert sink (zero-rewrite epochs)
+    "Q-llm-54",   // RRF hybrid retrieval (BM25 + cosine lists fused)
+    "Q-sql-27"    // the Table-SQL command surface lifecycle
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -1068,7 +1068,58 @@ object LlmOps {
     // per-doc sum is an order-free decimal, the final score rounds at 6
     // — ranks compare ROUNDED scores with doc_id tie-break, so both
     // engines order identically.
-    "Q-llm-53" -> { (s, d) =>
+    "Q-llm-53" -> { (s, d) => bm25Top10(s, d) },
+
+    // ---- Q-llm-54: HYBRID RETRIEVAL via RECIPROCAL RANK FUSION — the
+    // standard way production search combines a lexical list (BM25,
+    // Q-llm-53's pipeline reused verbatim) with a vector list (codegen
+    // cosine top-10, Q-llm-03's envelope): RRF score = Σ 1/(60 + rank)
+    // over the lists a doc appears in, rank-based so the two systems'
+    // incomparable score scales never mix. Scale shape: both lists are
+    // already top-10-per-query (tiny), the fusion is a full-outer join
+    // on (query, doc) of two k·|Q|-row sides — the expensive parts are
+    // the underlying retrievers, both shuffle-audited. Exactness: the
+    // fused sum is two IEEE terms in fixed order, rounded at 9; ranks
+    // compare the ROUNDED score with doc_id tie-break.
+    "Q-llm-54" -> { (s, d) =>
+      graft.functions.CosineSim.register(s)
+      val bm = bm25Top10(s, d)
+        .select(col("query_id"), col("doc_id"), col("rank").as("bm_rank"))
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 37 === 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val vw = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("doc_id"))
+      val vec = emb.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          expr("cosine_sim(q_emb, embedding)").as("sim"))
+        .withColumn("vec_rank", row_number().over(vw).cast("bigint"))
+        .filter(col("vec_rank") <= 10)
+        .select("query_id", "doc_id", "vec_rank")
+      val fusedCol = Portable.r(
+        coalesce(lit(1.0) / (lit(60.0) + col("bm_rank").cast("double")),
+          lit(0.0)) +
+        coalesce(lit(1.0) / (lit(60.0) + col("vec_rank").cast("double")),
+          lit(0.0)), 9)
+      val fw = Window.partitionBy("query_id")
+        .orderBy(col("fused").desc, col("doc_id"))
+      bm.join(vec, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"),
+          coalesce(col("bm_rank"), lit(-1L)).as("bm_rank"),
+          coalesce(col("vec_rank"), lit(-1L)).as("vec_rank"),
+          fusedCol.as("fused"))
+        .withColumn("rank", row_number().over(fw).cast("bigint"))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("bm_rank"), col("vec_rank"), col("fused"))
+        .orderBy("query_id", "rank")
+    }
+  )
+
+  /** Okapi BM25 top-10 per query (shared by Q-llm-53 and the RRF hybrid
+    * Q-llm-54) — see Q-llm-53's registry comment for the scale shape. */
+  private def bm25Top10(s: org.apache.spark.sql.SparkSession,
+                        d: String): DataFrame = {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), words(col("text")).as("ws"))
       val dl = toks.select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
@@ -1112,8 +1163,7 @@ object LlmOps {
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("n_terms"), col("score"))
         .orderBy("query_id", "rank")
-    }
-  )
+  }
 
   // shared SQL fragments (DuckDB dialect)
   private val wordsSql = "str_split(text, ' ')"
@@ -1893,7 +1943,50 @@ object LlmOps {
     // term scores rounded at 9 digits, decimal per-doc sum, final round
     // at 6, ranks over the rounded score with doc_id tie-break.
     "Q-llm-53" ->
-      s"""WITH toks AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+      s"""WITH $bm25Ctes
+          SELECT query_id, rnk::BIGINT AS "rank", doc_id, n_terms, score
+          FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // RRF hybrid: the BM25 CTE chain reused verbatim, the vector list is
+    // the sequential-fold cosine (Q-llm-03's parity), fusion = two IEEE
+    // terms in fixed order rounded at 9, ranks over the rounded score
+    "Q-llm-54" ->
+      s"""WITH $bm25Ctes,
+            bm AS (SELECT query_id, doc_id, rnk AS bm_rank
+                   FROM rk WHERE rnk <= 10),
+            vq AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id % 37 = 5),
+            vs AS (SELECT vq.query_id, e.vec_id AS doc_id,
+                          ${Portable.cosSql("e.embedding", "vq.qv")} AS sim
+                   FROM embeddings e, vq),
+            vrk AS (SELECT query_id, doc_id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY sim DESC, doc_id)
+                      AS vec_rank
+                    FROM vs),
+            vec AS (SELECT query_id, doc_id, vec_rank
+                    FROM vrk WHERE vec_rank <= 10),
+            fz AS (SELECT coalesce(bm.query_id, vec.query_id) AS query_id,
+                          coalesce(bm.doc_id, vec.doc_id) AS doc_id,
+                          coalesce(bm.bm_rank, -1)::BIGINT AS bm_rank,
+                          coalesce(vec.vec_rank, -1)::BIGINT AS vec_rank,
+                          ${Portable.rSql(
+                            "coalesce(1.0 / (60.0 + bm.bm_rank), 0.0) + " +
+                            "coalesce(1.0 / (60.0 + vec.vec_rank), 0.0)", 9)}
+                            AS fused
+                   FROM bm FULL JOIN vec
+                     ON bm.query_id = vec.query_id
+                    AND bm.doc_id = vec.doc_id),
+            frk AS (SELECT *, row_number() OVER (
+                      PARTITION BY query_id ORDER BY fused DESC, doc_id)
+                      AS rnk
+                    FROM fz)
+          SELECT query_id, rnk::BIGINT AS "rank", doc_id,
+                 bm_rank, vec_rank, fused
+          FROM frk WHERE rnk <= 10 ORDER BY query_id, rnk"""
+  )
+
+  // the BM25 CTE chain (through `rk`), shared by Q-llm-53 and Q-llm-54
+  private lazy val bm25Ctes: String =
+      s"""toks AS (SELECT doc_id, $wordsSql AS ws FROM documents),
             dl AS (SELECT doc_id, len(ws)::DOUBLE AS dl FROM toks),
             post AS (SELECT doc_id, unnest(ws) AS word FROM toks),
             tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
@@ -1922,8 +2015,5 @@ object LlmOps {
               FROM term GROUP BY 1, 2),
             rk AS (SELECT *, row_number() OVER (
                      PARTITION BY query_id
-                     ORDER BY score DESC, doc_id) AS rnk FROM sc)
-          SELECT query_id, rnk::BIGINT AS "rank", doc_id, n_terms, score
-          FROM rk WHERE rnk <= 10 ORDER BY query_id, rnk"""
-  )
+                     ORDER BY score DESC, doc_id) AS rnk FROM sc)"""
 }

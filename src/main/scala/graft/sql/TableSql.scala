@@ -21,6 +21,7 @@ import graft.operators.TxTable
   *   CREATE TABLE t LOCATION '<root>' [STATS KEY k1[, k2...]] AS <select>
   *   INSERT INTO t <select>                        -- append commit
   *   MERGE INTO t USING (<select>) ON (k1[, ...]) [MODE MOR]
+  *   UPDATE t SET c1 = e1[, c2 = e2] WHERE <pred> [MODE MOR]
   *   DELETE FROM t WHERE <predicate> [MODE MOR]    -- keys via stats key
   *   OPTIMIZE t [ZORDER BY (x, y)] [INTO <n> FILES]
   *   VACUUM t                                      -- orphaned files
@@ -93,6 +94,23 @@ final class TableSql(spark: SparkSession) {
             TxTable.mergeCow(spark, root, changes, sel, mergeKeys = ks)
           }
         result(name, if (mor != null) "merge-mor" else "merge-cow", r)
+
+      case TableSql.updateRe(name, sets, pred, mor) =>
+        val root = rootOf(name)
+        val key = TxTable.snapshot(root).statsKey.getOrElse(
+          throw new IllegalArgumentException(
+            s"UPDATE needs a stats key on '$name' (the row identity)"))
+        val changed = TableSql.splitAssignments(sets)
+          .foldLeft(TxTable.read(spark, root).where(pred)) {
+            case (df, (c, e)) =>
+              df.withColumn(c, org.apache.spark.sql.functions.expr(e))
+          }
+        // the changed rows re-enter as an upsert on the stats key: MoR
+        // commits them in O(changed rows); CoW rewrites the touched files
+        val r =
+          if (mor != null) TxTable.mergeMorKeys(spark, root, changed, Seq(key))
+          else TxTable.mergeCow(spark, root, changed, key)
+        result(name, if (mor != null) "update-mor" else "update-cow", r)
 
       case TableSql.deleteRe(name, pred, mor) =>
         val root = rootOf(name)
@@ -185,6 +203,28 @@ object TableSql {
       "ON\\s+\\(([\\w\\s,]+)\\)(\\s+MODE\\s+MOR)?$").r
   private val deleteRe =
     "(?is)^DELETE\\s+FROM\\s+(\\w+)\\s+WHERE\\s+(.+?)(\\s+MODE\\s+MOR)?$".r
+  private val updateRe =
+    ("(?is)^UPDATE\\s+(\\w+)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)" +
+      "(\\s+MODE\\s+MOR)?$").r
+
+  /** Split `a = e1, b = e2` on TOP-LEVEL commas only (commas inside
+    * parentheses belong to function-call arguments in the expression). */
+  private[sql] def splitAssignments(sets: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    sets.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => parts += sets.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    parts += sets.substring(start)
+    parts.toSeq.map { a =>
+      val eq = a.indexOf('=')
+      require(eq > 0, s"malformed SET assignment: '$a'")
+      (a.take(eq).trim, a.drop(eq + 1).trim)
+    }
+  }
   private val optimizeRe =
     ("(?is)^OPTIMIZE\\s+(\\w+)" +
       "(?:\\s+ZORDER\\s+BY\\s+\\((\\w+)\\s*,\\s*(\\w+)\\))?" +

@@ -233,6 +233,11 @@ object ExplainCheck {
     // gap-fill: the user-subset predicate reaches the events parquet scan
     check("Q-evt-10", "user subset filter pushed to events scan",
       _.contains("PushedFilters: ["))
+    // RRF hybrid: both retriever lists broadcast their query sides; no
+    // unpinned cartesian (the vec side's BNLJ build is the broadcast
+    // query set, Q-llm-03's audited envelope)
+    check("Q-llm-54", "broadcast query sides; no cartesian product",
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
     s.stop()
   }
 }

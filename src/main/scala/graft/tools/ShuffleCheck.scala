@@ -31,7 +31,8 @@ object ShuffleCheck {
     "Q-llm-50", "Q-sql-26", "Q-graph-06", "Q-join-19", "Q-qual-12",
     "Q-llm-51", "Q-qual-13", "Q-qual-14", "Q-llm-52",
     "Q-qual-15", "Q-qual-16", "Q-qual-17", "Q-scan-19", "Q-qual-18",
-    "Q-llm-53", "Q-evt-10", "Q-qual-19", "Q-qual-20")
+    "Q-llm-53", "Q-evt-10", "Q-qual-19", "Q-qual-20",
+    "Q-llm-54", "Q-sql-27")
 
   def main(args: Array[String]): Unit = {
     val s = EngineSession.getOrCreate("shuffle-check")

@@ -88,6 +88,25 @@ class TableSqlSpec extends AnyFunSuite {
     assert(q.exec("SELECT count(*) FROM o").as[Long].head() == 100L)
   }
 
+  test("update: CoW and MoR set-expressions apply to the predicate's rows only") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE u LOCATION '$dir/u' STATS KEY k AS " +
+      "SELECT * FROM tsql_src")
+    q.exec("UPDATE u SET v = concat(v, '!') WHERE k <= 3")
+    q.exec("UPDATE u SET v = 'M', grp = grp + 100 WHERE k = 10 MODE MOR")
+    val got = q.exec("SELECT k, v, grp FROM u WHERE k <= 10 ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.take(3).map(_._2) == Seq("v1!", "v2!", "v3!"))
+    assert(got(3) == ((4L, "v4", 4L))) // untouched row
+    assert(got.last == ((10L, "M", 100L)))
+    assert(q.exec("SELECT count(*) FROM u").as[Long].head() == 100L)
+    val ops = q.exec("DESCRIBE HISTORY u").orderBy("version")
+      .select("op").as[String].collect().toSeq
+    assert(ops == Seq("create", "merge-cow", "merge-mor"))
+  }
+
   test("count(*) fast path equals the scan, including under a live ledger") {
     import spark.implicits._
     seedView()

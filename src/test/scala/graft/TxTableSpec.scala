@@ -1003,6 +1003,48 @@ class TxTableSpec extends AnyFunSuite {
     assert(rows(root, 0L) == (1L to 8L).map(k => (k, s"v$k")).toSet)
   }
 
+  test("cross-process writers serialize: a separate JVM races the in-process writer") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create(Seq((0L, "seed")).toDF("k", "v"), root, Some("k"))
+    // a REAL second process (fresh JVM, own SparkSession) appends 4
+    // epochs while this JVM appends 4 — the optimistic hard-link commit
+    // must serialize across the process boundary, which threads-in-one-
+    // JVM tests can't prove (same FS handles, same JVM file locks)
+    val cp = System.getProperty("java.class.path")
+    val pb = new ProcessBuilder(
+      "java", "-Xmx2g", "-cp", cp,
+      "--add-opens=java.base/java.lang=ALL-UNNAMED",
+      "--add-opens=java.base/java.nio=ALL-UNNAMED",
+      "--add-opens=java.base/java.util=ALL-UNNAMED",
+      "--add-opens=java.base/sun.nio.ch=ALL-UNNAMED",
+      "--add-opens=java.base/sun.util.calendar=ALL-UNNAMED",
+      "-Dspark.ui.enabled=false",
+      "graft.tools.RaceWriter", root, "other", "4")
+    pb.environment().put("SPARK_GRAFT_CPUS", "4")
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(java.io.File.createTempFile("racewriter", ".log"))
+    val proc = pb.start()
+    (0 until 4).foreach { i =>
+      TxTable.append(spark, root,
+        Seq((100L + i, s"local-$i")).toDF("k", "v"),
+        tag = Some(s"proc=local/epoch=$i"))
+    }
+    assert(proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS),
+      "external writer did not finish")
+    assert(proc.exitValue() == 0, "external writer failed")
+    val snap = TxTable.snapshot(root)
+    assert(snap.version == 8L,
+      s"9 commits (create + 4 + 4) must land as v0..v8, got v${snap.version}")
+    val vs = TxTable.read(spark, root).select("v").as[String].collect().toSet
+    assert(vs == Set("seed") ++
+      (0 until 4).flatMap(i => Seq(s"local-$i", s"other-$i")),
+      s"content was $vs")
+    // every epoch tag from both processes survives in the folded state
+    assert((0 until 4).forall(i =>
+      snap.tags(s"proc=local/epoch=$i") && snap.tags(s"proc=other/epoch=$i")))
+  }
+
   test("composite-key MoR: the ledger subtracts on the whole tuple") {
     import spark.implicits._
     val root = freshRoot() + "/t"

@@ -111,7 +111,13 @@ object Bench {
     "Q-qual-20",  // merge-on-read upserts vs the copy-on-write twin
     "Q-str-25",   // streaming MoR upsert sink (zero-rewrite epochs)
     "Q-llm-54",   // RRF hybrid retrieval (BM25 + cosine lists fused)
-    "Q-sql-27"    // the Table-SQL command surface lifecycle
+    "Q-sql-27",   // the Table-SQL command surface lifecycle
+    "Q-scan-20",  // exact-k stratified sample (partial WindowGroupLimit)
+    "Q-llm-55",   // training-mix epoch planner (two-phase prefix sum)
+    "Q-llm-56",   // incremental inverted index from the change feed
+    "Q-qual-21",  // verified erasure (MoR delete -> compact -> expire)
+    "Q-mm-11",    // real image resize round trip (decode->NN->encode->decode)
+    "Q-mm-12"     // frame-level audio features over decoded PCM
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -77,15 +77,50 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Decoded-then-RESIZED image features: the decode → transform →
+    * re-encode → decode round trip a real image-preprocessing stage runs.
+    * Every field is a decoded property of the RESIZED image. */
+  case class ResizedImageFeatures(src_w: Long, src_h: Long, out_w: Long,
+      out_h: Long, out_bytes: Long, out_brightness_sum: Long)
+
+  /** REAL image RESIZE: decode the payload through the JDK's ImageIO,
+    * nearest-neighbor downscale by `factor` (output pixel (x, y) samples
+    * source pixel (factor·x, factor·y) — the standard integer-exact
+    * kernel), re-encode the result as a BMP, and decode it AGAIN through
+    * ImageIO to featurize. Because the second decode goes through the
+    * real codec, a mangled byte anywhere in the chain shows up in the
+    * brightness sum. Returns None for non-images or images smaller than
+    * one output pixel. */
+  def resizeImage(payload: Array[Byte], factor: Int): Option[ResizedImageFeatures] =
+    try {
+      require(factor >= 1, s"bad resize factor $factor")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val ow = img.getWidth / factor
+        val oh = img.getHeight / factor
+        if (ow < 1 || oh < 1) None
+        else {
+          val resized = BmpCodec.encode(ow, oh,
+            (x, y) => (img.getRGB(x * factor, y * factor) >> 16) & 0xff)
+          decodeImage(resized).map(f =>
+            ResizedImageFeatures(img.getWidth.toLong, img.getHeight.toLong,
+              f.width, f.height, resized.length.toLong, f.brightness_sum))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Decoded-audio features: every field is a REAL decoded property.
     * `sum_abs` is the integer sum of |sample| over the decoded PCM —
     * exact (no float), so the Q-mm-08 oracle recomputes it bit-for-bit. */
   case class AudioFeatures(sample_rate: Long, n_frames: Long, sum_abs: Long)
 
-  /** REAL audio decode via the JDK's javax.sound.sampled (zero
-    * third-party deps). Returns None for payloads no JDK codec
-    * recognizes. Supports the 16-bit PCM shape [[WavCodec]] emits. */
-  def decodeAudio(payload: Array[Byte]): Option[AudioFeatures] =
+  /** REAL audio decode to raw samples via the JDK's javax.sound.sampled
+    * (zero third-party deps). Returns (sampleRate, samples) or None for
+    * payloads no JDK codec recognizes. Supports the 16-bit mono PCM
+    * shape [[WavCodec]] emits. */
+  def decodeAudioSamples(payload: Array[Byte]): Option[(Long, Array[Int])] =
     try {
       val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
@@ -94,20 +129,59 @@ object Multimodal {
         if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
         else {
           val bytes = in.readAllBytes()
-          var sum = 0L
+          val out = new Array[Int](bytes.length / 2)
           var i = 0
           while (i + 1 < bytes.length) {
             val lo = bytes(i) & 0xff
             val hi = bytes(i + 1).toInt // sign-carrying high byte (LE)
-            val v = (hi << 8) | lo
-            sum += math.abs(v)
+            out(i / 2) = (hi << 8) | lo
             i += 2
           }
-          Some(AudioFeatures(fmt.getSampleRate.toLong,
-            bytes.length / 2L, sum))
+          Some((fmt.getSampleRate.toLong, out))
         }
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** REAL audio decode via the JDK's javax.sound.sampled. Returns None
+    * for payloads no JDK codec recognizes. */
+  def decodeAudio(payload: Array[Byte]): Option[AudioFeatures] =
+    decodeAudioSamples(payload).map { case (rate, v) =>
+      var sum = 0L
+      var i = 0
+      while (i < v.length) { sum += math.abs(v(i)).toLong; i += 1 }
+      AudioFeatures(rate, v.length.toLong, sum)
+    }
+
+  /** Frame-level audio features over the really-decoded PCM: the signal
+    * is cut into complete `frameLen`-sample frames (the STFT hop shape a
+    * real audio featurizer uses) and each frame contributes its integer
+    * energy (Σ v²) and zero-crossing count (sign changes between
+    * adjacent samples WITHIN the frame). All integer arithmetic — every
+    * output is exactly oracle-able from the sample generator. */
+  case class AudioFrameFeatures(n_frames: Long, energy_sum: Long,
+      zc_total: Long, max_frame_energy: Long)
+
+  def audioFrameFeatures(payload: Array[Byte],
+      frameLen: Int = 16): Option[AudioFrameFeatures] =
+    decodeAudioSamples(payload).map { case (_, v) =>
+      val nf = v.length / frameLen
+      var e = 0L; var zc = 0L; var maxE = 0L
+      var j = 0
+      while (j < nf) {
+        var fe = 0L
+        var i = 0
+        while (i < frameLen) {
+          val s = v(j * frameLen + i)
+          fe += s.toLong * s
+          if (i > 0 && v(j * frameLen + i - 1) * s < 0) zc += 1
+          i += 1
+        }
+        e += fe
+        if (fe > maxE) maxE = fe
+        j += 1
+      }
+      AudioFrameFeatures(nf.toLong, e, zc, maxE)
+    }
 
   /** Decoded-video features: dims, frame count, and the luminance sum
     * over every SAMPLED frame (integer arithmetic — exactly oracle-able). */

@@ -576,6 +576,195 @@ object Extras {
         .orderBy("asset_id")
     },
 
+    // ---- Q-mm-11: REAL image RESIZE round trip — the missing member of
+    // the decode/feature/resize/frame-sample quartet on real pixels: each
+    // doc's hand-built BMP is decoded through the JDK's ImageIO, 2x
+    // nearest-neighbor downscaled (output (x,y) samples source (2x,2y) —
+    // integer-exact), RE-ENCODED as a BMP, and decoded AGAIN through the
+    // real codec before featurizing. The oracle recomputes the resized
+    // pixel grid ((id + 2x + 4y) mod 256), the resized brightness sum,
+    // and the output file size from the BMP layout — a mangled byte
+    // anywhere in decode→resize→encode→decode mismatches the hash.
+    "Q-mm-11" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = (8 + id % 9).toInt
+            val h = 8
+            val payload = graft.multimodal.BmpCodec.encode(
+              w, h, (x, y) => ((id + x + 2L * y) % 256L).toInt)
+            val r = graft.multimodal.Multimodal.resizeImage(payload, 2)
+              .getOrElse(throw new IllegalStateException(
+                s"asset $id: resize round trip failed"))
+            (id, r.src_w, r.out_w, r.out_h, r.out_bytes, r.out_brightness_sum)
+          }
+        }
+        .toDF("asset_id", "src_w", "out_w", "out_h", "out_bytes",
+          "out_brightness_sum")
+        .orderBy("asset_id")
+    },
+
+    // ---- Q-mm-12: frame-level AUDIO features over really-decoded PCM —
+    // the STFT-hop framing a real audio featurizer applies before any
+    // spectral transform: the decoded signal cuts into complete 16-sample
+    // frames, each contributing integer energy (Σ v²) and an
+    // intra-frame zero-crossing count; per-asset rollup keeps frame
+    // count, total/max energy, and total crossings. Decode + framing run
+    // in the partition-parallel kernel (narrow map — one output row per
+    // asset crosses the wire); all-integer algebra so the oracle
+    // recomputes every frame from the sample generator.
+    "Q-mm-12" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val n = (64 + id % 65).toInt
+            val samples = Array.tabulate(n)(i =>
+              (((id * 31 + i * 7) % 2003) - 1001).toShort)
+            val payload = graft.multimodal.WavCodec.encode(samples, 8000)
+            val f = graft.multimodal.Multimodal.audioFrameFeatures(payload, 16)
+              .getOrElse(throw new IllegalStateException(
+                s"asset $id: JDK audio reader failed to decode generated WAV"))
+            (id, f.n_frames, f.energy_sum, f.zc_total, f.max_frame_energy)
+          }
+        }
+        .toDF("asset_id", "n_frames", "energy_sum", "zc_total",
+          "max_frame_energy")
+        .orderBy("asset_id")
+    },
+
+    // ---- Q-llm-56: INCREMENTAL inverted-index maintenance — a search
+    // index kept current from a living corpus WITHOUT rebuilds: the
+    // documents table is an ACID table that takes an append, an update
+    // merge, and a delete; the postings index (doc_id, word, tf) is a
+    // SECOND ACID table maintained per epoch from the CHANGE FEED alone —
+    // changed docs' old postings die by a doc_id delete ledger (one tiny
+    // file, zero data rewrites — asserted: the index file set only ever
+    // GROWS until compaction) and their re-tokenized post-images append.
+    // Per-epoch cost is O(changed docs), never the corpus — how a 100 TB
+    // corpus keeps its BM25/grep index fresh. Compaction folds the
+    // ledgers; the folded index is asserted row-identical to a
+    // from-scratch index of the final doc state, and the df/tf rollup
+    // hash-matches the oracle's closed-form derivation.
+    "Q-llm-56" -> { (s, d) =>
+      import graft.operators.TxTable
+      val base = tempDir("graft_llm56").toString
+      val rootD = s"$base/docs"
+      val rootP = s"$base/postings"
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      def postings(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+        .select("doc_id", "word", "tf")
+      val seed = docs.filter(col("doc_id") % 4 =!= 3)
+      TxTable.create(seed, rootD, statsKey = Some("doc_id"))
+      TxTable.create(postings(seed), rootP, statsKey = Some("doc_id"))
+      // three source epochs: append, update-merge, delete
+      TxTable.append(s, rootD, docs.filter(col("doc_id") % 4 === 3))
+      TxTable.mergeCow(s, rootD,
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("text",
+            concat(col("text"), lit(" graftupd graftupd"))), "doc_id")
+      TxTable.deleteCow(s, rootD,
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+      // maintenance: per epoch only the change feed is read
+      (1L to 3L).foreach { v =>
+        val feed = TxTable.changeFeed(s, rootD, v - 1, v, Seq("doc_id"))
+          .localCheckpoint()
+        TxTable.deleteMor(s, rootP, feed.select("doc_id"), "doc_id")
+        val post = feed.filter(col("change") =!= "delete")
+          .select(col("doc_id"), col("post.text").as("text"))
+        if (!post.isEmpty) TxTable.append(s, rootP, postings(post))
+      }
+      // the MoR contract: maintenance never rewrote an index data file
+      val pv = TxTable.snapshot(rootP).version
+      (1L to pv).foreach { v =>
+        val prev = TxTable.snapshot(rootP, v - 1).files.toSet
+        val cur = TxTable.snapshot(rootP, v).files.toSet
+        require(prev.subsetOf(cur),
+          s"index maintenance rewrote data files at v$v — MoR contract broken")
+      }
+      TxTable.compact(s, rootP)
+      val idx = TxTable.read(s, rootP)
+      val scratch = postings(TxTable.read(s, rootD))
+      require(idx.unionAll(scratch).groupBy("doc_id", "word", "tf")
+        .agg(count(lit(1)).as("n")).filter(col("n") =!= 2).isEmpty,
+        "incremental index diverged from the from-scratch index")
+      idx.groupBy("word")
+        .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+        .orderBy(col("df").desc, col("tf_total").desc, col("word"))
+        .limit(30)
+        .select(col("word"), col("df").cast("bigint").as("df"),
+          col("tf_total").cast("bigint").as("tf_total"))
+    },
+
+    // ---- Q-qual-21: VERIFIED ERASURE — the right-to-be-forgotten path,
+    // proven at the BYTE level: a MoR delete masks the doomed cohort
+    // instantly (zero rewrites — file set unchanged, asserted) but the
+    // bytes remain in data files, history, and the ledger itself
+    // (asserted: a direct parquet scan of the data dir — ignoring the
+    // log — still finds the keys, the hazard every compliance audit
+    // probes). Compaction folds the masked state into fresh files and
+    // retires the ledger; history expiry then deletes every file only
+    // pre-cutoff snapshots could reach, INCLUDING the key-bearing
+    // ledger. The erasure proof re-walks the directory and reads every
+    // surviving parquet file raw: zero doomed keys anywhere on disk.
+    // Appends after the erasure stay untouched; the final table
+    // hash-matches the closed-form derivation.
+    "Q-qual-21" -> { (s, d) =>
+      import graft.operators.TxTable
+      import scala.jdk.CollectionConverters._
+      val root = tempDir("graft_qual21").toString + "/tbl"
+      val src = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") * 100 + lit(0.5)).cast("bigint").as("cents"))
+      def batch(b: Int) = src.filter(col("c_custkey") % 8 === b).coalesce(1)
+      TxTable.create(batch(0), root, statsKey = Some("c_custkey"))   // v0
+      (1 to 7).foreach(b => TxTable.append(s, root, batch(b)))       // v1..v7
+      // a raw scan of the data dir, IGNORING the log: the compliance
+      // auditor's view — are the doomed bytes physically present?
+      def residualKeys(): Long = {
+        val walk = Files.walk(java.nio.file.Paths.get(root, "data"))
+        val files =
+          try walk.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .map(_.toString).toList
+          finally walk.close()
+        files.map { f =>
+          val df = s.read.parquet(f)
+          if (!df.columns.contains("c_custkey")) 0L
+          else df.filter(col("c_custkey").cast("long") % 9 === 0 &&
+            col("c_custkey").cast("long") < 1000000).count()
+        }.sum
+      }
+      val doomed = src.filter(col("c_custkey") % 9 === 0).select("c_custkey")
+      val filesBefore = TxTable.snapshot(root).files.toSet
+      TxTable.deleteMor(s, root, doomed, "c_custkey")                // v8
+      require(TxTable.snapshot(root).files.toSet == filesBefore,
+        "MoR erasure request must rewrite zero data files")
+      require(TxTable.read(s, root)
+        .filter(col("c_custkey") % 9 === 0).count() == 0,
+        "logical erasure must be immediate")
+      require(residualKeys() > 0,
+        "hazard check: doomed bytes should still be on disk pre-compaction")
+      TxTable.compact(s, root)                                       // v9
+      TxTable.append(s, root,                                        // v10 + ckpt
+        src.filter(col("c_custkey") % 13 === 1)
+          .withColumn("c_custkey", col("c_custkey") + 1000000L).coalesce(1))
+      val (deletedFiles, _) = TxTable.expireHistory(root, 10L)
+      require(deletedFiles > 0, "expiry should reclaim pre-cutoff files")
+      require(residualKeys() == 0,
+        "ERASURE FAILED: doomed keys still physically present on disk")
+      TxTable.read(s, root)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("cents").as("total_cents"))
+        .select(col("c_mktsegment"), col("n").cast("bigint").as("n"),
+          col("total_cents").cast("bigint").as("total_cents"))
+        .orderBy("c_mktsegment")
+    },
+
     // ---- Q-qual-16: MERGE-ON-READ deletes — the point-delete path a
     // hot 100 TB table needs: a delete-ledger commit (deletion-vector
     // style) lands the doomed keys as one tiny file and rewrites ZERO
@@ -2085,6 +2274,80 @@ object Extras {
                 coalesce(min(CASE WHEN cut = 1 THEN f END), -1)::BIGINT
                   AS cut_frame
          FROM c GROUP BY doc_id ORDER BY asset_id""",
+    // closed-form survivor derivation: the %9 cohort erased, the %13=1
+    // shifted-key batch appended after the erasure
+    "Q-qual-21" ->
+      """WITH fin AS (
+           SELECT c_mktsegment AS seg,
+                  floor(c_acctbal * 100 + 0.5)::BIGINT AS cents
+           FROM customer WHERE c_custkey % 9 <> 0
+           UNION ALL
+           SELECT c_mktsegment, floor(c_acctbal * 100 + 0.5)::BIGINT
+           FROM customer WHERE c_custkey % 13 = 1)
+         SELECT seg AS c_mktsegment, count(*)::BIGINT AS n,
+                sum(cents)::BIGINT AS total_cents
+         FROM fin GROUP BY seg ORDER BY c_mktsegment""",
+    // closed-form final doc state (update %10 applied, %7 deleted),
+    // tokenized identically, rolled up to the same total-ordered top-30
+    "Q-llm-56" ->
+      """WITH final AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 10 = 0
+                       THEN text || ' graftupd graftupd' ELSE text END AS text
+           FROM documents WHERE doc_id % 7 <> 0),
+         toks AS (
+           SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM final),
+         p AS (
+           SELECT doc_id, word, count(*) AS tf
+           FROM toks WHERE length(word) > 0 GROUP BY doc_id, word)
+         SELECT word, count(*)::BIGINT AS df, sum(tf)::BIGINT AS tf_total
+         FROM p GROUP BY word
+         ORDER BY df DESC, tf_total DESC, word LIMIT 30""",
+    // first-principles recomputation of the RESIZED image: output pixel
+    // (x,y) = source (2x,2y) = (id + 2x + 4y) mod 256 (r=g=b so the
+    // brightness term is the gray value exactly); file size from the BMP
+    // layout on the output dims
+    "Q-mm-11" ->
+      """WITH dims AS (
+           SELECT doc_id, 8 + doc_id % 9 AS w, 8 AS h,
+                  (8 + doc_id % 9) // 2 AS ow, 4 AS oh
+           FROM documents),
+         px AS (
+           SELECT doc_id, w, ow, oh, (doc_id + 2*x.range + 4*y.range) % 256 AS v
+           FROM dims CROSS JOIN range(8) x CROSS JOIN range(4) y
+           WHERE x.range < ow AND y.range < oh)
+         SELECT doc_id AS asset_id,
+                any_value(w)::BIGINT AS src_w,
+                any_value(ow)::BIGINT AS out_w,
+                any_value(oh)::BIGINT AS out_h,
+                (54 + any_value(oh) * ((3 * any_value(ow) + 3) // 4 * 4))::BIGINT
+                  AS out_bytes,
+                sum(v)::BIGINT AS out_brightness_sum
+         FROM px GROUP BY doc_id ORDER BY asset_id""",
+    // every frame recomputed from the sample generator: complete
+    // 16-sample frames only, energy = sum of squares, zero crossings =
+    // strict sign changes between adjacent samples within a frame
+    "Q-mm-12" ->
+      """WITH dims AS (
+           SELECT doc_id, 64 + doc_id % 65 AS n FROM documents),
+         smp AS (
+           SELECT doc_id, i.range AS i,
+                  ((doc_id * 31 + i.range * 7) % 2003) - 1001 AS v
+           FROM dims CROSS JOIN range(129) i
+           WHERE i.range < (n // 16) * 16),
+         lagd AS (
+           SELECT doc_id, i, v,
+                  lag(v) OVER (PARTITION BY doc_id, i // 16 ORDER BY i) AS prev
+           FROM smp),
+         fr AS (
+           SELECT doc_id, i // 16 AS f, sum(v * v) AS fe,
+                  sum(CASE WHEN prev IS NOT NULL AND prev * v < 0
+                      THEN 1 ELSE 0 END) AS zc
+           FROM lagd GROUP BY doc_id, i // 16)
+         SELECT doc_id AS asset_id, count(*)::BIGINT AS n_frames,
+                sum(fe)::BIGINT AS energy_sum, sum(zc)::BIGINT AS zc_total,
+                max(fe)::BIGINT AS max_frame_energy
+         FROM fr GROUP BY doc_id ORDER BY asset_id""",
     // net v1 -> v3 diff derived from the source in one pass: pre images
     // are the v1 state (k%7 already UPD1-merged), deletes are the k%5
     // set (regardless of the k%15 update-then-delete overlap — net

@@ -1113,6 +1113,53 @@ object LlmOps {
         .select(col("query_id"), col("rank"), col("doc_id"),
           col("bm_rank"), col("vec_rank"), col("fused"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---- Q-llm-55: token-budget MIXTURE PLANNER with upsampling — the
+    // step that turns a curated corpus into a training mix: every
+    // language is brought toward a target token budget (total/5 here) by
+    // REPEATING its docs across epochs (capped at 8 — no source loops
+    // forever), then the virtual stream is cut at the budget in the
+    // deterministic (epoch, key-hash) order, so the same corpus always
+    // yields the same mix. The budget cut needs a running token sum over
+    // each language's virtual stream; a naive window puts a whole
+    // language in ONE partition, so the prefix sum is TWO-PHASE: order-
+    // aligned shards (first hex nibble of the hash follows the global
+    // (epoch, md5) order), within-shard running sums in parallel, and a
+    // tiny (lang × epoch × 16)-row shard-offset table broadcast back —
+    // the 100 TB prefix-sum shape. Integer algebra end to end; the
+    // oracle's single-window cum sum must agree exactly.
+    "Q-llm-55" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val lt = docs.groupBy("lang").agg(sum("n_chars").as("lt"))
+      val tot = docs.agg(sum("n_chars").as("total"))
+      val plan = lt.crossJoin(broadcast(tot))
+        .withColumn("target", expr("total DIV 5"))
+        .withColumn("epochs", least(expr("(target + lt - 1) DIV lt"), lit(8L)))
+        .select("lang", "target", "epochs")
+      val virt = docs.join(broadcast(plan), "lang")
+        .withColumn("epoch", explode(sequence(lit(1L), col("epochs"))))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("shard", substring(col("h"), 1, 1))
+      val wIn = Window.partitionBy("lang", "epoch", "shard")
+        .orderBy("h", "doc_id")
+      val wOff = Window.partitionBy("lang").orderBy("epoch", "shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = virt.groupBy("lang", "epoch", "shard")
+        .agg(sum("n_chars").as("st"))
+        .withColumn("off", coalesce(sum("st").over(wOff), lit(0L)))
+        .select("lang", "epoch", "shard", "off")
+      virt.withColumn("cum_in", sum("n_chars").over(wIn))
+        .join(broadcast(offsets), Seq("lang", "epoch", "shard"))
+        .withColumn("cum", col("cum_in") + col("off"))
+        .filter(col("cum") - col("n_chars") < col("target"))
+        .groupBy("lang", "epoch")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_tokens"))
+        .select(col("lang"), col("epoch").cast("bigint").as("epoch"),
+          col("n_docs").cast("bigint").as("n_docs"),
+          col("n_tokens").cast("bigint").as("n_tokens"))
+        .orderBy("lang", "epoch")
     }
   )
 
@@ -1330,6 +1377,30 @@ object LlmOps {
   val oracle: Map[String, String] = Map(
     "Q-llm-38" -> bpeSql,
     "Q-llm-39" -> bpeApplyFullSql,
+    // single-window cumulative sum over the identical (epoch, md5, id)
+    // order — must agree exactly with the engine's two-phase prefix sum
+    "Q-llm-55" ->
+      """WITH docs AS (SELECT doc_id, lang, n_chars FROM documents),
+         lt AS (SELECT lang, sum(n_chars) AS lt FROM docs GROUP BY lang),
+         tot AS (SELECT sum(n_chars) AS total FROM docs),
+         plan AS (
+           SELECT lang, total // 5 AS target,
+                  least((total // 5 + lt - 1) // lt, 8) AS epochs
+           FROM lt CROSS JOIN tot),
+         virt AS (
+           SELECT d.doc_id, d.lang, d.n_chars, p.target,
+                  e.range + 1 AS epoch
+           FROM docs d JOIN plan p ON d.lang = p.lang
+           CROSS JOIN range(8) e WHERE e.range < p.epochs),
+         cumd AS (
+           SELECT *, sum(n_chars) OVER (PARTITION BY lang
+                    ORDER BY epoch, md5(doc_id::VARCHAR), doc_id
+                    ROWS UNBOUNDED PRECEDING) AS cum
+           FROM virt)
+         SELECT lang, epoch::BIGINT AS epoch, count(*)::BIGINT AS n_docs,
+                sum(n_chars)::BIGINT AS n_tokens
+         FROM cumd WHERE cum - n_chars < target
+         GROUP BY lang, epoch ORDER BY lang, epoch""",
     "Q-llm-42" -> {
       def dsum9(x: String) = Portable.dsumSql(s"floor(($x) * 1e9 + 0.5) / 1e9")
       // each CTE references its predecessor EXACTLY ONCE (weights carried

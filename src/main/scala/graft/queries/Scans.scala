@@ -388,10 +388,38 @@ object Scans {
           count(col("n_nationkey")).as("n_keys"))
         .select(lit("permissive").as("mode"), col("n_rows"), col("n_keys"))
       dropped.unionAll(kept).orderBy("mode")
+    },
+
+    // ---- Q-scan-20: exact-k per-stratum sample — the distributed
+    // reservoir: rank each stratum's rows by the key-hash (md5(doc_id) is
+    // uniform and unique, so the first k in hash order ARE a uniform
+    // k-subset) and keep rank ≤ k. Deterministic across engines, runs,
+    // and repartitioning (the Q-scan-06 discipline upgraded from a rate
+    // to an EXACT count per group). Plans as a partial WindowGroupLimit:
+    // each input partition forwards at most k rows per stratum, so the
+    // shuffle carries O(k·|strata|·|partitions|), never the corpus.
+    "Q-scan-20" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk").cast("bigint").as("rk"),
+          col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rk")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-scan-20" ->
+      """WITH r AS (
+           SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+           FROM documents)
+         SELECT lang, rk::BIGINT AS rk, doc_id, n_chars
+         FROM r WHERE rk <= 10 ORDER BY lang, rk""",
     "Q-scan-14" ->
       """SELECT n_nationkey, n_name, n_regionkey
          FROM nation ORDER BY n_nationkey""",

@@ -238,6 +238,15 @@ object ExplainCheck {
     // query set, Q-llm-03's audited envelope)
     check("Q-llm-54", "broadcast query sides; no cartesian product",
       p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // exact-k per-stratum sample: rank<=k must plan as a partial
+    // WindowGroupLimit — each partition forwards at most k rows per
+    // stratum, so the shuffle never carries the corpus
+    check("Q-scan-20", "stratified exact-k via partial WindowGroupLimit",
+      p => p.contains("WindowGroupLimit") && p.contains("Partial"))
+    // mixture planner: the plan/offset tables broadcast back against the
+    // corpus (no corpus-sized join shuffle beyond the two window sorts)
+    check("Q-llm-55", "plan + shard offsets broadcast; no cartesian",
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
     s.stop()
   }
 }

@@ -47,4 +47,26 @@ class BmpCodecSpec extends AnyFunSuite {
     assert(Multimodal.decodeImage("not an image".getBytes).isEmpty)
     assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
   }
+
+  test("resizeImage is the exact nearest-neighbor pixel map (factor 2 and 3)") {
+    def gray(x: Int, y: Int): Int = (13 * x + 5 * y + 1) % 256
+    val src = BmpCodec.encode(9, 7, gray)
+    for (f <- Seq(2, 3)) {
+      val r = Multimodal.resizeImage(src, f).get
+      val (ow, oh) = (9 / f, 7 / f)
+      assert(r.src_w == 9 && r.src_h == 7 && r.out_w == ow && r.out_h == oh)
+      assert(r.out_bytes == 54 + oh * ((3 * ow + 3) / 4 * 4))
+      val expected =
+        (for (x <- 0 until ow; y <- 0 until oh) yield gray(f * x, f * y)).sum
+      assert(r.out_brightness_sum == expected,
+        s"factor $f: got ${r.out_brightness_sum}, want $expected")
+    }
+  }
+
+  test("resizeImage refuses non-images and sub-pixel outputs") {
+    assert(Multimodal.resizeImage("not an image".getBytes, 2).isEmpty)
+    // 3x3 at factor 4 has no complete output pixel
+    assert(Multimodal.resizeImage(
+      BmpCodec.encode(3, 3, (_, _) => 1), 4).isEmpty)
+  }
 }

@@ -40,6 +40,19 @@ class WavCodecSpec extends AnyFunSuite {
     assert(f.sum_abs == 100L)
   }
 
+  test("audioFrameFeatures frames the decoded PCM with exact integer algebra") {
+    // 2 complete 4-sample frames + a 1-sample tail that must be dropped
+    val samples = Array[Short](1, -2, 3, -4, /*frame 2*/ 5, 5, -5, 0, /*tail*/ 9)
+    val f = Multimodal.audioFrameFeatures(
+      WavCodec.encode(samples, 8000), frameLen = 4).get
+    assert(f.n_frames == 2L)
+    // frame energies: 1+4+9+16 = 30; 25+25+25+0 = 75
+    assert(f.energy_sum == 105L && f.max_frame_energy == 75L)
+    // crossings: frame 1 has 3 strict sign changes; frame 2 has 1 (5→-5;
+    // -5→0 is not strict). The tail 9 contributes nothing.
+    assert(f.zc_total == 4L)
+  }
+
   test("decodeAudio returns None for non-audio payloads") {
     assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
     // a BMP is decodable media but NOT audio — the kernels don't cross

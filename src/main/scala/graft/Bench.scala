@@ -117,7 +117,10 @@ object Bench {
     "Q-llm-56",   // incremental inverted index from the change feed
     "Q-qual-21",  // verified erasure (MoR delete -> compact -> expire)
     "Q-mm-11",    // real image resize round trip (decode->NN->encode->decode)
-    "Q-mm-12"     // frame-level audio features over decoded PCM
+    "Q-mm-12",    // frame-level audio features over decoded PCM
+    "Q-sql-28",   // ALTER TABLE rename/widen through the SQL surface
+    "Q-str-26",   // streaming per-key admission quota (stateful rate limit)
+    "Q-llm-57"    // hard-negative mining (BM25 top-10 minus cosine top-10)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

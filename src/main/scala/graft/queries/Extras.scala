@@ -1003,6 +1003,46 @@ object Extras {
         "FROM ord GROUP BY o_orderpriority ORDER BY o_orderpriority")
     },
 
+    // ---- Q-sql-28: ALTER TABLE through the SQL surface — the DDL
+    // completion of Q-sql-27's command set: RENAME COLUMN and ALTER
+    // COLUMN TYPE parse as SQL and land as the metadata-only evolution
+    // commits (zero files rewritten — asserted on the snapshot's file
+    // set). A post-evolution INSERT writes the NEW shape natively, so
+    // the final read reconciles two schema eras; time travel to v0 must
+    // still show the ORIGINAL column name (each version owns its
+    // schema). Final rollup hash-matches the closed-form oracle.
+    "Q-sql-28" -> { (s, d) =>
+      import graft.sql.TableSql
+      Tables.registerViews(s, d)
+      val q = TableSql(s)
+      val dir = tempDir("graft_sql28").toString
+      q.exec(s"CREATE TABLE cust LOCATION '$dir/cust' STATS KEY c_custkey " +
+        "AS SELECT c_custkey, c_mktsegment, CAST(c_nationkey AS INT) AS nk " +
+        "FROM customer WHERE c_custkey % 2 = 0")
+      val filesBefore =
+        graft.operators.TxTable.snapshot(s"$dir/cust").files.toSet
+      q.exec("ALTER TABLE cust RENAME COLUMN c_mktsegment TO segment")
+      q.exec("ALTER TABLE cust ALTER COLUMN nk TYPE BIGINT")
+      if (graft.operators.TxTable.snapshot(s"$dir/cust").files.toSet
+          != filesBefore)
+        throw new IllegalStateException("ALTER TABLE must be metadata-only")
+      q.exec("INSERT INTO cust SELECT c_custkey, c_mktsegment AS segment, " +
+        "CAST(c_nationkey AS BIGINT) AS nk FROM customer " +
+        "WHERE c_custkey % 2 = 1")
+      val v0cols = q.exec("SELECT * FROM cust VERSION AS OF 0 LIMIT 1")
+        .columns.toSeq
+      if (!v0cols.contains("c_mktsegment") || v0cols.contains("segment"))
+        throw new IllegalStateException(
+          s"time travel to v0 must show the pre-rename schema, got $v0cols")
+      val ops = q.exec("DESCRIBE HISTORY cust")
+        .orderBy("version").select("op").collect().map(_.getString(0)).toSeq
+      if (ops != Seq("create", "rename-column", "widen-column", "append"))
+        throw new IllegalStateException(s"history ops were $ops")
+      q.exec("SELECT segment, CAST(count(*) AS BIGINT) AS n, " +
+        "CAST(sum(nk) AS BIGINT) AS nk_sum " +
+        "FROM cust GROUP BY segment ORDER BY segment")
+    },
+
     // ---- Q-qual-20: MERGE-ON-READ UPSERTS — the per-epoch streaming
     // upsert path on a hot table: each epoch commits its changed keys as
     // ONE commit carrying a delete ledger (old versions suppressed at
@@ -1938,6 +1978,12 @@ object Extras {
                 floor(CAST(sum(CAST(p AS DECIMAL(30,10))) AS DOUBLE)
                   * 1e2 + 0.5) / 1e2 AS total
          FROM t GROUP BY 1 ORDER BY 1""",
+    // evolution is invisible to the final rollup: both halves carry the
+    // same source rows under the renamed/widened schema
+    "Q-sql-28" ->
+      """SELECT c_mktsegment AS segment, count(*)::BIGINT AS n,
+                sum(c_nationkey)::BIGINT AS nk_sum
+         FROM customer GROUP BY 1 ORDER BY 1""",
     // closed form of the 4 MoR-upsert epochs: keys in residue class e of
     // 5 (e = 1..4) got price + e*100 in epoch e; class 0 never touched
     "Q-qual-20" ->

@@ -1115,6 +1115,35 @@ object LlmOps {
         .orderBy("query_id", "rank")
     },
 
+    // ---- Q-llm-57: HARD-NEGATIVE MINING — the retrieval-training data
+    // generator: for each query, docs the LEXICAL retriever ranks top-10
+    // (BM25, Q-llm-53's audited pipeline) that the SEMANTIC retriever
+    // does NOT (cosine top-10, Q-llm-03's envelope) are exactly the
+    // "lexically close, semantically far" examples a dual-encoder needs
+    // as hard negatives (the query's own source doc excluded as the
+    // trivial hit). Scale shape: both lists are top-10-per-query; the
+    // mining step is a left-anti join of two k·|Q|-row sides — the
+    // retrievers are the cost, both shuffle-audited.
+    "Q-llm-57" -> { (s, d) =>
+      graft.functions.CosineSim.register(s)
+      val bm = bm25Top10(s, d)
+        .select(col("query_id"), col("doc_id"), col("rank").as("bm_rank"))
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 37 === 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val vw = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("doc_id"))
+      val vec = emb.crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          expr("cosine_sim(q_emb, embedding)").as("sim"))
+        .withColumn("vec_rank", row_number().over(vw))
+        .filter(col("vec_rank") <= 10)
+        .select("query_id", "doc_id")
+      bm.join(vec, Seq("query_id", "doc_id"), "left_anti")
+        .filter(col("doc_id") =!= col("query_id"))
+        .orderBy("query_id", "bm_rank")
+    },
+
     // ---- Q-llm-55: token-budget MIXTURE PLANNER with upsampling — the
     // step that turns a curated corpus into a training mix: every
     // language is brought toward a target token budget (total/5 here) by
@@ -1377,6 +1406,27 @@ object LlmOps {
   val oracle: Map[String, String] = Map(
     "Q-llm-38" -> bpeSql,
     "Q-llm-39" -> bpeApplyFullSql,
+    // lexical top-10 anti-joined with the semantic top-10, self-hit
+    // excluded — the identical two retriever renderings as Q-llm-53/54
+    "Q-llm-57" ->
+      s"""WITH $bm25Ctes,
+            bm AS (SELECT query_id, doc_id, rnk AS bm_rank
+                   FROM rk WHERE rnk <= 10),
+            vq AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id % 37 = 5),
+            vs AS (SELECT vq.query_id, e.vec_id AS doc_id,
+                          ${Portable.cosSql("e.embedding", "vq.qv")} AS sim
+                   FROM embeddings e, vq),
+            vrk AS (SELECT query_id, doc_id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY sim DESC, doc_id)
+                      AS vec_rank
+                    FROM vs),
+            vec AS (SELECT query_id, doc_id FROM vrk WHERE vec_rank <= 10)
+          SELECT bm.query_id, bm.doc_id, bm.bm_rank::BIGINT AS bm_rank
+          FROM bm ANTI JOIN vec
+            ON bm.query_id = vec.query_id AND bm.doc_id = vec.doc_id
+          WHERE bm.doc_id <> bm.query_id
+          ORDER BY query_id, bm_rank""",
     // single-window cumulative sum over the identical (epoch, md5, id)
     // order — must agree exactly with the engine's two-phase prefix sum
     "Q-llm-55" ->

@@ -214,6 +214,33 @@ object StreamingQueries {
         "complete").orderBy("ws_sec", "event_type")
     },
 
+    // ---- Q-str-26: PER-KEY ADMISSION QUOTA — rate limiting as a
+    // stateful operator (per-tenant caps / abuse throttling / training-
+    // stream subsampling): at most 3 events per (user, 1-day window) are
+    // admitted in strict (ts, event_id) order across the 4-chunk
+    // time-ordered arrival (the quota genuinely BINDS on this corpus —
+    // 81 of 397 (user, day) groups exceed it at sf0.001, so real drops
+    // cross batch boundaries); state is ONE integer per open key,
+    // removed by an event-time timeout once the watermark passes the
+    // window (bounded state on an unbounded stream). The admitted drain
+    // rolls up per (window, user) and must hash-match the batch oracle's
+    // "row_number() <= 3" rendering — admission across micro-batch
+    // boundaries equals the one-shot decision.
+    "Q-str-26" -> { (s, d) =>
+      val tmp = tempDir("graft_str26")
+      val (dir, raw) = stageChunks(s, d, tmp)
+      val src = s.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val admitted = graft.streaming.Quota(s, src,
+        quota = 3, windowSec = 86400L) // watermark applied inside
+      Replay.run(admitted.toDF(), "append")
+        .groupBy("ws_sec", "user_id")
+        .agg(count(lit(1)).cast("bigint").as("n_admitted"),
+          Portable.r(sum(col("value").cast(DecimalType(30, 10)))
+            .cast("double"), 2).as("admitted_sum"))
+        .orderBy("ws_sec", "user_id")
+    },
+
     // ---- Q-str-19: UPDATE-mode keyed upsert — the same 4-chunk arrival
     // as Q-str-18, but drained in update output mode through a
     // foreachBatch upsert: each trigger emits only the (window, type)
@@ -1189,6 +1216,23 @@ object StreamingQueries {
                 count(*)::BIGINT AS n,
                 count(DISTINCT chunk)::BIGINT AS n_updates
          FROM chunked GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    // batch rendering of the admission decision: first 3 per (user,
+    // window) in (ts, event_id) order — what the cross-batch stateful
+    // quota must reproduce exactly
+    "Q-str-26" ->
+      s"""WITH r AS (
+           SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS ws_sec,
+                  user_id, value,
+                  row_number() OVER (
+                    PARTITION BY user_id, floor(epoch(ts) / 86400)
+                    ORDER BY ts, event_id) AS rk
+           FROM events)
+         SELECT ws_sec, user_id, count(*)::BIGINT AS n_admitted,
+                ${Portable.rSql(
+                  "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)}
+                  AS admitted_sum
+         FROM r WHERE rk <= 3
+         GROUP BY ws_sec, user_id ORDER BY ws_sec, user_id""",
     "Q-str-18" ->
       s"""SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
                 count(*)::BIGINT AS n,

@@ -23,6 +23,8 @@ import graft.operators.TxTable
   *   MERGE INTO t USING (<select>) ON (k1[, ...]) [MODE MOR]
   *   UPDATE t SET c1 = e1[, c2 = e2] WHERE <pred> [MODE MOR]
   *   DELETE FROM t WHERE <predicate> [MODE MOR]    -- keys via stats key
+  *   ALTER TABLE t RENAME COLUMN a TO b            -- metadata-only commit
+  *   ALTER TABLE t ALTER COLUMN c TYPE BIGINT      -- widen, metadata-only
   *   OPTIMIZE t [ZORDER BY (x, y)] [INTO <n> FILES]
   *   VACUUM t                                      -- orphaned files
   *   RESTORE t TO VERSION <v>
@@ -134,6 +136,14 @@ final class TableSql(spark: SparkSession) {
           else TxTable.optimize(spark, root, files.getOrElse(4))
         result(name, if (zx != null) "optimize-z" else "optimize", r)
 
+      case TableSql.alterRenameRe(name, from, to) =>
+        result(name, "rename-column",
+          TxTable.renameColumn(spark, rootOf(name), from, to))
+
+      case TableSql.alterTypeRe(name, c, tpe) =>
+        result(name, "widen-column",
+          TxTable.widenColumn(spark, rootOf(name), c, tpe.toLowerCase))
+
       case TableSql.vacuumRe(name) =>
         val n = TxTable.vacuumOrphans(rootOf(name))
         spark.range(1).select(lit(name).as("table"),
@@ -229,6 +239,12 @@ object TableSql {
     ("(?is)^OPTIMIZE\\s+(\\w+)" +
       "(?:\\s+ZORDER\\s+BY\\s+\\((\\w+)\\s*,\\s*(\\w+)\\))?" +
       "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?$").r
+  private val alterRenameRe =
+    ("(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+" +
+      "(\\w+)\\s+TO\\s+(\\w+)$").r
+  private val alterTypeRe =
+    ("(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+ALTER\\s+COLUMN\\s+" +
+      "(\\w+)\\s+TYPE\\s+(\\w+)$").r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)$".r
   private val restoreRe =
     "(?is)^RESTORE\\s+(\\w+)\\s+TO\\s+VERSION\\s+(\\d+)$".r

@@ -247,6 +247,11 @@ object ExplainCheck {
     // corpus (no corpus-sized join shuffle beyond the two window sorts)
     check("Q-llm-55", "plan + shard offsets broadcast; no cartesian",
       p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // hard-negative mining: both retrievers keep their audited shapes
+    // (BM25's broadcast query terms; the vec side's broadcast BNLJ);
+    // the mining anti-join must not introduce a cartesian
+    check("Q-llm-57", "retriever envelopes intact; no cartesian product",
+      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
     s.stop()
   }
 }

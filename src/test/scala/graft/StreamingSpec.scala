@@ -83,6 +83,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(state.value.contains(DeviceState(100000L)))
   }
 
+  test("quota admission on a hand fixture: order, cross-batch draw, timeout") {
+    import graft.streaming.Quota._
+    def ev(id: Long, tsMs: Long) =
+      QuotaEvent(1L, id, new java.sql.Timestamp(tsMs), 1.0, 0L)
+    val state = new TestGroupState[Int]
+    // batch 1 arrives UNORDERED: admission must follow (ts, event_id)
+    val b1 = admit(3, 86400L, 3500L)((1L, 0L),
+      Iterator(ev(5, 300L), ev(1, 100L), ev(2, 200L), ev(9, 100L)), state).toList
+    assert(b1.map(_.event_id) == List(1L, 9L, 2L)) // ts tie: id breaks it
+    assert(state.value.contains(3))
+    // batch 2: quota exhausted — nothing admitted, state unchanged
+    val b2 = admit(3, 86400L, 3500L)((1L, 0L),
+      Iterator(ev(7, 400L)), state).toList
+    assert(b2.isEmpty && state.value.contains(3))
+    // timed-out group drops its counter (bounded state)
+    val timed = new TestGroupState[Int] {
+      override def hasTimedOut: Boolean = true
+    }
+    timed.update(2)
+    assert(admit(3, 86400L, 3500L)((1L, 0L),
+      Iterator(ev(8, 500L)), timed).isEmpty)
+    assert(timed.value.isEmpty)
+  }
+
   test("presence on transformWithState (state v2) matches flatMapGroupsWithState") {
     import org.apache.spark.sql.functions._
     import graft.streaming.{Presence, Replay}

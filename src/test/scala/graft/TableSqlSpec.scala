@@ -122,6 +122,35 @@ class TableSqlSpec extends AnyFunSuite {
       spark.sql("SELECT count(*) FROM tsql_src").columns.toSeq)
   }
 
+  test("ALTER TABLE: rename + widen are metadata-only, versions own schemas") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE ta LOCATION '$dir/ta' STATS KEY k AS " +
+      "SELECT k, v, CAST(grp AS INT) AS grp FROM tsql_src WHERE k <= 50")
+    val files0 = TxTable.snapshot(s"$dir/ta").files.toSet
+    val r1 = q.exec("ALTER TABLE ta RENAME COLUMN v TO label")
+    assert(r1.select("op").head().getString(0) == "rename-column")
+    val r2 = q.exec("ALTER TABLE ta ALTER COLUMN grp TYPE BIGINT")
+    assert(r2.select("op").head().getString(0) == "widen-column")
+    // both are metadata-only commits
+    assert(TxTable.snapshot(s"$dir/ta").files.toSet == files0)
+    // new shape usable immediately; old era reconciles under it
+    q.exec("INSERT INTO ta SELECT k, v AS label, CAST(grp AS BIGINT) " +
+      "AS grp FROM tsql_src WHERE k > 50")
+    val head = q.exec("SELECT label, sum(grp) AS g FROM ta " +
+      "GROUP BY label ORDER BY label LIMIT 1")
+    assert(head.columns.toSeq == Seq("label", "g"))
+    assert(q.exec("SELECT count(*) FROM ta").as[Long].head() == 100L)
+    // time travel to v0 shows the ORIGINAL column name and int type
+    val v0 = q.exec("SELECT * FROM ta VERSION AS OF 0 LIMIT 1")
+    assert(v0.columns.contains("v") && !v0.columns.contains("label"))
+    // widening the stats key (or unknown columns) refuses loudly
+    intercept[Exception] {
+      q.exec("ALTER TABLE ta RENAME COLUMN k TO key2")
+    }
+  }
+
   test("errors are loud: unknown table, bad syntax, delete without stats key") {
     import spark.implicits._
     seedView()

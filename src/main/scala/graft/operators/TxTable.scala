@@ -533,10 +533,14 @@ object TxTable {
           sorted.drop(start).foldLeft(readFilesEvolved(spark, root, snap, fs)) {
             (df, l) =>
               val keys = spark.read.parquet(s"$root/${l.path}")
-              // the ledger's columns NAME the key columns: one column =
-              // the long-normalized point-delete path; several = a
-              // composite-key ledger (natural types, null-safe equality)
-              if (keys.columns.length == 1) {
+              // the ledger's columns NAME the key columns: one LONG
+              // column = the long-normalized point-delete path; anything
+              // else (several columns, or one natural-typed column — a
+              // string/double/timestamp key is stored unconverted) =
+              // natural types, null-safe equality
+              if (keys.columns.length == 1 &&
+                  keys.schema.head.dataType ==
+                    org.apache.spark.sql.types.LongType) {
                 val kc = keys.columns.head
                 df.join(
                   broadcast(keys.select(
@@ -1032,12 +1036,96 @@ object TxTable {
              check: Option[String], statsCols: Seq[String]): CommitResult = {
     require(statsCols.forall(c => !statsKey.contains(c)),
       s"statsCols $statsCols must not repeat the primary key $statsKey")
+    // stats long-normalize by CAST: meaningful for numeric/date/time
+    // types only. A string column would cast to NULL everywhere —
+    // every file gets the empty range, every pruning read prunes
+    // EVERYTHING, and a CoW merge would silently miss its files. Refuse
+    // loudly instead of corrupting later.
+    (statsKey.toSeq ++ statsCols).foreach { c =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(df.schema.fieldIndex(c)).dataType
+      val ok = dt match {
+        case _: NumericType | DateType | TimestampType |
+             TimestampNTZType => true
+        case _ => false
+      }
+      require(ok, s"stats column '$c' has type ${dt.simpleString} — " +
+        "stats need a numeric/date/timestamp column (long-normalized " +
+        "min/max + blooms); for string keys use composite-key MoR " +
+        "ledgers or add a numeric surrogate key")
+    }
     enforceCheck(df, check, "create batch")
     val (adds, st, bl, stN, blN) = stageData(df, root, statsKey, statsCols)
     val ok = tryPublish(root,
       Commit(0L, "create", adds, Seq.empty, None, statsKey, st, bl, check,
         statsCols = statsCols, addStatsN = stN, addBloomsN = blN))
     if (!ok) throw new IllegalStateException(s"table already exists: $root")
+    CommitResult(0L, 1, skipped = false)
+  }
+
+  /** SHALLOW CLONE — a ZERO-COPY branch of the live snapshot: every
+    * live data file hard-links into the clone's data dir (an
+    * object-store deployment would reference the shared URIs instead —
+    * same idea, the log points at existing bytes), and the clone's v0
+    * "clone" commit carries the source's stats, blooms, row counts,
+    * stats columns, and CHECK constraint. Branching a 100 TB table
+    * costs O(files) metadata operations and ZERO data bytes.
+    *
+    * Why sharing is safe: data files are IMMUTABLE — both tables only
+    * ever add new files (CoW rewrites allocate fresh UUID dirs in the
+    * writer's own root), so writes diverge freely after the branch and
+    * neither side can corrupt the other. The experiment-branch
+    * primitive: try a risky migration/backfill on the clone, compare,
+    * throw it away — the source never noticed.
+    *
+    * Not cloneable BY REFERENCE: live MoR ledgers and schema evolutions
+    * still pending on live files — both are scoped to the SOURCE log's
+    * version order, which the clone does not inherit. Refused loudly;
+    * compaction folds both away, then the clone is clean. NOTE:
+    * [[vacuumOrphans]]/[[expireHistory]] on either table delete only
+    * paths under their OWN root; a hard-linked file's bytes survive
+    * until EVERY table's link is gone (inode refcount) — maintenance on
+    * one side cannot break the other. */
+  def cloneShallow(root: String, dstRoot: String): CommitResult = {
+    val snap = snapshot(root)
+    require(snap.version >= 0, s"not a TxTable: $root")
+    require(snap.ledgers.isEmpty,
+      s"cannot shallow-clone with live MoR ledgers — compact $root first")
+    val pendingEvo = snap.evos.exists { case (v, _) =>
+      snap.files.exists(f => snap.fileAddV.getOrElse(f, Long.MaxValue) < v)
+    }
+    require(!pendingEvo, "cannot shallow-clone with schema evolutions " +
+      s"pending on live files — compact $root first")
+    snap.files.foreach { f =>
+      val src = Paths.get(root, f).toAbsolutePath
+      val dst = Paths.get(dstRoot, f)
+      Files.createDirectories(dst.getParent)
+      if (!Files.exists(dst))
+        try Files.createLink(dst, src)
+        catch { // cross-filesystem: fall back to a copy, still correct
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            Files.copy(src, dst)
+        }
+    }
+    val stats =
+      if (snap.statsKey.isEmpty) Seq.empty
+      else snap.files.map(f =>
+        snap.fileStats.getOrElse(f, (Long.MaxValue, Long.MinValue)))
+    val blooms =
+      if (snap.statsKey.isEmpty) Seq.empty
+      else snap.files.map(f => snap.fileBlooms.getOrElse(f, ""))
+    val statsN = snap.statsCols.indices.map(j => snap.files.map(f =>
+      snap.fileStatsN.get(f).flatMap(_.lift(j))
+        .getOrElse((Long.MaxValue, Long.MinValue))))
+    val bloomsN = snap.statsCols.indices.map(j => snap.files.map(f =>
+      snap.fileBloomsN.get(f).flatMap(_.lift(j)).getOrElse("")))
+    val rowsKnown = snap.files.map(f => snap.fileRows.getOrElse(f, -1L))
+    val ok = tryPublish(dstRoot,
+      Commit(0L, "clone", snap.files, Seq.empty, None, snap.statsKey,
+        stats, blooms, snap.check, statsCols = snap.statsCols,
+        addStatsN = statsN, addBloomsN = bloomsN, addRows = rowsKnown))
+    if (!ok) throw new IllegalStateException(s"table already exists: $dstRoot")
     CommitResult(0L, 1, skipped = false)
   }
 
@@ -1481,8 +1569,9 @@ object TxTable {
           newLedgers.exists(_.version > av)
         }
         val lfs = newLedgers.map(l => spark.read.parquet(s"$root/${l.path}"))
-        if (lfs.exists(_.columns.length != 1))
-          applicable // composite-key ledgers: no long-key stats to prune by
+        if (lfs.exists(l => l.columns.length != 1 ||
+            l.schema.head.dataType != org.apache.spark.sql.types.LongType))
+          applicable // composite/natural-key ledgers: no long stats to prune by
         else {
         val keyRows = lfs
           .map(lf => lf.select(col(lf.columns.head).cast("long").as("k")))
@@ -1558,6 +1647,32 @@ object TxTable {
                 maxAttempts: Int = 12): CommitResult =
     deleteMorKeys(spark, root, doomed, Seq(key), tag, maxAttempts)
 
+  /** Integral types that long-normalize LOSSLESSLY. A single-column
+    * ledger over one of these is stored as long (the form the change
+    * feed prunes against stats/blooms); any other type — string, double,
+    * timestamp — keeps its NATURAL type and reads subtract by null-safe
+    * equality (a long cast of a string is NULL, and a non-null-safe
+    * anti-join on NULLs matches nothing — the ledger would silently
+    * no-op, which for a merge means duplicate rows). */
+  private def isIntegral(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+
+  /** The ledger projection for [[deleteMorKeys]] / [[mergeMorKeys]]:
+    * long-normalized only when that is lossless. */
+  private def ledgerKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (keys.size == 1 && isIntegral(
+        df.schema(df.schema.fieldIndex(keys.head)).dataType))
+      df.select(col(keys.head).cast("long").as(keys.head))
+    else df.select(keys.map(col): _*)
+  }
+
   /** [[deleteMor]] on a COMPOSITE key: the ledger keeps every key column
     * in its natural type and reads subtract by null-safe equality on all
     * of them. A single-column ledger stays long-normalized (the form the
@@ -1567,10 +1682,7 @@ object TxTable {
                     maxAttempts: Int = 12): CommitResult = {
     import org.apache.spark.sql.functions.col
     require(keys.nonEmpty, "deleteMorKeys needs at least one key column")
-    val ledgerDf =
-      if (keys.size == 1)
-        doomed.select(col(keys.head).cast("long").as(keys.head))
-      else doomed.select(keys.map(col): _*)
+    val ledgerDf = ledgerKeys(doomed, keys)
     // stage the ledger once; rebased retries re-reference the same file
     val (dfiles, _, _, _, _) = stageData(
       ledgerDf.distinct().coalesce(1), root, statsKey = None)
@@ -1625,10 +1737,7 @@ object TxTable {
     require(snap0.version >= 0, s"not a TxTable: $root")
     enforceCheck(changes, snap0.check, "merge-mor batch")
     // stage ledger and data once; rebased retries re-reference both
-    val ledgerDf =
-      if (keys.size == 1)
-        changes.select(col(keys.head).cast("long").as(keys.head))
-      else changes.select(keys.map(col): _*)
+    val ledgerDf = ledgerKeys(changes, keys)
     val (dfiles, _, _, _, _) = stageData(
       ledgerDf.distinct().coalesce(1), root, statsKey = None)
     val (adds, st, bl, stN, blN) =

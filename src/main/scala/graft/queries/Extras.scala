@@ -700,6 +700,54 @@ object Extras {
           col("tf_total").cast("bigint").as("tf_total"))
     },
 
+    // ---- Q-qual-22: SHALLOW CLONE — the experiment branch: a 100 TB
+    // table branches at ZERO data cost (every live file hard-links into
+    // the clone — asserted file-by-file with isSameFile; an object store
+    // would share URIs) with stats/blooms/row counts carried in the
+    // clone's single metadata commit (metaAggregate on the clone works
+    // immediately, asserted). The risky experiment then runs ON THE
+    // BRANCH (a CoW merge bumping a cohort) while the source takes its
+    // own append — fully independent: the branch merge never advances
+    // the source log (asserted), and source maintenance (vacuum) can't
+    // break the branch because immutable files + link refcounts keep
+    // shared bytes alive. Output = both tables' aggregates side by
+    // side, hash-matching the closed-form divergence.
+    "Q-qual-22" -> { (s, d) =>
+      import graft.operators.TxTable
+      val base = tempDir("graft_qual22").toString
+      val (src, br) = (s"$base/src", s"$base/branch")
+      val t = Tables.orders(s, d).filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+          col("o_orderpriority"))
+      TxTable.create(t.filter(col("o_orderkey") % 2 === 0).coalesce(2),
+        src, statsKey = Some("o_orderkey"))
+      TxTable.append(s, src, t.filter(col("o_orderkey") % 2 === 1).coalesce(2))
+      TxTable.cloneShallow(src, br)
+      val snapB = TxTable.snapshot(br)
+      snapB.files.foreach { f =>
+        require(Files.isSameFile(java.nio.file.Paths.get(src, f),
+          java.nio.file.Paths.get(br, f)),
+          s"clone copied bytes for $f — not zero-copy")
+      }
+      require(TxTable.metaAggregate(s, br, "o_orderkey").count ==
+        TxTable.metaAggregate(s, src, "o_orderkey").count,
+        "carried row counts must serve the clone's metadata aggregate")
+      // the experiment diverges on the branch only
+      TxTable.mergeCow(s, br,
+        t.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("cents", col("cents") + 50000L), "o_orderkey")
+      require(TxTable.snapshot(src).version == 1L,
+        "a branch write must never advance the source log")
+      TxTable.vacuumOrphans(src) // source maintenance can't break the branch
+      def agg(root: String, label: String) =
+        TxTable.read(s, root)
+          .agg(count(lit(1)).cast("bigint").as("n"),
+            sum("cents").cast("bigint").as("total_cents"))
+          .select(lit(label).as("side"), col("n"), col("total_cents"))
+      agg(src, "source").unionAll(agg(br, "branch")).orderBy("side")
+    },
+
     // ---- Q-qual-21: VERIFIED ERASURE — the right-to-be-forgotten path,
     // proven at the BYTE level: a MoR delete masks the doomed cohort
     // instantly (zero rewrites — file set unchanged, asserted) but the
@@ -2320,6 +2368,19 @@ object Extras {
                 coalesce(min(CASE WHEN cut = 1 THEN f END), -1)::BIGINT
                   AS cut_frame
          FROM c GROUP BY doc_id ORDER BY asset_id""",
+    // closed-form divergence: source = the unmodified rows; branch = the
+    // same rows with +500.00 on the %3 cohort
+    "Q-qual-22" ->
+      """WITH t AS (
+           SELECT o_orderkey, floor(o_totalprice * 100 + 0.5)::BIGINT AS c
+           FROM orders WHERE o_orderkey <= 6000)
+         SELECT 'branch' AS side, count(*)::BIGINT AS n,
+                sum(c + CASE WHEN o_orderkey % 3 = 0
+                        THEN 50000 ELSE 0 END)::BIGINT AS total_cents
+         FROM t
+         UNION ALL
+         SELECT 'source', count(*)::BIGINT, sum(c)::BIGINT FROM t
+         ORDER BY side""",
     // closed-form survivor derivation: the %9 cohort erased, the %13=1
     // shifted-key batch appended after the erasure
     "Q-qual-21" ->

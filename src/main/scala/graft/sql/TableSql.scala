@@ -19,6 +19,7 @@ import graft.operators.TxTable
   * case-insensitive; table names `[A-Za-z_][A-Za-z0-9_]*`):
   *
   *   CREATE TABLE t LOCATION '<root>' [STATS KEY k1[, k2...]] AS <select>
+  *   CREATE TABLE b SHALLOW CLONE t LOCATION '<root>'  -- zero-copy branch
   *   INSERT INTO t <select>                        -- append commit
   *   MERGE INTO t USING (<select>) ON (k1[, ...]) [MODE MOR]
   *   UPDATE t SET c1 = e1[, c2 = e2] WHERE <pred> [MODE MOR]
@@ -78,6 +79,11 @@ final class TableSql(spark: SparkSession) {
         val r = TxTable.create(df, root, cols.headOption, None, cols.drop(1))
         register(name, root)
         result(name, "create", r)
+
+      case TableSql.cloneRe(name, srcName, root) =>
+        val r = TxTable.cloneShallow(rootOf(srcName), root)
+        register(name, root)
+        result(name, "clone", r)
 
       case TableSql.insertRe(name, select) =>
         result(name, "append",
@@ -206,6 +212,9 @@ object TableSql {
   private val createRe =
     ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s+LOCATION\\s+'([^']+)'" +
       "(?:\\s+STATS\\s+KEY\\s+([\\w\\s,]+?))?\\s+AS\\s+(SELECT\\b.+)$").r
+  private val cloneRe =
+    ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s+SHALLOW\\s+CLONE\\s+(\\w+)" +
+      "\\s+LOCATION\\s+'([^']+)'$").r
   private val insertRe =
     "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+(SELECT\\b.+)$".r
   private val mergeRe =

@@ -151,6 +151,21 @@ class TableSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE branches at zero copy through SQL") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE orig LOCATION '$dir/orig' STATS KEY k AS " +
+      "SELECT * FROM tsql_src")
+    val r = q.exec(s"CREATE TABLE expmt SHALLOW CLONE orig " +
+      s"LOCATION '$dir/expmt'")
+    assert(r.select("op").head().getString(0) == "clone")
+    // branch diverges; original untouched
+    q.exec("DELETE FROM expmt WHERE k <= 90")
+    assert(q.exec("SELECT count(*) FROM expmt").as[Long].head() == 10L)
+    assert(q.exec("SELECT count(*) FROM orig").as[Long].head() == 100L)
+  }
+
   test("errors are loud: unknown table, bad syntax, delete without stats key") {
     import spark.implicits._
     seedView()

@@ -1070,4 +1070,87 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.snapshot(root).ledgers.isEmpty)
     assert(all == Set((1L, "b", "y"), (2L, "a", "Z2"), (3L, "c", "w")))
   }
+
+  test("string-key MoR: single natural-typed key deletes and upserts correctly") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    def all = TxTable.read(spark, root).as[(String, Long)].collect().toSet
+    // no stats key: a string column can't long-normalize (see create guard)
+    TxTable.create(Seq(("url-a", 1L), ("url-b", 2L), ("url-c", 3L))
+      .toDF("url", "n").coalesce(1), root)
+    // the regression this pins: a long-cast ledger of a string key is all
+    // NULLs and the non-null-safe anti-join silently deletes NOTHING
+    TxTable.deleteMor(spark, root, Seq("url-b").toDF("url"), "url")
+    assert(all == Set(("url-a", 1L), ("url-c", 3L)),
+      "string-key MoR delete must actually delete")
+    // single string-key upsert: old version suppressed, not duplicated
+    TxTable.mergeMor(spark, root,
+      Seq(("url-a", 10L), ("url-d", 4L)).toDF("url", "n"), "url")
+    assert(all == Set(("url-a", 10L), ("url-c", 3L), ("url-d", 4L)),
+      "string-key MoR upsert must suppress the old row version")
+    // the feed nets out correctly across the natural-typed ledgers
+    val feed = TxTable.changeFeed(spark, root, 0L, 2L, Seq("url"))
+      .select("url", "change").as[(String, String)].collect().toSet
+    assert(feed == Set(("url-b", "delete"), ("url-a", "update"),
+      ("url-d", "insert")), s"feed was $feed")
+    TxTable.compact(spark, root)
+    assert(TxTable.snapshot(root).ledgers.isEmpty)
+    assert(all == Set(("url-a", 10L), ("url-c", 3L), ("url-d", 4L)))
+  }
+
+  test("cloneShallow: zero-copy branch, divergence independence, maintenance safety") {
+    import spark.implicits._
+    val base = freshRoot()
+    val (src, br) = (s"$base/src", s"$base/br")
+    TxTable.create((1L to 40L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(2), src, Some("k"))
+    TxTable.cloneShallow(src, br)
+    val snapB = TxTable.snapshot(br)
+    // zero-copy: every branch file IS the source file (same inode)
+    snapB.files.foreach { f =>
+      assert(Files.isSameFile(java.nio.file.Paths.get(src, f),
+        java.nio.file.Paths.get(br, f)), s"$f was copied, not linked")
+    }
+    // stats/blooms/rows carried — pruning machinery works without recompute
+    assert(snapB.statsKey.contains("k") && snapB.fileStats.nonEmpty &&
+      snapB.fileBlooms.nonEmpty && snapB.fileRows.nonEmpty)
+    assert(TxTable.metaAggregate(spark, br, "k").count == 40L)
+    // divergence: branch merge, source append — neither sees the other
+    TxTable.mergeCow(spark, br,
+      Seq((1L, "BRANCHED")).toDF("k", "v"), "k")
+    TxTable.append(spark, src, Seq((100L, "srcnew")).toDF("k", "v").coalesce(1))
+    assert(rows(br).contains((1L, "BRANCHED")) && !rows(br).contains((100L, "srcnew")))
+    assert(rows(src).contains((1L, "v1")) && rows(src).contains((100L, "srcnew")))
+    // maintenance safety: rewrite ALL source content, checkpoint, expire
+    // its history — the branch's hard links keep the shared bytes alive
+    (1 to 8).foreach(i =>
+      TxTable.append(spark, src, Seq((200L + i, "x")).toDF("k", "v").coalesce(1)))
+    TxTable.compact(spark, src) // v11 > checkpoint at v10
+    TxTable.expireHistory(src, 10L)
+    assert(rows(br).contains((2L, "v2")),
+      "branch must survive source-side history expiry (hard-link refcount)")
+    // refusal: live ledgers are version-scoped to the source log
+    TxTable.deleteMor(spark, br, Seq(3L).toDF("k"), "k")
+    intercept[IllegalArgumentException] {
+      TxTable.cloneShallow(br, s"$base/br2")
+    }
+    TxTable.compact(spark, br)
+    TxTable.cloneShallow(br, s"$base/br2") // clean after compaction
+    assert(rows(s"$base/br2") == rows(br))
+  }
+
+  test("create refuses a non-numeric stats column loudly") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    val e = intercept[IllegalArgumentException] {
+      TxTable.create(Seq(("a", 1L)).toDF("url", "n"), root, Some("url"))
+    }
+    assert(e.getMessage.contains("stats column"))
+    // and the same guard covers secondary stats columns
+    val e2 = intercept[IllegalArgumentException] {
+      TxTable.create(Seq(("a", 1L)).toDF("url", "n"), root + "2",
+        Some("n"), None, Seq("url"))
+    }
+    assert(e2.getMessage.contains("stats column"))
+  }
 }

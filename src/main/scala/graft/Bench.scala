@@ -120,7 +120,11 @@ object Bench {
     "Q-mm-12",    // frame-level audio features over decoded PCM
     "Q-sql-28",   // ALTER TABLE rename/widen through the SQL surface
     "Q-str-26",   // streaming per-key admission quota (stateful rate limit)
-    "Q-llm-57"    // hard-negative mining (BM25 top-10 minus cosine top-10)
+    "Q-llm-57",   // hard-negative mining (BM25 top-10 minus cosine top-10)
+    "Q-qual-22",  // shallow clone: zero-copy branch + divergent writes
+    "Q-qual-23",  // planner-integrated data skipping (format("graft"))
+    "Q-qual-24",  // log-driven auto-broadcast join strategy
+    "Q-str-27"    // native graft->graft streaming pipeline (no foreachBatch)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

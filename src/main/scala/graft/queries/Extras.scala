@@ -700,6 +700,69 @@ object Extras {
           col("tf_total").cast("bigint").as("tf_total"))
     },
 
+    // ---- Q-qual-23: PLANNER-INTEGRATED DATA SKIPPING — the table's log
+    // stats consumed by Catalyst itself: `format("graft")` resolves the
+    // snapshot through a FileIndex, so the pushed range predicate prunes
+    // files during scan PLANNING (asserted: after OPTIMIZE range-
+    // clusters 8 files, the 1/8th-domain read lists at most half of
+    // them) while the scan body stays stock vectorized parquet with
+    // parquet-level pushdown. Zero manual pruning calls in the query —
+    // the filter alone does it, which is the property that matters at
+    // 100 TB: every existing Spark filter, join, or tool on top of the
+    // table gets file skipping for free.
+    "Q-qual-23" -> { (s, d) =>
+      import graft.operators.TxTable
+      import graft.sources.{GraftFileIndex, GraftSource}
+      val root = tempDir("graft_qual23").toString + "/t"
+      val li = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      TxTable.create(li, root, statsKey = Some("l_orderkey"))
+      TxTable.optimize(s, root, targetFiles = 8)
+      val r0 = li.agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+      val (mn, mx) = (r0.getLong(0), r0.getLong(1))
+      val bound = mn + (mx - mn) / 8
+      GraftFileIndex.resetListing(root)
+      s.read.format("graft").load(root)
+        .filter(col("l_orderkey") <= bound).count() // force one listing
+      val (total, kept) = GraftFileIndex.lastListing(root)
+        .getOrElse(throw new IllegalStateException("scan never listed files"))
+      require(total >= 8 && kept <= total / 2,
+        s"planner skipping failed: $kept/$total files for a 1/8th-domain read")
+      s.read.format("graft").load(root)
+        .filter(col("l_orderkey") <= bound)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          Portable.r(Portable.dsum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Q-qual-24: LOG-DRIVEN JOIN STRATEGY — the FileIndex reports
+    // the snapshot's size to Catalyst, so a small graft dimension under
+    // autoBroadcastJoinThreshold BROADCASTS WITHOUT A HINT (asserted on
+    // the executed plan: BroadcastHashJoin, no user-side broadcast()
+    // call anywhere). At 1000 executors this is the difference between
+    // a 100 TB fact shuffle and shipping a few MB — and it falls out of
+    // the table metadata, not per-query tuning.
+    "Q-qual-24" -> { (s, d) =>
+      import graft.operators.TxTable
+      import graft.sources.GraftSource
+      val root = tempDir("graft_qual24").toString + "/t"
+      TxTable.create(
+        Tables.supplier(s, d).select("s_suppkey", "s_nationkey").coalesce(1),
+        root, statsKey = Some("s_suppkey"))
+      val joined = Tables.lineitem(s, d).select("l_suppkey", "l_orderkey")
+        .join(GraftSource.scan(s, root),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum("l_orderkey").cast("bigint").as("key_sum"))
+        .orderBy("s_nationkey")
+      require(joined.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "log-reported size must broadcast the dimension without a hint")
+      joined
+    },
+
     // ---- Q-qual-22: SHALLOW CLONE — the experiment branch: a 100 TB
     // table branches at ZERO data cost (every live file hard-links into
     // the clone — asserted file-by-file with isSameFile; an object store
@@ -2368,6 +2431,21 @@ object Extras {
                 coalesce(min(CASE WHEN cut = 1 THEN f END), -1)::BIGINT
                   AS cut_frame
          FROM c GROUP BY doc_id ORDER BY asset_id""",
+    // same 1/8th-domain range over the raw parquet
+    "Q-qual-23" ->
+      """WITH b AS (SELECT min(l_orderkey) +
+                           (max(l_orderkey) - min(l_orderkey)) // 8 AS hi
+                    FROM lineitem)
+         SELECT l_returnflag, count(*)::BIGINT AS n,
+                floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,10)))
+                       AS DOUBLE)) * 1e2 + 0.5) / 1e2 AS sum_qty
+         FROM lineitem, b WHERE l_orderkey <= b.hi
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "Q-qual-24" ->
+      """SELECT s_nationkey, count(*)::BIGINT AS n,
+                sum(l_orderkey)::BIGINT AS key_sum
+         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         GROUP BY s_nationkey ORDER BY s_nationkey""",
     // closed-form divergence: source = the unmodified rows; branch = the
     // same rows with +500.00 on the %3 cohort
     "Q-qual-22" ->

@@ -599,6 +599,59 @@ object StreamingQueries {
     // folds all ledgers (asserted), and the final content hash-matches
     // the one-shot batch aggregate — the cost model changed, the
     // results did not.
+    // ---- Q-str-27: the NATIVE table-to-table streaming pipeline — no
+    // foreachBatch anywhere: `readStream.format("graft")` turns the
+    // source table's commit log into micro-batches (offset = log
+    // version, one version per trigger here), the windowed aggregate
+    // runs in update mode, and `writeStream.format("graft")` lands each
+    // batch as ONE epoch-tagged exactly-once upsert commit
+    // (mergeKeys=ws_sec,event_type). The drain is paced (asserted: one
+    // sink commit per source version), and a full re-drain over the
+    // same checkpoint commits NOTHING (asserted) — recovery and replay
+    // live in the two logs, not in user code. Final table hash-matches
+    // the one-shot batch aggregate.
+    "Q-str-27" -> { (s, d) =>
+      import graft.operators.TxTable
+      val tmp = tempDir("graft_str27")
+      val (src, dst) = (s"$tmp/src", s"$tmp/dst")
+      val ckpt = tempDir("graft_ckpt27").toString
+      // the source table accretes the events in 4 time-ordered epochs
+      val ev = Tables.events(s, d)
+      val wOrd = Window.orderBy(col("ts"), col("event_id"))
+      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
+      TxTable.create(chunked.filter(col("chunk") === 1).drop("chunk")
+        .coalesce(1), src, statsKey = Some("ts"))
+      (2 to 4).foreach { c =>
+        TxTable.append(s, src,
+          chunked.filter(col("chunk") === c).drop("chunk").coalesce(1))
+      }
+      def drain(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .withWatermark("ts", WM)
+          .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(wsSec("window.start"), col("event_type"), col("n"))
+          .writeStream.outputMode("update")
+          .format("graft").option("path", dst)
+          .option("mergeKeys", "ws_sec,event_type")
+          .option("statsKey", "ws_sec")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      val v = TxTable.snapshot(dst).version
+      if (v != 4L) throw new IllegalStateException(
+        s"expected schema-create + one paced commit per source version " +
+          s"(v4), sink is at v$v")
+      drain() // full replay over the same checkpoint: must no-op
+      if (TxTable.snapshot(dst).version != v) throw new IllegalStateException(
+        "a re-drain with an unchanged source committed — epoch ledger broken")
+      TxTable.read(s, dst).orderBy("ws_sec", "event_type")
+    },
+
     "Q-str-25" -> { (s, d) =>
       import graft.operators.TxTable
       val tmp = tempDir("graft_str25")
@@ -1241,6 +1294,12 @@ object StreamingQueries {
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
     // the exactly-once table drain must land exactly the batch aggregate
     "Q-str-20" ->
+      """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
+                count(*)::BIGINT AS n
+         FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    // the native source->sink pipeline must land exactly the same batch
+    // aggregate as the one-shot query over the raw events
+    "Q-str-27" ->
       """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
                 count(*)::BIGINT AS n
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",

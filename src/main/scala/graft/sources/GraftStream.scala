@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.graft.StreamingBridge
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.TxTable
+
+/** Streaming offset = TxTable log version: "everything committed up to
+  * and including version v has been emitted". Total order, exactly the
+  * table's own, replayable forever (time travel), serialized as the
+  * bare number in the checkpoint's offset log. */
+final case class GraftOffset(version: Long) extends V1Offset {
+  override def json: String = version.toString
+}
+
+object GraftOffset {
+  def of(o: V1Offset): Long = o match {
+    case GraftOffset(v) => v
+    case other => other.json.trim.toLong // SerializedOffset after recovery
+  }
+}
+
+/** `spark.readStream.format("graft").load(root)` — the table's commit
+  * log as a micro-batch stream (the Delta streaming-source semantic):
+  * each batch is the data ADDED between two log versions, read as a
+  * normal pruned parquet scan and handed to the engine with the
+  * streaming flag stamped on (see
+  * [[org.apache.spark.sql.graft.StreamingBridge]]).
+  *
+  * Semantics are APPENDS-ONLY: a commit that REMOVES files (CoW
+  * merge/delete, OPTIMIZE, compaction) is refused loudly — the stream
+  * would otherwise silently re-emit rewritten rows — unless
+  * `ignoreChanges=true`, which emits the commit's adds anyway
+  * (at-least-once for updated rows; the reader dedups downstream).
+  * Merge-on-read deletes add only a LEDGER (no data-file removal), so
+  * they pass through without re-emission — the masked rows were simply
+  * already emitted, the standard CDC-vs-append tradeoff.
+  *
+  * `maxVersionsPerTrigger` bounds how many log versions one micro-batch
+  * folds (backlog chunking after a long stop — the file-source
+  * `maxFilesPerTrigger` idea on the log's axis).
+  *
+  * First batch = the FULL snapshot at the then-current version (initial
+  * load), after which batches are incremental.
+  */
+final class GraftStreamSource(
+    spark: SparkSession,
+    root: String,
+    override val schema: StructType,
+    ignoreChanges: Boolean,
+    maxVersionsPerTrigger: Option[Long])
+    extends Source with SupportsTriggerAvailableNow {
+
+  // highest version already HANDED TO the engine in a planned batch —
+  // getOffset paces against it so a backlog drains in bounded steps.
+  // Recovery is engine-driven: after a restart the first getBatch call
+  // carries the checkpointed offsets and re-syncs this (the first
+  // post-restart batch is therefore unpaced — the V1 API surfaces no
+  // recovered offset before getBatch).
+  @volatile private var planned: Long = -1L
+  // Trigger.AvailableNow contract: freeze the drain target at start so
+  // the engine stops at a fixed point even while writers keep
+  // committing; batches still pace by maxVersionsPerTrigger.
+  @volatile private var frozenHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenHead = Some(TxTable.snapshot(root).version)
+
+  // SupportsAdmissionControl member (the V2 face of the same pacing);
+  // the V1 micro-batch path drives this source through getOffset, so
+  // delegate for interface completeness.
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getOffset: Option[V1Offset] = {
+    val head = frozenHead.getOrElse(TxTable.snapshot(root).version)
+    if (head < 0) None
+    else {
+      val capped = maxVersionsPerTrigger match {
+        case Some(m) => math.min(head, math.max(planned, -1L) + m)
+        case None => head
+      }
+      Some(GraftOffset(math.max(capped, planned)))
+    }
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val endV = GraftOffset.of(end)
+    planned = math.max(planned, endV)
+    val endSnap = TxTable.snapshot(root, endV)
+    val files: Seq[String] = start match {
+      case None => endSnap.files // initial load: the whole snapshot
+      case Some(s) =>
+        val startV = GraftOffset.of(s)
+        val startSnap = TxTable.snapshot(root, startV)
+        val removed = startSnap.files.toSet -- endSnap.files.toSet
+        if (removed.nonEmpty && !ignoreChanges)
+          throw new IllegalStateException(
+            s"graft stream over $root hit a commit in (v$startV, v$endV] " +
+              s"that rewrites ${removed.size} existing file(s) " +
+              "(merge/delete/optimize/compact). An appends-only stream " +
+              "cannot represent it; set ignoreChanges=true to emit the " +
+              "commit's additions anyway (at-least-once for rewritten rows).")
+        endSnap.files.filterNot(startSnap.files.toSet)
+    }
+    val batch =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(files.map(f => s"$root/$f"): _*)
+    StreamingBridge.asStreaming(batch)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftStreamSource[$root]"
+}
+
+/** `writeStream.format("graft")` — the exactly-once table sink as a
+  * first-class Spark sink: every micro-batch lands as ONE epoch-tagged
+  * transactional commit (`app=graftsink/epoch=<batchId>`), so a batch
+  * replayed after a crash-restart is detected in the tag ledger and
+  * no-ops — the reference's transactional-id semantic
+  * (WeatherProcessingJob.java:97) with the table log as the 2PC ledger.
+  *
+  * `mergeKeys=k1,k2` upserts each batch on those keys (update-mode
+  * windowed aggregates); absent, batches append. `statsKey=k` seeds the
+  * auto-created table's pruning stats. */
+final class GraftStreamSink(
+    spark: SparkSession,
+    root: String,
+    mergeKeys: Seq[String],
+    statsKey: Option[String]) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val df = StreamingBridge.asBatch(data)
+    if (TxTable.snapshot(root).version < 0)
+      TxTable.create(df.limit(0), root, statsKey) // schema-only v0
+    // the engine emits NO-DATA batches (watermark advancement in update
+    // mode); an empty append/upsert changes nothing — skip the commit
+    // rather than churn the log with empty versions (the limit-1 probe
+    // is the cost; consistent under replay: empty then, empty now)
+    if (df.isEmpty) return
+    val tag = Some(s"graftsink/epoch=$batchId")
+    if (mergeKeys.nonEmpty)
+      TxTable.mergeCow(spark, root, df, mergeKeys.head, tag, mergeKeys)
+    else TxTable.append(spark, root, df, tag)
+  }
+  override def toString: String = s"GraftStreamSink[$root]"
+}

@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.EngineSession
+import graft.operators.TxTable
+import graft.sources.GraftSource
+
+/** The table log as a native streaming endpoint: `readStream.format
+  * ("graft")` emits each commit's additions as micro-batches (offsets =
+  * log versions), `writeStream.format("graft")` lands each batch as one
+  * epoch-tagged exactly-once commit. */
+class GraftStreamSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft_stream").toString
+
+  private def drain(src: String, dst: String, ckpt: String,
+                    options: Map[String, String] = Map.empty): Unit = {
+    var reader = spark.readStream.format("graft")
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(src)
+      .writeStream.format("graft")
+      .option("path", dst)
+      .option("statsKey", "k")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("graft-to-graft drain: every commit's adds flow through, incrementally") {
+    import spark.implicits._
+    val dir = fresh()
+    val (src, dst, ckpt) = (s"$dir/src", s"$dir/dst", s"$dir/ckpt")
+    TxTable.create(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      src, statsKey = Some("k"))
+    (1 to 3).foreach { e =>
+      TxTable.append(spark, src,
+        (e * 100L until e * 100L + 100L).map(k => (k, s"v$k"))
+          .toDF("k", "v").coalesce(1))
+    }
+    drain(src, dst, ckpt, Map("maxVersionsPerTrigger" -> "1"))
+    val got = TxTable.read(spark, dst).as[(Long, String)].collect().toSet
+    val want = TxTable.read(spark, src).as[(Long, String)].collect().toSet
+    assert(got == want && got.size == 400)
+    // maxVersionsPerTrigger=1 chunks the backlog: initial snapshot batch
+    // + one batch per remaining version, each one sink commit (+1 for
+    // the sink's schema-only create at v0)
+    val sinkV = TxTable.snapshot(dst).version
+    assert(sinkV >= 3, s"backlog should drain in paced batches, sink at v$sinkV")
+
+    // an idempotent re-drain: nothing new at the source, no new commits
+    drain(src, dst, ckpt)
+    assert(TxTable.snapshot(dst).version == sinkV,
+      "re-drain with an unchanged source must commit nothing")
+
+    // incremental: one more source epoch -> exactly its rows flow
+    TxTable.append(spark, src,
+      (400L until 450L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1))
+    drain(src, dst, ckpt)
+    assert(TxTable.read(spark, dst).count() == 450L)
+    assert(TxTable.snapshot(dst).version == sinkV + 1,
+      "the incremental epoch should land as exactly one sink commit")
+  }
+
+  test("a file-rewriting commit refuses; ignoreChanges emits its adds") {
+    import spark.implicits._
+    val dir = fresh()
+    val (src, dst, ckpt) = (s"$dir/src", s"$dir/dst", s"$dir/ckpt")
+    TxTable.create(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      src, statsKey = Some("k"))
+    drain(src, dst, ckpt) // initial load
+    TxTable.mergeCow(spark, src,
+      Seq((7L, "V7"), (200L, "v200")).toDF("k", "v"), "k")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(src, dst, ckpt)
+    }
+    assert(e.getCause.getMessage.contains("appends-only"),
+      s"expected the appends-only refusal, got: ${e.getCause.getMessage}")
+    // ignoreChanges: the merge's rewritten file flows (at-least-once) —
+    // the sink's mergeKeys turns that replay back into exactly-once rows
+    val q = spark.readStream.format("graft")
+      .option("ignoreChanges", "true").load(src)
+      .writeStream.format("graft")
+      .option("path", dst).option("mergeKeys", "k")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = TxTable.read(spark, dst).as[(Long, String)].collect().toSet
+    assert(got.size == 101 && got.contains((7L, "V7")) && got.contains((200L, "v200")))
+  }
+
+  test("MoR deletes pass the appends-only stream (ledger adds no files)") {
+    import spark.implicits._
+    val dir = fresh()
+    val (src, dst, ckpt) = (s"$dir/src", s"$dir/dst", s"$dir/ckpt")
+    TxTable.create(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      src, statsKey = Some("k"))
+    drain(src, dst, ckpt)
+    TxTable.deleteMor(spark, src, Seq(7L).toDF("k"), "k")
+    TxTable.append(spark, src, Seq((500L, "v500")).toDF("k", "v").coalesce(1))
+    drain(src, dst, ckpt) // no refusal: the ledger removed no files
+    // the stream is append-history: already-emitted k=7 stays in the
+    // sink (the documented tradeoff); the new append flowed
+    assert(TxTable.read(spark, dst).count() == 101L)
+    assert(GraftSource.read(spark, src).count() == 100L)
+  }
+}

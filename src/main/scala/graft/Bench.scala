@@ -124,7 +124,9 @@ object Bench {
     "Q-qual-22",  // shallow clone: zero-copy branch + divergent writes
     "Q-qual-23",  // planner-integrated data skipping (format("graft"))
     "Q-qual-24",  // log-driven auto-broadcast join strategy
-    "Q-str-27"    // native graft->graft streaming pipeline (no foreachBatch)
+    "Q-str-27",   // native graft->graft streaming pipeline (no foreachBatch)
+    "Q-qual-25",  // metadata aggregate as an injected Catalyst rule
+    "Q-str-28"    // native CDC replication (readChangeFeed stream)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -21,6 +21,9 @@ import graft.functions.{CosineSim, L2Distance, MinHashSig}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // aggregate pushdown to table metadata: global count/min/max over a
+    // clean graft relation folds from the commit log (zero files opened)
+    ext.injectOptimizerRule(_ => graft.plans.MetadataAggregateRule)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, null, "cosine_sim"),

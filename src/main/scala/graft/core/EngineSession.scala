@@ -25,6 +25,11 @@ object EngineSession {
       .builder()
       .appName(appName)
       .master(s"local[$cpus]")
+      // the library's install hook: native expressions (cosine_sim,
+      // l2_distance, minhash_sig) + the metadata-aggregate optimizer
+      // rule ride every session this factory builds — the same config a
+      // cluster deployment sets via spark.sql.extensions
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -700,6 +700,37 @@ object Extras {
           col("tf_total").cast("bigint").as("tf_total"))
     },
 
+    // ---- Q-qual-25: METADATA AGGREGATE AS A CATALYST RULE — where
+    // Q-qual-19 answered count/min/max through an explicit API
+    // (metaAggregate), this is the same fold OWNED BY THE OPTIMIZER: a
+    // plain `SELECT count(*), min(k), max(k)` over the format scan hits
+    // the injected rule, the plan collapses to a LocalRelation (asserted:
+    // LocalTableScan, zero FileScans), and the values come from the
+    // commit log's footer counts + exact integral stats. Any user, any
+    // tool, any SQL text gets the optimization — nobody has to know the
+    // engine's API. Hash-matched against the raw-parquet oracle.
+    "Q-qual-25" -> { (s, d) =>
+      import graft.operators.TxTable
+      import graft.sources.GraftSource
+      val root = tempDir("graft_qual25").toString + "/t"
+      TxTable.create(Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey"), root, Some("o_orderkey"),
+        None, Seq("o_custkey"))
+      TxTable.append(s, root, Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey")
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+      val q = GraftSource.scan(s, root).agg(
+        count(lit(1)).cast("bigint").as("n"),
+        min("o_orderkey").cast("bigint").as("min_key"),
+        max("o_orderkey").cast("bigint").as("max_key"),
+        min("o_custkey").cast("bigint").as("min_cust"),
+        max("o_custkey").cast("bigint").as("max_cust"))
+      val plan = q.queryExecution.executedPlan.toString
+      require(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+        s"metadata aggregate must open zero files:\n$plan")
+      q
+    },
+
     // ---- Q-qual-23: PLANNER-INTEGRATED DATA SKIPPING — the table's log
     // stats consumed by Catalyst itself: `format("graft")` resolves the
     // snapshot through a FileIndex, so the pushed range predicate prunes
@@ -2431,6 +2462,18 @@ object Extras {
                 coalesce(min(CASE WHEN cut = 1 THEN f END), -1)::BIGINT
                   AS cut_frame
          FROM c GROUP BY doc_id ORDER BY asset_id""",
+    // the doubled-key union's closed form over the raw parquet
+    "Q-qual-25" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_custkey FROM orders
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey FROM orders)
+         SELECT count(*)::BIGINT AS n,
+                min(o_orderkey)::BIGINT AS min_key,
+                max(o_orderkey)::BIGINT AS max_key,
+                min(o_custkey)::BIGINT AS min_cust,
+                max(o_custkey)::BIGINT AS max_cust
+         FROM t""",
     // same 1/8th-domain range over the raw parquet
     "Q-qual-23" ->
       """WITH b AS (SELECT min(l_orderkey) +

@@ -652,6 +652,87 @@ object StreamingQueries {
       TxTable.read(s, dst).orderBy("ws_sec", "event_type")
     },
 
+    // ---- Q-str-28: NATIVE CDC REPLICATION — readStream.format("graft")
+    // with readChangeFeed=true turns the source table's log into a
+    // stream of (key, change, pre, post) rows: where Q-str-21 called
+    // changeFeed() by hand per epoch, here the ENGINE owns offsets,
+    // pacing (one version per trigger), and recovery. The source takes
+    // an append, a CoW update-merge, a MoR ledger delete, AND a CoW
+    // delete — every mutation class — and a downstream replica applies
+    // each batch (delete post-NULL keys, upsert the rest) with
+    // epoch-tagged commits. Replica must equal the source EXACTLY
+    // (asserted row-for-row in-query), and the re-drain no-ops. Per
+    // batch, the feed costs O(files touched by that version), never the
+    // table — how a 100 TB replica follows a primary.
+    "Q-str-28" -> { (s, d) =>
+      import graft.operators.TxTable
+      val tmp = tempDir("graft_str28")
+      val (src, dst) = (s"$tmp/src", s"$tmp/dst")
+      val ckpt = tempDir("graft_ckpt28").toString
+      val t = Tables.orders(s, d).filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      // v0 create (evens) .. v1 append (odds) .. v2 merge (+50000 on %3)
+      // .. v3 MoR delete (%7) .. v4 CoW delete (%11)
+      TxTable.create(t.filter(col("o_orderkey") % 2 === 0).coalesce(2),
+        src, statsKey = Some("o_orderkey"))
+      TxTable.append(s, src, t.filter(col("o_orderkey") % 2 === 1).coalesce(2))
+      TxTable.mergeCow(s, src,
+        t.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("cents", col("cents") + 50000L), "o_orderkey")
+      TxTable.deleteMor(s, src,
+        t.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+        "o_orderkey")
+      TxTable.deleteCow(s, src,
+        TxTable.read(s, src).filter(col("o_orderkey") % 11 === 0)
+          .select("o_orderkey"), "o_orderkey")
+      TxTable.create(t.limit(0).coalesce(1), dst,
+        statsKey = Some("o_orderkey"))
+      val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+      def drain(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("changeKeys", "o_orderkey")
+          .option("maxVersionsPerTrigger", "1")
+          .load(src)
+          .writeStream
+          .foreachBatch {
+            (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             epoch: Long) =>
+              batches.incrementAndGet()
+              val c = df.toDF().localCheckpoint()
+              val dels = c.filter(col("post").isNull).select("o_orderkey")
+              if (!dels.isEmpty)
+                TxTable.deleteMor(s, dst, dels, "o_orderkey",
+                  Some(s"str28d/epoch=$epoch"))
+              val ups = c.filter(col("post").isNotNull)
+                .select(col("o_orderkey"), col("post.cents").as("cents"))
+              if (!ups.isEmpty)
+                TxTable.mergeCow(s, dst, ups, "o_orderkey",
+                  Some(s"str28u/epoch=$epoch"))
+              ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain()
+      if (batches.get() < 5) throw new IllegalStateException(
+        s"expected one paced batch per source version (5), saw ${batches.get()}")
+      val vAfter = TxTable.snapshot(dst).version
+      drain() // unchanged source: the replica log must not move
+      if (TxTable.snapshot(dst).version != vAfter)
+        throw new IllegalStateException("re-drain committed to the replica")
+      // the replica IS the source, row for row
+      val srcNow = TxTable.read(s, src)
+      val dstNow = TxTable.read(s, dst)
+      if (!srcNow.unionAll(dstNow).groupBy("o_orderkey", "cents")
+          .agg(count(lit(1)).as("c")).filter(col("c") =!= 2).isEmpty)
+        throw new IllegalStateException("replica diverged from source")
+      dstNow.orderBy("o_orderkey")
+    },
+
     "Q-str-25" -> { (s, d) =>
       import graft.operators.TxTable
       val tmp = tempDir("graft_str25")
@@ -1297,6 +1378,16 @@ object StreamingQueries {
       """SELECT (floor(epoch(ts) / 10) * 10)::BIGINT AS ws_sec, event_type,
                 count(*)::BIGINT AS n
          FROM events GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
+    // the CDC-replicated table must land the closed-form final state:
+    // +500.00 on the %3 cohort, %7 and %11 cohorts deleted
+    "Q-str-28" ->
+      """SELECT o_orderkey,
+                (floor(o_totalprice * 100 + 0.5)::BIGINT +
+                 CASE WHEN o_orderkey % 3 = 0 THEN 50000 ELSE 0 END) AS cents
+         FROM orders
+         WHERE o_orderkey <= 6000 AND o_orderkey % 7 <> 0
+           AND o_orderkey % 11 <> 0
+         ORDER BY o_orderkey""",
     // the native source->sink pipeline must land exactly the same batch
     // aggregate as the one-shot query over the raw events
     "Q-str-27" ->

@@ -51,13 +51,27 @@ final class GraftDataSource extends RelationProvider
   }
 
   // ------------------------------------------------ streaming source
+  private def cdcOf(parameters: Map[String, String]): Boolean =
+    opt(parameters, "readChangeFeed").exists(_.toBoolean)
+
+  private def cdcKeysOf(parameters: Map[String, String]): Seq[String] =
+    opt(parameters, "changeKeys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      GraftSource.tableSchema(sqlContext.sparkSession, pathOf(parameters))))
+      parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val root = pathOf(parameters)
+    val s =
+      if (cdcOf(parameters))
+        new GraftChangeFeedSource(spark, root, cdcKeysOf(parameters),
+          GraftSource.tableSchema(spark, root), None).schema
+      else schema.getOrElse(GraftSource.tableSchema(spark, root))
+    (shortName(), s)
+  }
 
   override def createSource(
       sqlContext: SQLContext,
@@ -67,10 +81,14 @@ final class GraftDataSource extends RelationProvider
       parameters: Map[String, String]): Source = {
     val spark = sqlContext.sparkSession
     val root = pathOf(parameters)
-    new GraftStreamSource(spark, root,
+    val maxV = opt(parameters, "maxVersionsPerTrigger").map(_.toLong)
+    if (cdcOf(parameters))
+      new GraftChangeFeedSource(spark, root, cdcKeysOf(parameters),
+        GraftSource.tableSchema(spark, root), maxV)
+    else new GraftStreamSource(spark, root,
       schema.getOrElse(GraftSource.tableSchema(spark, root)),
       ignoreChanges = opt(parameters, "ignoreChanges").exists(_.toBoolean),
-      maxVersionsPerTrigger = opt(parameters, "maxVersionsPerTrigger").map(_.toLong))
+      maxVersionsPerTrigger = maxV)
   }
 
   // -------------------------------------------------- streaming sink

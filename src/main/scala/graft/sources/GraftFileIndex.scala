@@ -99,6 +99,33 @@ final class GraftFileIndex(
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
   override def partitionSchema: StructType = StructType(Nil)
   def schema: StructType = dataSchema
+
+  /** The snapshot's total row count, from the log's per-file parquet-
+    * footer counts — None unless EVERY live file has one recorded
+    * (pre-row-count commits read -1). Zero data I/O. */
+  def rowCountFromLog: Option[Long] = {
+    val counts = snap.files.map(f => snap.fileRows.getOrElse(f, -1L))
+    if (counts.isEmpty || counts.exists(_ < 0)) None else Some(counts.sum)
+  }
+
+  /** The folded [min,max] of a stats column across all live files —
+    * None unless every file carries an entry for it. The long axis is
+    * EXACT only for integral/date columns (the caller checks the type);
+    * the empty fold (MaxValue, MinValue) means every row is NULL. */
+  def statsRangeFromLog(col: String): Option[(Long, Long)] = {
+    val perFile = snap.files.map { f =>
+      snap.statsKey match {
+        case Some(k) if k == col => snap.fileStats.get(f)
+        case _ =>
+          val j = snap.statsCols.indexOf(col)
+          if (j < 0) None else snap.fileStatsN.get(f).flatMap(_.lift(j))
+      }
+    }
+    if (perFile.isEmpty || perFile.exists(_.isEmpty)) None
+    else Some(perFile.flatten.reduce { (a, b) =>
+      (math.min(a._1, b._1), math.max(a._2, b._2))
+    })
+  }
 }
 
 object GraftFileIndex {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
 import org.apache.spark.sql.graft.StreamingBridge
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 import graft.operators.TxTable
 
@@ -121,6 +121,93 @@ final class GraftStreamSource(
   override def commit(end: V1Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"GraftStreamSource[$root]"
+}
+
+/** `readStream.format("graft")` with `readChangeFeed=true` — the CDC
+  * face of the same log-version offset axis: each micro-batch is
+  * [[TxTable.changeFeed]] between two versions, keyed by `changeKeys`,
+  * emitting `(keys..., change insert|update|delete, pre, post)` rows.
+  * Where the appends-only source REFUSES rewriting commits, the CDC
+  * source REPRESENTS them — updates carry both images, deletes
+  * (copy-on-write AND merge-on-read ledgers) surface as rows, so a
+  * downstream table can stay exactly consistent, not just
+  * append-consistent. The initial batch renders the starting snapshot
+  * as `insert` rows (pre = NULL), after which batches are log diffs.
+  * Per-batch cost ∝ files touched in the version range, never the
+  * table. */
+final class GraftChangeFeedSource(
+    spark: SparkSession,
+    root: String,
+    keys: Seq[String],
+    tableSchema: StructType,
+    maxVersionsPerTrigger: Option[Long])
+    extends Source with SupportsTriggerAvailableNow {
+
+  require(keys.nonEmpty, "readChangeFeed needs changeKeys=<k1[,k2...]>")
+  keys.foreach(k => require(tableSchema.fieldNames.contains(k),
+    s"changeKeys column '$k' is not in the table schema " +
+      tableSchema.fieldNames.mkString("(", ", ", ")")))
+
+  private val valueStruct = StructType(
+    tableSchema.filterNot(f => keys.contains(f.name)))
+
+  override val schema: StructType = StructType(
+    keys.map(k => tableSchema(k)) ++ Seq(
+      StructField("change", org.apache.spark.sql.types.StringType),
+      StructField("pre", valueStruct, nullable = true),
+      StructField("post", valueStruct, nullable = true)))
+
+  @volatile private var planned: Long = -1L
+  @volatile private var frozenHead: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenHead = Some(TxTable.snapshot(root).version)
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getOffset: Option[V1Offset] = {
+    val head = frozenHead.getOrElse(TxTable.snapshot(root).version)
+    if (head < 0) None
+    else {
+      val capped = maxVersionsPerTrigger match {
+        case Some(m) => math.min(head, math.max(planned, -1L) + m)
+        case None => head
+      }
+      Some(GraftOffset(math.max(capped, planned)))
+    }
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val endV = GraftOffset.of(end)
+    planned = math.max(planned, endV)
+    val ordered: Seq[org.apache.spark.sql.Column] =
+      keys.map(col) ++ Seq(col("change"), col("pre"), col("post"))
+    val batch = start match {
+      case None => // initial snapshot as insert rows
+        GraftSource.read(spark, root, endV).select(
+          keys.map(col) ++ Seq(
+            lit("insert").as("change"),
+            lit(null).cast(valueStruct).as("pre"),
+            struct(valueStruct.fieldNames.map(col).toSeq: _*).as("post")): _*)
+      case Some(s) =>
+        val startV = GraftOffset.of(s)
+        if (startV == endV)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else TxTable.changeFeed(spark, root, startV, endV, keys)
+          .select(ordered: _*)
+    }
+    StreamingBridge.asStreaming(batch)
+  }
+
+  override def commit(end: V1Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftChangeFeedSource[$root]"
 }
 
 /** `writeStream.format("graft")` — the exactly-once table sink as a

@@ -101,6 +101,51 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(got.size == 101 && got.contains((7L, "V7")) && got.contains((200L, "v200")))
   }
 
+  test("CDC stream: updates and deletes surface as change rows") {
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val dir = fresh()
+    val (src, ckpt) = (s"$dir/src", s"$dir/ckpt")
+    TxTable.create(
+      (0L until 100L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1),
+      src, statsKey = Some("k"))
+    val seen = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(Long, String, Option[String], Option[String])]()
+    def drainCdc(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").option("changeKeys", "k")
+        .load(src)
+        .writeStream
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            df.collect().foreach { r =>
+              seen.add((r.getLong(0), r.getString(1),
+                if (r.isNullAt(2)) None else Some(r.getStruct(2).getString(0)),
+                if (r.isNullAt(3)) None else Some(r.getStruct(3).getString(0))))
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainCdc() // initial snapshot: 100 inserts, pre = NULL
+    assert(seen.size == 100 && seen.asScala.forall(c =>
+      c._2 == "insert" && c._3.isEmpty && c._4.isDefined))
+    seen.clear()
+    TxTable.mergeCow(spark, src,
+      Seq((7L, "V7"), (200L, "v200")).toDF("k", "v"), "k")
+    TxTable.deleteMor(spark, src, Seq(9L).toDF("k"), "k")
+    drainCdc() // incremental: exactly the three changes, nothing re-emitted
+    val byKey = seen.asScala.groupBy(_._1)
+    assert(seen.size == 3, s"expected 3 change rows, got $seen")
+    assert(byKey(7L).head == ((7L, "update", Some("v7"), Some("V7"))))
+    assert(byKey(200L).head == ((200L, "insert", None, Some("v200"))))
+    assert(byKey(9L).head == ((9L, "delete", Some("v9"), None)))
+  }
+
   test("MoR deletes pass the appends-only stream (ledger adds no files)") {
     import spark.implicits._
     val dir = fresh()

@@ -187,7 +187,12 @@ final class TableSql(spark: SparkSession) {
   }
 
   /** Replace each registered-table reference (with optional `VERSION AS
-    * OF n`) by a snapshot temp view pinned to that version. */
+    * OF n`) by a snapshot temp view pinned to that version. The view
+    * takes the PLANNER-INTEGRATED relation whenever the snapshot is
+    * eligible ([[graft.sources.GraftSource.read]]), so a Table-SQL
+    * SELECT's predicates prune files from the log and the metadata-
+    * aggregate rule can fold count/min/max — falling back to the exact
+    * merge-on-read resolution otherwise, same rows either way. */
   private def rewriteSelect(sel: String): String = {
     if (tables.isEmpty) return sel
     val names = tables.keys.map(java.util.regex.Pattern.quote).mkString("|")
@@ -198,7 +203,8 @@ final class TableSql(spark: SparkSession) {
       val ver = Option(m.group(3)).map(_.toLong).getOrElse(Long.MaxValue)
       val view = s"graft_sql_${name}_" +
         (if (ver == Long.MaxValue) "head" else s"v$ver")
-      TxTable.read(spark, rootOf(name), ver).createOrReplaceTempView(view)
+      graft.sources.GraftSource.read(spark, rootOf(name), ver)
+        .createOrReplaceTempView(view)
       view
     })
   }

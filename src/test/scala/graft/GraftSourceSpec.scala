@@ -129,6 +129,30 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(post.count() == 399L)
   }
 
+  test("z-order OPTIMIZE composes: the format scan prunes on both dimensions") {
+    import spark.implicits._
+    val root = freshRoot()
+    // 4 epochs each spanning BOTH domains: no single-key layout helps
+    val rows = (0L until 4096L).map(i => (i % 64, (i * 37L) % 64, i))
+    TxTable.create(rows.take(1024).toDF("x", "y", "p").coalesce(1), root,
+      Some("x"), None, Seq("y"))
+    (1 to 3).foreach(e => TxTable.append(spark, root,
+      rows.slice(e * 1024, e * 1024 + 1024).toDF("x", "y", "p").coalesce(1)))
+    TxTable.optimizeZ(spark, root, "x", "y", targetFiles = 16)
+    def prunes(c: String): Unit = {
+      GraftFileIndex.resetListing(root)
+      val n = GraftSource.scan(spark, root)
+        .filter(col(c) >= 0L && col(c) < 16L).count()
+      assert(n == 1024L, s"quarter-domain read on $c lost rows: $n")
+      val (total, kept) = GraftFileIndex.lastListing(root).get
+      assert(total >= 8 && kept <= total / 2,
+        s"z-order + log stats should prune a quarter-domain $c read: " +
+          s"listed $kept/$total")
+    }
+    prunes("x")
+    prunes("y")
+  }
+
   test("log-backed sizeInBytes auto-broadcasts a small graft table") {
     import spark.implicits._
     val root = freshRoot()

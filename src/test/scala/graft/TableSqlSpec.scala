@@ -166,6 +166,29 @@ class TableSqlSpec extends AnyFunSuite {
     assert(q.exec("SELECT count(*) FROM orig").as[Long].head() == 100L)
   }
 
+  test("SELECT predicates prune files from the log through the SQL surface") {
+    import spark.implicits._
+    import graft.sources.GraftFileIndex
+    seedView()
+    val (q, dir) = fresh()
+    val root = s"$dir/pr"
+    q.exec(s"CREATE TABLE pr LOCATION '$root' STATS KEY k AS " +
+      "SELECT * FROM tsql_src")
+    q.exec("OPTIMIZE pr INTO 4 FILES")
+    GraftFileIndex.resetListing(root)
+    assert(q.exec("SELECT count(*) AS n FROM pr WHERE k > 90")
+      .as[Long].head() == 10L)
+    val (total, kept) = GraftFileIndex.lastListing(root).get
+    assert(total == 4 && kept <= 2,
+      s"SQL predicate should prune from the log: listed $kept/$total")
+    // and the metadata-aggregate rule reaches SQL text too
+    val agg = q.exec("SELECT count(*) AS n, min(k) AS mn, max(k) AS mx FROM pr")
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("FileScan"),
+      s"SQL count/min/max should fold from the log:\n$plan")
+    assert(agg.as[(Long, Long, Long)].head() == ((100L, 1L, 100L)))
+  }
+
   test("errors are loud: unknown table, bad syntax, delete without stats key") {
     import spark.implicits._
     seedView()

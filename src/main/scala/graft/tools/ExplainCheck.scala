@@ -252,6 +252,19 @@ object ExplainCheck {
     // the mining anti-join must not introduce a cartesian
     check("Q-llm-57", "retriever envelopes intact; no cartesian product",
       p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // planner-integrated skipping: the format("graft") read keeps full
+    // parquet pushdown under the custom FileIndex (file skipping happens
+    // in listFiles; the scan itself must stay a stock pushed-filter scan)
+    check("Q-qual-23", "format scan keeps PushedFilters under GraftFileIndex",
+      _.contains("PushedFilters: ["))
+    // log-driven join strategy: the dimension broadcasts from the
+    // FileIndex-reported size alone — no hint anywhere in the query
+    check("Q-qual-24", "graft dim auto-broadcasts from log size",
+      _.contains("BroadcastHashJoin"))
+    // metadata-aggregate rule: the count/min/max plan must be a
+    // LocalTableScan — zero FileScans, zero exchanges
+    check("Q-qual-25", "count/min/max folds to LocalTableScan (no FileScan)",
+      p => p.contains("LocalTableScan") && !p.contains("FileScan"))
     s.stop()
   }
 }

@@ -153,6 +153,22 @@ class GraftSourceSpec extends AnyFunSuite {
     prunes("y")
   }
 
+  test("pending schema evolutions refuse the fixed relation; read falls back") {
+    import spark.implicits._
+    val root = freshRoot()
+    seed(root)
+    TxTable.renameColumn(spark, root, "v", "val")
+    val e = intercept[IllegalArgumentException] {
+      GraftSource.scan(spark, root)
+    }
+    assert(e.getMessage.contains("evolutions pending"))
+    val got = GraftSource.read(spark, root)
+    assert(got.columns.toSeq == Seq("k", "val") && got.count() == 400L)
+    // compaction rewrites into the current schema; the fast path returns
+    TxTable.compact(spark, root)
+    assert(GraftSource.scan(spark, root).columns.toSeq == Seq("k", "val"))
+  }
+
   test("log-backed sizeInBytes auto-broadcasts a small graft table") {
     import spark.implicits._
     val root = freshRoot()

@@ -126,7 +126,8 @@ object Bench {
     "Q-qual-24",  // log-driven auto-broadcast join strategy
     "Q-str-27",   // native graft->graft streaming pipeline (no foreachBatch)
     "Q-qual-25",  // metadata aggregate as an injected Catalyst rule
-    "Q-str-28"    // native CDC replication (readChangeFeed stream)
+    "Q-str-28",   // native CDC replication (readChangeFeed stream)
+    "Q-qual-26"   // TIMESTAMP AS OF travel (binary-search log resolution)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -69,7 +69,8 @@ object TxTable {
       addStatsN: Seq[Seq[(Long, Long)]] = Seq.empty,
       addBloomsN: Seq[Seq[String]] = Seq.empty,
       evos: Seq[String] = Seq.empty,
-      addRows: Seq[Long] = Seq.empty)
+      addRows: Seq[Long] = Seq.empty,
+      ts: Long = 0L)
 
   /** A live MERGE-ON-READ delete ledger: a tiny parquet file of doomed
     * keys (its single column names the key column) that reads subtract
@@ -163,7 +164,10 @@ object TxTable {
     val ar =
       if (c.addRows.isEmpty) ""
       else s""","arows":${c.addRows.mkString("[", ",", "]")}"""
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da$sc$stN$blN$ev$ar}"""
+    // commit wall-clock (epoch millis, publish-monotonic) — what
+    // TIMESTAMP AS OF resolves against; 0 = pre-timestamp commit
+    val cts = if (c.ts > 0) s""","ts":${c.ts}""" else ""
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da$sc$stN$blN$ev$ar$cts}"""
   }
 
   // minimal JSON field readers for the exact shapes render() writes
@@ -216,7 +220,9 @@ object TxTable {
       arrField(json, "statscols"),
       statsN, bloomsN,
       arrField(json, "evops"),
-      numArrField(json, "arows"))
+      numArrField(json, "arows"),
+      "\"ts\":(\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong).getOrElse(0L))
   }
 
   /** Every `checkpointInterval` commits the winner consolidates the live
@@ -796,11 +802,11 @@ object TxTable {
   }
 
   /** Retained commit history, oldest first: (version, op, n_adds,
-    * n_removes, n_ledger_adds, tag). Versions archived by
+    * n_removes, n_ledger_adds, tag, ts). Versions archived by
     * [[expireHistory]] are absent — the listing is what time travel can
     * still reach. Cost: one small JSON read per retained commit (the
     * log is metadata, never data). */
-  def history(root: String): Seq[(Long, String, Int, Int, Int, Option[String])] = {
+  def history(root: String): Seq[(Long, String, Int, Int, Int, Option[String], Long)] = {
     val head = snapshot(root).version
     require(head >= 0, s"not a TxTable (no committed log): $root")
     (0L to head).flatMap { v =>
@@ -808,10 +814,58 @@ object TxTable {
       if (!Files.exists(p)) None
       else {
         val c = parse(Files.readString(p))
-        Some((v, c.op, c.adds.size, c.removes.size, c.dadds.size, c.tag))
+        Some((v, c.op, c.adds.size, c.removes.size, c.dadds.size, c.tag, c.ts))
       }
     }
   }
+
+  /** The wall-clock stamp of a retained commit (None if archived or
+    * pre-timestamp). */
+  def commitTs(root: String, v: Long): Option[Long] = {
+    val p = commitPath(root, v)
+    if (!Files.exists(p)) None
+    else Some(parse(Files.readString(p)).ts)
+  }
+
+  /** The newest version whose commit landed at or before `tsMillis` —
+    * `TIMESTAMP AS OF` resolution. Commit stamps are strictly
+    * increasing by [[tryPublish]]'s construction, so this is a binary
+    * search over the retained (possibly expire-gapped) version list:
+    * O(log history) small log reads, zero data I/O. A timestamp older
+    * than the oldest retained commit is an error, not a clamp — the
+    * snapshot it names was archived (or never existed), and silently
+    * returning a LATER state would hand the reader data the asked-for
+    * moment could not see. */
+  def versionAsOfTimestamp(root: String, tsMillis: Long): Long = {
+    val head = snapshot(root).version
+    require(head >= 0, s"not a TxTable (no committed log): $root")
+    import scala.jdk.CollectionConverters._
+    val listing = Files.list(logDir(root))
+    val versions =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith(".json") && !n.endsWith(".ckpt.json"))
+        .map(_.stripSuffix(".json").toLong)
+        .filter(_ <= head).toIndexedSeq.sorted
+      finally listing.close()
+    require(versions.nonEmpty, s"no retained commits at $root")
+    def tsAt(i: Int): Long = commitTs(root, versions(i)).getOrElse(0L)
+    require(tsAt(0) <= tsMillis,
+      s"timestamp $tsMillis predates the oldest retained commit of $root " +
+        s"(v${versions.head} at ${tsAt(0)}) — that history was expired")
+    // invariant: tsAt(lo) <= tsMillis; answer is the last such index
+    var lo = 0; var hi = versions.length - 1
+    while (lo < hi) {
+      val mid = (lo + hi + 1) >>> 1
+      if (tsAt(mid) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    versions(lo)
+  }
+
+  /** Snapshot read pinned to a wall-clock moment (`TIMESTAMP AS OF`). */
+  def readAsOfTimestamp(spark: SparkSession, root: String,
+                        tsMillis: Long): DataFrame =
+    read(spark, root, versionAsOfTimestamp(root, tsMillis))
 
   /** Result of [[metaAggregate]]: the values plus the physical
     * accounting proving HOW they were resolved — `filesMetaOnly` files
@@ -979,10 +1033,18 @@ object TxTable {
     * one chokepoint covers create/append/merge/compact/optimize alike. */
   private def tryPublish(root: String, c: Commit): Boolean = {
     Files.createDirectories(logDir(root))
-    val cc =
+    val withRows =
       if (c.adds.nonEmpty && c.addRows.isEmpty)
         c.copy(addRows = footerRows(root, c.adds))
       else c
+    // stamp the commit wall-clock, forced STRICTLY increasing over the
+    // predecessor (one small log read) so TIMESTAMP AS OF is a total
+    // order even across clock skew between writers — the same
+    // "in-commit-timestamp" monotonicity Delta/Iceberg guarantee
+    val prevTs =
+      if (c.version > 0) commitTs(root, c.version - 1).getOrElse(0L) else 0L
+    val cc = withRows.copy(
+      ts = math.max(System.currentTimeMillis(), prevTs + 1))
     val tmp = logDir(root).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")
     Files.writeString(tmp, render(cc))

@@ -965,6 +965,62 @@ object Extras {
         .orderBy("o_orderkey")
     },
 
+    // ---- Q-qual-26: TIMESTAMP AS OF time travel — the debugging /
+    // reproducibility read a lakehouse audit needs ("what did the table
+    // say when the job ran at 14:03?"). Every commit carries a
+    // wall-clock stamp forced STRICTLY increasing at publish (clock
+    // skew between writers cannot reorder the log's time axis), so a
+    // timestamp resolves to a version by BINARY SEARCH over the
+    // retained log — O(log history) small metadata reads, zero data
+    // I/O at any table size. Asserted inline: stamps increase, each
+    // stamp resolves to its own version, a between-stamps moment
+    // resolves DOWN (the state that moment actually saw), a
+    // pre-creation moment is refused (not clamped), and the SQL
+    // surface's `TIMESTAMP AS OF` agrees with the API. Returns the
+    // pre-delete moment's rollup — hash-matched against the oracle's
+    // closed-form rendering of exactly that snapshot.
+    "Q-qual-26" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual26").toString + "/tbl"
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      def batch(b: Int) = src.filter(col("o_orderkey") % 4 === b).coalesce(1)
+      TxTable.create(batch(0), root, Some("o_orderkey"))        // v0
+      (1 to 3).foreach(b => TxTable.append(s, root, batch(b)))  // v1..v3
+      TxTable.deleteCow(s, root,
+        src.filter(col("o_orderkey") % 3 === 0).select("o_orderkey"),
+        "o_orderkey")                                           // v4
+      val ts = (0L to 4L).map(v => TxTable.commitTs(root, v).get)
+      if (ts.sliding(2).exists(p => p(1) <= p(0)))
+        throw new IllegalStateException(s"commit stamps not increasing: $ts")
+      (0 to 4).foreach { v =>
+        if (TxTable.versionAsOfTimestamp(root, ts(v)) != v)
+          throw new IllegalStateException(
+            s"asOf(stamp of v$v) must resolve to v$v")
+      }
+      if (TxTable.versionAsOfTimestamp(root, ts(4) - 1) != 3)
+        throw new IllegalStateException(
+          "a moment between commits must resolve to the EARLIER version")
+      val refused =
+        try { TxTable.versionAsOfTimestamp(root, ts(0) - 1); false }
+        catch { case _: IllegalArgumentException => true }
+      if (!refused) throw new IllegalStateException(
+        "a pre-creation timestamp must be refused, not clamped")
+      val q = graft.sql.TableSql(s); q.register("tt", root)
+      val nSql = q.exec(
+        s"SELECT count(*) AS n FROM tt TIMESTAMP AS OF ${ts(2)}")
+        .head().getLong(0)
+      val nApi = TxTable.readAsOfTimestamp(s, root, ts(2)).count()
+      if (nSql != nApi) throw new IllegalStateException(
+        s"SQL TIMESTAMP AS OF saw $nSql rows, API saw $nApi")
+      TxTable.readAsOfTimestamp(s, root, ts(3))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("o_totalprice")), 2).as("price_sum"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- Q-qual-17: Z-ORDER OPTIMIZE + multi-column log stats — the
     // layout move a 100 TB table needs for predicates on MORE than one
     // dimension. Q-qual-09's single-key OPTIMIZE tiles only the primary
@@ -2136,6 +2192,13 @@ object Extras {
          ORDER BY o_orderkey""",
     // closed form of the MoR-delete / re-insert / delete / compact run:
     // %7 deleted except the re-inserted %14 (at +1000), then %5 deleted
+    // the pre-delete moment is the four appended batches = every key
+    "Q-qual-26" ->
+      s"""SELECT o_orderpriority, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("o_totalprice"), 2)}
+                  AS price_sum
+         FROM orders WHERE o_orderkey <= 6000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "Q-qual-16" ->
       """SELECT o_orderkey,
                 CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice + 1000

@@ -30,7 +30,8 @@ import graft.operators.TxTable
   *   VACUUM t                                      -- orphaned files
   *   RESTORE t TO VERSION <v>
   *   DESCRIBE HISTORY t
-  *   SELECT ... FROM/JOIN t [VERSION AS OF <v>] ...
+  *   SELECT ... FROM/JOIN t [VERSION AS OF <v>
+  *                          |TIMESTAMP AS OF <millis>|'<iso-instant>'] ...
   *
   * `SELECT count(*) FROM t` (exactly that shape) is served from
   * [[TxTable.metaAggregate]] — the commit log's row counts — with zero
@@ -162,10 +163,10 @@ final class TableSql(spark: SparkSession) {
       case TableSql.historyRe(name) =>
         import spark.implicits._
         TxTable.history(rootOf(name))
-          .map { case (v, op, a, rm, dl, tag) =>
-            (v, op, a, rm, dl, tag.orNull) }
+          .map { case (v, op, a, rm, dl, tag, ts) =>
+            (v, op, a, rm, dl, tag.orNull, ts) }
           .toDF("version", "op", "n_adds", "n_removes", "n_ledger_adds",
-            "tag")
+            "tag", "ts")
 
       case TableSql.countStarRe(name) =>
         // metadata fast path: identical to the scan per metaAggregate's
@@ -197,10 +198,20 @@ final class TableSql(spark: SparkSession) {
     if (tables.isEmpty) return sel
     val names = tables.keys.map(java.util.regex.Pattern.quote).mkString("|")
     val ref = ("(?i)\\b(" + names + ")\\b" +
-      "(\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?").r
+      "(\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)" +
+      "|\\s+TIMESTAMP\\s+AS\\s+OF\\s+(?:(\\d+)|'([^']+)'))?").r
     ref.replaceAllIn(sel, m => {
       val name = m.group(1).toLowerCase
-      val ver = Option(m.group(3)).map(_.toLong).getOrElse(Long.MaxValue)
+      val ver = (Option(m.group(3)), Option(m.group(4)), Option(m.group(5))) match {
+        case (Some(v), _, _) => v.toLong
+        case (_, Some(ms), _) =>
+          TxTable.versionAsOfTimestamp(rootOf(name), ms.toLong)
+        case (_, _, Some(iso)) =>
+          // quoted form: an ISO-8601 instant, e.g. '2026-08-14T12:00:00Z'
+          TxTable.versionAsOfTimestamp(rootOf(name),
+            java.time.Instant.parse(iso).toEpochMilli)
+        case _ => Long.MaxValue
+      }
       val view = s"graft_sql_${name}_" +
         (if (ver == Long.MaxValue) "head" else s"v$ver")
       graft.sources.GraftSource.read(spark, rootOf(name), ver)

@@ -822,6 +822,8 @@ class TxTableSpec extends AnyFunSuite {
       finally walk.close()
     }
     val filesBefore = dataFiles()
+    val ts2 = TxTable.commitTs(root, 2L).get
+    val ts11 = TxTable.commitTs(root, 11L).get
     val (dropped, archived) = TxTable.expireHistory(root, beforeVersion = 12L)
     assert(archived == 10L, s"commits 0..9 should archive, archived $archived")
     assert(dropped > 0L && dataFiles() == filesBefore - dropped)
@@ -831,6 +833,12 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.snapshot(root, 10L).version == 10L)
     // expired range fails loudly instead of resolving wrong
     assertThrows[IllegalStateException](TxTable.read(spark, root, 2L))
+    // TIMESTAMP AS OF obeys the same retention boundary: a stamp in the
+    // retained range resolves; one naming an archived moment is refused
+    // (never silently clamped to the oldest survivor)
+    assert(TxTable.versionAsOfTimestamp(root, ts11) == 11L)
+    assertThrows[IllegalArgumentException](
+      TxTable.versionAsOfTimestamp(root, ts2))
     // vacuumOrphans respects checkpoint-referenced files after expiry
     TxTable.vacuumOrphans(root)
     assert(rows(root) == headBefore, "vacuum must not eat live files")

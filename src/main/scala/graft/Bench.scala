@@ -127,7 +127,8 @@ object Bench {
     "Q-str-27",   // native graft->graft streaming pipeline (no foreachBatch)
     "Q-qual-25",  // metadata aggregate as an injected Catalyst rule
     "Q-str-28",   // native CDC replication (readChangeFeed stream)
-    "Q-qual-26"   // TIMESTAMP AS OF travel (binary-search log resolution)
+    "Q-qual-26",  // TIMESTAMP AS OF travel (binary-search log resolution)
+    "Q-llm-58"    // prefix-filtering similarity join (PPJoin candidates)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

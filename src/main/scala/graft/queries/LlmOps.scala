@@ -1189,6 +1189,57 @@ object LlmOps {
           col("n_docs").cast("bigint").as("n_docs"),
           col("n_tokens").cast("bigint").as("n_tokens"))
         .orderBy("lang", "epoch")
+    },
+
+    // ---- Q-llm-58: PREFIX-FILTERING set-similarity self-join (the
+    // PPJoin family's candidate generator) — the ninth dedup mode, and
+    // the one with a COMPLETENESS THEOREM instead of a recall bound:
+    // order every doc's shingles by ascending global document frequency
+    // (rarest first; (df, sh) is the total order — no global rank
+    // shuffle needed), keep only the first n - ceil(τ·n) + 1 as the
+    // doc's PREFIX, and equi-join prefixes on the shingle. Any pair
+    // with Jaccard ≥ τ MUST share a prefix token (dropping that many of
+    // either side's rarest tokens already caps the overlap below τ), so
+    // unlike MinHash-LSH (Q-llm-02) or SimHash (Q-llm-06) no true pair
+    // can be missed — the oracle proves it by computing the join the
+    // NAIVE way (all shared-token pairs, no prefix) and hash-matching.
+    // At 100 TB: candidate volume is Σ prefix-df² over RARE tokens only
+    // — the frequent shingles that make the naive join quadratic
+    // ("the quick brown" in every doc) never enter a prefix, because
+    // prefixes keep the RAREST fraction of each doc. All integer
+    // algebra (τ = 0.8 as ceil((8n+9)/10); verify as 9·i ≥ 4·(na+nb)),
+    // so both engines agree bit-for-bit. Candidate-count reduction vs
+    // naive is pinned in LlmOpsSpec; equi-join-only shape in
+    // ExplainCheck.
+    "Q-llm-58" -> { (s, d) =>
+      val sh = shingleRows(Tables.documents(s, d), "doc_id", "text", 3)
+        .distinct().persist()
+      sh.count() // eager: df table + prefix + both verify sides reuse it
+      val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      val prefix = sh.join(dfTab, "sh")
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+        .filter(expr("pos <= n - ((8 * n + 9) DIV 10) + 1"))
+        .select("doc_id", "sh")
+      val cand = prefix.as("x").join(prefix.as("y"),
+          col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+        .filter(col("n_inter") * 9 >= (col("na") + col("nb")) * 4)
+        .select(col("a"), col("b"),
+          Portable.r(col("n_inter") /
+            (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
+        .orderBy("a", "b")
     }
   )
 
@@ -2102,7 +2153,28 @@ object LlmOps {
                     FROM fz)
           SELECT query_id, rnk::BIGINT AS "rank", doc_id,
                  bm_rank, vec_rank, fused
-          FROM frk WHERE rnk <= 10 ORDER BY query_id, rnk"""
+          FROM frk WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    // the NAIVE exact join (all shared-token pairs, no prefix): a
+    // DIFFERENT algorithm producing the same τ ≥ 0.8 pairs — a
+    // hash-match here IS the prefix filter's completeness proof
+    "Q-llm-58" ->
+      s"""WITH sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(${shinglesSql(3)}) AS sh
+             FROM (SELECT doc_id, $wordsSql AS ws FROM documents))),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT a, b,
+                ${Portable.rSql(
+                  "n_inter / (za.n_sh + zb.n_sh - n_inter)", 6)} AS jaccard
+         FROM inter
+         JOIN sizes za ON za.doc_id = a
+         JOIN sizes zb ON zb.doc_id = b
+         WHERE 9 * n_inter >= 4 * (za.n_sh + zb.n_sh)
+         ORDER BY a, b"""
   )
 
   // the BM25 CTE chain (through `rk`), shared by Q-llm-53 and Q-llm-54

@@ -265,6 +265,12 @@ object ExplainCheck {
     // LocalTableScan — zero FileScans, zero exchanges
     check("Q-qual-25", "count/min/max folds to LocalTableScan (no FileScan)",
       p => p.contains("LocalTableScan") && !p.contains("FileScan"))
+    // prefix-filtering similarity join: candidate generation and verify
+    // are shingle equi-joins — the quadratic all-pairs comparison never
+    // appears as a cartesian/BNLJ anywhere in the plan
+    check("Q-llm-58", "prefix-filter join is equi-join only (no cartesian/BNLJ)",
+      p => !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
     s.stop()
   }
 }

@@ -232,4 +232,47 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(p >= 0.0 && p <= 1.0, s"doc $id probability $p out of range")
     }
   }
+
+  test("Q-llm-58 prefix filter: complete vs naive join, candidates shrink") {
+    import graft.functions.TextFunctions.shingleRows
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleRows(Tables.documents(spark, sf), "doc_id", "text", 3)
+      .distinct().persist()
+    // naive candidate generator: EVERY shared-shingle pair
+    val naiveCand = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct().count()
+    // the query's prefix-filtered candidate generator, same algebra
+    val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfTab, "sh")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .filter(expr("pos <= n - ((8 * n + 9) DIV 10) + 1"))
+      .select("doc_id", "sh")
+    val prefCand = prefix.as("x").join(prefix.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct().count()
+    info(s"candidates: naive=$naiveCand prefix=$prefCand")
+    assert(prefCand < naiveCand,
+      "prefix filtering must shrink the candidate space")
+    // completeness: the full query's pairs = the naive exact τ ≥ 0.8 join
+    val got = SparkEntry.queries("Q-llm-58")(spark, sf)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val want = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .filter(col("i") * 9 >= (col("na") + col("nb")) * 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.unpersist()
+    assert(want.nonEmpty, "fixture must contain τ ≥ 0.8 pairs")
+    assert(got == want,
+      s"prefix join missed/invented pairs: missed=${want -- got} extra=${got -- want}")
+  }
 }

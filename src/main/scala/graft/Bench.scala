@@ -128,7 +128,8 @@ object Bench {
     "Q-qual-25",  // metadata aggregate as an injected Catalyst rule
     "Q-str-28",   // native CDC replication (readChangeFeed stream)
     "Q-qual-26",  // TIMESTAMP AS OF travel (binary-search log resolution)
-    "Q-llm-58"    // prefix-filtering similarity join (PPJoin candidates)
+    "Q-llm-58",   // prefix-filtering similarity join (PPJoin candidates)
+    "Q-qual-27"   // string-axis skipping (prefix64 stats + hash64 blooms)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -70,7 +70,8 @@ object TxTable {
       addBloomsN: Seq[Seq[String]] = Seq.empty,
       evos: Seq[String] = Seq.empty,
       addRows: Seq[Long] = Seq.empty,
-      ts: Long = 0L)
+      ts: Long = 0L,
+      strCols: Seq[String] = Seq.empty)
 
   /** A live MERGE-ON-READ delete ledger: a tiny parquet file of doomed
     * keys (its single column names the key column) that reads subtract
@@ -102,7 +103,8 @@ object TxTable {
       fileStatsN: Map[String, Seq[(Long, Long)]] = Map.empty,
       fileBloomsN: Map[String, Seq[String]] = Map.empty,
       evos: Seq[(Long, String)] = Seq.empty,
-      fileRows: Map[String, Long] = Map.empty)
+      fileRows: Map[String, Long] = Map.empty,
+      strCols: Seq[String] = Seq.empty)
 
   private val emptySnapshot =
     Snapshot(-1L, Seq.empty, Seq.empty, None, Map.empty, Set.empty)
@@ -146,6 +148,12 @@ object TxTable {
     val sc =
       if (c.statsCols.isEmpty) ""
       else s""","statscols":${arr(c.statsCols)}"""
+    // which statsCols are STRING-typed (prefix64-encoded stats domain)
+    // — the marker that keeps numeric pruning/aggregate paths from
+    // misreading encoded bounds as values
+    val scS =
+      if (c.strCols.isEmpty) ""
+      else s""","strcols":${arr(c.strCols)}"""
     val stN = c.addStatsN.zipWithIndex.collect {
       case (ss, j) if ss.nonEmpty =>
         s""","amin_$j":${ss.map(_._1).mkString("[", ",", "]")}""" +
@@ -167,7 +175,7 @@ object TxTable {
     // commit wall-clock (epoch millis, publish-monotonic) — what
     // TIMESTAMP AS OF resolves against; 0 = pre-timestamp commit
     val cts = if (c.ts > 0) s""","ts":${c.ts}""" else ""
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da$sc$stN$blN$ev$ar$cts}"""
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da$sc$scS$stN$blN$ev$ar$cts}"""
   }
 
   // minimal JSON field readers for the exact shapes render() writes
@@ -222,7 +230,8 @@ object TxTable {
       arrField(json, "evops"),
       numArrField(json, "arows"),
       "\"ts\":(\\d+)".r.findFirstMatchIn(json)
-        .map(_.group(1).toLong).getOrElse(0L))
+        .map(_.group(1).toLong).getOrElse(0L),
+      arrField(json, "strcols"))
   }
 
   /** Every `checkpointInterval` commits the winner consolidates the live
@@ -266,6 +275,9 @@ object TxTable {
     val sc =
       if (s.statsCols.isEmpty) ""
       else s""","statscols":${arr(s.statsCols)}"""
+    val scS =
+      if (s.strCols.isEmpty) ""
+      else s""","strcols":${arr(s.strCols)}"""
     val stN =
       if (s.statsCols.nonEmpty && s.files.nonEmpty &&
           s.files.forall(f => s.fileStatsN.get(f).exists(_.length == s.statsCols.length)))
@@ -293,7 +305,7 @@ object TxTable {
       if (s.fileRows.isEmpty) ""
       else s""","frows":${s.files.map(f =>
         s.fileRows.getOrElse(f, -1L)).mkString("[", ",", "]")}"""
-    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl$fv$dl$sc$stN$blN$ev$fr}"""
+    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl$fv$dl$sc$scS$stN$blN$ev$fr}"""
   }
 
   /** Best-effort checkpoint after a winning commit; losing the ckpt race
@@ -358,6 +370,7 @@ object TxTable {
     val rows = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     var statsKey: Option[String] = None
     var statsCols: Seq[String] = Seq.empty
+    var strCols: Seq[String] = Seq.empty
     var check: Option[String] = None
     if (base >= 0) {
       val j = Files.readString(ckptPath(root, base))
@@ -372,6 +385,7 @@ object TxTable {
       tags ++= arrField(j, "tags")
       statsKey = strField(j, "statskey")
       statsCols = arrField(j, "statscols")
+      strCols = arrField(j, "strcols")
       check = strField(j, "check")
       statsCols.indices.foreach { jj =>
         val mnN = numArrField(j, s"fmin_$jj"); val mxN = numArrField(j, s"fmax_$jj")
@@ -437,6 +451,7 @@ object TxTable {
       c.tag.foreach(tags += _)
       if (c.version == 0L) {
         statsKey = c.statsKey; statsCols = c.statsCols; check = c.check
+        strCols = c.strCols
       }
     }
     // drop stats for files no longer live (removed after the checkpoint)
@@ -449,7 +464,7 @@ object TxTable {
     Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet,
       liveBlooms.toMap, check, liveAddV.toMap, ledgers.toSeq,
       statsCols, liveStatsN.toMap, liveBloomsN.toMap, evos.toSeq,
-      liveRows.toMap)
+      liveRows.toMap, strCols)
   }
 
   /** Snapshot-isolated read (optionally at a historical version).
@@ -602,6 +617,14 @@ object TxTable {
       snap.fileStatsN.collect { case (f, ss) if ss.length > j => f -> ss(j) }
     }
 
+  /** STRING stats columns hold prefix64-ENCODED bounds (see stageData) —
+    * numeric pruning entry points must refuse them loudly rather than
+    * compare encoded codes against raw longs. */
+  private def requireNumericStats(snap: Snapshot, column: String): Unit =
+    require(!snap.strCols.contains(column),
+      s"'$column' is a STRING stats column (prefix64-encoded bounds) — " +
+        "use readPrunedOnStr / prefixRead / pointReadOnStr")
+
   private def colBlooms(snap: Snapshot, column: String): Map[String, String] =
     if (snap.statsKey.contains(column)) snap.fileBlooms
     else {
@@ -621,6 +644,7 @@ object TxTable {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(root)
     require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    requireNumericStats(snap, column)
     val st = colStats(snap, column)
     val kept = snap.files.filter { f =>
       st.get(f) match {
@@ -682,12 +706,166 @@ object TxTable {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(root)
     require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    requireNumericStats(snap, column)
     val kept = pointKeptMaps(snap.files, colStats(snap, column),
       colBlooms(snap, column), keys)
     val pred = col(column).cast("long").isin(keys: _*)
     if (kept.isEmpty)
       readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
     else morRead(spark, root, snap, kept).where(pred)
+  }
+
+  // ---- STRING-axis pruning reads ------------------------------------
+  // A string statsCol's logged (min, max) live in the prefix64 domain
+  // and its bloom keys on hash64 of the full value (see stageData), so
+  // every decision below is the numeric machinery applied to encoded
+  // bounds: monotonicity of the encoding makes the kept set a SUPERSET
+  // of the files actually holding matches, and the residual exact
+  // predicate inside kept files makes the result exact.
+
+  private def requireStrStats(spark: SparkSession, root: String,
+                              snap: Snapshot, column: String): Unit = {
+    require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    require(snap.strCols.contains(column),
+      s"'$column' is not a declared STRING stats column " +
+        s"(string = ${snap.strCols.mkString("[", ",", "]")}, " +
+        s"secondary = ${snap.statsCols.mkString("[", ",", "]")})")
+  }
+
+  /** [[readPrunedOn]] for a STRING stats column. Result ≡
+    * `read(...).where(column BETWEEN lo AND hi)` (binary collation) —
+    * only files whose prefix64 range intersects [prefix64(lo),
+    * prefix64(hi)] are opened; strings equal through their first 8
+    * bytes collapse, which only widens the kept set. */
+  def readPrunedOnStr(spark: SparkSession, root: String, column: String,
+                      lo: String, hi: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val snap = snapshot(root)
+    requireStrStats(spark, root, snap, column)
+    val (encLo, encHi) =
+      (graft.functions.StrKey.prefix64(lo), graft.functions.StrKey.prefix64(hi))
+    val st = colStats(snap, column)
+    val kept = snap.files.filter { f =>
+      st.get(f) match {
+        case Some((mn, mx)) => mx >= encLo && mn <= encHi
+        case None => true
+      }
+    }
+    val pred = col(column).between(lit(lo), lit(hi))
+    if (kept.isEmpty)
+      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+    else morRead(spark, root, snap, kept).where(pred)
+  }
+
+  /** PREFIX read (`column LIKE 'p%'`): the value range of every string
+    * starting with `p` is [prefix64(p), upper64(p)] in the encoded
+    * domain, so prefix predicates prune from the log exactly like
+    * ranges. Result ≡ `read(...).where(startswith(column, p))`. */
+  def prefixRead(spark: SparkSession, root: String, column: String,
+                 p: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(root)
+    requireStrStats(spark, root, snap, column)
+    val (encLo, encHi) =
+      (graft.functions.StrKey.prefix64(p), graft.functions.StrKey.upper64(p))
+    val st = colStats(snap, column)
+    val kept = snap.files.filter { f =>
+      st.get(f) match {
+        case Some((mn, mx)) => mx >= encLo && mn <= encHi
+        case None => true
+      }
+    }
+    val pred = col(column).startsWith(p)
+    if (kept.isEmpty)
+      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+    else morRead(spark, root, snap, kept).where(pred)
+  }
+
+  /** [[pointReadOn]] for a STRING stats column: the prefix64 range test
+    * admits every 8-byte-prefix sibling, so the hash64 BLOOM is what
+    * makes string point probes selective. Result ≡
+    * `read(...).where(column IN keys)`. */
+  def pointReadOnStr(spark: SparkSession, root: String, column: String,
+                     keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(root)
+    requireStrStats(spark, root, snap, column)
+    val kept = strPointKept(snap, column, keys)
+    val pred = col(column).isin(keys: _*)
+    if (kept.isEmpty)
+      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+    else morRead(spark, root, snap, kept).where(pred)
+  }
+
+  private def strPointKept(snap: Snapshot, column: String,
+                           keys: Seq[String]): Seq[String] = {
+    val st = colStats(snap, column)
+    val bl = colBlooms(snap, column)
+    val encs = keys.map(graft.functions.StrKey.prefix64)
+    val hashes = keys.map(graft.functions.StrKey.hash64)
+    val decoded: Map[String, Array[Long]] = bl.collect {
+      case (f, b) if b.nonEmpty => f -> KeyBloom.fromHex(b)
+    }
+    snap.files.filter { f =>
+      val rangeOk = st.get(f) match {
+        case Some((mn, mx)) => encs.exists(e => e >= mn && e <= mx)
+        case None => true
+      }
+      rangeOk && (decoded.get(f) match {
+        case Some(words) =>
+          hashes.exists(h => KeyBloom.mightContainWords(words, h))
+        case None => true
+      })
+    }
+  }
+
+  /** (kept, total) accounting for a string range read — the log-only
+    * selection rule of [[readPrunedOnStr]] / [[prefixRead]] (pass
+    * `prefix = true` for the latter's bounds). */
+  def pruneAccountingOnStr(root: String, column: String,
+                           lo: String, hi: String): (Int, Int) = {
+    val snap = snapshot(root)
+    val st = colStats(snap, column)
+    val (encLo, encHi) =
+      (graft.functions.StrKey.prefix64(lo), graft.functions.StrKey.prefix64(hi))
+    (snap.files.count { f =>
+      st.get(f) match {
+        case Some((mn, mx)) => mx >= encLo && mn <= encHi
+        case None => true
+      }
+    }, snap.files.size)
+  }
+
+  /** [[pruneAccountingOnStr]] with [[prefixRead]]'s bounds. */
+  def prefixAccounting(root: String, column: String, p: String): (Int, Int) = {
+    val snap = snapshot(root)
+    val st = colStats(snap, column)
+    val (encLo, encHi) =
+      (graft.functions.StrKey.prefix64(p), graft.functions.StrKey.upper64(p))
+    (snap.files.count { f =>
+      st.get(f) match {
+        case Some((mn, mx)) => mx >= encLo && mn <= encHi
+        case None => true
+      }
+    }, snap.files.size)
+  }
+
+  /** (files kept by prefix-range stats alone, by range+bloom, total) for
+    * a string point read — [[pointPruneAccountingOn]]'s string twin;
+    * the gap between the first two numbers is the bloom's contribution,
+    * which on string axes is usually ALL of it. */
+  def pointPruneAccountingOnStr(root: String, column: String,
+                                keys: Seq[String]): (Int, Int, Int) = {
+    val snap = snapshot(root)
+    val st = colStats(snap, column)
+    val encs = keys.map(graft.functions.StrKey.prefix64)
+    val rangeKept = snap.files.count { f =>
+      st.get(f) match {
+        case Some((mn, mx)) => encs.exists(e => e >= mn && e <= mx)
+        case None => true
+      }
+    }
+    (rangeKept, strPointKept(snap, column, keys).size, snap.files.size)
   }
 
   /** Point read driven by a DATAFRAME of keys — the delta-join shape
@@ -789,6 +967,7 @@ object TxTable {
   def pointPruneAccountingOn(root: String, column: String,
                              keys: Seq[Long]): (Int, Int, Int) = {
     val snap = snapshot(root)
+    requireNumericStats(snap, column)
     val st = colStats(snap, column)
     val rangeKept = snap.files.count { f =>
       st.get(f) match {
@@ -897,7 +1076,11 @@ object TxTable {
     require(snap.version >= 0, s"not a TxTable (no committed log): $root")
     val st: Map[String, (Long, Long)] =
       if (snap.statsKey.contains(column)) snap.fileStats
-      else if (snap.statsCols.contains(column)) colStats(snap, column)
+      // a STRING stats column's logged bounds are prefix64 CODES, not
+      // values — fall through to the scan path (count still folds from
+      // metadata via fileRows; min/max degrade to None via try_cast)
+      else if (snap.statsCols.contains(column) &&
+               !snap.strCols.contains(column)) colStats(snap, column)
       else Map.empty
     val sorted = snap.ledgers.sortBy(_.version)
     def ledgerScoped(f: String): Boolean = {
@@ -963,18 +1146,36 @@ object TxTable {
     if (allCols.isEmpty)
       (files, Seq.empty, Seq.empty, Seq.empty, Seq.empty)
     else {
-      import org.apache.spark.sql.functions.{col, input_file_name, max, min, udaf}
+      import org.apache.spark.sql.functions.{col, expr, input_file_name, max, min, udaf}
       val bloomAgg = udaf(new KeyBloom.AggOpt(),
         org.apache.spark.sql.Encoders.LONG)
-      val keyed = allCols.zipWithIndex.map { case (k, j) =>
-        col(k).cast("long").as(s"k_$j")
+      val reread = df.sparkSession.read.parquet(files.map(f => s"$root/$f"): _*)
+      // STRING stats columns ride the same (Long, Long) log fields via
+      // the order-preserving prefix encoding (graft.functions.StrKey):
+      // per-file min/max over str_prefix64 bound the file at 8-byte
+      // granularity (monotone, so range/prefix pruning stays
+      // conservative), while the bloom keys on str_hash64 over the FULL
+      // value for exact point probes. Numeric/date columns
+      // long-normalize by cast and their bloom key IS the value. Both
+      // encodings are codegen expressions — the whole stats pass stays
+      // one whole-stage-codegen scan per staged batch.
+      graft.functions.StrKey.register(df.sparkSession)
+      def isStr(c: String) =
+        reread.schema(reread.schema.fieldIndex(c)).dataType ==
+          org.apache.spark.sql.types.StringType
+      val keyed = allCols.zipWithIndex.flatMap { case (k, j) =>
+        if (isStr(k))
+          Seq(expr(s"str_prefix64(`$k`)").as(s"k_$j"),
+            expr(s"str_hash64(`$k`)").as(s"h_$j"))
+        else
+          Seq(col(k).cast("long").as(s"k_$j"),
+            col(k).cast("long").as(s"h_$j"))
       }
       val aggs = allCols.indices.flatMap { j =>
         Seq(min(col(s"k_$j")).as(s"mn_$j"), max(col(s"k_$j")).as(s"mx_$j"),
-          bloomAgg(col(s"k_$j")).as(s"bl_$j"))
+          bloomAgg(col(s"h_$j")).as(s"bl_$j"))
       }
-      val byName = df.sparkSession.read
-        .parquet(files.map(f => s"$root/$f"): _*)
+      val byName = reread
         .select(input_file_name().as("f") +: keyed: _*)
         .groupBy("f").agg(aggs.head, aggs.tail: _*)
         .collect()
@@ -1098,29 +1299,40 @@ object TxTable {
              check: Option[String], statsCols: Seq[String]): CommitResult = {
     require(statsCols.forall(c => !statsKey.contains(c)),
       s"statsCols $statsCols must not repeat the primary key $statsKey")
-    // stats long-normalize by CAST: meaningful for numeric/date/time
-    // types only. A string column would cast to NULL everywhere —
-    // every file gets the empty range, every pruning read prunes
-    // EVERYTHING, and a CoW merge would silently miss its files. Refuse
-    // loudly instead of corrupting later.
+    // stats long-normalize by CAST for numeric/date/time types; STRING
+    // columns are allowed as SECONDARY stats columns only — they encode
+    // through StrKey.prefix64 (order-preserving, see stageData), so
+    // range/prefix/point pruning works, but the PRIMARY key stays
+    // numeric: CoW file selection and MoR ledgers key on exact long
+    // arithmetic. Any other type (binary, struct, array) would cast to
+    // NULL everywhere — every file gets the empty range, every pruning
+    // read prunes EVERYTHING, and a CoW merge would silently miss its
+    // files. Refuse loudly instead of corrupting later.
     (statsKey.toSeq ++ statsCols).foreach { c =>
       import org.apache.spark.sql.types._
       val dt = df.schema(df.schema.fieldIndex(c)).dataType
       val ok = dt match {
         case _: NumericType | DateType | TimestampType |
              TimestampNTZType => true
+        case StringType => !statsKey.contains(c)
         case _ => false
       }
       require(ok, s"stats column '$c' has type ${dt.simpleString} — " +
         "stats need a numeric/date/timestamp column (long-normalized " +
-        "min/max + blooms); for string keys use composite-key MoR " +
-        "ledgers or add a numeric surrogate key")
+        "min/max + blooms) or, for SECONDARY statsCols only, a string " +
+        "column (prefix64-encoded); for string merge keys use " +
+        "composite-key MoR ledgers or add a numeric surrogate key")
     }
     enforceCheck(df, check, "create batch")
+    val strCols = statsCols.filter { c =>
+      df.schema(df.schema.fieldIndex(c)).dataType ==
+        org.apache.spark.sql.types.StringType
+    }
     val (adds, st, bl, stN, blN) = stageData(df, root, statsKey, statsCols)
     val ok = tryPublish(root,
       Commit(0L, "create", adds, Seq.empty, None, statsKey, st, bl, check,
-        statsCols = statsCols, addStatsN = stN, addBloomsN = blN))
+        statsCols = statsCols, addStatsN = stN, addBloomsN = blN,
+        strCols = strCols))
     if (!ok) throw new IllegalStateException(s"table already exists: $root")
     CommitResult(0L, 1, skipped = false)
   }
@@ -1186,7 +1398,8 @@ object TxTable {
     val ok = tryPublish(dstRoot,
       Commit(0L, "clone", snap.files, Seq.empty, None, snap.statsKey,
         stats, blooms, snap.check, statsCols = snap.statsCols,
-        addStatsN = statsN, addBloomsN = bloomsN, addRows = rowsKnown))
+        addStatsN = statsN, addBloomsN = bloomsN, addRows = rowsKnown,
+        strCols = snap.strCols))
     if (!ok) throw new IllegalStateException(s"table already exists: $dstRoot")
     CommitResult(0L, 1, skipped = false)
   }
@@ -1433,6 +1646,25 @@ object TxTable {
       _.repartitionByRange(targetFiles, col(key)).sortWithinPartitions(key))
   }
 
+  /** Single-column OPTIMIZE on ANY declared stats column — including a
+    * STRING one: `repartitionByRange` orders strings natively (binary
+    * collation, the same order prefix64 preserves), so after the
+    * re-cluster each file covers a compact slice of the string axis and
+    * its logged prefix64 [min, max] prunes range/prefix reads from the
+    * log alone. */
+  def optimizeOn(spark: SparkSession, root: String, column: String,
+                 targetFiles: Int = 4): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(root)
+    val declared = snap.statsKey.toSeq ++ snap.statsCols
+    require(declared.contains(column),
+      s"optimizeOn($column) needs the column declared for stats " +
+        s"(have ${declared.mkString("[", ",", "]")}) — the re-clustered " +
+        "layout would otherwise record no prunable metadata")
+    transact(spark, root, "optimize")(
+      _.repartitionByRange(targetFiles, col(column)).sortWithinPartitions(column))
+  }
+
   /** Multi-dimensional OPTIMIZE: re-cluster the live snapshot along the
     * z-order (Morton) curve of (`x`, `y`) — [[ZOrderLayout]] composed
     * with the transactional commit path. A single-key OPTIMIZE serves
@@ -1454,6 +1686,9 @@ object TxTable {
       s"optimizeZ($x, $y) needs both dimensions declared for stats " +
         s"(have ${declared.mkString("[", ",", "]")}) — the re-clustered " +
         "layout would otherwise record no prunable metadata")
+    require(Seq(x, y).forall(c => !snap.strCols.contains(c)),
+      "optimizeZ needs numeric axes (equal-frequency quantile " +
+        "bucketing) — cluster a string axis with optimizeOn instead")
     transact(spark, root, "optimize-z")(
       ZOrderLayout.clusterByZ(_, col(x), col(y), targetFiles))
   }
@@ -1477,6 +1712,9 @@ object TxTable {
     require(Seq(x, y).forall(declared.contains),
       s"optimizeZSince($x, $y) needs both dimensions declared for stats " +
         s"(have ${declared.mkString("[", ",", "]")})")
+    require(Seq(x, y).forall(c => !snap0.strCols.contains(c)),
+      "optimizeZSince needs numeric axes — cluster a string axis with " +
+        "optimizeOn instead")
     transactFiles(spark, root, "optimize-z-incr") { snap =>
       val keep = snap.files.filter(f =>
         snap.fileAddV.getOrElse(f, Long.MaxValue) <= sinceVersion)
@@ -1501,6 +1739,7 @@ object TxTable {
   def pruneAccountingOn(root: String, column: String,
                         lo: Long, hi: Long): (Int, Int) = {
     val snap = snapshot(root)
+    requireNumericStats(snap, column)
     val st = colStats(snap, column)
     val kept = snap.files.count { f =>
       st.get(f) match {

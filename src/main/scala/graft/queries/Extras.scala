@@ -1067,6 +1067,67 @@ object Extras {
         .orderBy("o_orderkey")
     },
 
+    // ---- Q-qual-27: STRING-axis data skipping — the predicate shape a
+    // 100 TB text/metadata table actually sees (url, lang, doc name) is
+    // a string equality / prefix / range, and the log prunes those with
+    // the SAME (Long, Long)+bloom machinery as numeric axes via the
+    // order-preserving prefix64 encoding (functions/StrKey.scala): per-
+    // file min/max over the first 8 UTF-8 bytes (monotone ⇒ range and
+    // LIKE-'p%' windows stay conservative), hash64-of-full-value blooms
+    // for IN-probes. Asserted in-query: the per-epoch layout is string-
+    // unprunable; one optimizeOn re-cluster makes a range read open ≤
+    // half the files and a prefix read likewise; a point probe on a
+    // value drawn from the data stays exact while a planted absentee is
+    // bloom-rejected in most files. The returned rows — the PRUNED range
+    // read aggregated by leading letter — hash-match the oracle's plain
+    // filter: skipping is visible to cost, never to results.
+    "Q-qual-27" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual27").toString + "/tbl"
+      val src = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          floor(col("p_retailprice") * 100 + 0.5).cast("bigint").as("cents"))
+      def batch(b: Int) = src.filter(col("p_partkey") % 4 === b).coalesce(1)
+      TxTable.create(batch(0), root, Some("p_partkey"), None,
+        statsCols = Seq("p_name"))                               // v0
+      (1 to 3).foreach(b => TxTable.append(s, root, batch(b)))   // v1..v3
+      // per-epoch layout: every file spans the whole name domain, so
+      // string stats exclude nothing — asserted from the log
+      val (k0, n0) = TxTable.pruneAccountingOnStr(root, "p_name", "b", "m")
+      if (k0 != n0 || n0 < 4) throw new IllegalStateException(
+        s"expected a string-unprunable epoch layout, got $k0 of $n0")
+      TxTable.optimizeOn(s, root, "p_name", targetFiles = 8)     // v4
+      // 8 distinct leading letters (b..s); a [b, i] range read on the
+      // re-clustered layout opens at most half the files
+      val (k1, n1) = TxTable.pruneAccountingOnStr(root, "p_name", "b", "i")
+      if (k1 * 2 > n1) throw new IllegalStateException(
+        s"string range read still opens $k1 of $n1 after optimizeOn")
+      val (kp, np) = TxTable.prefixAccounting(root, "p_name", "r")
+      if (kp * 2 > np) throw new IllegalStateException(
+        s"prefix read still opens $kp of $np after optimizeOn")
+      val viaPrefix = TxTable.prefixRead(s, root, "p_name", "r").count()
+      val viaPlain = TxTable.read(s, root)
+        .where(col("p_name").startsWith("r")).count()
+      if (viaPrefix != viaPlain) throw new IllegalStateException(
+        s"prefix read returned $viaPrefix rows, plain filter $viaPlain")
+      // point probes: a value drawn from the data (SF-independent) stays
+      // exact; a planted absentee is bloom-rejected where ranges admit
+      val probe = src.filter(col("p_partkey") === 100).head().getString(1)
+      val wantProbe = TxTable.read(s, root)
+        .where(col("p_name") === probe).count()
+      if (TxTable.pointReadOnStr(s, root, "p_name", Seq(probe)).count()
+          != wantProbe || wantProbe < 1) throw new IllegalStateException(
+        "string point read lost rows")
+      val (_, bloomKept, tot) = TxTable.pointPruneAccountingOnStr(
+        root, "p_name", Seq("no such part name"))
+      if (bloomKept > tot / 2) throw new IllegalStateException(
+        s"absent-key probe kept $bloomKept of $tot files")
+      TxTable.readPrunedOnStr(s, root, "p_name", "b", "i")
+        .groupBy(substring(col("p_name"), 1, 1).as("letter"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy("letter")
+    },
+
     // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
     // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
     // leave every rewritten file generation alive in the name of time
@@ -2708,6 +2769,17 @@ object Extras {
            AND o_custkey BETWEEN 1 AND
              (SELECT max(o_custkey) // 4 FROM orders WHERE o_orderkey <= 6000)
          ORDER BY o_orderkey""",
+    // string-axis skipping is invisible to results: the pruned range
+    // read aggregated by leading letter equals the plain filter
+    "Q-qual-27" ->
+      """SELECT substr(p_name, 1, 1) AS letter,
+                count(*) AS n,
+                (sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)))::BIGINT
+                  AS cents_sum
+         FROM part
+         WHERE p_name BETWEEN 'b' AND 'i'
+         GROUP BY 1
+         ORDER BY letter""",
     // the maintained MV must equal the from-scratch join with both
     // epochs' adjustments applied in epoch order (left-assoc adds)
     "Q-qual-11" ->

@@ -179,6 +179,15 @@ object GraftSkipping {
     case IsNotNull(AttrCol(c, _)) =>
       stats(c).exists { case (mn, mx) => mn == Long.MaxValue && mx == Long.MinValue }
 
+    // prefix predicate on a STRING stats axis: every string starting
+    // with p encodes into [prefix64(p), upper64(p)] (see StrKey), so a
+    // file whose logged range misses that window provably has no match
+    case StartsWith(AttrCol(c, StringType), Literal(p, StringType)) if p != null =>
+      stats(c).exists { case (mn, mx) =>
+        graft.functions.StrKey.upper64(p.toString) < mn ||
+          graft.functions.StrKey.prefix64(p.toString) > mx
+      }
+
     case _ => false // unknown shape: keep the file
   }
 
@@ -235,6 +244,17 @@ object GraftSkipping {
                       stats: String => Option[(Long, Long)],
                       admits: (String, Long) => Boolean): Boolean =
     if (v == null) false
+    // STRING axis: the logged range lives in the prefix64 domain (8-byte
+    // granularity — equal-prefix siblings collapse, so the range test
+    // alone stays conservative) and the bloom keys on hash64 of the FULL
+    // value, making equality probes exact-on-membership
+    else if (dt == StringType) {
+      val s = v.toString
+      stats(c).exists { case (mn, mx) =>
+        val e = graft.functions.StrKey.prefix64(s)
+        e < mn || e > mx || !admits(c, graft.functions.StrKey.hash64(s))
+      }
+    }
     else (stats(c), normalized(dt, v)) match {
       case (Some((mn, mx)), Some((bd, exact))) =>
         if (exact) {
@@ -248,6 +268,21 @@ object GraftSkipping {
                        stats: String => Option[(Long, Long)],
                        op: Cmp): Boolean =
     if (v == null) false
+    // STRING axis: prefix64 is monotone but collapses equal-prefix
+    // siblings, so strict and non-strict comparisons share the
+    // DEMOTED test — x > v implies enc(x) >= enc(v), so only
+    // mx < enc(v) proves "no x > v" (mx == enc(v) might hide a longer
+    // sibling); symmetrically for the low side
+    else if (dt == StringType) {
+      val s = v.toString
+      stats(c).exists { case (mn, mx) =>
+        val e = graft.functions.StrKey.prefix64(s)
+        op match {
+          case Gt | Ge => mx < e // all enc(x) < enc(v): no x can be >= v
+          case Lt | Le => mn > e // all enc(x) > enc(v): no x can be <= v
+        }
+      }
+    }
     else (stats(c), normalized(dt, v)) match {
       case (Some((mn, mx)), Some((bd, exact))) =>
         val (lo, hi) =

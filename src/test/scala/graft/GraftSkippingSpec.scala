@@ -137,4 +137,70 @@ class GraftSkippingSpec extends AnyFunSuite {
     // but an ABSENT stats entry must not be confused with the empty range
     assert(!empty(IsNotNull(attr("nostats"))))
   }
+
+  // ---- STRING axes: stats live in the prefix64 domain (StrKey) ----
+
+  private def strLit(s: String) = Literal(UTF8String.fromString(s), StringType)
+  private def enc(s: String): Long = graft.functions.StrKey.prefix64(s)
+
+  test("string equality: prefix range + full-value hash bloom") {
+    val s = attr("s", StringType)
+    // file holds values encoding into [enc(banana), enc(cherry)]
+    val st = (c: String) =>
+      if (c == "s") Some((enc("banana"), enc("cherry"))) else None
+    assert(empty(EqualTo(s, strLit("apple")), st))
+    assert(empty(EqualTo(s, strLit("date")), st))
+    assert(!empty(EqualTo(s, strLit("banana")), st))
+    assert(!empty(EqualTo(s, strLit("cactus")), st))
+    // the bloom can refute a key the prefix range admits
+    val hCactus = graft.functions.StrKey.hash64("cactus")
+    assert(empty(EqualTo(s, strLit("cactus")), st, (_, k) => k != hCactus))
+    // swapped literal side mirrors
+    assert(empty(EqualTo(strLit("apple"), s), st))
+    // In prunes only when EVERY member is provably absent
+    assert(empty(In(s, Seq(strLit("apple"), strLit("abacus"))), st))
+    assert(!empty(In(s, Seq(strLit("apple"), strLit("banana"))), st))
+  }
+
+  test("string comparisons demote strict tests (equal-prefix siblings may hide)") {
+    val s = attr("s", StringType)
+    val st = (c: String) =>
+      if (c == "s") Some((enc("banana"), enc("cherry"))) else None
+    // max enc == enc(cherry): a LONGER sibling ("cherryx") could still
+    // satisfy s > "cherry" — strict > must NOT prune at the boundary
+    assert(!empty(GreaterThan(s, strLit("cherry")), st))
+    assert(empty(GreaterThan(s, strLit("cherrz")), st))
+    // min enc == enc(banana): binary-equal-prefix values below the
+    // literal can't be ruled out at the boundary — strict < must keep
+    assert(!empty(LessThan(s, strLit("banana")), st))
+    assert(empty(LessThan(s, strLit("banan")), st))
+    assert(empty(GreaterThanOrEqual(s, strLit("d")), st))
+    assert(!empty(GreaterThanOrEqual(s, strLit("cherry")), st))
+    assert(empty(LessThanOrEqual(s, strLit("b")), st))
+  }
+
+  test("string prefix predicate prunes by the [prefix64, upper64] window") {
+    val s = attr("s", StringType)
+    val st = (c: String) =>
+      if (c == "s") Some((enc("banana"), enc("cherry"))) else None
+    assert(empty(StartsWith(s, strLit("ap")), st)) // upper64(ap) < min
+    assert(empty(StartsWith(s, strLit("da")), st)) // prefix64(da) > max
+    assert(!empty(StartsWith(s, strLit("ba")), st))
+    assert(!empty(StartsWith(s, strLit("cherry")), st))
+    // 8-byte collapse: stats from equal-prefix siblings keep everything
+    val stEq = (c: String) =>
+      if (c == "s") Some((enc("aaaaaaaa"), enc("aaaaaaaa"))) else None
+    assert(!empty(StartsWith(s, strLit("aaaaaaaa-tail")), stEq))
+    assert(!empty(EqualTo(s, strLit("aaaaaaaa-zzz")), stEq))
+    assert(!empty(GreaterThan(s, strLit("aaaaaaaa")), stEq))
+  }
+
+  test("string all-NULL sentinel prunes IS NOT NULL and every probe") {
+    val s = attr("s", StringType)
+    val st = (c: String) =>
+      if (c == "s") Some((Long.MaxValue, Long.MinValue)) else None
+    assert(empty(IsNotNull(s), st))
+    assert(empty(EqualTo(s, strLit("x")), st))
+    assert(empty(StartsWith(s, strLit("x")), st))
+  }
 }

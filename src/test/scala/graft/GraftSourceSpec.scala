@@ -194,4 +194,47 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(pScan.contains("struct<v:string>"),
       s"column pruning missing (v-only projection reads more):\n$pScan")
   }
+
+  test("string stats column: equality, prefix, and range predicates prune in the planner") {
+    import spark.implicits._
+    val root = freshRoot()
+    // three files clustered on the string axis (a-h / i-p / q-x)
+    def batch(b: Int) = (0 until 60).map { i =>
+      val c = ('a' + b * 8 + i % 8).toChar
+      (b * 100L + i, s"$c-word-$i")
+    }.toDF("k", "s").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, Seq("s"))
+    (1 to 2).foreach(b => TxTable.append(spark, root, batch(b)))
+    // equality: range narrows to one file, the hash bloom confirms
+    GraftFileIndex.resetListing(root)
+    assert(GraftSource.scan(spark, root)
+      .filter(col("s") === "j-word-9").count() == 1L)
+    assert(GraftFileIndex.lastListing(root).exists(_._2 == 1),
+      s"equality kept ${GraftFileIndex.lastListing(root)}")
+    // a value absent everywhere: the bloom proves every file empty
+    GraftFileIndex.resetListing(root)
+    assert(GraftSource.scan(spark, root)
+      .filter(col("s") === "j-word-999").count() == 0L)
+    assert(GraftFileIndex.lastListing(root).exists(_._2 == 0),
+      s"absent key kept ${GraftFileIndex.lastListing(root)}")
+    // prefix predicate: StartsWith prunes to the covering file
+    GraftFileIndex.resetListing(root)
+    assert(GraftSource.scan(spark, root)
+      .filter(col("s").startsWith("q-")).count() == 8L)
+    assert(GraftFileIndex.lastListing(root).exists(_._2 == 1),
+      s"prefix kept ${GraftFileIndex.lastListing(root)}")
+    // range: BETWEEN two strings spanning two of three files
+    GraftFileIndex.resetListing(root)
+    val n = GraftSource.scan(spark, root)
+      .filter(col("s") >= "i" && col("s") < "r").count()
+    assert(n == 60L + 8L) // i-p (60 rows) + q (8 rows)
+    assert(GraftFileIndex.lastListing(root).exists(_._2 == 2),
+      s"range kept ${GraftFileIndex.lastListing(root)}")
+    // results stay exact vs the unpruned read on the same predicates
+    val got = GraftSource.scan(spark, root)
+      .filter(col("s").startsWith("b-")).as[(Long, String)].collect().toSet
+    val want = TxTable.read(spark, root)
+      .where(col("s").startsWith("b-")).as[(Long, String)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
 }

@@ -122,4 +122,40 @@ class OperatorPropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("StrKey.prefix64 is monotone in UTF-8 byte order; upper64 bounds prefixes (5 seeds)") {
+    import graft.functions.StrKey
+    def utf8Cmp(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abcXYZ019-_ äöμ日" // mixes 1-, 2-, and 3-byte UTF-8
+      def randStr(): String =
+        Seq.fill(rnd.nextInt(14))(alphabet(rnd.nextInt(alphabet.length)))
+          .mkString
+      val strs = Seq.fill(400)(randStr())
+      // monotone: a <= b (byte order, Spark's) => enc(a) <= enc(b)
+      for (a <- strs.take(60); b <- strs.take(60)) {
+        if (utf8Cmp(a, b) <= 0)
+          assert(StrKey.prefix64(a) <= StrKey.prefix64(b),
+            s"monotonicity broken for <$a> vs <$b>")
+      }
+      // prefix window: s startsWith p => enc(s) in [prefix64(p), upper64(p)]
+      for (s <- strs; if s.nonEmpty) {
+        val p = s.substring(0, 1 + rnd.nextInt(s.length))
+        assert(StrKey.prefix64(p) <= StrKey.prefix64(s) &&
+          StrKey.prefix64(s) <= StrKey.upper64(p),
+          s"prefix window broken for s=<$s> p=<$p>")
+      }
+    }
+  }
 }

@@ -1147,18 +1147,161 @@ class TxTableSpec extends AnyFunSuite {
     assert(rows(s"$base/br2") == rows(br))
   }
 
-  test("create refuses a non-numeric stats column loudly") {
+  test("create refuses a non-long-normalizable stats column loudly") {
     import spark.implicits._
     val root = freshRoot() + "/t"
+    // a STRING primary key stays refused: CoW file selection and MoR
+    // ledgers key on exact long arithmetic
     val e = intercept[IllegalArgumentException] {
       TxTable.create(Seq(("a", 1L)).toDF("url", "n"), root, Some("url"))
     }
     assert(e.getMessage.contains("stats column"))
-    // and the same guard covers secondary stats columns
+    // an ARRAY column can't normalize at all — refused in either role
     val e2 = intercept[IllegalArgumentException] {
-      TxTable.create(Seq(("a", 1L)).toDF("url", "n"), root + "2",
-        Some("n"), None, Seq("url"))
+      TxTable.create(Seq((Seq(1L), 1L)).toDF("xs", "n"), root + "2",
+        Some("n"), None, Seq("xs"))
     }
     assert(e2.getMessage.contains("stats column"))
+  }
+
+  test("string stats column: range, prefix, and point reads prune; results exact") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // three batches clustered on the string axis: distinct leading
+    // letters per batch, so logged prefix64 ranges tile the axis
+    def batch(b: Int) = (0 until 60).map { i =>
+      val c = ('a' + b * 8 + i % 8).toChar // batch 0: a-h, 1: i-p, 2: q-x
+      (b * 100L + i, s"$c-word-$i")
+    }.toDF("k", "s").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, statsCols = Seq("s"))
+    (1 to 2).foreach(b => TxTable.append(spark, root, batch(b)))
+    assert(TxTable.snapshot(root).strCols == Seq("s"))
+    // range read: [b, d) lives entirely in batch 0's file
+    val (kr, nr) = TxTable.pruneAccountingOnStr(root, "s", "b", "d")
+    assert(nr == 3 && kr == 1, s"string range read kept $kr of $nr")
+    val got = TxTable.readPrunedOnStr(spark, root, "s", "b", "d")
+      .as[(Long, String)].collect().toSet
+    val want = TxTable.read(spark, root)
+      .where(col("s").between("b", "d")).as[(Long, String)].collect().toSet
+    assert(got == want && want.nonEmpty)
+    // prefix read: 'i-' prefixed rows live only in batch 1's file
+    val (kp, np) = TxTable.prefixAccounting(root, "s", "i-")
+    assert(np == 3 && kp == 1, s"prefix read kept $kp of $np")
+    val gotP = TxTable.prefixRead(spark, root, "s", "i-")
+      .as[(Long, String)].collect().toSet
+    val wantP = TxTable.read(spark, root)
+      .where(col("s").startsWith("i-")).as[(Long, String)].collect().toSet
+    assert(gotP == wantP && wantP.nonEmpty)
+    // numeric entry points refuse the string axis loudly
+    assertThrows[IllegalArgumentException](
+      TxTable.readPrunedOn(spark, root, "s", 0L, 1L))
+    assertThrows[IllegalArgumentException](
+      TxTable.pointReadOn(spark, root, "s", Seq(1L)))
+    assertThrows[IllegalArgumentException](
+      TxTable.optimizeZ(spark, root, "k", "s"))
+    // and the string entry points refuse an undeclared/numeric column
+    assertThrows[IllegalArgumentException](
+      TxTable.prefixRead(spark, root, "k", "a"))
+  }
+
+  test("string point reads: hash blooms prune where prefix ranges cannot") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // every value shares the SAME first 8 bytes ("document"), so the
+    // prefix64 range admits every file — only the full-value hash bloom
+    // can tell the batches apart (the string twin of the per-epoch
+    // layout that motivates primary-key blooms)
+    def batch(b: Int) = (0 until 80)
+      .map(i => (b * 100L + i, s"document-$b-$i"))
+      .toDF("k", "s").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, statsCols = Seq("s"))
+    (1 to 2).foreach(b => TxTable.append(spark, root, batch(b)))
+    val (rangeKept, bloomKept, total) =
+      TxTable.pointPruneAccountingOnStr(root, "s", Seq("document-1-17"))
+    assert(total == 3 && rangeKept == 3,
+      s"shared-prefix layout must be range-unprunable, kept $rangeKept")
+    assert(bloomKept == 1, s"hash bloom must keep 1 of 3, kept $bloomKept")
+    val got = TxTable.pointReadOnStr(spark, root, "s",
+      Seq("document-1-17", "document-2-55"))
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((117L, "document-1-17"), (255L, "document-2-55")))
+    // a missing key returns empty (bloom may keep files; filter is exact)
+    assert(TxTable.pointReadOnStr(spark, root, "s",
+      Seq("document-9-99")).count() == 0L)
+  }
+
+  test("string stats: 8-byte truncation collapses, never falsely prunes") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // all values share their first 8 bytes and differ only beyond the
+    // encoded prefix — the worst case for truncated bounds
+    val df = Seq((1L, "aaaaaaaa-one"), (2L, "aaaaaaaa-two"),
+      (3L, "aaaaaaaa-three")).toDF("k", "s")
+    TxTable.create(df, root, Some("k"), None, statsCols = Seq("s"))
+    // equal-prefix range: the file must be KEPT and the result exact
+    assert(TxTable.readPrunedOnStr(spark, root, "s",
+      "aaaaaaaa-two", "aaaaaaaa-two").as[(Long, String)].collect().toSet ==
+      Set((2L, "aaaaaaaa-two")))
+    assert(TxTable.prefixRead(spark, root, "s", "aaaaaaaa-t")
+      .as[(Long, String)].collect().toSet ==
+      Set((2L, "aaaaaaaa-two"), (3L, "aaaaaaaa-three")))
+    // point read beyond the prefix: bloom keys on the FULL value
+    assert(TxTable.pointReadOnStr(spark, root, "s", Seq("aaaaaaaa-one"))
+      .count() == 1L)
+    // multi-byte UTF-8 values truncate mid-codepoint safely (byte-wise
+    // monotone on both sides)
+    val root2 = freshRoot() + "/t2"
+    TxTable.create(Seq((1L, "héllo-wörld"), (2L, "zèta"))
+      .toDF("k", "s"), root2, Some("k"), None, statsCols = Seq("s"))
+    assert(TxTable.readPrunedOnStr(spark, root2, "s", "h", "i")
+      .as[(Long, String)].collect().toSet == Set((1L, "héllo-wörld")))
+  }
+
+  test("string stats survive checkpoints and ride shallow clones") {
+    import spark.implicits._
+    val base = freshRoot()
+    val root = s"$base/t"
+    def batch(b: Int) = (0 until 40)
+      .map(i => (b * 100L + i, s"${('a' + b).toChar}-doc-$i"))
+      .toDF("k", "s").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, statsCols = Seq("s"))
+    (1 to 11).foreach(b => TxTable.append(spark, root, batch(b))) // ckpt at v10
+    assert(TxTable.snapshot(root).commits.size < 12,
+      "snapshot must resolve from the v10 checkpoint")
+    assert(TxTable.snapshot(root).strCols == Seq("s"),
+      "strCols must survive checkpoint consolidation")
+    val (kc, nc) = TxTable.prefixAccounting(root, "s", "c-")
+    assert(nc == 12 && kc == 1, s"post-checkpoint prefix read kept $kc of $nc")
+    // clone carries the string-stats declaration and the pruning works
+    val cl = s"$base/clone"
+    TxTable.cloneShallow(root, cl)
+    assert(TxTable.snapshot(cl).strCols == Seq("s"))
+    val (kcl, ncl) = TxTable.prefixAccounting(cl, "s", "c-")
+    assert(ncl == 12 && kcl == 1, s"clone prefix read kept $kcl of $ncl")
+    assertThrows[IllegalArgumentException](
+      TxTable.readPrunedOn(spark, cl, "s", 0L, 1L))
+    // metaAggregate on the string axis: count folds from metadata, the
+    // prefix-encoded bounds never surface as values
+    val ma = TxTable.metaAggregate(spark, root, "s")
+    assert(ma.count == 12L * 40 && ma.min.isEmpty && ma.max.isEmpty)
+  }
+
+  test("optimizeOn a string axis: re-cluster makes prefix64 ranges tile") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // epoch layout: every batch spans the whole string domain
+    def batch(b: Int) = (0 until 26).map { i =>
+      (b * 100L + i, s"${('a' + i).toChar}-doc-$b")
+    }.toDF("k", "s").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, statsCols = Seq("s"))
+    (1 to 3).foreach(b => TxTable.append(spark, root, batch(b)))
+    val before = TxTable.read(spark, root).as[(Long, String)].collect().toSet
+    val (k0, n0) = TxTable.pruneAccountingOnStr(root, "s", "d", "f")
+    assert(k0 == n0 && n0 == 4, "epoch layout must be unprunable on s")
+    TxTable.optimizeOn(spark, root, "s", targetFiles = 4)
+    assert(TxTable.read(spark, root)
+      .as[(Long, String)].collect().toSet == before)
+    val (k1, n1) = TxTable.pruneAccountingOnStr(root, "s", "d", "f")
+    assert(k1 * 2 <= n1, s"post-optimizeOn range read opens $k1/$n1")
   }
 }

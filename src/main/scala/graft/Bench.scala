@@ -129,7 +129,8 @@ object Bench {
     "Q-str-28",   // native CDC replication (readChangeFeed stream)
     "Q-qual-26",  // TIMESTAMP AS OF travel (binary-search log resolution)
     "Q-llm-58",   // prefix-filtering similarity join (PPJoin candidates)
-    "Q-qual-27"   // string-axis skipping (prefix64 stats + hash64 blooms)
+    "Q-qual-27",  // string-axis skipping (prefix64 stats + hash64 blooms)
+    "Q-qual-28"   // shingle-bloom phrase probes (file-level decontamination)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -101,4 +101,26 @@ object KeyBloom {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
+
+  /** [[AggOpt]] with a caller-chosen filter size (in 64-bit words) —
+    * for key populations the fixed 8 KiB filter would saturate, e.g.
+    * per-file SHINGLE blooms where a 500-doc file carries ~50 k distinct
+    * n-grams. Membership never needs the size: it derives m from the
+    * stored hex length, so differently-sized blooms coexist in one log. */
+  class AggSized(words: Int)
+      extends Aggregator[java.lang.Long, Array[Long], String] {
+    def zero: Array[Long] = new Array[Long](words)
+    def reduce(b: Array[Long], key: java.lang.Long): Array[Long] = {
+      if (key != null) set(b, key.longValue()); b
+    }
+    def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    def finish(b: Array[Long]): String = toHex(b)
+    def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
 }

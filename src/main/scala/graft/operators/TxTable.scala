@@ -71,7 +71,10 @@ object TxTable {
       evos: Seq[String] = Seq.empty,
       addRows: Seq[Long] = Seq.empty,
       ts: Long = 0L,
-      strCols: Seq[String] = Seq.empty)
+      strCols: Seq[String] = Seq.empty,
+      shCols: Seq[String] = Seq.empty,
+      shN: Int = 0,
+      addShBlooms: Seq[Seq[String]] = Seq.empty)
 
   /** A live MERGE-ON-READ delete ledger: a tiny parquet file of doomed
     * keys (its single column names the key column) that reads subtract
@@ -104,7 +107,10 @@ object TxTable {
       fileBloomsN: Map[String, Seq[String]] = Map.empty,
       evos: Seq[(Long, String)] = Seq.empty,
       fileRows: Map[String, Long] = Map.empty,
-      strCols: Seq[String] = Seq.empty)
+      strCols: Seq[String] = Seq.empty,
+      shingleCols: Seq[String] = Seq.empty,
+      shingleN: Int = 0,
+      fileShBlooms: Map[String, Seq[String]] = Map.empty)
 
   private val emptySnapshot =
     Snapshot(-1L, Seq.empty, Seq.empty, None, Map.empty, Set.empty)
@@ -154,6 +160,15 @@ object TxTable {
     val scS =
       if (c.strCols.isEmpty) ""
       else s""","strcols":${arr(c.strCols)}"""
+    // SHINGLE (word n-gram) bloom declaration + per-file blooms: the
+    // phrase-probe index — files a benchmark n-gram could hide in,
+    // decided from the log alone
+    val shDecl =
+      if (c.shCols.isEmpty) ""
+      else s""","shcols":${arr(c.shCols)},"shn":${c.shN}"""
+    val shBl = c.addShBlooms.zipWithIndex.collect {
+      case (bs, j) if bs.nonEmpty => s""","ash_$j":${arr(bs)}"""
+    }.mkString
     val stN = c.addStatsN.zipWithIndex.collect {
       case (ss, j) if ss.nonEmpty =>
         s""","amin_$j":${ss.map(_._1).mkString("[", ",", "]")}""" +
@@ -175,7 +190,7 @@ object TxTable {
     // commit wall-clock (epoch millis, publish-monotonic) — what
     // TIMESTAMP AS OF resolves against; 0 = pre-timestamp commit
     val cts = if (c.ts > 0) s""","ts":${c.ts}""" else ""
-    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da$sc$scS$stN$blN$ev$ar$cts}"""
+    s"""{"version":${c.version},"op":"${esc(c.op)}","adds":${arr(c.adds)},"removes":${arr(c.removes)}$tag$sk$ck$st$bl$da$sc$scS$shDecl$shBl$stN$blN$ev$ar$cts}"""
   }
 
   // minimal JSON field readers for the exact shapes render() writes
@@ -231,7 +246,12 @@ object TxTable {
       numArrField(json, "arows"),
       "\"ts\":(\\d+)".r.findFirstMatchIn(json)
         .map(_.group(1).toLong).getOrElse(0L),
-      arrField(json, "strcols"))
+      arrField(json, "strcols"),
+      arrField(json, "shcols"),
+      "\"shn\":(\\d+)".r.findFirstMatchIn(json)
+        .map(_.group(1).toInt).getOrElse(0),
+      Iterator.from(0).map(j => arrField(json, s"ash_$j"))
+        .takeWhile(_.nonEmpty).toSeq)
   }
 
   /** Every `checkpointInterval` commits the winner consolidates the live
@@ -278,6 +298,18 @@ object TxTable {
     val scS =
       if (s.strCols.isEmpty) ""
       else s""","strcols":${arr(s.strCols)}"""
+    // shingle-bloom declaration + per-file blooms consolidate aligned
+    // with files; "" marks a file without one (conservative keep)
+    val shDecl =
+      if (s.shingleCols.isEmpty) ""
+      else s""","shcols":${arr(s.shingleCols)},"shn":${s.shingleN}"""
+    val shBl =
+      if (s.fileShBlooms.nonEmpty)
+        s.shingleCols.indices.map { j =>
+          s""","fsh_$j":${arr(s.files.map(f =>
+            s.fileShBlooms.get(f).flatMap(_.lift(j)).getOrElse("")))}"""
+        }.mkString
+      else ""
     val stN =
       if (s.statsCols.nonEmpty && s.files.nonEmpty &&
           s.files.forall(f => s.fileStatsN.get(f).exists(_.length == s.statsCols.length)))
@@ -305,7 +337,7 @@ object TxTable {
       if (s.fileRows.isEmpty) ""
       else s""","frows":${s.files.map(f =>
         s.fileRows.getOrElse(f, -1L)).mkString("[", ",", "]")}"""
-    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl$fv$dl$sc$scS$stN$blN$ev$fr}"""
+    s"""{"version":${s.version},"files":${arr(s.files)},"tags":${arr(s.tags.toSeq.sorted)}$sk$ck$st$bl$fv$dl$sc$scS$shDecl$shBl$stN$blN$ev$fr}"""
   }
 
   /** Best-effort checkpoint after a winning commit; losing the ckpt race
@@ -371,6 +403,9 @@ object TxTable {
     var statsKey: Option[String] = None
     var statsCols: Seq[String] = Seq.empty
     var strCols: Seq[String] = Seq.empty
+    var shingleCols: Seq[String] = Seq.empty
+    var shingleN: Int = 0
+    val shBlooms = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
     var check: Option[String] = None
     if (base >= 0) {
       val j = Files.readString(ckptPath(root, base))
@@ -386,6 +421,15 @@ object TxTable {
       statsKey = strField(j, "statskey")
       statsCols = arrField(j, "statscols")
       strCols = arrField(j, "strcols")
+      shingleCols = arrField(j, "shcols")
+      shingleN = "\"shn\":(\\d+)".r.findFirstMatchIn(j)
+        .map(_.group(1).toInt).getOrElse(0)
+      shingleCols.indices.foreach { jj =>
+        val bs = arrField(j, s"fsh_$jj")
+        if (bs.nonEmpty) files.zip(bs).foreach { case (f, b) =>
+          shBlooms(f) = shBlooms.getOrElse(f, Seq.empty) :+ b
+        }
+      }
       check = strField(j, "check")
       statsCols.indices.foreach { jj =>
         val mnN = numArrField(j, s"fmin_$jj"); val mxN = numArrField(j, s"fmax_$jj")
@@ -434,6 +478,10 @@ object TxTable {
         c.adds.zipWithIndex.foreach { case (f, i) =>
           bloomsN(f) = c.addBloomsN.map(_(i))
         }
+      if (c.addShBlooms.nonEmpty && c.addShBlooms.forall(_.size == c.adds.size))
+        c.adds.zipWithIndex.foreach { case (f, i) =>
+          shBlooms(f) = c.addShBlooms.map(_(i))
+        }
       if (c.addRows.size == c.adds.size)
         c.adds.zip(c.addRows).foreach { case (f, n) => if (n >= 0) rows(f) = n }
       c.removes.foreach(stats.remove)
@@ -441,6 +489,7 @@ object TxTable {
       c.removes.foreach(addV.remove)
       c.removes.foreach(statsN.remove)
       c.removes.foreach(bloomsN.remove)
+      c.removes.foreach(shBlooms.remove)
       c.removes.foreach(rows.remove)
       c.dadds.foreach(p => ledgers += Ledger(p, c.version))
       c.evos.foreach(e => evos += ((c.version, e)))
@@ -452,6 +501,7 @@ object TxTable {
       if (c.version == 0L) {
         statsKey = c.statsKey; statsCols = c.statsCols; check = c.check
         strCols = c.strCols
+        shingleCols = c.shCols; shingleN = c.shN
       }
     }
     // drop stats for files no longer live (removed after the checkpoint)
@@ -461,10 +511,11 @@ object TxTable {
     val liveStatsN = statsN.filter { case (f, _) => live.contains(f) }
     val liveBloomsN = bloomsN.filter { case (f, _) => live.contains(f) }
     val liveRows = rows.filter { case (f, _) => live.contains(f) }
+    val liveShBlooms = shBlooms.filter { case (f, _) => live.contains(f) }
     Snapshot(upTo, live.toSeq, suffix, statsKey, liveStats.toMap, tags.toSet,
       liveBlooms.toMap, check, liveAddV.toMap, ledgers.toSeq,
       statsCols, liveStatsN.toMap, liveBloomsN.toMap, evos.toSeq,
-      liveRows.toMap, strCols)
+      liveRows.toMap, strCols, shingleCols, shingleN, liveShBlooms.toMap)
   }
 
   /** Snapshot-isolated read (optionally at a historical version).
@@ -868,6 +919,72 @@ object TxTable {
     (rangeKept, strPointKept(snap, column, keys).size, snap.files.size)
   }
 
+  // ---- SHINGLE (word n-gram) phrase probes --------------------------
+  // The decontamination primitive at FILE granularity: "which files
+  // could contain this benchmark phrase?" answered from the log alone.
+  // A phrase of k >= n words carries k-n+1 n-grams and a file must
+  // admit ALL of them (conjunctive pruning), so even moderately common
+  // n-grams compound into a selective probe; the residual contains-
+  // filter inside kept files makes the result exact.
+
+  private def shingleProbe(snap: Snapshot, root: String, column: String,
+                           phrase: String): Seq[Long] = {
+    require(snap.version >= 0, s"not a TxTable (no committed log): $root")
+    require(snap.shingleCols.contains(column),
+      s"'$column' declares no shingle blooms " +
+        s"(declared = ${snap.shingleCols.mkString("[", ",", "]")}) — " +
+        "create(..., shingleCols = Seq(col))")
+    val toks = canonTokens(phrase)
+    require(toks.length >= snap.shingleN,
+      s"phrase '$phrase' has ${toks.length} tokens — a probe needs at " +
+        s"least shingleN = ${snap.shingleN}")
+    toks.sliding(snap.shingleN).map(w =>
+      graft.functions.StrKey.hash64(w.mkString(" "))).toSeq
+  }
+
+  private def shingleKeptFiles(snap: Snapshot, column: String,
+                               hashes: Seq[Long]): Seq[String] = {
+    val j = snap.shingleCols.indexOf(column)
+    snap.files.filter { f =>
+      snap.fileShBlooms.get(f).flatMap(_.lift(j)) match {
+        case Some(hex) if hex.nonEmpty =>
+          val words = KeyBloom.fromHex(hex)
+          hashes.forall(h => KeyBloom.mightContainWords(words, h))
+        case _ => true // no bloom recorded: keep conservatively
+      }
+    }
+  }
+
+  /** (files the phrase probe keeps, total live files) — zero data I/O. */
+  def shinglePruneAccounting(root: String, column: String,
+                             phrase: String): (Int, Int) = {
+    val snap = snapshot(root)
+    val hashes = shingleProbe(snap, root, column, phrase)
+    (shingleKeptFiles(snap, column, hashes).size, snap.files.size)
+  }
+
+  /** PHRASE read: result ≡ rows whose canonical token stream (lowercase,
+    * non-alphanumeric runs as separators) CONTAINS the phrase's token
+    * sequence — but only bloom-surviving files are opened. The probe and
+    * the residual filter share one tokenizer, so blooms have no false
+    * negatives w.r.t. the result. */
+  def shingleRead(spark: SparkSession, root: String, column: String,
+                  phrase: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array_join, col, concat, lit, lower, split}
+    val snap = snapshot(root)
+    val hashes = shingleProbe(snap, root, column, phrase)
+    val kept = shingleKeptFiles(snap, column, hashes)
+    val canon = canonTokens(phrase).mkString(" ")
+    val hay = concat(lit(" "),
+      array_join(org.apache.spark.sql.functions.filter(
+        split(lower(col(column)), "[^a-z0-9]+"), x => x =!= lit("")), " "),
+      lit(" "))
+    val pred = hay.contains(s" $canon ")
+    if (kept.isEmpty)
+      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+    else morRead(spark, root, snap, kept).where(pred)
+  }
+
   /** Point read driven by a DATAFRAME of keys — the delta-join shape
     * ([[pointRead]] fed by a change feed) made scale-safe: the distinct
     * key set is collected to the driver ONLY while it fits
@@ -948,6 +1065,12 @@ object TxTable {
               target.fileBloomsN.get(f).exists(_.length == target.statsCols.length)))
             target.statsCols.indices.map(j =>
               target.files.map(f => target.fileBloomsN(f)(j)))
+          else Seq.empty,
+        addShBlooms =
+          if (target.shingleCols.nonEmpty && target.files.forall(f =>
+              target.fileShBlooms.get(f).exists(_.length == target.shingleCols.length)))
+            target.shingleCols.indices.map(j =>
+              target.files.map(f => target.fileShBlooms(f)(j)))
           else Seq.empty)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
@@ -1210,6 +1333,70 @@ object TxTable {
     }
   }
 
+  /** Per-file SHINGLE blooms for the just-staged `files`: one bloom per
+    * declared shingle column per file, built over the word n-grams of
+    * the CANONICAL token stream (lowercased, split on non-alphanumeric
+    * runs) hashed with StrKey.hash64 — the phrase-probe index. A
+    * decontamination question ("which files could contain this
+    * benchmark n-gram?") then resolves from the log with zero data I/O:
+    * a phrase of k >= n words has k-n+1 n-grams and a file must admit
+    * ALL of them, so multi-gram probes prune conjunctively. One extra
+    * scan of the staged batch per commit (a production writer folds
+    * this into the write task, like the stats pass). Shingle
+    * populations dwarf key populations (a 500-doc file carries ~50 k
+    * distinct n-grams where its key bloom sees 500 keys), so these
+    * blooms are 32 KiB (2^18 bits: <8% FP per gram at 50 k shingles,
+    * conjunctive over a phrase's grams → effectively zero); membership
+    * derives m from the stored hex, so a writer re-sizing per file
+    * just works. Files with no shingles (every doc shorter than n
+    * words) get the all-zero bloom: every probe prunes them,
+    * correctly. */
+  private def stageShingles(df: DataFrame, root: String, files: Seq[String],
+                            shingleCols: Seq[String], n: Int): Seq[Seq[String]] = {
+    if (shingleCols.isEmpty) return Seq.empty
+    import org.apache.spark.sql.functions.{col, concat_ws, expr, input_file_name, lead, lit, lower, monotonically_increasing_id, posexplode_outer, split, udaf, when}
+    graft.functions.StrKey.register(df.sparkSession)
+    val bloomAgg = udaf(new KeyBloom.AggSized(4096),
+      org.apache.spark.sql.Encoders.LONG)
+    val reread = df.sparkSession.read.parquet(files.map(f => s"$root/$f"): _*)
+    shingleCols.map { c =>
+      // shingle via posexplode + per-doc window leads (codegen/sort
+      // operators throughout) — the Column-level higher-order transform
+      // is interpreted per element and dominates staging time on real
+      // corpora (the same reason TextFunctions.shingleRows exists)
+      val toks = org.apache.spark.sql.functions.filter(
+        split(lower(col(c)), "[^a-z0-9]+"), x => x =!= lit(""))
+      // rid must bind per SOURCE row — a select computing it alongside
+      // the generator would stamp each EXPLODED row its own id (the
+      // project runs after the generate), splitting every doc into
+      // 1-token windows
+      val tok = reread
+        .select(input_file_name().as("f"),
+          monotonically_increasing_id().as("rid"), toks.as("t"))
+        .select(col("f"), col("rid"), posexplode_outer(col("t")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("f", "rid").orderBy("pos")
+      val leads = (1 until n).map(k => lead("col", k).over(w).as(s"w$k"))
+      val withLeads = tok.select(
+        col("f") +: col("col").as("w0") +: leads: _*)
+      val sh = withLeads.select(col("f"),
+        when(col(s"w${n - 1}").isNotNull,
+          concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*)).as("sh"))
+      val byName = sh
+        .groupBy("f").agg(bloomAgg(expr("str_hash64(sh)")).as("bl"))
+        .collect().map { r =>
+          Paths.get(java.net.URI.create(r.getString(0)).getPath)
+            .getFileName.toString -> r.getString(1)
+        }.toMap
+      files.map(f =>
+        byName.getOrElse(Paths.get(f).getFileName.toString, ""))
+    }
+  }
+
+  /** The canonical token stream both the blooms and the probes use. */
+  private def canonTokens(phrase: String): Seq[String] =
+    phrase.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+
   /** Per-file row counts from the parquet FOOTERS — pure metadata (a
     * few-KB tail read per file, no page decompression), captured once at
     * publish so later count(*)-style aggregates never open data. -1
@@ -1296,9 +1483,18 @@ object TxTable {
     * re-clustering, the second dimension's per-file ranges are tight and
     * a predicate on it skips most files. */
   def create(df: DataFrame, root: String, statsKey: Option[String],
-             check: Option[String], statsCols: Seq[String]): CommitResult = {
+             check: Option[String], statsCols: Seq[String],
+             shingleCols: Seq[String] = Seq.empty,
+             shingleN: Int = 3): CommitResult = {
     require(statsCols.forall(c => !statsKey.contains(c)),
       s"statsCols $statsCols must not repeat the primary key $statsKey")
+    shingleCols.foreach { c =>
+      require(df.schema(df.schema.fieldIndex(c)).dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"shingle column '$c' must be a string column")
+    }
+    require(shingleCols.isEmpty || shingleN >= 1,
+      s"shingleN must be >= 1, got $shingleN")
     // stats long-normalize by CAST for numeric/date/time types; STRING
     // columns are allowed as SECONDARY stats columns only — they encode
     // through StrKey.prefix64 (order-preserving, see stageData), so
@@ -1329,10 +1525,12 @@ object TxTable {
         org.apache.spark.sql.types.StringType
     }
     val (adds, st, bl, stN, blN) = stageData(df, root, statsKey, statsCols)
+    val shBl = stageShingles(df, root, adds, shingleCols, shingleN)
     val ok = tryPublish(root,
       Commit(0L, "create", adds, Seq.empty, None, statsKey, st, bl, check,
         statsCols = statsCols, addStatsN = stN, addBloomsN = blN,
-        strCols = strCols))
+        strCols = strCols,
+        shCols = shingleCols, shN = shingleN, addShBlooms = shBl))
     if (!ok) throw new IllegalStateException(s"table already exists: $root")
     CommitResult(0L, 1, skipped = false)
   }
@@ -1399,7 +1597,10 @@ object TxTable {
       Commit(0L, "clone", snap.files, Seq.empty, None, snap.statsKey,
         stats, blooms, snap.check, statsCols = snap.statsCols,
         addStatsN = statsN, addBloomsN = bloomsN, addRows = rowsKnown,
-        strCols = snap.strCols))
+        strCols = snap.strCols,
+        shCols = snap.shingleCols, shN = snap.shingleN,
+        addShBlooms = snap.shingleCols.indices.map(j => snap.files.map(f =>
+          snap.fileShBlooms.get(f).flatMap(_.lift(j)).getOrElse("")))))
     if (!ok) throw new IllegalStateException(s"table already exists: $dstRoot")
     CommitResult(0L, 1, skipped = false)
   }
@@ -1429,10 +1630,11 @@ object TxTable {
       val next = body(current)
       val (adds, st, bl, stN, blN) =
         stageData(next, root, snap.statsKey, snap.statsCols)
+      val shBl = stageShingles(next, root, adds, snap.shingleCols, snap.shingleN)
       val c = Commit(snap.version + 1, op, adds,
         snap.files ++ snap.ledgers.map(_.path), tag,
         statsKey = None, addStats = st, addBlooms = bl,
-        addStatsN = stN, addBloomsN = blN)
+        addStatsN = stN, addBloomsN = blN, addShBlooms = shBl)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
@@ -1605,10 +1807,11 @@ object TxTable {
       val (keep, rewrite) = body(snap)
       val (adds, st, bl, stN, blN) =
         stageData(rewrite, root, snap.statsKey, snap.statsCols)
+      val shBl = stageShingles(rewrite, root, adds, snap.shingleCols, snap.shingleN)
       val removes = snap.files.diff(keep)
       val c = Commit(snap.version + 1, op, adds, removes, tag,
         statsKey = None, addStats = st, addBlooms = bl,
-        addStatsN = stN, addBloomsN = blN)
+        addStatsN = stN, addBloomsN = blN, addShBlooms = shBl)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
@@ -2043,6 +2246,8 @@ object TxTable {
       ledgerDf.distinct().coalesce(1), root, statsKey = None)
     val (adds, st, bl, stN, blN) =
       stageData(changes, root, snap0.statsKey, snap0.statsCols)
+    val shBl = stageShingles(changes, root, adds,
+      snap0.shingleCols, snap0.shingleN)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -2052,7 +2257,8 @@ object TxTable {
       val c = Commit(snap.version + 1, "merge-mor",
         adds = adds, removes = Seq.empty, tag,
         statsKey = None, addStats = st, addBlooms = bl,
-        addStatsN = stN, addBloomsN = blN, dadds = dfiles)
+        addStatsN = stN, addBloomsN = blN, dadds = dfiles,
+        addShBlooms = shBl)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)

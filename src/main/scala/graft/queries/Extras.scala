@@ -1128,6 +1128,50 @@ object Extras {
         .orderBy("letter")
     },
 
+    // ---- Q-qual-28: SHINGLE-BLOOM phrase probes — decontamination at
+    // FILE granularity, from the log alone. The corpus-level 5-gram
+    // gate (Q-llm-30) scans the corpus once per benchmark refresh; at
+    // 100 TB the question "which FILES could have ingested this
+    // benchmark phrase?" must not open data at all. The table declares
+    // shingle blooms on `text` (create: per-file 32 KiB bloom over the
+    // word 5-grams of the canonical token stream, built by the same
+    // OR-merge agg as key blooms — sized for shingle populations, which
+    // dwarf key populations); a phrase of k words carries k-4 5-grams
+    // and a file must admit ALL of them, so grams compound
+    // conjunctively into a selective probe. Asserted in-query: the
+    // probe (doc 0's first seven tokens — SF-independent) keeps ≤ half
+    // the files; a vocabulary-absent phrase keeps ZERO. The returned
+    // rows — the pruned phrase read — hash-match the oracle's direct
+    // contains-filter: probing is visible to cost, never to results.
+    "Q-qual-28" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual28").toString + "/tbl"
+      val src = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      def batch(b: Int) = src.filter(col("doc_id") % 10 === b).coalesce(1)
+      TxTable.create(batch(0), root, Some("doc_id"), None, Seq.empty,
+        shingleCols = Seq("text"), shingleN = 5)                 // v0
+      (1 to 9).foreach(b => TxTable.append(s, root, batch(b)))   // v1..v9
+      // the probe phrase: doc 0's first seven canonical tokens (derived
+      // the same way on the oracle side — SF-independent), i.e. three
+      // overlapping 5-grams the probe must find TOGETHER in a file
+      val probe = src.filter(col("doc_id") === 0)
+        .select(array_join(slice(org.apache.spark.sql.functions.filter(
+          split(lower(col("text")), "[^a-z0-9]+"),
+          x => x =!= lit("")), 1, 7), " "))
+        .head().getString(0)
+      val (kept, total) = TxTable.shinglePruneAccounting(root, "text", probe)
+      if (kept * 2 > total || total < 10) throw new IllegalStateException(
+        s"phrase probe kept $kept of $total files")
+      val (k0, _) = TxTable.shinglePruneAccounting(root, "text",
+        "quasar nebula pulsar comet meteor")
+      if (k0 != 0) throw new IllegalStateException(
+        s"vocabulary-absent phrase kept $k0 files")
+      TxTable.shingleRead(s, root, "text", probe)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
     // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
     // leave every rewritten file generation alive in the name of time
@@ -2780,6 +2824,25 @@ object Extras {
          WHERE p_name BETWEEN 'b' AND 'i'
          GROUP BY 1
          ORDER BY letter""",
+    // shingle-bloom phrase probing is invisible to results: the pruned
+    // phrase read equals the direct contains-filter over the canonical
+    // token stream (probe derived identically: doc 0's first 5 tokens)
+    "Q-qual-28" ->
+      """WITH canon AS (
+           SELECT doc_id, lang, n_chars,
+                  ' ' || array_to_string(list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> ''), ' ') || ' ' AS s
+           FROM documents),
+         probe AS (
+           SELECT ' ' || array_to_string((list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> ''))[1:7], ' ') || ' ' AS p
+           FROM documents WHERE doc_id = 0)
+         SELECT c.doc_id, c.lang, c.n_chars
+         FROM canon c, probe
+         WHERE contains(c.s, probe.p)
+         ORDER BY c.doc_id""",
     // the maintained MV must equal the from-scratch join with both
     // epochs' adjustments applied in epoch order (left-assoc adds)
     "Q-qual-11" ->

@@ -1286,6 +1286,79 @@ class TxTableSpec extends AnyFunSuite {
     assert(ma.count == 12L * 40 && ma.min.isEmpty && ma.max.isEmpty)
   }
 
+  test("shingle blooms: phrase probes prune from the log; reads stay exact") {
+    import spark.implicits._
+    val base = freshRoot()
+    val root = s"$base/t"
+    // three batches with DISJOINT vocabularies: a phrase from one
+    // batch's text can only live in that batch's file
+    def doc(b: Int, i: Int): String =
+      (0 until 12).map(w => s"w${b}t${(i + w) % 9}").mkString(" ")
+    def batch(b: Int) = (0 until 30)
+      .map(i => (b * 100L + i, doc(b, i))).toDF("k", "text").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, Seq.empty,
+      shingleCols = Seq("text"), shingleN = 3)
+    (1 to 2).foreach(b => TxTable.append(spark, root, batch(b)))
+    assert(TxTable.snapshot(root).shingleCols == Seq("text"))
+    assert(TxTable.snapshot(root).shingleN == 3)
+    // a phrase present in batch 1 keeps only its file
+    val phrase = "w1t4 w1t5 w1t6" // doc(1, 4)'s first three tokens
+    val (k1, n1) = TxTable.shinglePruneAccounting(root, "text", phrase)
+    assert(n1 == 3 && k1 == 1, s"phrase probe kept $k1 of $n1")
+    val got = TxTable.shingleRead(spark, root, "text", phrase)
+      .as[(Long, String)].collect()
+    val want = TxTable.read(spark, root).as[(Long, String)].collect()
+      .filter(r => (" " + r._2 + " ").contains(s" $phrase "))
+    assert(got.toSet == want.toSet && want.nonEmpty)
+    // tokenization is canonical: punctuation/case variants of the same
+    // phrase probe and match identically
+    val messy = "W1T4, w1t5!  w1t6"
+    assert(TxTable.shingleRead(spark, root, "text", messy)
+      .as[(Long, String)].collect().toSet == want.toSet)
+    // an absent phrase (each gram exists NOWHERE) prunes everything
+    val (k0, _) = TxTable.shinglePruneAccounting(root, "text", "zz yy xx")
+    assert(k0 == 0, s"absent phrase kept $k0 files")
+    assert(TxTable.shingleRead(spark, root, "text", "zz yy xx").count() == 0L)
+    // conjunctive power: grams that exist in DIFFERENT files never
+    // co-occur in one, so the multi-gram probe proves every file empty
+    val cross = "w0t1 w0t2 w1t1 w1t2" // grams span batches 0 and 1
+    val (kc, _) = TxTable.shinglePruneAccounting(root, "text", cross)
+    assert(kc == 0, s"cross-batch phrase kept $kc files")
+    // refusals: undeclared column, too-short phrase
+    assertThrows[IllegalArgumentException](
+      TxTable.shinglePruneAccounting(root, "k", phrase))
+    assertThrows[IllegalArgumentException](
+      TxTable.shingleRead(spark, root, "text", "w1t4 w1t5"))
+    // compaction recomputes blooms over the merged layout; probes and
+    // results survive
+    TxTable.compact(spark, root, targetFiles = 2)
+    val (kz, nz) = TxTable.shinglePruneAccounting(root, "text", phrase)
+    assert(nz == 2 && kz >= 1 && TxTable.shingleRead(spark, root, "text", phrase)
+      .as[(Long, String)].collect().toSet == want.toSet)
+    // clone carries the declaration and the per-file blooms
+    val cl = s"$base/clone"
+    TxTable.cloneShallow(root, cl)
+    assert(TxTable.snapshot(cl).shingleCols == Seq("text"))
+    assert(TxTable.shinglePruneAccounting(cl, "text", phrase) == ((kz, nz)))
+  }
+
+  test("shingle blooms survive checkpoint consolidation") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    def batch(b: Int) = (0 until 10)
+      .map(i => (b * 100L + i, s"v${b}a$i v${b}b$i v${b}c$i v${b}d$i"))
+      .toDF("k", "text").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, Seq.empty,
+      shingleCols = Seq("text"), shingleN = 3)
+    (1 to 11).foreach(b => TxTable.append(spark, root, batch(b))) // ckpt v10
+    assert(TxTable.snapshot(root).commits.size < 12,
+      "snapshot must resolve from the v10 checkpoint")
+    assert(TxTable.snapshot(root).shingleCols == Seq("text"))
+    val (k, n) = TxTable.shinglePruneAccounting(root, "text",
+      "v7a3 v7b3 v7c3")
+    assert(n == 12 && k == 1, s"post-checkpoint phrase probe kept $k of $n")
+  }
+
   test("optimizeOn a string axis: re-cluster makes prefix64 ranges tile") {
     import spark.implicits._
     val root = freshRoot() + "/t"

@@ -130,7 +130,8 @@ object Bench {
     "Q-qual-26",  // TIMESTAMP AS OF travel (binary-search log resolution)
     "Q-llm-58",   // prefix-filtering similarity join (PPJoin candidates)
     "Q-qual-27",  // string-axis skipping (prefix64 stats + hash64 blooms)
-    "Q-qual-28"   // shingle-bloom phrase probes (file-level decontamination)
+    "Q-qual-28",  // shingle-bloom phrase probes (file-level decontamination)
+    "Q-qual-29"   // maintenance policy loop (binPack + tagged replays)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -1658,6 +1658,53 @@ object TxTable {
               targetFiles: Int = 1): CommitResult =
     transact(spark, root, "compact")(_.coalesce(targetFiles))
 
+  /** TIME-BASED retention — the "RETAIN N DAYS" policy spelled as an
+    * operator: expire every version that was already superseded at
+    * `tsMillis` (cutoff = the version current at that wall-clock
+    * moment, resolved by [[versionAsOfTimestamp]]'s binary search, then
+    * snapped down to a covering checkpoint by [[expireHistory]]).
+    * Refused — never clamped — when the moment predates retained
+    * history, exactly like timestamp time travel. Returns
+    * (data files deleted, commits archived). */
+  def expireOlderThan(root: String, tsMillis: Long): (Long, Long) =
+    expireHistory(root, versionAsOfTimestamp(root, tsMillis))
+
+  /** SIZE-AWARE auto-compaction — the small-file policy a streamed-into
+    * table needs as an OPERATOR, not an operator's side effect: every
+    * per-epoch commit lands a small file, and a periodic `binPack` folds
+    * the accumulated SMALL tail into `targetFiles` while every file
+    * already at least `minBytes` carries over BY REFERENCE (zero bytes
+    * of compacted history move again — the property that makes the
+    * policy affordable on a 100 TB table where full `compact` is not).
+    * A no-op (None) when fewer than 2 small files exist. Correct under
+    * live MoR ledgers: the rewrite starts from the small files'
+    * EFFECTIVE content (ledger rows subtracted) and the replacement
+    * postdates every ledger, while kept files keep their ledgers
+    * applying — results invariant, spec-pinned. */
+  def binPack(spark: SparkSession, root: String, minBytes: Long,
+              targetFiles: Int = 1,
+              tag: Option[String] = None): Option[CommitResult] = {
+    val snap0 = snapshot(root)
+    require(snap0.version >= 0, s"not a TxTable: $root")
+    // a replayed maintenance epoch is a detected no-op BEFORE the size
+    // precheck — the first run's pack leaves <2 small files, so the
+    // replay would otherwise read as "nothing to do" instead of "done"
+    if (tag.exists(snap0.tags))
+      return Some(CommitResult(snap0.version, 1, skipped = true))
+    def small(f: String): Boolean =
+      Files.size(Paths.get(root, f)) < minBytes
+    if (snap0.files.count(small) < 2) return None
+    Some(transactFiles(spark, root, "bin-pack", tag) { snap =>
+      val keep = snap.files.filterNot(small)
+      val smalls = snap.files.diff(keep)
+      val rewrite =
+        if (smalls.isEmpty)
+          readFilesEvolved(spark, root, snap, Seq(snap.files.head)).limit(0)
+        else morRead(spark, root, snap, smalls).coalesce(targetFiles)
+      (keep, rewrite)
+    })
+  }
+
   /** Reclaim ORPHANED data files: staged by writers that lost their
     * commit race (or crashed before publishing) and therefore referenced
     * by NO commit ever written. Deleting them can break nothing — no

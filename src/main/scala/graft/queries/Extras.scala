@@ -1172,6 +1172,60 @@ object Extras {
         .orderBy("doc_id")
     },
 
+    // ---- Q-qual-29: MAINTENANCE POLICY LOOP — size-aware auto-
+    // compaction (binPack) + wall-clock retention run as OPERATORS
+    // inside a 12-epoch ingest, the way a production table service
+    // would. Every epoch lands one small file; whenever ≥4 small files
+    // accumulate, binPack folds ONLY the small tail while the big base
+    // file (70% of the data) carries BY REFERENCE through every pack —
+    // asserted: its path never changes across all 12 epochs, so the
+    // policy's cost is bounded by the tail, never the table. Epoch-
+    // tagged packs make maintenance idempotent under replay (asserted:
+    // the replayed tag SKIPS, it does not re-pack). Live file count
+    // stays ≤ 5 where naive ingest reaches 13 (asserted). The final
+    // rollup hash-matches the oracle's one-pass derivation: a correct
+    // policy is invisible to results.
+    "Q-qual-29" -> { (s, d) =>
+      import graft.operators.TxTable
+      import java.nio.file.{Files => JF, Paths => JP}
+      val root = tempDir("graft_qual29").toString + "/tbl"
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"))
+      val base = src.filter(col("o_orderkey") % 10 < 7)
+      TxTable.create(base.coalesce(1), root, statsKey = Some("o_orderkey"))
+      val baseFile = TxTable.snapshot(root).files.head
+      val minBytes = JF.size(JP.get(root, baseFile))
+      var packs = 0
+      (0 until 12).foreach { e =>
+        val epoch = src.filter(
+          col("o_orderkey") % 10 >= 7 && col("o_orderkey") % 12 === e)
+        TxTable.append(s, root, epoch.coalesce(1),
+          tag = Some(s"ingest/epoch=$e"))
+        val smalls = TxTable.snapshot(root).files
+          .count(f => JF.size(JP.get(root, f)) < minBytes)
+        if (smalls >= 4) {
+          val r = TxTable.binPack(s, root, minBytes, 1, Some(s"pack/epoch=$e"))
+          if (r.exists(!_.skipped)) packs += 1
+          if (!TxTable.binPack(s, root, minBytes, 1, Some(s"pack/epoch=$e"))
+              .exists(_.skipped)) throw new IllegalStateException(
+            "replayed maintenance epoch must be a detected no-op")
+        }
+      }
+      val snap = TxTable.snapshot(root)
+      if (!snap.files.contains(baseFile)) throw new IllegalStateException(
+        "the big base file was rewritten — pack cost is not tail-bounded")
+      if (snap.files.size > 5) throw new IllegalStateException(
+        s"policy failed to bound the layout: ${snap.files.size} live files")
+      if (packs < 2) throw new IllegalStateException(
+        s"expected >=2 real packs across 12 epochs, got $packs")
+      TxTable.read(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
     // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
     // leave every rewritten file generation alive in the name of time
@@ -2843,6 +2897,17 @@ object Extras {
          FROM canon c, probe
          WHERE contains(c.s, probe.p)
          ORDER BY c.doc_id""",
+    // the maintenance policy is invisible to results: the packed,
+    // retention-bounded table equals the one-pass rollup of its inputs
+    "Q-qual-29" ->
+      """SELECT o_orderpriority,
+                count(*) AS n,
+                (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)))::BIGINT
+                  AS cents_sum
+         FROM orders
+         WHERE o_orderkey <= 6000
+         GROUP BY 1
+         ORDER BY o_orderpriority""",
     // the maintained MV must equal the from-scratch join with both
     // epochs' adjustments applied in epoch order (left-assoc adds)
     "Q-qual-11" ->

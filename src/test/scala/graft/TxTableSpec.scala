@@ -1342,6 +1342,65 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.shinglePruneAccounting(cl, "text", phrase) == ((kz, nz)))
   }
 
+  test("binPack: small files fold, big files carry by reference, ledgers stay correct") {
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths => JPaths}
+    val root = freshRoot() + "/t"
+    val big = (0L until 5000L).map(i => (i, s"payload-$i")).toDF("k", "v")
+    TxTable.create(big.coalesce(1), root, statsKey = Some("k"))
+    val bigFile = TxTable.snapshot(root).files.head
+    val minBytes = JFiles.size(JPaths.get(root, bigFile)) // big is never "small"
+    (0 until 6).foreach { e =>
+      TxTable.append(spark, root,
+        Seq((10000L + e, s"epoch-$e")).toDF("k", "v").coalesce(1))
+    }
+    // a MoR delete lands before the pack: one doomed key in a small
+    // file, one in the big file — the pack must not resurrect either
+    TxTable.deleteMor(spark, root, Seq(10001L, 7L).toDF("k"), "k")
+    val before = rows(root)
+    assert(!before.exists(r => r._1 == 10001L || r._1 == 7L))
+    val res = TxTable.binPack(spark, root, minBytes, targetFiles = 1)
+    assert(res.isDefined && !res.get.skipped)
+    val snap = TxTable.snapshot(root)
+    // the big file carried BY REFERENCE — same path, zero bytes moved
+    assert(snap.files.contains(bigFile), "big file must carry by reference")
+    assert(snap.files.size == 2, s"expected big + 1 packed, got ${snap.files}")
+    assert(rows(root) == before, "bin-pack must be invisible to results")
+    // the ledger stays LIVE: it still masks k=7 inside the kept big file
+    assert(snap.ledgers.nonEmpty, "ledger must survive a partial pack")
+    assert(!rows(root).exists(_._1 == 7L))
+    // idempotent policy: nothing small left to fold
+    assert(TxTable.binPack(spark, root, minBytes).isEmpty)
+    // a replayed epoch-tagged pack no-ops
+    TxTable.append(spark, root, Seq((20000L, "x")).toDF("k", "v").coalesce(1))
+    TxTable.append(spark, root, Seq((20001L, "y")).toDF("k", "v").coalesce(1))
+    val t = Some("maintenance/epoch=1")
+    val r1 = TxTable.binPack(spark, root, minBytes, 1, t)
+    val r2 = TxTable.binPack(spark, root, minBytes, 1, t)
+    assert(r1.exists(!_.skipped) && r2.exists(_.skipped))
+  }
+
+  test("expireOlderThan: wall-clock retention resolves by binary search, refuses pre-history") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create((0L until 20L).map(i => (i, "v0")).toDF("k", "v"), root,
+      statsKey = Some("k"))
+    (1 to 12).foreach(e =>
+      TxTable.merge(spark, root,
+        (0L until 20L).map(i => (i, s"v$e")).toDF("k", "v"), Seq("k")))
+    val ts11 = TxTable.commitTs(root, 11L).get
+    val (dropped, archived) = TxTable.expireOlderThan(root, ts11)
+    // v11 resolves at ts11; expireHistory snaps down to the v10 checkpoint
+    assert(archived == 10L, s"commits 0..9 should archive, archived $archived")
+    assert(dropped > 0L)
+    assert(TxTable.snapshot(root, 10L).version == 10L)
+    assertThrows[IllegalStateException](TxTable.snapshot(root, 5L))
+    // a moment before the oldest RETAINED commit refuses, never clamps
+    val ts10 = TxTable.commitTs(root, 10L).get
+    assertThrows[IllegalArgumentException](
+      TxTable.expireOlderThan(root, ts10 - 1))
+  }
+
   test("shingle blooms survive checkpoint consolidation") {
     import spark.implicits._
     val root = freshRoot() + "/t"

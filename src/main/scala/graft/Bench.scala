@@ -131,7 +131,8 @@ object Bench {
     "Q-llm-58",   // prefix-filtering similarity join (PPJoin candidates)
     "Q-qual-27",  // string-axis skipping (prefix64 stats + hash64 blooms)
     "Q-qual-28",  // shingle-bloom phrase probes (file-level decontamination)
-    "Q-qual-29"   // maintenance policy loop (binPack + tagged replays)
+    "Q-qual-29",  // maintenance policy loop (binPack + tagged replays)
+    "Q-qual-30"   // idempotent range backfill (replaceWhere)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -1658,6 +1658,61 @@ object TxTable {
               targetFiles: Int = 1): CommitResult =
     transact(spark, root, "compact")(_.coalesce(targetFiles))
 
+  /** RANGE-SCOPED atomic overwrite — Delta's `replaceWhere` on the
+    * stats key, i.e. the idempotent BACKFILL primitive: ONE commit
+    * deletes every row with key in [lo, hi] and lands `batch` in its
+    * place, so re-running a corrected pipeline over one day/shard
+    * replaces exactly that slice atomically. File selection is
+    * metadata-only — only files whose logged range intersects [lo, hi]
+    * rewrite; everything else carries by reference — and the batch is
+    * VALIDATED to stay inside the range: a backfill that would silently
+    * write outside its own scope is refused before any commit. Replay
+    * protection via `tag`; correct under live MoR ledgers (rewrites
+    * start from effective content). */
+  def replaceWhere(spark: SparkSession, root: String, lo: Long, hi: Long,
+                   batch: DataFrame,
+                   tag: Option[String] = None): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val snap0 = snapshot(root)
+    require(snap0.version >= 0, s"not a TxTable: $root")
+    val key = primaryKey(snap0, root)
+    enforceCheck(batch, snap0.check, "replaceWhere batch")
+    val outside = batch.filter(
+      col(key).cast("long") < lo || col(key).cast("long") > hi ||
+        col(key).isNull).count()
+    require(outside == 0L,
+      s"replaceWhere([$lo, $hi]) batch carries $outside rows outside " +
+        "the replaced range — refused (the commit would silently write " +
+        "beyond its own scope)")
+    transactFiles(spark, root, "replace-where", tag) { snap =>
+      val touched = snap.files.filter { f =>
+        snap.fileStats.get(f) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // stats-less file: rewrite conservatively
+        }
+      }
+      val keep = snap.files.diff(touched)
+      val survivors =
+        if (touched.isEmpty)
+          readFilesEvolved(spark, root, snap, Seq(snap.files.head)).limit(0)
+        else morRead(spark, root, snap, touched)
+          .where(!col(key).cast("long").between(lo, hi))
+      (keep, survivors.unionByName(batch))
+    }
+  }
+
+  /** (files a [[replaceWhere]] on [lo, hi] would rewrite, total live
+    * files) — the metadata-only selection rule, exposed. */
+  def replaceAccounting(root: String, lo: Long, hi: Long): (Int, Int) = {
+    val snap = snapshot(root)
+    (snap.files.count { f =>
+      snap.fileStats.get(f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }, snap.files.size)
+  }
+
   /** TIME-BASED retention — the "RETAIN N DAYS" policy spelled as an
     * operator: expire every version that was already superseded at
     * `tsMillis` (cutoff = the version current at that wall-clock

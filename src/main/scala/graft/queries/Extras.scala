@@ -1226,6 +1226,60 @@ object Extras {
         .orderBy("o_orderpriority")
     },
 
+    // ---- Q-qual-30: IDEMPOTENT RANGE BACKFILL — Delta's replaceWhere
+    // as the pipeline-rerun primitive: a corrected job re-lands one
+    // key range (here the first quarter of the order-key domain, cents
+    // corrected by +1) as ONE commit that deletes-and-replaces exactly
+    // that slice. File selection is metadata-only and asserted: on the
+    // range-clustered layout the backfill rewrites ≤ half the files —
+    // everything else carries by reference, which is what makes a
+    // daily backfill affordable on a 100 TB table. The commit is
+    // epoch-TAGGED, so the rerun-crashed-rerun sequence is safe
+    // (asserted: the replay SKIPS at the same version); a batch that
+    // would write outside its declared range is REFUSED with the
+    // version unchanged (asserted) — scope leaks can't happen
+    // silently. Final rollup hash-matches the oracle's closed form.
+    "Q-qual-30" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual30").toString + "/tbl"
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"))
+      TxTable.create(
+        src.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, statsKey = Some("o_orderkey"))
+      val maxK = src.agg(max("o_orderkey")).head().getLong(0)
+      val hi = maxK / 4
+      val (touched, total) = TxTable.replaceAccounting(root, 1L, hi)
+      if (touched * 2 > total) throw new IllegalStateException(
+        s"quarter-range backfill would rewrite $touched of $total files")
+      val fixed = src.filter(col("o_orderkey").between(1L, hi))
+        .withColumn("cents", col("cents") + 1)
+      val r1 = TxTable.replaceWhere(s, root, 1L, hi, fixed,
+        tag = Some("backfill/q1"))
+      val r2 = TxTable.replaceWhere(s, root, 1L, hi, fixed,
+        tag = Some("backfill/q1"))
+      if (!r2.skipped || r2.version != r1.version)
+        throw new IllegalStateException(
+          "replayed backfill must be a detected no-op at the same version")
+      val vBefore = TxTable.snapshot(root).version
+      val refused =
+        try {
+          TxTable.replaceWhere(s, root, 1L, hi,
+            src.filter(col("o_orderkey").between(1L, hi + 10L)))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      if (!refused || TxTable.snapshot(root).version != vBefore)
+        throw new IllegalStateException(
+          "an out-of-scope backfill batch must be refused without a commit")
+      TxTable.read(s, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        .orderBy("o_orderpriority")
+    },
+
     // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
     // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
     // leave every rewritten file generation alive in the name of time
@@ -2897,6 +2951,20 @@ object Extras {
          FROM canon c, probe
          WHERE contains(c.s, probe.p)
          ORDER BY c.doc_id""",
+    // the backfilled table equals the closed form: cents +1 on exactly
+    // the replaced quarter range, untouched elsewhere
+    "Q-qual-30" ->
+      """SELECT o_orderpriority,
+                count(*) AS n,
+                (sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   + CASE WHEN o_orderkey BETWEEN 1 AND
+                       (SELECT max(o_orderkey) // 4 FROM orders
+                        WHERE o_orderkey <= 6000)
+                     THEN 1 ELSE 0 END))::BIGINT AS cents_sum
+         FROM orders
+         WHERE o_orderkey <= 6000
+         GROUP BY 1
+         ORDER BY o_orderpriority""",
     // the maintenance policy is invisible to results: the packed,
     // retention-bounded table equals the one-pass rollup of its inputs
     "Q-qual-29" ->

@@ -26,7 +26,12 @@ import graft.operators.TxTable
   *   DELETE FROM t WHERE <predicate> [MODE MOR]    -- keys via stats key
   *   ALTER TABLE t RENAME COLUMN a TO b            -- metadata-only commit
   *   ALTER TABLE t ALTER COLUMN c TYPE BIGINT      -- widen, metadata-only
+  *   INSERT OVERWRITE t WHERE k BETWEEN <lo> AND <hi> <select>
+  *                                  -- atomic range backfill (replaceWhere)
   *   OPTIMIZE t [ZORDER BY (x, y)] [INTO <n> FILES]
+  *   OPTIMIZE t PACK UNDER <bytes> BYTES [INTO <n> FILES]
+  *                                  -- size-aware auto-compaction (binPack)
+  *   EXPIRE HISTORY t BEFORE <millis>|'<iso-instant>'  -- wall-clock retention
   *   VACUUM t                                      -- orphaned files
   *   RESTORE t TO VERSION <v>
   *   DESCRIBE HISTORY t
@@ -85,6 +90,16 @@ final class TableSql(spark: SparkSession) {
         val r = TxTable.cloneShallow(rootOf(srcName), root)
         register(name, root)
         result(name, "clone", r)
+
+      case TableSql.insertOverwriteRe(name, k, lo, hi, select) =>
+        val root = rootOf(name)
+        val sk = TxTable.snapshot(root).statsKey
+        require(sk.contains(k),
+          s"INSERT OVERWRITE range column '$k' must be the stats key " +
+            s"(${sk.getOrElse("-")})")
+        result(name, "replace-where",
+          TxTable.replaceWhere(spark, root, lo.toLong, hi.toLong,
+            spark.sql(select)))
 
       case TableSql.insertRe(name, select) =>
         result(name, "append",
@@ -150,6 +165,27 @@ final class TableSql(spark: SparkSession) {
       case TableSql.alterTypeRe(name, c, tpe) =>
         result(name, "widen-column",
           TxTable.widenColumn(spark, rootOf(name), c, tpe.toLowerCase))
+
+      case TableSql.packRe(name, bytes, n) =>
+        val root = rootOf(name)
+        TxTable.binPack(spark, root, bytes.toLong,
+          Option(n).map(_.toInt).getOrElse(1)) match {
+          case Some(r) => result(name, "bin-pack", r)
+          case None => result(name, "bin-pack-noop",
+            TxTable.CommitResult(TxTable.snapshot(root).version, 1,
+              skipped = true))
+        }
+
+      case TableSql.expireRe(name, ms, iso) =>
+        val millis =
+          if (ms != null) ms.toLong
+          else java.time.Instant.parse(iso).toEpochMilli
+        val (dropped, archived) =
+          TxTable.expireOlderThan(rootOf(name), millis)
+        spark.range(1).select(lit(name).as("table"),
+          lit("expire-history").as("op"),
+          lit(dropped).as("files_deleted"),
+          lit(archived).as("commits_archived"))
 
       case TableSql.vacuumRe(name) =>
         val n = TxTable.vacuumOrphans(rootOf(name))
@@ -271,6 +307,15 @@ object TableSql {
   private val alterTypeRe =
     ("(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+ALTER\\s+COLUMN\\s+" +
       "(\\w+)\\s+TYPE\\s+(\\w+)$").r
+  private val insertOverwriteRe =
+    ("(?is)^INSERT\\s+OVERWRITE\\s+(\\w+)\\s+WHERE\\s+(\\w+)\\s+BETWEEN\\s+" +
+      "(-?\\d+)\\s+AND\\s+(-?\\d+)\\s+((?:SELECT|WITH)\\b.*)$").r
+  private val packRe =
+    ("(?is)^OPTIMIZE\\s+(\\w+)\\s+PACK\\s+UNDER\\s+(\\d+)\\s+BYTES" +
+      "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?$").r
+  private val expireRe =
+    ("(?is)^EXPIRE\\s+HISTORY\\s+(\\w+)\\s+BEFORE\\s+" +
+      "(?:(\\d+)|'([^']+)')$").r
   private val vacuumRe = "(?is)^VACUUM\\s+(\\w+)$".r
   private val restoreRe =
     "(?is)^RESTORE\\s+(\\w+)\\s+TO\\s+VERSION\\s+(\\d+)$".r

@@ -199,4 +199,63 @@ class TableSqlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       q.exec("DELETE FROM nk WHERE grp = 0"))
   }
+
+  test("INSERT OVERWRITE: atomic range backfill through SQL; scope violations refused") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE bw LOCATION '$dir/bw' STATS KEY k AS " +
+      "SELECT * FROM tsql_src")
+    q.exec("INSERT OVERWRITE bw WHERE k BETWEEN 20 AND 29 " +
+      "SELECT k, 'fixed' AS v, grp FROM tsql_src WHERE k BETWEEN 20 AND 29")
+    val vs = q.exec("SELECT k, v FROM bw ORDER BY k")
+      .as[(Long, String)].collect()
+    assert(vs.count(_._2 == "fixed") == 10)
+    assert(vs.filter(r => r._1 < 20 || r._1 > 29).forall(_._2 != "fixed"))
+    assert(vs.length == 100)
+    // a batch that writes beyond its declared range is refused atomically
+    val vBefore = TxTable.snapshot(q.rootOf("bw")).version
+    intercept[IllegalArgumentException](
+      q.exec("INSERT OVERWRITE bw WHERE k BETWEEN 20 AND 29 " +
+        "SELECT k, 'leak' AS v, grp FROM tsql_src WHERE k BETWEEN 20 AND 35"))
+    assert(TxTable.snapshot(q.rootOf("bw")).version == vBefore)
+    // the range column must be the stats key
+    intercept[IllegalArgumentException](
+      q.exec("INSERT OVERWRITE bw WHERE grp BETWEEN 0 AND 1 " +
+        "SELECT * FROM tsql_src WHERE grp BETWEEN 0 AND 1"))
+  }
+
+  test("OPTIMIZE PACK and EXPIRE HISTORY drive the maintenance policies via SQL") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE mp LOCATION '$dir/mp' STATS KEY k AS " +
+      "SELECT * FROM tsql_src")
+    (0 until 4).foreach(e => q.exec(
+      s"INSERT INTO mp SELECT k + ${1000 * (e + 1)} AS k, v, grp FROM tsql_src"))
+    val before = q.exec("SELECT count(*) FROM mp").as[Long].head()
+    val packed = q.exec("OPTIMIZE mp PACK UNDER 10000000 BYTES INTO 1 FILES")
+      .collect().head
+    assert(packed.getAs[String]("op") == "bin-pack" &&
+      !packed.getAs[Boolean]("skipped"))
+    assert(TxTable.snapshot(q.rootOf("mp")).files.size == 1)
+    assert(q.exec("SELECT count(*) FROM mp").as[Long].head() == before)
+    // nothing small left: the policy reports a no-op, not an error
+    assert(q.exec("OPTIMIZE mp PACK UNDER 10000000 BYTES")
+      .collect().head.getAs[String]("op") == "bin-pack-noop")
+    // wall-clock retention through SQL: build enough history for a
+    // checkpoint, then expire before the head commit's stamp
+    (0 until 7).foreach(e => q.exec(
+      s"INSERT INTO mp SELECT k + ${10000 * (e + 1)} AS k, v, grp FROM tsql_src"))
+    val root = q.rootOf("mp")
+    val head = TxTable.snapshot(root).version
+    val ts = TxTable.commitTs(root, head).get
+    val r = q.exec(s"EXPIRE HISTORY mp BEFORE $ts").collect().head
+    assert(r.getAs[String]("op") == "expire-history" &&
+      r.getAs[Long]("commits_archived") > 0L)
+    // current state unaffected; an expired version fails loudly
+    assert(q.exec("SELECT count(*) FROM mp").as[Long].head() ==
+      before + 7 * 100L)
+    intercept[Exception](TxTable.snapshot(root, 1L))
+  }
 }

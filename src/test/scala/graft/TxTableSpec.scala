@@ -1380,6 +1380,48 @@ class TxTableSpec extends AnyFunSuite {
     assert(r1.exists(!_.skipped) && r2.exists(_.skipped))
   }
 
+  test("replaceWhere: range backfill touches only intersecting files; tags replay; MoR-safe") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // 4 range-clustered files over k = 0..399
+    val df = (0L until 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+    TxTable.create(df, root, statsKey = Some("k"))
+    // metadata-only selection: [100, 199] lives in 1 of 4 files
+    val (touched, total) = TxTable.replaceAccounting(root, 100L, 199L)
+    assert(total == 4 && touched == 1, s"backfill would rewrite $touched of $total")
+    val fixed = (100L until 200L).map(k => (k, s"fixed$k")).toDF("k", "v")
+    val r1 = TxTable.replaceWhere(spark, root, 100L, 199L, fixed,
+      tag = Some("backfill/day=7"))
+    assert(!r1.skipped)
+    val got = rows(root)
+    assert(got.size == 400)
+    assert(got.filter(r => r._1 >= 100 && r._1 <= 199).forall(_._2.startsWith("fixed")))
+    assert(got.filter(r => r._1 < 100 || r._1 > 199).forall(_._2.startsWith("v")))
+    // replay of the same backfill epoch is a detected no-op
+    val r2 = TxTable.replaceWhere(spark, root, 100L, 199L, fixed,
+      tag = Some("backfill/day=7"))
+    assert(r2.skipped && rows(root) == got)
+    // a live MoR ledger outside the range survives the backfill
+    TxTable.deleteMor(spark, root, Seq(7L).toDF("k"), "k")
+    TxTable.replaceWhere(spark, root, 300L, 399L,
+      (300L until 400L).map(k => (k, s"b$k")).toDF("k", "v"))
+    val post = rows(root)
+    assert(!post.exists(_._1 == 7L), "backfill must not resurrect a MoR-deleted key")
+    assert(post.count(_._2.startsWith("b")) == 100)
+    // an empty replacement range is a pure ranged delete (the MoR-
+    // deleted k=7 sits inside [0, 49], so the range subsumes it)
+    TxTable.replaceWhere(spark, root, 0L, 49L,
+      Seq.empty[(Long, String)].toDF("k", "v"))
+    assert(rows(root).size == 400 - 50)
+    // out-of-scope batches refused before any commit
+    val vBefore = TxTable.snapshot(root).version
+    assertThrows[IllegalArgumentException](
+      TxTable.replaceWhere(spark, root, 200L, 249L,
+        Seq((199L, "leak")).toDF("k", "v")))
+    assert(TxTable.snapshot(root).version == vBefore)
+  }
+
   test("expireOlderThan: wall-clock retention resolves by binary search, refuses pre-history") {
     import spark.implicits._
     val root = freshRoot() + "/t"

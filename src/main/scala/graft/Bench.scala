@@ -132,7 +132,8 @@ object Bench {
     "Q-qual-27",  // string-axis skipping (prefix64 stats + hash64 blooms)
     "Q-qual-28",  // shingle-bloom phrase probes (file-level decontamination)
     "Q-qual-29",  // maintenance policy loop (binPack + tagged replays)
-    "Q-qual-30"   // idempotent range backfill (replaceWhere)
+    "Q-qual-30",  // idempotent range backfill (replaceWhere)
+    "Q-graph-07"  // label-propagation communities (4 synchronous rounds)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.PageRank
+import graft.operators.{LabelPropagation, PageRank}
 
 /** Graph analytics over relations derived from the star schema.
   *
@@ -24,6 +24,23 @@ import graft.operators.PageRank
 object Graph {
 
   private val ITERS = 8
+  private val LPA_ITERS = 4
+
+  /** DuckDB text of one unrolled synchronous LPA round: `cur` from
+    * `prev`. Mirrors graft.operators.LabelPropagation.run exactly —
+    * plurality vote via the same packed-int64 max with pure integer
+    * division recovery (DuckDB `//` floors like Spark's DIV for the
+    * positive operands here). */
+  private def lpaRound(prev: String, cur: String): String =
+    s"""$cur AS (
+          SELECT id, ((m + 99999999) // 100000000) * 100000000 - m AS label
+          FROM (
+            SELECT dst AS id, max(cnt * 100000000 - label) AS m
+            FROM (
+              SELECT e.dst, p.label, count(*) AS cnt
+              FROM edges e JOIN $prev p ON e.src = p.id
+              GROUP BY e.dst, p.label) v
+            GROUP BY dst) s)"""
 
   /** DuckDB text of one unrolled PageRank round: `cur` from `prev`.
     * Mirrors graft.operators.PageRank.run exactly: per-dst contribution
@@ -258,6 +275,31 @@ object Graph {
         .select(col("dist").cast("bigint").as("dist"),
           col("n_nodes").cast("bigint").as("n_nodes"))
         .orderBy("dist")
+    },
+
+    // ---- Q-graph-07: label-propagation COMMUNITY detection (4
+    // synchronous rounds, plurality vote, min-label tie-break) over the
+    // symmetrized trade graph — communities are what dedup clusters
+    // (reachability) and k-cores (density) both miss: label mass, not
+    // mere connectivity, decides membership. Deterministic by
+    // construction (synchronous rounds + packed int64 argmax, operator
+    // scaladoc), so 4 fixed rounds hash-match the unrolled-CTE oracle
+    // bit-for-bit. Per-round cost: one |V|-row label shuffle onto
+    // stationary src-partitioned edges + one (dst,label) partial agg +
+    // one |V|-bounded max — edges never move after setup.
+    "Q-graph-07" -> { (s, d) =>
+      val pairs = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"),
+          (col("l_suppkey") + lit(1000000L)).as("supp"))
+        .distinct()
+      val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionAll(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+      LabelPropagation.run(edges, LPA_ITERS)
+        .select(col("id").cast("long").as("id"),
+          col("label").cast("long").as("label"))
+        .orderBy("id")
     }
   )
 
@@ -411,6 +453,22 @@ object Graph {
           $rounds
           SELECT id::BIGINT AS id, ${Portable.rSql("rank", 9)} AS rank
           FROM r$ITERS WHERE rank > 0.0 ORDER BY id"""
+    },
+
+    "Q-graph-07" -> {
+      val rounds = (1 to LPA_ITERS).map(i => lpaRound(s"l${i - 1}", s"l$i"))
+        .mkString(",\n")
+      s"""WITH pairs AS (
+            SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          edges AS (
+            SELECT cust AS src, supp AS dst FROM pairs
+            UNION ALL
+            SELECT supp AS src, cust AS dst FROM pairs),
+          l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+          $rounds
+          SELECT id::BIGINT AS id, label::BIGINT AS label
+          FROM l$LPA_ITERS ORDER BY id"""
     }
   )
 }

@@ -271,6 +271,16 @@ object ExplainCheck {
     check("Q-llm-58", "prefix-filter join is equi-join only (no cartesian/BNLJ)",
       p => !p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"))
+    // string-axis skipping: beyond the log-level file pruning (asserted
+    // in-query), the residual BETWEEN must still push into the parquet
+    // scan of the kept files — two pruning layers, not one
+    check("Q-qual-27", "string range residual pushed into the kept files' scan",
+      p => p.contains("PushedFilters") && p.contains("p_name"))
+    // LPA's vote join (labels onto stationary edges) and both agg layers
+    // must stay keyed — a nested-loop fallback would be |E|×|V|
+    check("Q-graph-07", "LPA vote join keyed; no cartesian/BNLJ",
+      p => !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
     s.stop()
   }
 }

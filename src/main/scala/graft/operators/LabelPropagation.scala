@@ -13,9 +13,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Semantics (deterministic by construction, so a fixed round count is
   * hash-matchable cross-engine):
-  *  - every node starts labeled with its own id;
+  *  - every node (src or dst of any edge) starts labeled with its own id;
   *  - each round, every node adopts the label carried by the PLURALITY
-  *    of its in-neighbors, ties broken toward the SMALLEST label —
+  *    of its in-neighbors (a node with no in-neighbors keeps its current
+  *    label), ties broken toward the SMALLEST label —
   *    synchronous updates (all nodes step from the round-(i-1) state),
   *    not the randomized asynchronous sweep of the original paper,
   *    which is irreproducible by design.
@@ -41,11 +42,20 @@ object LabelPropagation {
   /** Pack base: labels must be < PACK. */
   val PACK = 100000000L
 
-  /** Returns `(id, label)` after `iterations` synchronous rounds. */
+  /** Returns `(id, label)` after `iterations` synchronous rounds.
+    *
+    * Directed-graph semantics: the node set is src UNION dst (a dst-only
+    * node still gets a self-label), and a node with NO in-neighbors keeps
+    * its previous label each round (its row never leaves the output and
+    * its out-votes keep flowing) — the winners are left-joined back onto
+    * the full label table, one extra |V|-vs-|V| keyed join per round.
+    * On a symmetrized graph every node has in-neighbors, so this reduces
+    * to the plain vote-winner table. */
   def run(edges: DataFrame, iterations: Int): DataFrame = {
     val e = edges.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select(col("src").as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = nodes.withColumn("label", col("id"))
     var prev: Option[DataFrame] = None
@@ -59,10 +69,13 @@ object LabelPropagation {
       // recover label from the winning packed value with pure integer
       // division ((p + PACK-1) div PACK == cnt because label ∈ [1, PACK))
       // — no float quotient anywhere, so engines can't disagree
-      val next = packed.groupBy("dst").agg(max(col("p")).as("m"))
+      val winners = packed.groupBy("dst").agg(max(col("p")).as("m"))
         .select(col("dst").as("id"),
           (expr(s"(m + ${PACK - 1}) DIV $PACK") * lit(PACK) - col("m"))
-            .as("label"))
+            .as("win"))
+      val next = labels.join(winners, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("win"), col("label")).as("label"))
         .localCheckpoint(true)
       prev.foreach(_.unpersist())
       prev = Some(next)

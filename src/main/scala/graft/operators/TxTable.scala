@@ -633,6 +633,29 @@ object TxTable {
     }
   }
 
+  /** An EMPTY frame carrying the table's current schema — the shared
+    * fallback for "every file pruned / nothing touched" paths. Safe on a
+    * snapshot whose live file set is empty (a full-range MoR delete plus
+    * compaction can legally leave zero live files): the schema is then
+    * recovered from the newest log-referenced data file still on disk
+    * (retention keeps removed files until vacuum), with its pending
+    * evolutions applied; a table with no recoverable file at all fails
+    * with a clear message instead of NoSuchElementException. */
+  private def emptyRead(spark: SparkSession, root: String,
+                        snap: Snapshot): DataFrame =
+    if (snap.files.nonEmpty)
+      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).limit(0)
+    else snap.commits.sortBy(-_.version).iterator
+      .flatMap(c => c.adds.map(_ -> c.version))
+      .find { case (f, _) => Files.exists(Paths.get(root, f)) } match {
+        case Some((f, v)) =>
+          readFilesEvolved(spark, root,
+            snap.copy(fileAddV = snap.fileAddV + (f -> v)), Seq(f)).limit(0)
+        case None => throw new IllegalStateException(
+          s"table at $root has zero live files and no retained data file " +
+            "to recover its schema from (vacuumed empty table)")
+      }
+
   /** Range read with METADATA-ONLY file pruning: the commit log's
     * per-file [min, max] stats decide which files can hold rows in
     * [lo, hi] — files outside the range are never opened, touched, or
@@ -705,7 +728,7 @@ object TxTable {
     }
     val pred = col(column).cast("long").between(lo, hi)
     if (kept.isEmpty) // every file pruned: empty result, correct schema
-      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+      emptyRead(spark, root, snap).where(pred)
     else morRead(spark, root, snap, kept).where(pred)
   }
 
@@ -762,7 +785,7 @@ object TxTable {
       colBlooms(snap, column), keys)
     val pred = col(column).cast("long").isin(keys: _*)
     if (kept.isEmpty)
-      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+      emptyRead(spark, root, snap).where(pred)
     else morRead(spark, root, snap, kept).where(pred)
   }
 
@@ -774,7 +797,7 @@ object TxTable {
   // of the files actually holding matches, and the residual exact
   // predicate inside kept files makes the result exact.
 
-  private def requireStrStats(spark: SparkSession, root: String,
+  private def requireStrStats(root: String,
                               snap: Snapshot, column: String): Unit = {
     require(snap.version >= 0, s"not a TxTable (no committed log): $root")
     require(snap.strCols.contains(column),
@@ -792,7 +815,7 @@ object TxTable {
                       lo: String, hi: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val snap = snapshot(root)
-    requireStrStats(spark, root, snap, column)
+    requireStrStats(root, snap, column)
     val (encLo, encHi) =
       (graft.functions.StrKey.prefix64(lo), graft.functions.StrKey.prefix64(hi))
     val st = colStats(snap, column)
@@ -804,7 +827,7 @@ object TxTable {
     }
     val pred = col(column).between(lit(lo), lit(hi))
     if (kept.isEmpty)
-      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+      emptyRead(spark, root, snap).where(pred)
     else morRead(spark, root, snap, kept).where(pred)
   }
 
@@ -816,7 +839,7 @@ object TxTable {
                  p: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(root)
-    requireStrStats(spark, root, snap, column)
+    requireStrStats(root, snap, column)
     val (encLo, encHi) =
       (graft.functions.StrKey.prefix64(p), graft.functions.StrKey.upper64(p))
     val st = colStats(snap, column)
@@ -828,7 +851,7 @@ object TxTable {
     }
     val pred = col(column).startsWith(p)
     if (kept.isEmpty)
-      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+      emptyRead(spark, root, snap).where(pred)
     else morRead(spark, root, snap, kept).where(pred)
   }
 
@@ -840,11 +863,11 @@ object TxTable {
                      keys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = snapshot(root)
-    requireStrStats(spark, root, snap, column)
+    requireStrStats(root, snap, column)
     val kept = strPointKept(snap, column, keys)
     val pred = col(column).isin(keys: _*)
     if (kept.isEmpty)
-      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+      emptyRead(spark, root, snap).where(pred)
     else morRead(spark, root, snap, kept).where(pred)
   }
 
@@ -876,6 +899,7 @@ object TxTable {
   def pruneAccountingOnStr(root: String, column: String,
                            lo: String, hi: String): (Int, Int) = {
     val snap = snapshot(root)
+    requireStrStats(root, snap, column)
     val st = colStats(snap, column)
     val (encLo, encHi) =
       (graft.functions.StrKey.prefix64(lo), graft.functions.StrKey.prefix64(hi))
@@ -890,6 +914,7 @@ object TxTable {
   /** [[pruneAccountingOnStr]] with [[prefixRead]]'s bounds. */
   def prefixAccounting(root: String, column: String, p: String): (Int, Int) = {
     val snap = snapshot(root)
+    requireStrStats(root, snap, column)
     val st = colStats(snap, column)
     val (encLo, encHi) =
       (graft.functions.StrKey.prefix64(p), graft.functions.StrKey.upper64(p))
@@ -908,6 +933,7 @@ object TxTable {
   def pointPruneAccountingOnStr(root: String, column: String,
                                 keys: Seq[String]): (Int, Int, Int) = {
     val snap = snapshot(root)
+    requireStrStats(root, snap, column)
     val st = colStats(snap, column)
     val encs = keys.map(graft.functions.StrKey.prefix64)
     val rangeKept = snap.files.count { f =>
@@ -981,7 +1007,7 @@ object TxTable {
       lit(" "))
     val pred = hay.contains(s" $canon ")
     if (kept.isEmpty)
-      readFilesEvolved(spark, root, snap, Seq(snap.files.head)).where(pred).limit(0)
+      emptyRead(spark, root, snap).where(pred)
     else morRead(spark, root, snap, kept).where(pred)
   }
 
@@ -1393,9 +1419,14 @@ object TxTable {
     }
   }
 
-  /** The canonical token stream both the blooms and the probes use. */
+  /** The canonical token stream both the blooms and the probes use.
+    * Locale.ROOT: the blooms hash Spark's locale-insensitive `lower()`
+    * output, so the driver-side probe must not pick up the JVM default
+    * locale (Turkish 'I' -> dotless ı would hash different tokens and
+    * break the no-false-negatives contract). */
   private def canonTokens(phrase: String): Seq[String] =
-    phrase.toLowerCase.split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
+    phrase.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").toSeq.filter(_.nonEmpty)
 
   /** Per-file row counts from the parquet FOOTERS — pure metadata (a
     * few-KB tail read per file, no page decompression), captured once at
@@ -1694,9 +1725,14 @@ object TxTable {
       val keep = snap.files.diff(touched)
       val survivors =
         if (touched.isEmpty)
-          readFilesEvolved(spark, root, snap, Seq(snap.files.head)).limit(0)
+          emptyRead(spark, root, snap)
         else morRead(spark, root, snap, touched)
-          .where(!col(key).cast("long").between(lo, hi))
+          // null (or non-castable) keys are OUT of any declared range —
+          // the batch-side validation already treats them as out-of-scope,
+          // so rewritten files must keep them: a bare NOT BETWEEN would
+          // evaluate NULL and silently drop the row.
+          .where(col(key).cast("long").isNull ||
+            !col(key).cast("long").between(lo, hi))
       (keep, survivors.unionByName(batch))
     }
   }
@@ -1754,7 +1790,7 @@ object TxTable {
       val smalls = snap.files.diff(keep)
       val rewrite =
         if (smalls.isEmpty)
-          readFilesEvolved(spark, root, snap, Seq(snap.files.head)).limit(0)
+          emptyRead(spark, root, snap)
         else morRead(spark, root, snap, smalls).coalesce(targetFiles)
       (keep, rewrite)
     })
@@ -2026,7 +2062,7 @@ object TxTable {
       val fresh = snap.files.diff(keep)
       val rewrite =
         if (fresh.isEmpty)
-          readFilesEvolved(spark, root, snap, Seq(snap.files.head)).limit(0)
+          emptyRead(spark, root, snap)
         else ZOrderLayout.clusterByZ(
           morRead(spark, root, snap, fresh), col(x), col(y), targetFiles)
       (keep, rewrite)
@@ -2091,7 +2127,7 @@ object TxTable {
       val keep = snap.files.filterNot(touched)
       val rewrite =
         if (touched.isEmpty) // nothing can match: empty rewrite, table schema
-          readFilesEvolved(spark, root, snap, Seq(snap.files.head)).limit(0)
+          emptyRead(spark, root, snap)
         else morRead(spark, root, snap, touched.toSeq)
           .join(doomed.select(col(key)).distinct(), Seq(key), "left_anti")
       (keep, rewrite)

@@ -30,17 +30,20 @@ object Graph {
     * `prev`. Mirrors graft.operators.LabelPropagation.run exactly —
     * plurality vote via the same packed-int64 max with pure integer
     * division recovery (DuckDB `//` floors like Spark's DIV for the
-    * positive operands here). */
+    * positive operands here), winners LEFT-joined back onto the full
+    * label table so in-degree-0 nodes keep their previous label. */
   private def lpaRound(prev: String, cur: String): String =
     s"""$cur AS (
-          SELECT id, ((m + 99999999) // 100000000) * 100000000 - m AS label
-          FROM (
-            SELECT dst AS id, max(cnt * 100000000 - label) AS m
+          SELECT p.id, COALESCE(w.win, p.label) AS label
+          FROM $prev p LEFT JOIN (
+            SELECT id, ((m + 99999999) // 100000000) * 100000000 - m AS win
             FROM (
-              SELECT e.dst, p.label, count(*) AS cnt
-              FROM edges e JOIN $prev p ON e.src = p.id
-              GROUP BY e.dst, p.label) v
-            GROUP BY dst) s)"""
+              SELECT dst AS id, max(cnt * 100000000 - label) AS m
+              FROM (
+                SELECT e.dst, q.label, count(*) AS cnt
+                FROM edges e JOIN $prev q ON e.src = q.id
+                GROUP BY e.dst, q.label) v
+              GROUP BY dst) s) w ON p.id = w.id)"""
 
   /** DuckDB text of one unrolled PageRank round: `cur` from `prev`.
     * Mirrors graft.operators.PageRank.run exactly: per-dst contribution
@@ -465,7 +468,9 @@ object Graph {
             SELECT cust AS src, supp AS dst FROM pairs
             UNION ALL
             SELECT supp AS src, cust AS dst FROM pairs),
-          l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+          l0 AS (SELECT id, id AS label FROM (
+                   SELECT src AS id FROM edges
+                   UNION SELECT dst FROM edges)),
           $rounds
           SELECT id::BIGINT AS id, label::BIGINT AS label
           FROM l$LPA_ITERS ORDER BY id"""

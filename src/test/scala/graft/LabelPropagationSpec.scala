@@ -44,6 +44,17 @@ class LabelPropagationSpec extends AnyFunSuite {
     assert(Seq(10L, 11L, 12L).forall(r2(_) == 10L))
   }
 
+  test("directed graph: dst-only nodes are seeded, in-degree-0 nodes persist") {
+    // 1 -> 2 -> 3 is a pure directed chain: node 1 has no in-edges (must
+    // keep its self-label every round, and its votes must keep flowing),
+    // node 3 is dst-only (must still appear, self-labeled at round 0).
+    val r1 = labels(Seq(1L -> 2L, 2L -> 3L), 1)
+    assert(r1 == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+    // Synchronous round 2: 3 adopts 2's ROUND-1 label (1), not its seed.
+    val r2 = labels(Seq(1L -> 2L, 2L -> 3L), 2)
+    assert(r2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("result is invariant to input partitioning (pure integer argmax)") {
     val rnd = new scala.util.Random(13)
     val base = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))

@@ -1422,6 +1422,56 @@ class TxTableSpec extends AnyFunSuite {
     assert(TxTable.snapshot(root).version == vBefore)
   }
 
+  test("replaceWhere keeps null-key rows living in rewritten files") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    // the null-key row shares a file with in-range keys, so the backfill
+    // rewrites its file; nulls are out of ANY declared range (the batch
+    // validation already says so), so the rewrite must carry them over —
+    // a bare NOT BETWEEN evaluates NULL for them and would drop the row.
+    val df = Seq((Option(1L), "a"), (Option(150L), "mid"),
+      (Option.empty[Long], "nullrow")).toDF("k", "v").coalesce(1)
+    TxTable.create(df, root, statsKey = Some("k"))
+    TxTable.replaceWhere(spark, root, 100L, 199L,
+      Seq((150L, "fixed")).toDF("k", "v"))
+    val got = TxTable.read(spark, root).as[(Option[Long], String)]
+      .collect().toSet
+    assert(got == Set((Some(1L), "a"), (Some(150L), "fixed"),
+      (None, "nullrow")))
+  }
+
+  test("string accounting entry points refuse non-string stats columns") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create(Seq((1L, "a")).toDF("k", "v"), root, statsKey = Some("k"))
+    // 'k' carries NUMERIC stats: its prefix64-encoded bound comparison is
+    // meaningless, so the accounting twins must fail loudly like the
+    // read paths do, not return garbage (kept, total) numbers.
+    assertThrows[IllegalArgumentException](
+      TxTable.pruneAccountingOnStr(root, "k", "a", "b"))
+    assertThrows[IllegalArgumentException](
+      TxTable.prefixAccounting(root, "k", "a"))
+    assertThrows[IllegalArgumentException](
+      TxTable.pointPruneAccountingOnStr(root, "k", Seq("a")))
+  }
+
+  test("pruned reads survive a zero-live-file snapshot (schema recovery)") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create((0L until 10L).map(i => (i, s"v$i")).toDF("k", "v"),
+      root, statsKey = Some("k"))
+    // full-range replaceWhere with an empty batch = ranged delete of the
+    // whole table; whether the writer leaves zero or one (empty) live
+    // file, every pruned entry point must return an empty frame with the
+    // table schema instead of NoSuchElementException on files.head.
+    TxTable.replaceWhere(spark, root, 0L, 9L,
+      Seq.empty[(Long, String)].toDF("k", "v"))
+    val r = TxTable.readPruned(spark, root, 3L, 5L)
+    assert(r.columns.toSeq == Seq("k", "v") && r.count() == 0)
+    val p = TxTable.pointRead(spark, root, Seq(3L))
+    assert(p.columns.toSeq == Seq("k", "v") && p.count() == 0)
+  }
+
   test("expireOlderThan: wall-clock retention resolves by binary search, refuses pre-history") {
     import spark.implicits._
     val root = freshRoot() + "/t"

@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only the last ~2000 bytes of stdout and parses the
+// final line as JSON; sbt's "[success] Total time..." epilogue would land
+// after Bench's JSON line and break that parse. Suppress it globally.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

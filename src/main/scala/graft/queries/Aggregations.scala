@@ -76,16 +76,28 @@ object Aggregations {
     },
 
     // ---- Q-agg-04: approx distinct (HLL) — the 100 TB path for distinct
-    // counts (single shuffle, bounded sketch). No SQL oracle (approximate):
-    // driver records rows-only; exactness is bounded vs Q-agg-02 in tests.
+    // counts (single shuffle, bounded sketch; the scale plan is the
+    // sketch columns ALONE). Rendered hash-matchable: the sketches are
+    // deterministic (hash-based, no RNG), so the query emits the exact
+    // values plus measured within-bound BOOLEANS, and the oracle
+    // recomputes the exact side in SQL with the bounds as TRUE literals —
+    // a hash mismatch IS a violated error bound (rsd=0.02 -> 5% = 2.5σ;
+    // accuracy=10000 -> rank error 1e-4 ≪ 1% of the median).
     "Q-agg-04" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 4)
-            .as("p50_approx"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50a"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50e"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("exact_orders"), col("n"),
+          (abs(col("approx_orders") - col("exact_orders")) <=
+            col("exact_orders") * lit(0.05)).as("hll_within_5pct"),
+          (abs(col("p50a") - col("p50e")) <= col("p50e") * lit(0.01))
+            .as("p50_within_1pct"))
         .orderBy("l_returnflag")
     },
 
@@ -112,15 +124,29 @@ object Aggregations {
     // ---- Q-agg-07-approx: percentile_approx twin of Q-agg-07 — the
     // 100 TB path for quantiles (one pass, bounded sketch per group,
     // mergeable across partitions; the exact percentile buffers every
-    // value). No SQL oracle (approximate): driver records rows-only;
-    // accuracy is bounded against the exact twin in RegistrySpec.
+    // value — the sketch columns alone are the scale plan). Rendered
+    // hash-matchable like Q-agg-04: exact quantiles (oracle recomputes
+    // them as quantile_cont) + measured within-1% booleans whose oracle
+    // side is TRUE literals, so a mismatch is a violated sketch bound.
     "Q-agg-07-approx" -> { (s, d) =>
+      def ok(a: String, e: String) =
+        abs(col(a) - col(e)) <= col(e) * lit(0.01)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile_approx(l_extendedprice, 0.25, 10000)").as("p25"),
-          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("p50"),
-          expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("p90"))
+          expr("percentile_approx(l_extendedprice, 0.25, 10000)").as("a25"),
+          expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("a50"),
+          expr("percentile_approx(l_extendedprice, 0.9, 10000)").as("a90"),
+          expr("percentile(l_extendedprice, 0.25)").as("e25"),
+          expr("percentile(l_extendedprice, 0.5)").as("e50"),
+          expr("percentile(l_extendedprice, 0.9)").as("e90"))
+        .select(col("l_returnflag"),
+          Portable.r(col("e25"), 4).as("p25"),
+          Portable.r(col("e50"), 4).as("p50"),
+          Portable.r(col("e90"), 4).as("p90"),
+          ok("a25", "e25").as("p25_within_1pct"),
+          ok("a50", "e50").as("p50_within_1pct"),
+          ok("a90", "e90").as("p90_within_1pct"))
         .orderBy("l_returnflag")
     },
 
@@ -199,20 +225,26 @@ object Aggregations {
     // (hll_sketch_agg), then MERGED across groups (hll_union_agg) without
     // touching raw data again. This is what lets a warehouse keep per-day
     // sketch tables and answer "distinct over any date range" with a
-    // union of fixed-size buffers instead of a rescan. Approximate =>
-    // rows-only for the driver; RegistrySpec bounds each estimate against
-    // the exact distinct count.
+    // union of fixed-size buffers instead of a rescan. Rendered
+    // hash-matchable (sketches are deterministic): exact distinct counts
+    // + measured within-5% booleans; the oracle recomputes the exact side
+    // (incl. the merged row's whole-table distinct — the quantity a
+    // sketch union estimates) with TRUE literals for the bounds.
     "Q-agg-12" -> { (s, d) =>
-      val perYear = Tables.orders(s, d)
+      val o = Tables.orders(s, d)
+      val perYear = o
         .groupBy(year(col("o_orderdate")).cast("bigint").as("yr"))
         .agg(hll_sketch_agg(col("o_custkey")).as("sk"),
-          countDistinct(col("o_custkey")).as("exact"))
-      val years = perYear.select(col("yr"),
-        hll_sketch_estimate(col("sk")).cast("bigint").as("est"), col("exact"))
-      val merged = perYear.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).cast("bigint").as("est"),
-        lit(null).cast("bigint").as("exact"))
-        .select(lit(-1L).as("yr"), col("est"), col("exact"))
+          countDistinct(col("o_custkey")).as("exact_cust"))
+      val years = perYear.select(col("yr"), col("exact_cust"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_cust")) <=
+          col("exact_cust") * lit(0.05)).as("est_within_5pct"))
+      val merged = perYear
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(o.agg(countDistinct(col("o_custkey")).as("exact_cust")))
+        .select(lit(-1L).as("yr"), col("exact_cust"),
+          (abs(col("est") - col("exact_cust")) <=
+            col("exact_cust") * lit(0.05)).as("est_within_5pct"))
       years.unionAll(merged).orderBy("yr")
     },
 
@@ -508,6 +540,31 @@ object Aggregations {
                 floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
                 floor((quantile_cont(l_extendedprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the sketch bounds are TRUE literals on the oracle side: the Spark
+    // query MEASURES them, so a hash mismatch = a violated error bound
+    "Q-agg-04" ->
+      """SELECT l_returnflag,
+                count(DISTINCT l_orderkey)::BIGINT AS exact_orders,
+                count(*)::BIGINT AS n,
+                TRUE AS hll_within_5pct, TRUE AS p50_within_1pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "Q-agg-07-approx" ->
+      """SELECT l_returnflag,
+                floor((quantile_cont(l_extendedprice, 0.25)) * 1e4 + 0.5) / 1e4 AS p25,
+                floor((quantile_cont(l_extendedprice, 0.5)) * 1e4 + 0.5) / 1e4 AS p50,
+                floor((quantile_cont(l_extendedprice, 0.9)) * 1e4 + 0.5) / 1e4 AS p90,
+                TRUE AS p25_within_1pct, TRUE AS p50_within_1pct,
+                TRUE AS p90_within_1pct
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "Q-agg-12" ->
+      """WITH y AS (SELECT year(o_orderdate)::BIGINT AS yr,
+                           count(DISTINCT o_custkey)::BIGINT AS exact_cust
+                    FROM orders GROUP BY 1),
+              m AS (SELECT CAST(-1 AS BIGINT) AS yr,
+                           count(DISTINCT o_custkey)::BIGINT AS exact_cust
+                    FROM orders)
+         SELECT yr, exact_cust, TRUE AS est_within_5pct
+         FROM (SELECT * FROM y UNION ALL SELECT * FROM m) u ORDER BY yr""",
     "Q-agg-stats" ->
       """SELECT l_linestatus,
                 floor((var_samp(l_quantity)) * 1e6 + 0.5) / 1e6 AS var_qty,

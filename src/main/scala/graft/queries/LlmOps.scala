@@ -164,17 +164,39 @@ object LlmOps {
         .orderBy("a")
     },
 
-    // ---- Q-llm-08: IVF-Flat ANN (approximate => rows-only for the driver;
-    // recall vs the exact Q-llm-03 is asserted in LlmOpsSpec)
+    // ---- Q-llm-08: IVF-Flat ANN, rendered hash-matchable: per query the
+    // IVF top-10 intersects the exact cosine top-10 (the Q-llm-03
+    // machinery — self excluded on both sides) and the index contract's
+    // per-query recall@10 >= 0.4 is emitted as a MEASURED boolean; the
+    // oracle lists the query ids with TRUE literals, so a hash mismatch
+    // is a recall regression. The IVF path (centroid bucketing, nprobe
+    // probing) is the scale plan; the exact side is the harness. Pooled
+    // recall is additionally pinned quantitatively in LlmOpsSpec.
     "Q-llm-08" -> { (s, d) =>
+      graft.functions.CosineSim.register(s)
       val emb = Tables.embeddings(s, d)
       val qs = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      IvfIndex.search(emb, qs, "vec_id", "embedding", "query_id", "q_emb",
-          nlist = 16, nprobe = 4, k = 10)
-        .select(col("query_id"), col("vec_id"), Portable.r(col("sim"), 6).as("sim"),
-          col("rk"))
-        .orderBy("query_id", "rk")
+      val ivf = IvfIndex.search(emb, qs, "vec_id", "embedding",
+          "query_id", "q_emb", nlist = 16, nprobe = 8, k = 10)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"))
+      val scored = emb.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          expr("cosine_sim(q_emb, embedding)").as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val exact = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10).select(col("query_id"), col("vec_id"))
+      val hits = exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      exact.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .select(col("query_id"), col("n_exact"),
+          (col("n_hits") >= col("n_exact") * lit(0.4)).as("recall_ge_04"))
+        .orderBy("query_id")
     },
 
     // ---- Q-llm-14: random-hyperplane LSH ANN (second ANN scale path
@@ -1245,44 +1267,98 @@ object LlmOps {
 
   /** Okapi BM25 top-10 per query (shared by Q-llm-53 and the RRF hybrid
     * Q-llm-54) — see Q-llm-53's registry comment for the scale shape. */
+  /** BM25 top-10, DOCUMENT-AT-A-TIME: the corpus never shuffles. Term
+    * statistics (df → idf for the query vocabulary, the global avgdl,
+    * the query list itself) are tiny aggregates broadcast back as 1-row
+    * map/array columns; each doc row then scores every matching query
+    * ENTIRELY map-side (tf from its own word array, O(1) map lookups per
+    * query term), and the only corpus-scale exchange left is the partial
+    * top-10 per query (WindowGroupLimit forwards ≤ 10 rows per query per
+    * partition). The df count itself dedups per doc MAP-SIDE
+    * (array_distinct before explode), so its partial agg ships ≤ |query
+    * vocab| rows per partition — round-5's ledger admission (stopword
+    * postings ≈ the stream crossing the wire) is gone: shuffle is now
+    * k·|Q|·partitions, not Σ df(t). Arithmetic is bit-identical to the
+    * previous posting-join form (same rounded idf, same nrm, same
+    * decimal term-score sum), so the top-10 hash is unchanged. */
   private def bm25Top10(s: org.apache.spark.sql.SparkSession,
                         d: String): DataFrame = {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), words(col("text")).as("ws"))
-      val dl = toks.select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
-      val post = toks.select(col("doc_id"), explode(col("ws")).as("word"))
+      val dl = toks.select(size(col("ws")).cast("double").as("dl"))
       val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
         Portable.davg(col("dl"), 6).as("avgdl"))
       val qt = toks.filter(col("doc_id") % 37 === 5)
         .select(col("doc_id").as("query_id"),
           explode(slice(col("ws"), 1, 5)).as("word"))
         .distinct()
-      // the query VOCABULARY filters the posting stream BEFORE any
-      // aggregation (broadcast join on word): tf/df for non-query terms
-      // are never computed, so the (doc, word) and (word) aggs shuffle
-      // Σ_t∈queries df(t) postings — bounded by the QUERY SET, not the
-      // corpus vocabulary. (With this query set the bound is loose —
-      // first-5-word bags are stopword-heavy, so matched postings ≈ the
-      // stream; a rarer-term workload prunes proportionally. df over
-      // the filtered stream is still the corpus-wide df of those words:
-      // every posting of a kept word is kept.)
-      val postQ = post.join(broadcast(qt.select("word").distinct()), "word")
-      val tf = postQ.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      val dfc = postQ.groupBy("word").agg(countDistinct("doc_id").as("df"))
-      val idf = Portable.r(
-        log((col("n_docs") - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)), 9)
-      val nrm = (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") +
-          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      val scored = tf.join(broadcast(qt), "word")
-        .join(dfc, "word")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("term_score", Portable.r(idf * nrm, 9))
-        .groupBy("query_id", "doc_id")
-        .agg(count(lit(1)).cast("bigint").as("n_terms"),
-          Portable.r(Portable.dsum(col("term_score")), 6).as("score"))
+      // corpus-wide df of the query vocabulary: per-doc dedup happens in
+      // the map (array_distinct), the broadcast semi-join drops non-query
+      // words before the agg, and the count's partial combine leaves an
+      // exchange of ≤ |query vocab| rows per partition
+      val dfc = toks
+        .select(explode(array_distinct(col("ws"))).as("word"))
+        .join(broadcast(qt.select("word").distinct()), "word")
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val idfc = dfc.crossJoin(broadcast(stats))
+        .select(col("word"), Portable.r(
+          log((col("n_docs") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)), 9).as("idf"))
+      // The scoring kernel is the Lucene-style inverted QUERY index probed
+      // document-at-a-time — genuine per-partition imperative logic (the
+      // declarative renderings tried first either shuffle Σ df(t) postings
+      // [the round-5 ledger's admission] or burn |D|·|Q| interpreted
+      // higher-order-function evaluations per row; HOFs never enter
+      // whole-stage codegen), so this is the survey's sanctioned
+      // mapPartitions case. The broadcast state is query-batch-bounded
+      // (word → [(query, idf)], like the k-means centroid model), and the
+      // arithmetic reuses Spark's own Decimal class so every rounding is
+      // bit-identical to the posting-join form the oracle hash pinned.
+      import org.apache.spark.sql.types.Decimal
+      val w2qRows = qt.join(idfc, "word")
+        .select(col("word"), col("query_id"), col("idf"))
+        .collect() // bounded by the query batch (|Q| x <= 5 terms)
+      val w2q: Map[String, Array[(Long, Double)]] = w2qRows
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (w, g) =>
+          w -> g.map(t => (t._2, t._3)) }
+      val avgdlVal = stats.collect()(0).getDouble(1)
+      val bIdx = s.sparkContext.broadcast((w2q, avgdlVal))
+      import s.implicits._
+      val scored = toks.select(col("doc_id"), col("ws"))
+        .as[(Long, Seq[String])]
+        .mapPartitions { it =>
+          val (idx, avgdl) = bIdx.value
+          it.flatMap { case (docId, ws) =>
+            val dl = ws.size.toDouble
+            // tf of query-vocabulary words only
+            val tf = scala.collection.mutable.HashMap.empty[String, Int]
+            ws.foreach { w =>
+              if (idx.contains(w)) tf.update(w, tf.getOrElse(w, 0) + 1) }
+            // per matching query: matched-term count + exact decimal sum
+            // of the rounded term scores (same ops as the SQL rendering:
+            // nrm in doubles, round-9, cast to DECIMAL(30,10), exact add)
+            val acc = scala.collection.mutable
+              .HashMap.empty[Long, (Long, java.math.BigDecimal)]
+            tf.foreach { case (w, n) =>
+              val nrm = (n.toDouble * 2.2) /
+                (n.toDouble + 1.2 * (0.25 + 0.75 * dl / avgdl))
+              idx(w).foreach { case (qid, idf) =>
+                val ts = math.floor(idf * nrm * 1e9 + 0.5) / 1e9
+                val d = Decimal(ts)
+                d.changePrecision(30, 10) // = CAST(ts AS DECIMAL(30,10))
+                val (cnt, sum) = acc.getOrElse(qid,
+                  (0L, java.math.BigDecimal.ZERO))
+                acc.update(qid, (cnt + 1, sum.add(d.toJavaBigDecimal)))
+              }
+            }
+            acc.iterator.map { case (qid, (cnt, sum)) =>
+              (qid, docId, cnt,
+                math.floor(sum.doubleValue * 1e6 + 0.5) / 1e6)
+            }
+          }
+        }
+        .toDF("query_id", "doc_id", "n_terms", "score")
       val rk = Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("doc_id"))
       scored.withColumn("rank", row_number().over(rk).cast("bigint"))
@@ -1455,6 +1531,12 @@ object LlmOps {
         GROUP BY doc_id ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
+    // the recall bound is a TRUE literal on the oracle side — the Spark
+    // query MEASURES it, so a hash mismatch = an ANN recall regression
+    "Q-llm-08" ->
+      """SELECT DISTINCT vec_id::BIGINT AS query_id,
+                CAST(10 AS BIGINT) AS n_exact, TRUE AS recall_ge_04
+         FROM embeddings WHERE vec_id < 5 ORDER BY query_id""",
     "Q-llm-38" -> bpeSql,
     "Q-llm-39" -> bpeApplyFullSql,
     // lexical top-10 anti-joined with the semantic top-10, self-hit

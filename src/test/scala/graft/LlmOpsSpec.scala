@@ -17,11 +17,20 @@ class LlmOpsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
   val sf = "/root/testdata/sf0.001"
 
-  test("Q-llm-08 IVF-ANN: recall@10 >= 0.4 vs exact brute force") {
+  test("Q-llm-08 IVF-ANN: pooled recall@10 >= 0.4 vs exact brute force") {
+    // Q-llm-08's rendering now emits per-query recall BOOLEANS (oracle-
+    // checked); this spec keeps the pooled quantitative floor by driving
+    // the index directly against the exact Q-llm-03 top-10.
     val exact = SparkEntry.queries("Q-llm-03")(spark, sf)
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = SparkEntry.queries("Q-llm-08")(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val approx = graft.operators.IvfIndex
+      .search(emb, qs, "vec_id", "embedding", "query_id", "q_emb",
+        nlist = 16, nprobe = 8, k = 10)
+      .filter(col("vec_id") =!= col("query_id"))
       .select("query_id", "vec_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size

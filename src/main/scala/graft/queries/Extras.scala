@@ -298,6 +298,33 @@ object Extras {
         .orderBy("c_mktsegment")
     },
 
+    // ---- Q-join-20: skew-KILL proof — a PLANTED power-law key (every
+    // l_partkey ≡ 0,1,2 mod 10 remaps to key 1, so ONE key carries ~30%
+    // of the fact rows; this is the hot-key shape that strands a plain
+    // shuffled join on a single reducer at 100 TB) pushed through the
+    // salted join. SHUFFLE_HASH pins the cluster shape (a broadcast
+    // would dissolve the skew at toy SF and prove nothing); the salt
+    // spreads key 1 across 16 reducers (per-task balance quantified by
+    // tools/SkewBalance, ledgered in BASELINE.md), and the oracle is
+    // the PLAIN join — the hash-match proves salting changes nothing
+    // but the distribution. AQE's runtime skew split over the same
+    // planted key is proven separately in SkewJoinSpec.
+    "Q-join-20" -> { (s, d) =>
+      val fact = Tables.lineitem(s, d).select(
+        when(pmod(col("l_partkey"), lit(10)) < 3, lit(1L))
+          .otherwise(col("l_partkey")).cast("long").as("k"),
+        col("l_orderkey"), col("l_extendedprice"))
+      val dim = Tables.part(s, d)
+        .select(col("p_partkey").cast("long").as("k"), col("p_brand"))
+      val joined = graft.operators.SaltedJoin.inner(
+        fact, dim.hint("SHUFFLE_HASH"), key = "k",
+        probeSaltExpr = col("l_orderkey"), buckets = 16)
+      joined.groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          Portable.r(Portable.dsum(col("l_extendedprice")), 2).as("rev"))
+        .orderBy("p_brand")
+    },
+
     // ---- Q-evt-01: funnel analysis — per-user ordered stage progression
     // view -> click-after-view -> purchase-after-click, each stage the
     // earliest qualifying event. Three partial-agg groupBys on user_id plus
@@ -3301,6 +3328,18 @@ object Extras {
                 ${Portable.rSql(
                   "CAST(sum(CAST(value AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS val_sum
          FROM events JOIN customer ON user_id = c_custkey
-         GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // the oracle is the PLAIN (unsalted) join over the same planted hot
+    // key — hash-match proves the salt is distribution-only
+    "Q-join-20" ->
+      s"""WITH f AS (
+            SELECT CASE WHEN l_partkey % 10 < 3 THEN 1
+                        ELSE l_partkey END AS k,
+                   l_extendedprice
+            FROM lineitem)
+         SELECT p_brand, count(*)::BIGINT AS n,
+                ${Portable.rSql(Portable.dsumSql("l_extendedprice"), 2)} AS rev
+         FROM f JOIN part ON k = p_partkey
+         GROUP BY p_brand ORDER BY p_brand"""
   )
 }

@@ -218,6 +218,12 @@ object ExplainCheck {
     for (q <- Seq("Q-llm-08", "Q-llm-37"))
       check(q, "index probe path has no CartesianProduct",
         p => !p.contains("CartesianProduct"))
+    // the salted skew join must SHUFFLE on (k, __salt) through a shuffled
+    // hash join — a broadcast would dissolve the planted hot key at toy
+    // SF and prove nothing about 100 TB reducer balance
+    check("Q-join-20", "salted join shuffles on (k, __salt), not broadcast",
+      p => p.contains("__salt") && p.contains("ShuffledHashJoin") &&
+           !p.contains("BroadcastHashJoin"))
     // the change feed's pre/post image comparison is a keyed full-outer
     // join — hash/merge-joinable on the table key, never a nested loop
     // (the sides are file subsets, but the join shape is what must hold
@@ -225,19 +231,22 @@ object ExplainCheck {
     check("Q-qual-08", "change-feed image join is keyed (no BNLJ/cartesian)",
       p => !p.contains("BroadcastNestedLoopJoin") &&
            !p.contains("CartesianProduct"))
-    // BM25: the query-term table broadcasts into the postings side (the
-    // candidate generator is postings x tiny-queries, never all pairs),
-    // and the only nested-loop is the single-row stats scalar
-    check("Q-llm-53", "query terms broadcast into postings; no cartesian",
-      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // BM25: document-at-a-time kernel — the corpus never joins anything
+    // (term stats ride a broadcast variable into mapPartitions), and the
+    // only corpus-scale exchange is cut to <= 10 rows per query per
+    // partition by the partial WindowGroupLimit before it
+    check("Q-llm-53", "DAAT kernel: partial top-k bounds the one exchange",
+      p => p.contains("WindowGroupLimit") && p.contains("Partial") &&
+           p.contains("MapPartitions") && !p.contains("CartesianProduct"))
     // gap-fill: the user-subset predicate reaches the events parquet scan
     check("Q-evt-10", "user subset filter pushed to events scan",
       _.contains("PushedFilters: ["))
-    // RRF hybrid: both retriever lists broadcast their query sides; no
-    // unpinned cartesian (the vec side's BNLJ build is the broadcast
-    // query set, Q-llm-03's audited envelope)
-    check("Q-llm-54", "broadcast query sides; no cartesian product",
-      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+    // RRF hybrid: BM25 keeps its DAAT envelope (partial top-k before the
+    // exchange), the vec side's BNLJ build is the broadcast query set
+    // (Q-llm-03's audited envelope), no unpinned cartesian
+    check("Q-llm-54", "retriever envelopes intact; no cartesian product",
+      p => p.contains("WindowGroupLimit") && p.contains("MapPartitions") &&
+           !p.contains("CartesianProduct"))
     // exact-k per-stratum sample: rank<=k must plan as a partial
     // WindowGroupLimit — each partition forwards at most k rows per
     // stratum, so the shuffle never carries the corpus
@@ -248,10 +257,11 @@ object ExplainCheck {
     check("Q-llm-55", "plan + shard offsets broadcast; no cartesian",
       p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
     // hard-negative mining: both retrievers keep their audited shapes
-    // (BM25's broadcast query terms; the vec side's broadcast BNLJ);
-    // the mining anti-join must not introduce a cartesian
+    // (BM25's DAAT kernel + partial top-k; the vec side's broadcast
+    // BNLJ); the mining anti-join must not introduce a cartesian
     check("Q-llm-57", "retriever envelopes intact; no cartesian product",
-      p => p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct"))
+      p => p.contains("WindowGroupLimit") && p.contains("MapPartitions") &&
+           !p.contains("CartesianProduct"))
     // planner-integrated skipping: the format("graft") read keeps full
     // parquet pushdown under the custom FileIndex (file skipping happens
     // in listFiles; the scan itself must stay a stock pushed-filter scan)

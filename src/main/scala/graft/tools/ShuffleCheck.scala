@@ -20,7 +20,7 @@ object ShuffleCheck {
     "Q-agg-01", "Q-agg-02", "Q-join-01", "Q-join-07", "Q-join-13",
     "Q-win-03", "Q-sort-02", "Q-llm-01", "Q-llm-02", "Q-llm-17",
     "Q-llm-19", "Q-llm-20", "Q-llm-21", "Q-sql-01", "Q-sub-03",
-    "Q-evt-01", "Q-llm-23", "Q-llm-24", "Q-sql-09",
+    "Q-evt-01", "Q-join-20", "Q-llm-23", "Q-llm-24", "Q-sql-09",
     "Q-llm-26", "Q-llm-27", "Q-llm-28", "Q-llm-30", "Q-agg-16", "Q-join-17",
     "Q-llm-32", "Q-llm-33", "Q-qual-05", "Q-sql-16",
     "Q-llm-38", "Q-qual-06", "Q-mm-07", "Q-mm-08", "Q-mm-09", "Q-qual-08",
@@ -82,7 +82,7 @@ object ShuffleCheck {
   }
 
   /** Block until all queued listener events are delivered. */
-  private def drainListenerBus(sc: org.apache.spark.SparkContext,
+  private[tools] def drainListenerBus(sc: org.apache.spark.SparkContext,
                                probe: () => Long): Unit = {
     try {
       val bus = sc.getClass.getMethod("listenerBus").invoke(sc)

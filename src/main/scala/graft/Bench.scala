@@ -134,7 +134,8 @@ object Bench {
     "Q-qual-28",  // shingle-bloom phrase probes (file-level decontamination)
     "Q-qual-29",  // maintenance policy loop (binPack + tagged replays)
     "Q-qual-30",  // idempotent range backfill (replaceWhere)
-    "Q-graph-07"  // label-propagation communities (4 synchronous rounds)
+    "Q-graph-07", // label-propagation communities (4 synchronous rounds)
+    "Q-graph-08"  // DOULION approx triangles (1/4 md5 edge sampling)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

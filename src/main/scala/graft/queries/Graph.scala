@@ -132,6 +132,51 @@ object Graph {
         .crossJoin(tri.agg(count(lit(1)).cast("bigint").as("n_triangles")))
     },
 
+    // ---- Q-graph-08: DOULION approximate triangle count (Tsourakakis
+    // et al., KDD'09) — Q-graph-02's 100 TB twin. The exact wedge join
+    // is Σoutdeg² (420 MB shuffle at sf0.1 → multi-TB at 100×); DOULION
+    // sparsifies FIRST: keep each undirected edge with probability
+    // p = 1/4 decided by a DETERMINISTIC md5 prefix (seedable, engine-
+    // portable: hex chars 0-3 = exactly 4/16), count triangles on the
+    // kept subgraph with the same degree-oriented machinery, and scale
+    // by 1/p³ = 64 — an unbiased estimator whose wedge shuffle shrinks
+    // by ~p² (~16×). Everything is integer-exact and the sampling hash
+    // is replayable in SQL, so even this APPROXIMATE operator
+    // hash-matches its oracle bit-for-bit; the error-vs-exact bound is
+    // pinned in GraphLayoutPropertySpec.
+    "Q-graph-08" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val pairs = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val keep = substring(md5(concat(col("a").cast("string"), lit(":"),
+        col("b").cast("string"))), 1, 1).isin("0", "1", "2", "3")
+      val sampled = pairs.filter(keep)
+      val deg = sampled.select(col("a").as("v"))
+        .unionAll(sampled.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .select(col("v"), (col("deg") * lit(100000000L) + col("v")).as("ord"))
+      val o = sampled
+        .join(deg.select(col("v").as("a"), col("ord").as("ord_a")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("ord").as("ord_b")), Seq("b"))
+        .select(
+          when(col("ord_a") < col("ord_b"), col("a")).otherwise(col("b")).as("u"),
+          when(col("ord_a") < col("ord_b"), col("b")).otherwise(col("a")).as("v"),
+          greatest(col("ord_a"), col("ord_b")).as("ordv"))
+      val w = o.as("o1").join(o.as("o2"),
+          col("o1.u") === col("o2.u") && col("o1.ordv") < col("o2.ordv"))
+        .select(col("o1.v").as("x"), col("o2.v").as("y"))
+      val tri = w.join(o.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      pairs.agg(count(lit(1)).cast("bigint").as("n_edges"))
+        .crossJoin(sampled.agg(count(lit(1)).cast("bigint").as("n_sampled")))
+        .crossJoin(tri.agg(count(lit(1)).cast("bigint").as("n_tri_sampled")))
+        .select(col("n_edges"), col("n_sampled"), col("n_tri_sampled"),
+          (col("n_tri_sampled") * lit(64L)).as("est_triangles"))
+    },
+
     // ---- Q-graph-03: multi-source BFS hop distance (≤4 hops) from the
     // %100-keyed customer seed set over the symmetrized trade graph —
     // the reachability/contamination-radius primitive. Scale shape:
@@ -352,6 +397,35 @@ object Graph {
                 (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
                 (SELECT count(*) FROM w)::BIGINT AS n_wedges,
                 (SELECT count(*) FROM t)::BIGINT AS n_triangles""",
+
+    "Q-graph-08" ->
+      """WITH pairs AS (
+           SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+           FROM lineitem x JOIN lineitem y
+             ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         sampled AS (
+           SELECT a, b FROM pairs
+           WHERE substr(md5(a::VARCHAR || ':' || b::VARCHAR), 1, 1)
+                 IN ('0', '1', '2', '3')),
+         deg AS (
+           SELECT v, count(*) * 100000000 + v AS ord
+           FROM (SELECT a AS v FROM sampled UNION ALL SELECT b FROM sampled)
+           GROUP BY v),
+         o AS (
+           SELECT CASE WHEN da.ord < db.ord THEN p.a ELSE p.b END AS u,
+                  CASE WHEN da.ord < db.ord THEN p.b ELSE p.a END AS v,
+                  greatest(da.ord, db.ord) AS ordv
+           FROM sampled p JOIN deg da ON p.a = da.v JOIN deg db ON p.b = db.v),
+         w AS (
+           SELECT o1.v AS x, o2.v AS y
+           FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.ordv < o2.ordv),
+         t AS (
+           SELECT w.x, w.y FROM w
+           WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y))
+         SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_edges,
+                (SELECT count(*) FROM sampled)::BIGINT AS n_sampled,
+                (SELECT count(*) FROM t)::BIGINT AS n_tri_sampled,
+                ((SELECT count(*) FROM t) * 64)::BIGINT AS est_triangles""",
 
     "Q-graph-03" -> {
       val hops = 4

@@ -111,4 +111,22 @@ class GraphLayoutPropertySpec extends AnyFunSuite {
       assert((x, y) == (r.getLong(0), r.getLong(1)))
     }
   }
+
+  test("Q-graph-08 DOULION estimate within 10% of exact triangles") {
+    // measured ~3% relative error at sf0.001 and sf0.01 (p = 1/4 md5
+    // sampling); the 10% bound is the contract with margin, the
+    // hash-match vs the oracle pins the sampled count itself exactly
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val exact = SparkEntry.queries("Q-graph-02")(spark, sf)
+        .select("n_triangles").collect()(0).getLong(0)
+      val row = SparkEntry.queries("Q-graph-08")(spark, sf)
+        .select("n_edges", "n_sampled", "est_triangles").collect()(0)
+      val (nE, nS, est) = (row.getLong(0), row.getLong(1), row.getLong(2))
+      // the sampler really keeps ~1/4 of edges (binomial, wide margin)
+      assert(math.abs(nS.toDouble / nE - 0.25) < 0.05, s"$sf kept $nS/$nE")
+      val rel = math.abs(est - exact).toDouble / exact
+      info(s"$sf exact=$exact est=$est relerr=$rel")
+      assert(rel <= 0.10, s"$sf: est=$est exact=$exact relerr=$rel")
+    }
+  }
 }

@@ -177,6 +177,34 @@ object Graph {
           (col("n_tri_sampled") * lit(64L)).as("est_triangles"))
     },
 
+    // ---- Q-graph-09: connected components ABOVE the driver union-find
+    // cap — the distributed pointer-jumping fallback benched at its real
+    // shape (round-5 verdict: the >1M-edge path was spec-pinned equal
+    // but had no bench/shuffle row). 1.2M nodes in 12000 chain blocks
+    // of 100: 1.188M edges exceed ConnectedComponents' 1M
+    // driverMaxEdges, so the driver fast path is ineligible and the
+    // O(log diameter) doubling loop runs for real (diameter 100 ≈ 7
+    // rounds). The
+    // fixture is synthetic (sfDir-independent) because its POINT is a
+    // fixed supra-cap scale; components are closed-form (block starts),
+    // so the oracle is non-recursive SQL.
+    "Q-graph-09" -> { (s, _) =>
+      val N = 1200000L
+      val B = 100L
+      val nodes = s.range(N).select(col("id"))
+      val edges = s.range(N).filter(col("id") % B =!= (B - 1))
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      graft.operators.ConnectedComponents.minLabel(nodes, edges)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min(col("id")).as("lo"), max(col("id")).as("hi"))
+        .select(col("label").cast("bigint").as("label"),
+          col("n").cast("bigint").as("n"),
+          col("lo").cast("bigint").as("lo"),
+          col("hi").cast("bigint").as("hi"))
+        .orderBy("label")
+    },
+
     // ---- Q-graph-03: multi-source BFS hop distance (≤4 hops) from the
     // %100-keyed customer seed set over the symmetrized trade graph —
     // the reachability/contamination-radius primitive. Scale shape:
@@ -426,6 +454,11 @@ object Graph {
                 (SELECT count(*) FROM sampled)::BIGINT AS n_sampled,
                 (SELECT count(*) FROM t)::BIGINT AS n_tri_sampled,
                 ((SELECT count(*) FROM t) * 64)::BIGINT AS est_triangles""",
+
+    "Q-graph-09" ->
+      """SELECT (r * 100)::BIGINT AS label, CAST(100 AS BIGINT) AS n,
+                (r * 100)::BIGINT AS lo, (r * 100 + 99)::BIGINT AS hi
+         FROM range(12000) t(r) ORDER BY label""",
 
     "Q-graph-03" -> {
       val hops = 4

@@ -154,10 +154,33 @@ object Bench {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // SUITE HYGIENE (round-5 verdict #1: late queries ran up to 6x their
+    // solo ledger in the 111-query driver run, min ≈ median — position-
+    // correlated debris, not noise):
+    // (a) streaming queries leave state-store providers loaded (RocksDB
+    //     instances pin native memory and run maintenance threads);
+    //     unload them so Q-str-* cost doesn't leak into what follows.
+    try {
+      val cls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      val inst = cls.getField("MODULE$").get(null)
+      cls.getMethod("stop").invoke(inst)
+    } catch { case _: Throwable => () }
+    // (b) the ContextCleaner removes the previous query's shuffle files
+    //     and broadcast blocks only when their references are GC'd; with
+    //     a 32g heap collections are rare, so over 100+ queries the
+    //     local dir grows by GBs, evicts page cache, and inflates every
+    //     later query. One explicit GC per run is ~50 ms.
+    System.gc()
     dt
   }
 
   def main(args: Array[String]): Unit = {
+    // the media queries decode through javax.imageio, whose default
+    // DISK cache writes a temp file per decode — 4 runs x thousands of
+    // docs of debris in /tmp by the end of the suite (round-5's Q-mm-09
+    // suite-position suspect); decode in memory instead
+    javax.imageio.ImageIO.setUseCache(false)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // dev knob: SPARK_GRAFT_ONLY="Q-a,Q-b" benches a subset while iterating
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -2378,6 +2378,27 @@ object TxTable {
     val snap0 = snapshot(root)
     require(snap0.version >= 0, s"not a TxTable: $root")
     enforceCheck(changes, snap0.check, "merge-mor batch")
+    // a MoR batch lands VERBATIM as new data files — nothing unions it
+    // with existing rows at write time (that deferral is the whole
+    // point), so a type-mismatched column would only explode at READ
+    // time, long after the commit poisoned the table. Refuse it here,
+    // before any staging. (The CoW path fails naturally at stage time —
+    // its rewrite unions old and new rows.)
+    keys.foreach(k => require(changes.columns.contains(k),
+      s"merge key '$k' missing from the merge-mor batch " +
+        s"(batch columns: ${changes.columns.mkString(", ")})"))
+    locally {
+      val tbl = emptyRead(spark, root, snap0).schema
+      changes.schema.foreach { f =>
+        tbl.find(_.name == f.name).foreach { t =>
+          require(t.dataType == f.dataType,
+            s"merge-mor batch column '${f.name}' is " +
+              s"${f.dataType.simpleString} but the table stores " +
+              s"${t.dataType.simpleString} — refused (the mismatched " +
+              "file would fail every later read)")
+        }
+      }
+    }
     // stage ledger and data once; rebased retries re-reference both
     val ledgerDf = ledgerKeys(changes, keys)
     val (dfiles, _, _, _, _) = stageData(

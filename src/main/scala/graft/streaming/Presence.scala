@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** Per-device presence detection — the reference's eponymous purpose
   * (`WeatherProcessingJob.java:93` `getDronePresenceProducer`, sink topic
@@ -96,6 +97,77 @@ object Presence {
       lastSeen.update(last.get)
       out.result().iterator
     }
+  }
+
+  /** [[PresenceProcessor]] with EVENT-TIME state eviction — the piece
+    * that makes fleet-scale presence state BOUNDED by the open (recently
+    * seen) key set instead of every device ever seen: each event (re)arms
+    * a timer at last_seen + ttl; when the watermark passes it, the
+    * trailing OFFLINE transition (the one [[detect]] can only emit on the
+    * device's next event) is emitted and the device's state row is
+    * CLEARED. A device reappearing later is a fresh key (online again).
+    * Stale timers (device seen again before expiry) are guarded by
+    * comparing the firing timer against the current last-seen. State ≈
+    * |devices active within one TTL of the watermark| — asserted at 5M
+    * planted devices in PresenceScaleSpec. */
+  class PresenceEvictProcessor(ttlMillis: Long)
+      extends StatefulProcessor[String, DeviceEvent, PresenceEvent] {
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long](
+        "lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: String, rows: Iterator[DeviceEvent],
+        tv: TimerValues): Iterator[PresenceEvent] = {
+      val sorted = rows.toSeq.sortBy(_.ts_ms)
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[PresenceEvent]
+      var last: Option[Long] = if (lastSeen.exists()) Some(lastSeen.get()) else None
+      for (e <- sorted) {
+        last match {
+          case None =>
+            out += PresenceEvent(key, "online", e.ts_ms)
+          case Some(prev) if e.ts_ms - prev > ttlMillis =>
+            out += PresenceEvent(key, "offline", prev + ttlMillis)
+            out += PresenceEvent(key, "online", e.ts_ms)
+          case _ => ()
+        }
+        last = Some(e.ts_ms)
+      }
+      lastSeen.update(last.get)
+      getHandle.registerTimer(last.get + ttlMillis)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[PresenceEvent] = {
+      // only the LATEST armed timer acts; earlier ones are stale echoes
+      // of re-seen devices (re-arming does not delete the old timer)
+      if (lastSeen.exists() &&
+          info.getExpiryTimeInMs() >= lastSeen.get() + ttlMillis) {
+        val off = lastSeen.get() + ttlMillis
+        lastSeen.clear()
+        Iterator.single(PresenceEvent(key, "offline", off))
+      } else Iterator.empty
+    }
+  }
+
+  /** [[detectTws]] with event-time TTL eviction: requires a watermark on
+    * the stream's `ts` column (event-time timers fire off it). */
+  def detectEvict(spark: SparkSession, events: DataFrame,
+                  ttlMillis: Long): Dataset[PresenceEvent] = {
+    import spark.implicits._
+    events
+      .select(col("device_id"), col("ts_ms"),
+        timestamp_millis(col("ts_ms")).as("ts"))
+      .withWatermark("ts", "0 milliseconds")
+      .as[DeviceEvent]
+      .groupByKey(_.device_id)
+      .transformWithState(new PresenceEvictProcessor(ttlMillis),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** [[detect]] on the v2 state API. */

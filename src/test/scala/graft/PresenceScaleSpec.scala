@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.EngineSession
+import graft.streaming.{Presence, Replay}
+
+/** Presence at FLEET key cardinality (round-5 verdict item #7): the
+  * 400 k events/s soak used a modest device count; this drains 5M
+  * DISTINCT devices through the TTL-evicting presence operator under
+  * RocksDB and asserts the state-observability contract — rows left in
+  * the store ≈ devices still inside one TTL of the watermark, with the
+  * 4.9M idle devices both EVICTED from state and given their trailing
+  * offline transition by the event-time timer.
+  */
+class PresenceScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = EngineSession.getOrCreate("graft-test")
+
+  private val TTL = 60000L // 1 minute
+  private val T0 = 1700000000000L
+  private val T1 = T0 + 2 * TTL  // past the TTL: every T0 device idle
+  // the sentinel advances the final watermark to BETWEEN the idle
+  // timers (T0 + TTL) and the active ones (T1 + TTL): AvailableNow runs
+  // a last no-data batch at wm = max event time, so a sentinel beyond
+  // T1 + TTL would fire the ACTIVE devices' timers too and the state
+  // assertion would measure nothing
+  private val T2 = T1 + TTL / 2
+
+  test("TTL eviction semantics on a hand fixture (timer offline + re-online)") {
+    import spark.implicits._
+    val tmp = graft.queries.tempDir("graft_presence_hand")
+    val dir = Files.createDirectory(tmp.resolve("stream"))
+    def writeChunk(i: Int, rows: Seq[(String, Long)]): Unit = {
+      val f = tmp.resolve(s"c$i")
+      rows.toDF("device_id", "ts_ms").coalesce(1)
+        .write.mode("overwrite").parquet(f.toString)
+      val listing = Files.list(f)
+      val parts = try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")) finally listing.close()
+      parts.zipWithIndex.foreach { case (p, j) =>
+        val out = dir.resolve(s"c${i}_$j.parquet")
+        Files.copy(p, out)
+        Files.setLastModifiedTime(out,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+    }
+    // a: seen at T0 only -> timer offline at T0+TTL, evicted
+    // b: seen at T0 and T1 -> data-derived offline+online, stays in state
+    // c: first seen at T1 -> online, stays
+    writeChunk(1, Seq("a" -> T0, "b" -> T0))
+    writeChunk(2, Seq("b" -> T1, "c" -> T1))
+    writeChunk(3, Seq("sentinel" -> T2))
+    val schema = spark.read.parquet(tmp.resolve("c1").toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (out, usage) = Replay.runWithStateUsage(
+        Presence.detectEvict(spark, src, TTL).toDF(), "append")
+      val got = out.as[(String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("a", "online", T0), ("b", "online", T0),
+        ("a", "offline", T0 + TTL),            // timer-driven eviction
+        ("b", "offline", T0 + TTL), ("b", "online", T1), // data-derived
+        ("c", "online", T1), ("sentinel", "online", T2)))
+      // state holds only the keys inside one TTL of the final watermark:
+      // b, c idle since T1 have timers beyond wm=T1; a is evicted
+      val stateRows = usage.filter(_._1.contains("transformWithState"))
+        .map(_._2).sum
+      assert(stateRows == 3L, s"state should hold b, c, sentinel: $usage")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("5M distinct devices: state bounded by open keys, idle fleet evicted") {
+    import spark.implicits._
+    val N = 5000000L
+    val ACTIVE = 100000L
+    val tmp = graft.queries.tempDir("graft_presence_scale")
+    val dir = Files.createDirectory(tmp.resolve("stream"))
+    def writeChunk(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val f = tmp.resolve(s"c$i")
+      // ONE file per chunk: multiple same-mod-time parts would each
+      // become their own maxFilesPerTrigger batch in arbitrary order,
+      // and once the first advances the watermark to its chunk's event
+      // time the siblings' rows arrive late and drop
+      df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+      val listing = Files.list(f)
+      val parts = try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")) finally listing.close()
+      parts.zipWithIndex.foreach { case (p, j) =>
+        val out = dir.resolve(s"c${i}_$j.parquet")
+        Files.copy(p, out)
+        Files.setLastModifiedTime(out,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+    }
+    writeChunk(1, spark.range(N).select(
+      concat(lit("d"), col("id")).as("device_id"), lit(T0).as("ts_ms")))
+    writeChunk(2, spark.range(ACTIVE).select(
+      concat(lit("d"), col("id")).as("device_id"), lit(T1).as("ts_ms")))
+    writeChunk(3, spark.range(1).select(
+      lit("sentinel").as("device_id"), lit(T2).as("ts_ms")))
+    val schema = spark.read.parquet(tmp.resolve("c1").toString).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (out, usage) = Replay.runWithStateUsage(
+        Presence.detectEvict(spark, src, TTL).toDF(), "append")
+      val counts = out.groupBy("state").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every device came online; the ACTIVE set re-cycled offline+online;
+      // the idle (N - ACTIVE) fleet got its offline from the TIMER
+      assert(counts("online") == N + ACTIVE + 1, s"online: $counts")
+      assert(counts("offline") == N, s"offline: $counts")
+      // the state-observability contract at 5M keys: rows ≈ open keys
+      // (ACTIVE re-seen at T1 + sentinel), NOT the 5M that flowed through
+      val stateRows = usage.filter(_._1.contains("transformWithState"))
+        .map(_._2).sum
+      info(s"state rows after drain: $stateRows (open keys = ${ACTIVE + 1})")
+      assert(stateRows >= ACTIVE + 1, s"state under-counts open keys: $usage")
+      assert(stateRows <= (ACTIVE + 1) * 2,
+        s"state not bounded by open keys: $stateRows rows vs ${ACTIVE + 1} open")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+}

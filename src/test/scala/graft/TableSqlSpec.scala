@@ -200,6 +200,49 @@ class TableSqlSpec extends AnyFunSuite {
       q.exec("DELETE FROM nk WHERE grp = 0"))
   }
 
+  test("negative paths: malformed DDL, mismatched MERGE, bad RESTORE/EXPIRE refuse atomically") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE neg LOCATION '$dir/neg' STATS KEY k AS " +
+      "SELECT * FROM tsql_src")
+    val root = q.rootOf("neg")
+    def version: Long = TxTable.snapshot(root).version
+    val v0 = version
+
+    // malformed DDL: CREATE without LOCATION never reaches the table layer
+    intercept[IllegalArgumentException](
+      q.exec("CREATE TABLE nl AS SELECT 1 AS k"))
+    // evolution is widen-only: a narrowing ALTER refuses
+    intercept[Exception](q.exec("ALTER TABLE neg ALTER COLUMN k TYPE int"))
+    // rename onto an existing column / of a missing column
+    intercept[Exception](q.exec("ALTER TABLE neg RENAME COLUMN v TO grp"))
+    intercept[Exception](q.exec("ALTER TABLE neg RENAME COLUMN nope TO x"))
+    // type-mismatched MERGE batch: the string column arrives as INT
+    intercept[Exception](q.exec(
+      "MERGE INTO neg USING (SELECT 1 AS k, 2 AS v, 3 AS grp) ON (k)"))
+    intercept[Exception](q.exec(
+      "MERGE INTO neg USING (SELECT 1 AS k, 2 AS v, 3 AS grp) ON (k) MODE MOR"))
+    // MERGE on a key the table does not have
+    intercept[Exception](q.exec(
+      "MERGE INTO neg USING (SELECT 1 AS k, 'x' AS v, 0 AS grp) ON (zz)"))
+    // UPDATE with a malformed SET expression / unknown predicate column
+    intercept[Exception](
+      q.exec("UPDATE neg SET v = not_a_fn(v) WHERE k = 1"))
+    intercept[Exception](q.exec("UPDATE neg SET v = 'x' WHERE zz = 1"))
+    // RESTORE to a version that never existed
+    intercept[Exception](q.exec("RESTORE neg TO VERSION 99"))
+    // EXPIRE HISTORY with an unparseable timestamp
+    intercept[Exception](q.exec("EXPIRE HISTORY neg BEFORE 'not-a-time'"))
+
+    // every refusal above left the log untouched — and the table still
+    // takes valid commits afterwards (no latched state)
+    assert(version == v0, "a refused statement committed something")
+    q.exec("INSERT INTO neg SELECT k + 1000 AS k, v, grp FROM tsql_src LIMIT 1")
+    assert(version == v0 + 1)
+    assert(q.exec("SELECT count(*) FROM neg").as[Long].head() == 101L)
+  }
+
   test("INSERT OVERWRITE: atomic range backfill through SQL; scope violations refused") {
     import spark.implicits._
     seedView()

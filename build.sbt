@@ -46,5 +46,16 @@ val defaultHeap: String = {
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // even with the UI off, the app-status listeners retain per-execution
+  // plan graphs / job / stage / task data up to these limits (defaults:
+  // 1000 executions, 1000 stages, 100k tasks); over a 115-query bench
+  // suite that is hundreds of MB of old-gen churn that inflates every
+  // LATE query — the round-5 position-correlated pattern. Keep a small
+  // recent window; nothing in the harness reads the history.
+  "-Dspark.sql.ui.retainedExecutions=20",
+  "-Dspark.ui.retainedJobs=100",
+  "-Dspark.ui.retainedStages=200",
+  "-Dspark.ui.retainedTasks=5000",
+  "-Dspark.sql.streaming.numRecentProgressUpdates=20",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

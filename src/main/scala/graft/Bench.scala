@@ -136,7 +136,8 @@ object Bench {
     "Q-qual-30",  // idempotent range backfill (replaceWhere)
     "Q-graph-07", // label-propagation communities (4 synchronous rounds)
     "Q-graph-08", // DOULION approx triangles (1/4 md5 edge sampling)
-    "Q-graph-09"  // distributed CC above the 1M-edge driver cap
+    "Q-graph-09", // distributed CC above the 1M-edge driver cap
+    "Q-str-29"    // presence with event-time state eviction (timers)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

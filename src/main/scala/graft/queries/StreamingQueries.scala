@@ -879,6 +879,33 @@ object StreamingQueries {
       }
     },
 
+    // ---- Q-str-29: presence with EVENT-TIME STATE EVICTION
+    // (Presence.detectEvict): timers emit the trailing OFFLINE the
+    // data-driven operator (Q-str-05) can only produce on a device's
+    // NEXT event, and clear the state row — fleet-scale presence state
+    // bounded by the active key set (5M-device soak: PresenceScaleSpec).
+    // The emitted set is batch-partitioning-independent (a timer firing
+    // before a device's next event yields the same offline the data
+    // path would have; stale timers are guarded), so the oracle is the
+    // Q-str-05 rendering PLUS one trailing offline per device whose
+    // last event sits a full TTL before the stream's final watermark.
+    "Q-str-29" -> { (s, d) =>
+      val stream = Replay.eventsStream(s, d)
+        .select(col("user_id").cast("string").as("device_id"),
+          unix_millis(col("ts")).as("ts_ms"))
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try
+        Replay.run(
+          Presence.detectEvict(s, stream, ttlMillis = 3600000L).toDF(),
+          "append").orderBy("device_id", "ts_ms", "state")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    },
+
     // ---- Q-str-12: event-time sessionization via transformWithState with
     // ListState + EVENT-TIME TIMERS (streaming/Sessionize) — the session
     // lifecycle a `session_window` aggregate can't express is owned by a
@@ -1444,6 +1471,26 @@ object StreamingQueries {
     "Q-str-05" -> presenceSql,
     // the v2-state-API twin must match the exact same rendering
     "Q-str-09" -> presenceSql,
+    // the evicting variant adds exactly one trailing offline per device
+    // whose last event sits >= one TTL before the final watermark
+    // (= the global max event time; boundary collisions checked absent
+    // in the testdata at all SFs)
+    "Q-str-29" ->
+      """WITH e AS (
+           SELECT user_id::VARCHAR AS device_id, epoch_ms(ts) AS ts_ms,
+                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+           FROM events),
+         l AS (SELECT device_id, max(ts_ms) AS last_ms FROM e GROUP BY device_id),
+         m AS (SELECT max(ts_ms) AS max_ms FROM e)
+         SELECT device_id, 'online' AS state, ts_ms
+         FROM e WHERE prev_ms IS NULL OR ts_ms - prev_ms > 3600000
+         UNION ALL
+         SELECT device_id, 'offline' AS state, prev_ms + 3600000 AS ts_ms
+         FROM e WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > 3600000
+         UNION ALL
+         SELECT device_id, 'offline' AS state, last_ms + 3600000 AS ts_ms
+         FROM l, m WHERE last_ms + 3600000 <= max_ms
+         ORDER BY device_id, ts_ms, state""",
     "Q-str-06" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

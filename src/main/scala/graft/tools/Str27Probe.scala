@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.SparkEntry
+import graft.core.{EngineSession, Tables}
+import graft.operators.TxTable
+
+/** Dev probe: where does Q-str-27's IN-SUITE inflation live? Runs the
+  * TxTable-heavy prefix that reproduces it, then Q-str-27's body with
+  * per-phase timers (setup commits vs each drain). */
+object Str27Probe {
+  def main(args: Array[String]): Unit = {
+    val s = EngineSession.getOrCreate("str27-probe")
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def t[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime(); val r = body
+      println(f"[probe] $label%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+    val prefix = Seq("Q-qual-06", "Q-qual-08", "Q-qual-09", "Q-qual-10",
+      "Q-qual-11", "Q-qual-13", "Q-qual-14", "Q-qual-15", "Q-qual-16",
+      "Q-qual-17", "Q-qual-18", "Q-qual-20", "Q-qual-21")
+    if (!args.contains("--solo")) prefix.foreach { q =>
+      t(q)(SparkEntry.queries(q)(s, d)
+        .write.format("noop").mode("overwrite").save())
+      s.catalog.clearCache()
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
+    }
+    // Q-str-27 body, phase-timed
+    (1 to 2).foreach { run =>
+      val tmp = graft.queries.tempDir(s"probe_str27_$run")
+      val (src, dst) = (s"$tmp/src", s"$tmp/dst")
+      val ckpt = graft.queries.tempDir(s"probe_ckpt_$run").toString
+      val ev = Tables.events(s, d)
+      val wOrd = Window.orderBy(col("ts"), col("event_id"))
+      val chunked = ev.withColumn("chunk", ntile(4).over(wOrd))
+      t(s"r$run-setup") {
+        TxTable.create(chunked.filter(col("chunk") === 1).drop("chunk")
+          .coalesce(1), src, statsKey = Some("ts"))
+        (2 to 4).foreach { c =>
+          TxTable.append(s, src,
+            chunked.filter(col("chunk") === c).drop("chunk").coalesce(1))
+        }
+      }
+      def drain(label: String): Unit = t(label) {
+        val q = s.readStream.format("graft")
+          .option("maxVersionsPerTrigger", "1").load(src)
+          .withWatermark("ts", "3500 milliseconds")
+          .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select((floor(unix_timestamp(col("window.start"))).cast("long")).as("ws_sec"),
+            col("event_type"), col("n"))
+          .writeStream.outputMode("update")
+          .format("graft").option("path", dst)
+          .option("mergeKeys", "ws_sec,event_type")
+          .option("statsKey", "ws_sec")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(s"r$run-drain1")
+      drain(s"r$run-drain2")
+      t(s"r$run-read")(TxTable.read(s, dst).orderBy("ws_sec", "event_type")
+        .write.format("noop").mode("overwrite").save())
+    }
+    s.stop()
+  }
+}

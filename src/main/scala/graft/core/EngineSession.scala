@@ -48,9 +48,39 @@ object EngineSession {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter" +
               ".applicationSideScanSizeThreshold", "0")
+      // the UI is off but the live AppStatusStore still ingests every
+      // job/stage/task event at default retention (1000 jobs / 1000
+      // stages / 100k tasks / 1000 SQL executions); a long suite (or a
+      // long-lived pipeline driver) accumulates to those caps and then
+      // pays eviction bookkeeping on EVERY job end — measured as +50%
+      // micro-batch latency on streaming drains that run late in the
+      // 111-query bench. A pipeline driver needs minutes of history at
+      // most, not the full app's
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedDeadExecutors", "10")
       // streaming state store + checkpoint root for local runs
       .config("spark.sql.streaming.checkpointLocation",
               sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-ckpt")
+      // the default FileContext checkpoint manager routes every rename
+      // through RawLocalFileSystem.getFileLinkStatus, which EXECS a
+      // readlink shell per call (3-4 process forks per rename x 32 state
+      // partitions x every micro-batch); fork cost grows with JVM RSS,
+      // so streaming drains late in a long suite ran 2x their solo time
+      // (jstack-profiled: 442/~960 runnable samples in forkAndExec).
+      // On a POSIX local FS, FileSystem.rename is already atomic — use
+      // the FileSystem-based manager; HDFS/object-store deployments
+      // should keep the default (their rename needs FileContext).
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+              "org.apache.spark.sql.execution.streaming.checkpointing" +
+                ".FileSystemBasedCheckpointFileManager")
+      // checkpoint checksums double the file ops (one .crc per file) to
+      // detect corruption in flight — sound on a network FS, pure
+      // overhead on a local disk the OS already checksums
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+              "false")
 
   /** Shared session for tests/tools; honors an already-running session. */
   def getOrCreate(appName: String = "graft-engine"): SparkSession = {

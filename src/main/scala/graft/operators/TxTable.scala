@@ -656,6 +656,23 @@ object TxTable {
             "to recover its schema from (vacuumed empty table)")
       }
 
+  /** The table's CURRENT (evolution-reconciled) schema, cached: it only
+    * changes on evolution commits, but a streaming MoR sink validates
+    * every micro-batch against it — an uncached [[emptyRead]] costs a
+    * whole spark.read setup (FileIndex + schema inference) per commit,
+    * ~150 ms that multiplies across a drain's batches. The key carries
+    * the evo list AND the head data file, so a dropped-and-recreated
+    * table at the same root can never serve a stale schema (fresh file
+    * uuids miss the cache; a miss just pays the old cost once). */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[(Long, String)], String),
+    org.apache.spark.sql.types.StructType]()
+  private def currentSchema(spark: SparkSession, root: String,
+                            snap: Snapshot): org.apache.spark.sql.types.StructType =
+    schemaCache.computeIfAbsent(
+      (root, snap.evos, snap.files.headOption.getOrElse("")),
+      _ => emptyRead(spark, root, snap).schema)
+
   /** Range read with METADATA-ONLY file pruning: the commit log's
     * per-file [min, max] stats decide which files can hold rows in
     * [lo, hi] — files outside the range are never opened, touched, or
@@ -2388,7 +2405,7 @@ object TxTable {
       s"merge key '$k' missing from the merge-mor batch " +
         s"(batch columns: ${changes.columns.mkString(", ")})"))
     locally {
-      val tbl = emptyRead(spark, root, snap0).schema
+      val tbl = currentSchema(spark, root, snap0)
       changes.schema.foreach { f =>
         tbl.find(_.name == f.name).foreach { t =>
           require(t.dataType == f.dataType,

@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output defaults to the sbt logger, which prefixes every
+// stdout line with "[info] " — the bench driver json-parses the final
+// stdout line, so pass the program's stdout through verbatim instead.
+run / outputStrategy := Some(StdoutOutput)
 // The bench driver keeps only the last ~2000 bytes of stdout and parses the
 // final line as JSON; sbt's "[success] Total time..." epilogue would land
 // after Bench's JSON line and break that parse. Suppress it globally.

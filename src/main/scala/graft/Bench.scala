@@ -232,19 +232,24 @@ object Bench {
       System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
     }
     println(json)
-    def short(v: Double): String = {
-      val s = f"$v%.2f"
+    def short(v: Double, dp: Int): String = {
+      val s = s"%.${dp}f".format(v)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
       else s
     }
-    val compactQ = results
-      .map { case (k, (mn, _)) => "\"" + k + "\":" + short(mn) }
-      .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${short(total)},""" +
-      s""""unit":"sec","sf":"$sfDir","queries":$compactQ}"""
-    if (compact.length > 1950)
-      System.err.println(s"[bench] WARNING compact line ${compact.length}B " +
-        "nearing the driver's 2000B stdout tail — trim query set or precision")
+    def render(dp: Int): String = {
+      val q = results
+        .map { case (k, (mn, _)) => "\"" + k + "\":" + short(mn, dp) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${short(total, 2)},""" +
+        s""""unit":"sec","sf":"$sfDir","queries":$q}"""
+    }
+    // degrade per-query precision before the line outgrows the driver's
+    // 2000B stdout tail; as a last resort drop the map (it survives in
+    // bench_out.json and the full-precision stdout line above)
+    val compact = Seq(2, 1).map(render).find(_.length <= 1900).getOrElse(
+      s"""{"metric":"total","value":${short(total, 2)},"unit":"sec",""" +
+        s""""sf":"$sfDir","queries":{},"note":"per-query map in bench_out.json"}""")
     println(compact)
     spark.stop()
   }

@@ -48,6 +48,36 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object TxTable {
 
+  // Opt-in phase profiler (GRAFT_PROFILE=1): accumulates wall time per
+  // commit-path phase and dumps a one-line summary at JVM exit. Zero cost
+  // when unset (a plain call-through). Dev tooling for attacking the
+  // per-commit fixed overhead that dominates multi-commit pipelines at
+  // toy SF — not part of the product surface.
+  private val profiling = sys.env.contains("GRAFT_PROFILE")
+  private val profNs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  private val profN =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  @inline private def prof[T](label: String)(f: => T): T =
+    if (!profiling) f
+    else {
+      val t0 = System.nanoTime()
+      try f finally {
+        profNs.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder)
+          .add(System.nanoTime() - t0)
+        profN.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder)
+          .add(1L)
+      }
+    }
+  if (profiling) sys.addShutdownHook {
+    import scala.jdk.CollectionConverters._
+    val lines = profNs.asScala.toSeq.sortBy(-_._2.sum).map { case (k, v) =>
+      val n = Option(profN.get(k)).map(_.sum).getOrElse(0L)
+      f"$k=${v.sum / 1e9}%.2fs/${n}x"
+    }
+    System.err.println("[txprofile] " + lines.mkString(" "))
+  }
+
   /** One commit record. `adds`/`removes` are paths relative to the table
     * root. `tag` is the idempotence identity (e.g. "app=x/epoch=7").
     * `statsKey` (create commit only) declares the integral column whose
@@ -363,7 +393,7 @@ object TxTable {
     * checkpoint, then the highest CONTIGUOUS run of commits above it.
     * A gap means an in-flight or failed publish — versions after a gap
     * are not yet visible (they will be once the gap commits). */
-  def snapshot(root: String, versionAsOf: Long = Long.MaxValue): Snapshot = {
+  def snapshot(root: String, versionAsOf: Long = Long.MaxValue): Snapshot = prof("snapshot") {
     val dir = logDir(root)
     if (!Files.isDirectory(dir)) return emptySnapshot
     import scala.jdk.CollectionConverters._
@@ -1291,13 +1321,15 @@ object TxTable {
          Seq[Seq[(Long, Long)]], Seq[Seq[String]]) = {
     val unique = java.util.UUID.randomUUID().toString.take(8)
     val dir = dataDir(root).resolve(unique)
-    df.write.mode("overwrite").parquet(dir.toString)
+    prof("stage.write")(df.write.mode("overwrite").parquet(dir.toString))
     import scala.jdk.CollectionConverters._
     val files = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.endsWith(".parquet"))
       .map(f => s"data/$unique/$f")
       .toSeq.sorted
+    if (profiling) profNs.computeIfAbsent("stage.files",
+      _ => new java.util.concurrent.atomic.LongAdder).add(files.size * 1000000000L)
     // ONE pass per staged batch computes [min,max] AND the key bloom per
     // file for the primary stats key and every secondary stats column —
     // all columns aggregated side by side under one groupBy(file), so a
@@ -1341,10 +1373,10 @@ object TxTable {
         Seq(min(col(s"k_$j")).as(s"mn_$j"), max(col(s"k_$j")).as(s"mx_$j"),
           bloomAgg(col(s"h_$j")).as(s"bl_$j"))
       }
-      val byName = reread
+      val byName = prof("stage.stats")(reread
         .select(input_file_name().as("f") +: keyed: _*)
         .groupBy("f").agg(aggs.head, aggs.tail: _*)
-        .collect()
+        .collect())
         .map { r =>
           val name = Paths.get(java.net.URI.create(r.getString(0)).getPath)
             .getFileName.toString
@@ -1425,9 +1457,9 @@ object TxTable {
       val sh = withLeads.select(col("f"),
         when(col(s"w${n - 1}").isNotNull,
           concat_ws(" ", (0 until n).map(k => col(s"w$k")): _*)).as("sh"))
-      val byName = sh
+      val byName = prof("stage.shingles")(sh
         .groupBy("f").agg(bloomAgg(expr("str_hash64(sh)")).as("bl"))
-        .collect().map { r =>
+        .collect()).map { r =>
           Paths.get(java.net.URI.create(r.getString(0)).getPath)
             .getFileName.toString -> r.getString(1)
         }.toMap
@@ -1467,7 +1499,7 @@ object TxTable {
     * FileAlreadyExistsException and must rebase. Every commit that adds
     * data files gets their footer row counts stamped into the log here —
     * one chokepoint covers create/append/merge/compact/optimize alike. */
-  private def tryPublish(root: String, c: Commit): Boolean = {
+  private def tryPublish(root: String, c: Commit): Boolean = prof("publish") {
     Files.createDirectories(logDir(root))
     val withRows =
       if (c.adds.nonEmpty && c.addRows.isEmpty)
@@ -2416,12 +2448,20 @@ object TxTable {
         }
       }
     }
-    // stage ledger and data once; rebased retries re-reference both
-    val ledgerDf = ledgerKeys(changes, keys)
-    val (dfiles, _, _, _, _) = stageData(
-      ledgerDf.distinct().coalesce(1), root, statsKey = None)
+    // stage data ONCE, then derive the ledger from the staged files —
+    // the `changes` plan executes a single time (staging it twice ran
+    // the whole upstream DAG per staging), and the ledger is guaranteed
+    // to cover exactly the rows that landed even if the upstream plan is
+    // non-deterministic between executions. Rebased retries re-reference
+    // both stagings.
     val (adds, st, bl, stN, blN) =
       stageData(changes, root, snap0.statsKey, snap0.statsCols)
+    val staged =
+      if (adds.isEmpty) changes // empty batch: nothing staged, ledger empty
+      else spark.read.parquet(adds.map(f => s"$root/$f"): _*)
+    val ledgerDf = ledgerKeys(staged, keys)
+    val (dfiles, _, _, _, _) = stageData(
+      ledgerDf.distinct().coalesce(1), root, statsKey = None)
     val shBl = stageShingles(changes, root, adds,
       snap0.shingleCols, snap0.shingleN)
     var attempt = 0

@@ -226,11 +226,14 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""value_median":$totalMed,"sf":"$sfDir",""" +
       s""""queries_median":${jmap(_._2._2)},"queries":${jmap(_._2._1)}}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_out.json"), json)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
-    }
+    // only a FULL headline run may refresh the artifact — a dev-knob
+    // subset run would silently clobber the round's complete map
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_out.json"), json)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+      }
     println(json)
     def short(v: Double, dp: Int): String = {
       val s = s"%.${dp}f".format(v)

@@ -33,6 +33,16 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // default=true tells AQE to IGNORE the 64 MB advisory size and
+      // maximize parallelism, so a few-KB post-shuffle frame still lands
+      // as many near-empty partitions — every tiny ACID staging write
+      // then pays per-file writer init, footer reads, and per-file log
+      // entries (stats + 8 KiB blooms) for files that hold a handful of
+      // rows. false = respect the advisory target (the setting Spark's
+      // own docs recommend when small-file pressure matters), which is
+      // also the right call on a 1000-executor cluster writing epochs.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+              "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ObjectHashAggregate (TypedImperativeAggregate path, e.g.

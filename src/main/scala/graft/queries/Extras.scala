@@ -1307,6 +1307,37 @@ object Extras {
         .orderBy("o_orderpriority")
     },
 
+    // ---- Q-qual-31: ONE-PASS TABLE PROFILER — the data-quality census a
+    // corpus needs before training: per column, non-null count and exact
+    // distinct cardinality, plus the table row count, in a single scan.
+    // Spark plans the multi-distinct aggregate through one Expand (each
+    // source row fans to one record per distinct column), so the input is
+    // read ONCE and the shuffle carries only the distinct key streams —
+    // cardinality-bounded, never a second scan. At 100 TB the same shape
+    // swaps count_distinct for approx_count_distinct (the Q-agg-04 HLL
+    // path) when ±2% suffices; the exact form is kept here because the
+    // oracle can recompute it.
+    "Q-qual-31" -> { (s, d) =>
+      Tables.documents(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("text")).as("nn_text"),
+          countDistinct(col("text")).as("nd_text"),
+          count(col("lang")).as("nn_lang"),
+          countDistinct(col("lang")).as("nd_lang"),
+          count(col("source")).as("nn_source"),
+          countDistinct(col("source")).as("nd_source"),
+          count(col("n_chars")).as("nn_n_chars"),
+          countDistinct(col("n_chars")).as("nd_n_chars"))
+        .select(expr(
+          "stack(4, 'lang', nn_lang, nd_lang," +
+            " 'n_chars', nn_n_chars, nd_n_chars," +
+            " 'source', nn_source, nd_source," +
+            " 'text', nn_text, nd_text) AS (col_name, n_nonnull, n_distinct)"),
+          col("n_rows"))
+        .orderBy("col_name")
+    },
+
     // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
     // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
     // leave every rewritten file generation alive in the name of time
@@ -2992,6 +3023,30 @@ object Extras {
          WHERE o_orderkey <= 6000
          GROUP BY 1
          ORDER BY o_orderpriority""",
+    "Q-qual-31" ->
+      """WITH a AS (
+           SELECT count(*) AS n_rows,
+                  count(text) AS nn_text,
+                  count(DISTINCT text) AS nd_text,
+                  count(lang) AS nn_lang,
+                  count(DISTINCT lang) AS nd_lang,
+                  count(source) AS nn_source,
+                  count(DISTINCT source) AS nd_source,
+                  count(n_chars) AS nn_n_chars,
+                  count(DISTINCT n_chars) AS nd_n_chars
+           FROM documents)
+         SELECT col_name, n_nonnull::BIGINT AS n_nonnull,
+                n_distinct::BIGINT AS n_distinct, n_rows::BIGINT AS n_rows
+         FROM (
+           SELECT 'lang' AS col_name, nn_lang AS n_nonnull,
+                  nd_lang AS n_distinct, n_rows FROM a
+           UNION ALL
+           SELECT 'n_chars', nn_n_chars, nd_n_chars, n_rows FROM a
+           UNION ALL
+           SELECT 'source', nn_source, nd_source, n_rows FROM a
+           UNION ALL
+           SELECT 'text', nn_text, nd_text, n_rows FROM a)
+         ORDER BY col_name""",
     // the maintenance policy is invisible to results: the packed,
     // retention-bounded table equals the one-pass rollup of its inputs
     "Q-qual-29" ->

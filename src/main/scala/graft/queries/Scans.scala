@@ -408,10 +408,42 @@ object Scans {
         .select(col("lang"), col("rk").cast("bigint").as("rk"),
           col("doc_id"), col("n_chars"))
         .orderBy("lang", "rk")
+    },
+
+    // ---- Q-scan-21: weighted sample WITHOUT replacement (Efraimidis-
+    // Spirakis A-ES, "Weighted random sampling with a reservoir", IPL
+    // 2006): each row draws u = hash-uniform in (0,1) and scores
+    // key = -ln(u)/w; the k SMALLEST keys are a weight-proportional
+    // k-subset drawn without replacement in ONE pass. The md5-derived u
+    // (13 hex chars = 2^52 states, exactly representable in a double)
+    // makes the draw deterministic across engines, runs, and
+    // repartitioning — the Q-scan-20 discipline extended from uniform to
+    // WEIGHTED sampling, the shape importance-weighted corpus curation
+    // needs (sample documents ∝ length / quality score). Plans as
+    // TakeOrderedAndProject: each partition forwards its local top-k
+    // only — O(k·partitions) crosses the wire, never the corpus.
+    "Q-scan-21" -> { (s, d) =>
+      val u = (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13)," +
+        " 16, 10) AS DOUBLE)") + lit(1.0)) / lit(4503599627370497.0)
+      Tables.documents(s, d)
+        .where(col("n_chars") > 0)
+        .withColumn("aes_key", -log(u) / col("n_chars"))
+        .orderBy("aes_key")
+        .limit(25)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-scan-21" ->
+      """WITH k AS (
+           SELECT doc_id, lang, n_chars,
+                  -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT
+                       + 1.0) / 4503599627370497.0) / n_chars AS aes_key
+           FROM documents WHERE n_chars > 0),
+         s AS (SELECT doc_id, lang, n_chars FROM k ORDER BY aes_key LIMIT 25)
+         SELECT doc_id, lang, n_chars FROM s ORDER BY doc_id""",
     "Q-scan-20" ->
       """WITH r AS (
            SELECT lang, doc_id, n_chars,

@@ -50,6 +50,18 @@ object ExplainCheck {
     // global top-k plans as TakeOrderedAndProject
     check("Q-sort-02", "TakeOrderedAndProject",
       _.contains("TakeOrderedAndProject"))
+
+    // A-ES weighted sampling: the k-smallest-keys selection must ALSO be
+    // a TakeOrderedAndProject (per-partition top-k, O(k·partitions) moves)
+    // and the weight filter must reach the scan
+    check("Q-scan-21", "weighted sample via TakeOrderedAndProject + pushed filter",
+      p => p.contains("TakeOrderedAndProject") && p.contains("PushedFilters"))
+
+    // one-pass profiler: multi-distinct resolves through a single Expand
+    // over ONE parquet scan (no per-column re-read)
+    check("Q-qual-31", "profiler is one scan + Expand",
+      p => p.contains("Expand") &&
+        "Scan parquet".r.findAllIn(p).size == 1)
     // range join is an equi-join (shuffle/broadcast hash), NOT a BNLJ
     check("Q-join-05", "no BroadcastNestedLoopJoin",
       p => !p.contains("BroadcastNestedLoopJoin"))

@@ -139,7 +139,8 @@ object Bench {
     "Q-graph-09", // distributed CC above the 1M-edge driver cap
     "Q-str-29",   // presence with event-time state eviction (timers)
     "Q-scan-21",  // A-ES weighted sampling (one-pass, TakeOrdered top-k)
-    "Q-qual-31"   // one-pass table profiler (multi-distinct via Expand)
+    "Q-qual-31",  // one-pass table profiler (multi-distinct via Expand)
+    "Q-qual-32"   // verified replication (bucket-digest anti-entropy diff)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

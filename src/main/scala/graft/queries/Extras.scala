@@ -1338,6 +1338,55 @@ object Extras {
         .orderBy("col_name")
     },
 
+    // ---- Q-qual-32: VERIFIED REPLICATION — distributed anti-entropy
+    // check between a table and its shallow clone after the clone
+    // diverged by exactly one written row. Each side folds to 16 bucket
+    // digests (bucket = key mod 16; digest = count + decimal sum of an
+    // md5-derived per-row hash), so comparing two 100 TB replicas moves
+    // CONSTANT bytes — two scans, one 16-row join; which bucket diverges
+    // is read off the diff, and only that bucket would need a row-level
+    // drill-down. The query asserts exactly the planted bucket surfaces
+    // and returns the diff row. Composes the ACID surface: cloneShallow
+    // (zero-copy branch) + mergeCow (the divergence) + two snapshot reads.
+    "Q-qual-32" -> { (s, d) =>
+      import graft.operators.TxTable
+      val base = tempDir("graft_qual32").toString
+      val a = base + "/a"
+      val b = base + "/b"
+      val src = Tables.orders(s, d)
+        .filter(col("o_orderkey") <= 4000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("bigint").as("cents"))
+      TxTable.create(src, a, statsKey = Some("o_orderkey"))
+      TxTable.cloneShallow(a, b)
+      val fix = src.filter(col("o_orderkey") === 42)
+        .withColumn("cents", col("cents") + 7)
+      TxTable.mergeCow(s, b, fix, "o_orderkey")
+      def sums(t: org.apache.spark.sql.DataFrame) = t
+        .select(pmod(col("o_orderkey"), lit(16)).as("bucket"),
+          expr("CAST(conv(substring(md5(concat_ws(chr(1), " +
+            "CAST(o_orderkey AS STRING), o_orderstatus, " +
+            "CAST(cents AS STRING))), 1, 15), 16, 10) " +
+            "AS DECIMAL(38,0))").as("h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+      val sa = sums(TxTable.read(s, a))
+        .select(col("bucket"), col("n").as("n_a"), col("hsum").as("hsum_a"))
+      val sb = sums(TxTable.read(s, b))
+        .select(col("bucket"), col("n").as("n_b"), col("hsum").as("hsum_b"))
+      val diff = sa.join(sb, Seq("bucket"), "full_outer")
+        .where(col("n_a").isNull || col("n_b").isNull ||
+          col("n_a") =!= col("n_b") || col("hsum_a") =!= col("hsum_b"))
+        .select("bucket", "n_a", "n_b", "hsum_a", "hsum_b")
+      val got = diff.collect() // bounded: at most 16 bucket rows
+      if (got.length != 1 ||
+          got(0).getLong(got(0).fieldIndex("bucket")) != 42L % 16)
+        throw new IllegalStateException(
+          s"checksum diff must surface exactly the planted bucket, got " +
+            got.mkString("; "))
+      diff.orderBy("bucket")
+    },
+
     // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
     // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
     // leave every rewritten file generation alive in the name of time
@@ -3047,6 +3096,37 @@ object Extras {
            UNION ALL
            SELECT 'text', nn_text, nd_text, n_rows FROM a)
          ORDER BY col_name""",
+    "Q-qual-32" ->
+      """WITH src AS (
+           SELECT o_orderkey, o_orderstatus,
+                  floor(o_totalprice * 100 + 0.5)::BIGINT AS cents
+           FROM orders WHERE o_orderkey <= 4000),
+         b AS (
+           SELECT o_orderkey, o_orderstatus,
+                  CASE WHEN o_orderkey = 42 THEN cents + 7
+                       ELSE cents END AS cents
+           FROM src),
+         ha AS (
+           SELECT o_orderkey % 16 AS bucket, count(*) AS n,
+                  sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                        o_orderkey::VARCHAR, o_orderstatus,
+                        cents::VARCHAR)), 1, 15))::UBIGINT
+                      AS DECIMAL(38,0))) AS hsum
+           FROM src GROUP BY 1),
+         hb AS (
+           SELECT o_orderkey % 16 AS bucket, count(*) AS n,
+                  sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                        o_orderkey::VARCHAR, o_orderstatus,
+                        cents::VARCHAR)), 1, 15))::UBIGINT
+                      AS DECIMAL(38,0))) AS hsum
+           FROM b GROUP BY 1)
+         SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
+                ha.n::BIGINT AS n_a, hb.n::BIGINT AS n_b,
+                ha.hsum AS hsum_a, hb.hsum AS hsum_b
+         FROM ha FULL JOIN hb ON ha.bucket = hb.bucket
+         WHERE ha.n IS NULL OR hb.n IS NULL
+            OR ha.n <> hb.n OR ha.hsum <> hb.hsum
+         ORDER BY bucket""",
     // the maintenance policy is invisible to results: the packed,
     // retention-bounded table equals the one-pass rollup of its inputs
     "Q-qual-29" ->

@@ -136,6 +136,12 @@ object AvroEnvelope {
       : (Dataset[WeatherReading], org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
     val dropped = spark.sparkContext.longAccumulator("graft.codec.dropped")
+    // per-record drop LOGGING parity with the reference deserializer
+    // (WeatherKafkaAvroDeserializerSchema.java:48,66 warns on every
+    // dropped record). Counting in the accumulator is the scale-sane
+    // default — a poisoned 100 TB topic would emit millions of log
+    // lines — so the per-record line is OPT-IN for debugging sessions.
+    val logDrops = sys.props.get("graft.codec.logDrops").contains("true")
     val decoded = envelopes.mapPartitions { it =>
       // per-partition init: parse schemas once, build one reader per writer
       // schema, reuse the BinaryDecoder across records (ref :26,52)
@@ -151,17 +157,24 @@ object AvroEnvelope {
           case (m, json) => m -> new Schema.Parser().parse(json).getName }
       var decoder: BinaryDecoder = null
       var record: GenericRecord = null
+      def drop(why: => String): None.type = {
+        dropped.add(1)
+        if (logDrops) System.err.println(s"[graft.codec] dropped record: $why")
+        None
+      }
 
       it.flatMap { bytes =>
         try {
-          if (bytes == null || bytes.length < 2) { dropped.add(1); None }
+          if (bytes == null || bytes.length < 2)
+            drop(s"envelope too short (${if (bytes == null) "null" else bytes.length.toString} bytes)")
           else {
             val magic = bytes(0)
             readers.get(magic) match {
               case None => // unknown version: drop (ref logs + drops)
-                dropped.add(1); None
+                drop(s"unknown schema version magic=$magic")
               case Some(_) if writerNames(magic) != reader.getName =>
-                dropped.add(1); None // schema-name guard (ref :47-50)
+                // schema-name guard (ref :47-50)
+                drop(s"writer schema '${writerNames(magic)}' != reader '${reader.getName}'")
               case Some(r) =>
                 decoder = DecoderFactory.get()
                   .binaryDecoder(bytes, 1, bytes.length - 1, decoder)
@@ -176,8 +189,8 @@ object AvroEnvelope {
             }
           }
         } catch {
-          case NonFatal(_) => // corrupt body: drop, don't fail the job
-            dropped.add(1); None
+          case NonFatal(e) => // corrupt body: drop, don't fail the job
+            drop(s"corrupt avro body: ${e.getClass.getSimpleName}")
         }
       }
     }

@@ -62,6 +62,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(dropped.value == 3) // corrupt + unknown magic + empty, all counted
   }
 
+  test("opt-in per-record drop logging (ref :48,66 parity)") {
+    import spark.implicits._
+    val good = AvroEnvelope.encode(
+      WeatherReading("ok", 1L, None, None, None, None), 2, AvroEnvelope.defaultRegistry)
+    val unknownMagic = 42.toByte +: good.tail
+    val buf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    sys.props("graft.codec.logDrops") = "true"
+    try {
+      System.setErr(new java.io.PrintStream(buf, true))
+      val (ds, dropped) = AvroEnvelope.decodeWithMetrics(spark,
+        spark.createDataset(Seq(good, unknownMagic)))
+      assert(ds.collect().map(_.deviceId).toSeq == Seq("ok"))
+      assert(dropped.value == 1)
+    } finally {
+      System.setErr(realErr)
+      sys.props.remove("graft.codec.logDrops")
+    }
+    val logged = buf.toString
+    assert(logged.contains("dropped record: unknown schema version magic=42"),
+      s"expected a per-record drop line, got: $logged")
+  }
+
   test("schema-name guard drops alien-named records (ref :47-50)") {
     import spark.implicits._
     val alien = AvroEnvelope.encode(

@@ -23,8 +23,10 @@ class TxTablePropertySpec extends AnyFunSuite {
 
   private sealed trait Op
   private case class Merge(batch: Map[Long, String], cow: Boolean) extends Op
+  private case class MergeMor(batch: Map[Long, String]) extends Op
   private case class Delete(keys: Set[Long]) extends Op
   private case object Compact extends Op
+  private case object Optimize extends Op
 
   private def genOps(seed: Long, n: Int): List[Op] = {
     val batch = for {
@@ -33,11 +35,18 @@ class TxTablePropertySpec extends AnyFunSuite {
       tagv <- Gen.chooseNum(0, 1000000)
     } yield keys.distinct.map(k => k -> s"v$tagv-$k").toMap
     val op: Gen[Op] = Gen.frequency(
-      (8, for { b <- batch; c <- Gen.oneOf(true, false) } yield Merge(b, c)),
+      (6, for { b <- batch; c <- Gen.oneOf(true, false) } yield Merge(b, c)),
+      // the zero-rewrite upsert interleaves with everything else: its
+      // ledgers must fold correctly through later CoW rewrites, compact,
+      // OPTIMIZE, time travel, and the change feed
+      (3, batch.map(MergeMor(_))),
       // deletes never target the two init keys, so the table (like any
       // real one with a retained dimension row) never goes fully empty
       (2, Gen.listOfN(3, Gen.chooseNum(2L, 30L)).map(ks => Delete(ks.toSet))),
-      (1, Gen.const(Compact)))
+      (1, Gen.const(Compact)),
+      // re-clustering is content-preserving like compact but also folds
+      // live MoR ledgers and rewrites the whole layout
+      (1, Gen.const(Optimize)))
     Gen.listOfN(n, op).apply(Gen.Parameters.default, Seed(seed)).get
   }
 
@@ -57,6 +66,10 @@ class TxTablePropertySpec extends AnyFunSuite {
           else TxTable.merge(spark, root, df, Seq("k"))
           model = model ++ batch
           states += model
+        case MergeMor(batch) =>
+          TxTable.mergeMor(spark, root, batch.toSeq.toDF("k", "v"), "k")
+          model = model ++ batch
+          states += model
         case Delete(keys) =>
           TxTable.deleteCow(spark, root, keys.toSeq.toDF("k"), "k")
           model = model -- keys
@@ -64,6 +77,9 @@ class TxTablePropertySpec extends AnyFunSuite {
         case Compact =>
           TxTable.compact(spark, root, targetFiles = 1)
           states += model // compaction must not change content
+        case Optimize =>
+          TxTable.optimize(spark, root, targetFiles = 2)
+          states += model // re-clustering must not change content
       }
       val snap = TxTable.snapshot(root)
       assert(snap.version == states.length - 1,

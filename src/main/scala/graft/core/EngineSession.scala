@@ -33,16 +33,15 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // default=true tells AQE to IGNORE the 64 MB advisory size and
-      // maximize parallelism, so a few-KB post-shuffle frame still lands
-      // as many near-empty partitions — every tiny ACID staging write
-      // then pays per-file writer init, footer reads, and per-file log
-      // entries (stats + 8 KiB blooms) for files that hold a handful of
-      // rows. false = respect the advisory target (the setting Spark's
-      // own docs recommend when small-file pressure matters), which is
-      // also the right call on a 1000-executor cluster writing epochs.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-              "false")
+      // AQE coalescing stays at the stock parallelism-first default:
+      // measured on this box, respecting the 64 MB advisory globally
+      // serialized the CPU-bound iterative plans (the 420 MB triangle
+      // wedge join 8 s → 27 s, pointer-jumping CC 16 s → 45 s when their
+      // mid-loop exchanges collapsed to ~7-12 partitions). The one place
+      // the advisory IS right — table-file staging, where near-empty
+      // output files cost per-file writer init, footer reads, and log
+      // entries — scopes it locally (TxTable.withFileSizedCoalesce)
+      // around the staged write instead of taxing every query.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // ObjectHashAggregate (TypedImperativeAggregate path, e.g.

@@ -1314,6 +1314,23 @@ object TxTable {
     * inside the write task — either way they land in the COMMIT, so
     * every later pruning decision is metadata-only. Empty files get the
     * empty range (MaxValue, MinValue) — always prunable. */
+  /** Run `body` with AQE told to RESPECT the 64 MB advisory partition
+    * size (parallelismFirst=false). Globally that setting serializes
+    * CPU-bound iterative plans on a small core count, but around a
+    * STAGED TABLE WRITE it is exactly right on any deployment: a staged
+    * epoch's post-shuffle frame coalesces toward 64 MB output files
+    * instead of shattering into near-empty ones, so the commit pays
+    * writer init, footer reads, and per-file log entries (stats +
+    * 8 KiB blooms) only for files that hold real data. Conf is
+    * session-scoped and restored; commits are driver-sequential. */
+  private def withFileSizedCoalesce[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
   private def stageData(df: DataFrame, root: String,
                         statsKey: Option[String],
                         statsCols: Seq[String] = Seq.empty)
@@ -1321,7 +1338,8 @@ object TxTable {
          Seq[Seq[(Long, Long)]], Seq[Seq[String]]) = {
     val unique = java.util.UUID.randomUUID().toString.take(8)
     val dir = dataDir(root).resolve(unique)
-    prof("stage.write")(df.write.mode("overwrite").parquet(dir.toString))
+    prof("stage.write")(withFileSizedCoalesce(df.sparkSession)(
+      df.write.mode("overwrite").parquet(dir.toString)))
     import scala.jdk.CollectionConverters._
     val files = Files.list(dir).iterator().asScala
       .map(_.getFileName.toString)

@@ -251,9 +251,10 @@ object Bench {
         s""""unit":"sec","sf":"$sfDir","queries":$q}"""
     }
     // degrade per-query precision before the line outgrows the driver's
-    // 2000B stdout tail; as a last resort drop the map (it survives in
-    // bench_out.json and the full-precision stdout line above)
-    val compact = Seq(2, 1).map(render).find(_.length <= 1900).getOrElse(
+    // 2000B stdout tail (the line itself + newline must fit whole); as a
+    // last resort drop the map (it survives in bench_out.json and the
+    // full-precision stdout line above)
+    val compact = Seq(2, 1, 0).map(render).find(_.length <= 1950).getOrElse(
       s"""{"metric":"total","value":${short(total, 2)},"unit":"sec",""" +
         s""""sf":"$sfDir","queries":{},"note":"per-query map in bench_out.json"}""")
     println(compact)

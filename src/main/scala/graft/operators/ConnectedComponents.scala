@@ -90,48 +90,64 @@ object ConnectedComponents {
     var (labels, labelRdds) = ckpt(connected.select(col("id"), col("id").as("label")))
     if (debug) System.err.println(
       f"[cc] labels ckpt: ${(System.nanoTime() - t1) / 1e9}%.2fs")
-    var changed = 1L
+    // convergence watches the label SUM: labels are ids and every move is
+    // strictly downward (min over self+neighbors, then a downward jump),
+    // so the decimal sum is strictly decreasing until the fixpoint and
+    // equality between rounds ⟺ no label changed. That turns the old
+    // "count rows where next < label" pass — which forced carrying the
+    // previous label through both per-round joins — into a cheap
+    // aggregate over the already-materialized round, and lets the message
+    // pass drop a whole shuffle join (below).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(org.apache.spark.sql.functions.sum(
+        col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (changed && i < maxIter) {
       val tRound = System.nanoTime()
-      // every connected node has >= 1 neighbor, so the inner join is total
-      val minNbr = sym
-        .join(labels.select(col("id").as("y"), col("label").as("ly")), "y")
-        .groupBy("x").agg(min("ly").as("ln"))
-        .withColumnRenamed("x", "id")
-      // materialized before the self-join below — otherwise the whole
-      // neighbor-propagation join/groupBy executes once per join side
-      val (prop, propRdds) = ckpt(
-        labels.join(minNbr, Seq("id"))
-          .select(col("id"), col("label"),
-            least(col("label"), col("ln")).as("mid")))
+      // ONE aggregation computes each node's candidate label: min over
+      // its own label and all neighbor labels — the self-label rides the
+      // same shuffle as the neighbor messages, where the previous form
+      // aggregated neighbor minima and then JOINED labels back on id
+      // (a second shuffle join per round). Every connected node emits a
+      // self-message, so the aggregate is total over connected nodes.
+      val (mid, midRdds) = ckpt(
+        sym.join(labels.select(col("id").as("y"), col("label").as("ly")), "y")
+          .select(col("x"), col("ly"))
+          .unionAll(labels.select(col("id").as("x"), col("label").as("ly")))
+          .groupBy("x").agg(min("ly").as("mid"))
+          .select(col("x").as("id"), col("mid")))
       // pointer jumping: follow the label one hop (label := label-of-label).
       // Squaring the propagation each round turns the round count from
       // O(diameter) into O(log diameter) — a 1M-node chain converges in
       // ~20 rounds instead of 1M. Every label value is itself a connected
-      // node id, so the self-join is total.
+      // node id, so the self-join is total. `mid` is materialized above:
+      // the two join sides shuffle on different keys, so an
+      // un-checkpointed frame would run the whole message pass twice.
       val (step, stepRdds) = ckpt(
-        prop
-          .join(prop.select(col("id").as("mid"), col("mid").as("jumped")),
+        mid
+          .join(mid.select(col("id").as("mid"), col("mid").as("jumped")),
             Seq("mid"))
-          .select(col("id"), col("label"),
-            least(col("mid"), col("jumped")).as("next")))
-      changed = step.filter(col("next") < col("label")).count()
-      // step is materialized: the previous labels and this round's prop
-      // are dead weight from here on
-      (labelRdds ++ propRdds).foreach(_.unpersist(blocking = false))
-      labels = step.select(col("id"), col("next").as("label"))
+          .select(col("id"), least(col("mid"), col("jumped")).as("label")))
+      val curSum = labelSum(step)
+      changed = curSum.compareTo(prevSum) != 0
+      prevSum = curSum
+      // step is materialized: the previous labels and this round's
+      // messages are dead weight from here on
+      (labelRdds ++ midRdds).foreach(_.unpersist(blocking = false))
+      labels = step
       labelRdds = stepRdds
       i += 1
       if (debug) System.err.println(
-        f"[cc] round $i: ${(System.nanoTime() - tRound) / 1e9}%.2fs changed=$changed")
+        f"[cc] round $i: ${(System.nanoTime() - tRound) / 1e9}%.2fs sum=$curSum")
     }
     // a silent non-converged result would diverge from the transitive
     // closure with no error — fail loudly instead
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"connected components did not converge after $maxIter rounds " +
-          s"($changed labels still changing); raise maxIter")
+          "(label sum still decreasing); raise maxIter")
     val isolated = nodes.join(connected, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     labels.unionAll(isolated)

@@ -2101,6 +2101,29 @@ object TxTable {
       ZOrderLayout.clusterByZ(_, col(x), col(y), targetFiles))
   }
 
+  /** [[optimizeZ]] on ANY 2..7 declared numeric stats axes — the Delta
+    * `OPTIMIZE ... ZORDER BY (c1, ..., cn)` surface. Each output file
+    * covers a compact n-dimensional tile, so every clustered axis's
+    * logged per-file [min, max] prunes range/point reads from the log
+    * alone. Same stats/bloom capture and time-travel behavior as any
+    * commit; cluster the few axes queries actually filter on (each added
+    * dimension halves per-axis tile resolution at a fixed file budget). */
+  def optimizeZN(spark: SparkSession, root: String, columns: Seq[String],
+                 targetFiles: Int = 8): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val snap = snapshot(root)
+    val declared = snap.statsKey.toSeq ++ snap.statsCols
+    require(columns.forall(declared.contains),
+      s"optimizeZN(${columns.mkString(", ")}) needs every dimension " +
+        s"declared for stats (have ${declared.mkString("[", ",", "]")}) — " +
+        "the re-clustered layout would otherwise record no prunable metadata")
+    require(columns.forall(c => !snap.strCols.contains(c)),
+      "optimizeZN needs numeric axes (equal-frequency quantile " +
+        "bucketing) — cluster a string axis with optimizeOn instead")
+    transact(spark, root, "optimize-z")(
+      ZOrderLayout.clusterByZN(_, columns.map(col), targetFiles))
+  }
+
   /** INCREMENTAL [[optimizeZ]]: re-tile ONLY the files added AFTER
     * `sinceVersion`; everything older carries over by reference — zero
     * bytes of the already-optimized tiles move. This is the per-epoch

@@ -1387,6 +1387,56 @@ object Extras {
       diff.orderBy("bucket")
     },
 
+    // ---- Q-qual-33: N-DIMENSIONAL Z-ORDER (3 axes) — Q-qual-17's plane
+    // generalized to the Delta `OPTIMIZE ... ZORDER BY (c1..cn)` surface.
+    // The table declares THREE integral stats axes; 4 per-epoch appends
+    // each span all three domains (no dimension prunable — asserted),
+    // one transactional optimizeZN re-tiles the (orderkey, partkey,
+    // suppkey) volume, and afterwards a quarter-domain range read on
+    // EVERY one of the three axes opens at most half the files, decided
+    // from the LOG alone — zero data I/O. Returned rows are the pruned
+    // THIRD-dimension read, hash-matching the oracle's plain filter:
+    // n-dim layout maintenance invisible to results, visible to cost.
+    "Q-qual-33" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual33").toString + "/tbl"
+      val src = Tables.lineitem(s, d)
+        .filter(col("l_orderkey") <= 6000)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("bigint").as("qty"))
+      def batch(b: Int) = src.filter(col("l_orderkey") % 4 === b).coalesce(1)
+      TxTable.create(batch(0), root, Some("l_orderkey"), None,
+        statsCols = Seq("l_partkey", "l_suppkey"))               // v0
+      (1 to 3).foreach(b => TxTable.append(s, root, batch(b)))   // v1..v3
+      val dims = Seq("l_orderkey", "l_partkey", "l_suppkey")
+      val maxes = src.agg(max("l_orderkey"), max("l_partkey"),
+        max("l_suppkey")).head().toSeq
+        .map(_.asInstanceOf[Number].longValue)
+      val quarters = dims.zip(maxes.map(_ / 4))
+      quarters.foreach { case (c, q) =>
+        val (kept, total) = TxTable.pruneAccountingOn(root, c, 1L, q)
+        if (kept != total || total < 4) throw new IllegalStateException(
+          s"expected a layout unprunable on $c, opens $kept/$total")
+      }
+      // 128 tiles = 7 curve bits in the range split: 2 bits per axis
+      // PLUS one guard bit, because the range partitioner's sampled
+      // boundaries occasionally merge adjacent curve blocks and the
+      // merge always costs the block id's lowest bit — with the guard
+      // bit that casualty is the third suppkey bit, never any axis's
+      // second, so every axis keeps genuine quarter tiles (16 tiles
+      // would give orderkey a single split bit and cap its pruning at
+      // 1/2; production sizes tiles to ~1 GB files instead)
+      TxTable.optimizeZN(s, root, dims, targetFiles = 128)       // v4
+      quarters.foreach { case (c, q) =>
+        val (kept, total) = TxTable.pruneAccountingOn(root, c, 1L, q)
+        if (kept * 2 > total) throw new IllegalStateException(
+          s"3-dim z-order did not tighten $c: opens $kept/$total")
+      }
+      val (c3, q3) = quarters(2)
+      TxTable.readPrunedOn(s, root, c3, 1L, q3)
+        .orderBy("l_orderkey", "l_partkey", "l_suppkey", "qty")
+    },
+
     // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
     // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
     // leave every rewritten file generation alive in the name of time
@@ -3127,6 +3177,16 @@ object Extras {
          WHERE ha.n IS NULL OR hb.n IS NULL
             OR ha.n <> hb.n OR ha.hsum <> hb.hsum
          ORDER BY bucket""",
+    "Q-qual-33" ->
+      """WITH src AS (
+           SELECT l_orderkey, l_partkey, l_suppkey,
+                  l_quantity::BIGINT AS qty
+           FROM lineitem WHERE l_orderkey <= 6000),
+         m AS (SELECT max(l_suppkey) // 4 AS q FROM src)
+         SELECT l_orderkey, l_partkey, l_suppkey, qty
+         FROM src, m
+         WHERE l_suppkey BETWEEN 1 AND m.q
+         ORDER BY l_orderkey, l_partkey, l_suppkey, qty""",
     // the maintenance policy is invisible to results: the packed,
     // retention-bounded table equals the one-pass rollup of its inputs
     "Q-qual-29" ->

@@ -42,6 +42,33 @@ class ZOrderSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(0L, 1L, 2L, 39L, 4294967295L))
   }
 
+  test("n-dim z-value: bit b of dim d lands at b*n + d; SQL twin agrees") {
+    import spark.implicits._
+    val df = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (3L, 5L, 6L), (255L, 255L, 255L)).toDF("a", "b", "c")
+    val got = df
+      .select(ZOrderLayout.zvalueN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // n=3: a→positions 0,3,6,...; b→1,4,7,...; c→2,5,8,...
+    // (a=3,b=5,c=6): a bits {0,1}→z{0,3}; b bits {0,2}→z{1,7}; c bits {1,2}→z{5,8}
+    val expect35 = (1L << 0) | (1L << 3) | (1L << 1) | (1L << 7) | (1L << 5) | (1L << 8)
+    assert(got == Seq(0L, 1L, 2L, 4L, expect35, (1L << 24) - 1))
+    // the SQL rendering is the identical algebra
+    val sqlGot = df.selectExpr(
+      ZOrderLayout.zvalueNSql(Seq("a", "b", "c")) + " AS z")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sqlGot == got)
+    // 2-dim ladder and the n-dim chain agree on the shared 8-bit domain
+    val two = Seq((3L, 5L), (200L, 7L), (255L, 255L)).toDF("x", "y")
+    val ladder = two.select(
+      ZOrderLayout.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    val chain = two.select(
+      ZOrderLayout.zvalueN(Seq(col("x"), col("y"))).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(chain == ladder)
+  }
+
   test("z-order layout: second-dimension predicate skips row groups") {
     val l = Tables.lineitem(spark, sf)
       .select(col("l_orderkey").bitwiseAND(lit(65535L)).as("x"),

@@ -148,15 +148,22 @@ final class TableSql(spark: SparkSession) {
           else TxTable.deleteCow(spark, root, doomed, key)
         result(name, if (mor != null) "delete-mor" else "delete-cow", r)
 
-      case TableSql.optimizeRe(name, zx, zy, n) =>
+      case TableSql.optimizeRe(name, zcols, n) =>
         val root = rootOf(name)
         val files = Option(n).map(_.toInt)
         val r =
-          if (zx != null)
-            TxTable.optimizeZ(spark, root, zx.trim, zy.trim,
-              targetFiles = files.getOrElse(16))
-          else TxTable.optimize(spark, root, files.getOrElse(4))
-        result(name, if (zx != null) "optimize-z" else "optimize", r)
+          if (zcols != null) {
+            val dims = zcols.split(",").map(_.trim).toSeq
+            // 2 axes keep the 16-bit ladder interleave (and its oracle
+            // parity); 3+ route through the n-dim chain
+            if (dims.size == 2)
+              TxTable.optimizeZ(spark, root, dims(0), dims(1),
+                targetFiles = files.getOrElse(16))
+            else
+              TxTable.optimizeZN(spark, root, dims,
+                targetFiles = files.getOrElse(16))
+          } else TxTable.optimize(spark, root, files.getOrElse(4))
+        result(name, if (zcols != null) "optimize-z" else "optimize", r)
 
       case TableSql.alterRenameRe(name, from, to) =>
         result(name, "rename-column",
@@ -299,7 +306,7 @@ object TableSql {
   }
   private val optimizeRe =
     ("(?is)^OPTIMIZE\\s+(\\w+)" +
-      "(?:\\s+ZORDER\\s+BY\\s+\\((\\w+)\\s*,\\s*(\\w+)\\))?" +
+      "(?:\\s+ZORDER\\s+BY\\s+\\((\\w+(?:\\s*,\\s*\\w+)+)\\))?" +
       "(?:\\s+INTO\\s+(\\d+)\\s+FILES)?$").r
   private val alterRenameRe =
     ("(?is)^ALTER\\s+TABLE\\s+(\\w+)\\s+RENAME\\s+COLUMN\\s+" +

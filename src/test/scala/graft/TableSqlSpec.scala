@@ -86,6 +86,18 @@ class TableSqlSpec extends AnyFunSuite {
     assert(vac >= 0L)
     q.exec("OPTIMIZE o INTO 2 FILES")
     assert(q.exec("SELECT count(*) FROM o").as[Long].head() == 100L)
+    // 3-dim ZORDER routes through optimizeZN; content and history intact
+    q.exec(s"CREATE TABLE o3 LOCATION '$dir/o3' STATS KEY k, grp, j AS " +
+      "SELECT k, v, grp, k * 7 % 50 AS j FROM tsql_src")
+    q.exec("OPTIMIZE o3 ZORDER BY (k, grp, j) INTO 16 FILES")
+    assert(q.exec("SELECT count(*) FROM o3").as[Long].head() == 100L)
+    val ops3 = q.exec("DESCRIBE HISTORY o3")
+      .select("version", "op").as[(Long, String)].collect().toMap
+    assert(ops3 == Map(0L -> "create", 1L -> "optimize-z"))
+    // an undeclared axis refuses (no prunable metadata would be logged)
+    val refused = intercept[IllegalArgumentException](
+      q.exec("OPTIMIZE o3 ZORDER BY (k, grp, v)"))
+    assert(refused.getMessage.contains("declared for stats"))
   }
 
   test("update: CoW and MoR set-expressions apply to the predicate's rows only") {

@@ -2159,6 +2159,35 @@ object TxTable {
     }
   }
 
+  /** INCREMENTAL [[optimizeZN]]: re-tile only the files added after
+    * `sinceVersion` along the N-dimensional curve; everything older
+    * carries over by reference — the same per-epoch maintenance shape as
+    * [[optimizeZSince]], on any 2..7 declared numeric axes. */
+  def optimizeZNSince(spark: SparkSession, root: String,
+                      columns: Seq[String], sinceVersion: Long,
+                      targetFiles: Int = 8): CommitResult = {
+    import org.apache.spark.sql.functions.col
+    val snap0 = snapshot(root)
+    val declared = snap0.statsKey.toSeq ++ snap0.statsCols
+    require(columns.forall(declared.contains),
+      s"optimizeZNSince(${columns.mkString(", ")}) needs every dimension " +
+        s"declared for stats (have ${declared.mkString("[", ",", "]")})")
+    require(columns.forall(c => !snap0.strCols.contains(c)),
+      "optimizeZNSince needs numeric axes — cluster a string axis with " +
+        "optimizeOn instead")
+    transactFiles(spark, root, "optimize-z-incr") { snap =>
+      val keep = snap.files.filter(f =>
+        snap.fileAddV.getOrElse(f, Long.MaxValue) <= sinceVersion)
+      val fresh = snap.files.diff(keep)
+      val rewrite =
+        if (fresh.isEmpty)
+          emptyRead(spark, root, snap)
+        else ZOrderLayout.clusterByZN(
+          morRead(spark, root, snap, fresh), columns.map(col), targetFiles)
+      (keep, rewrite)
+    }
+  }
+
   /** Metadata-only pruning accounting: (files a [lo, hi] range read
     * would open, live files total) — [[readPruned]]'s selection rule,
     * exposed so layout decisions (did OPTIMIZE help?) are checkable

@@ -783,6 +783,35 @@ class TxTableSpec extends AnyFunSuite {
       s"after incremental re-tile a quarter t-range opens $kept/$total")
   }
 
+  test("optimizeZNSince: 3-axis incremental re-tile, old tiles by reference") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    def batch(b: Int) = (for { x <- 0 until 12; y <- 0 until 12 }
+      yield (x * 5L, y * 5L, (x * 12 + y) % 40L, s"v$b-$x-$y"))
+      .toDF("k", "t", "j", "v").coalesce(1)
+    TxTable.create(batch(0), root, Some("k"), None, statsCols = Seq("t", "j"))
+    TxTable.append(spark, root, batch(1))
+    val zed = TxTable.optimizeZN(spark, root, Seq("k", "t", "j"),
+      targetFiles = 8)                                                  // v2
+    val tiles = TxTable.snapshot(root).files.toSet
+    TxTable.append(spark, root, batch(2))                               // v3
+    val before = TxTable.read(spark, root)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val res = TxTable.optimizeZNSince(spark, root, Seq("k", "t", "j"),
+      sinceVersion = zed.version, targetFiles = 8)                      // v4
+    assert(res.version == 4L)
+    val after = TxTable.snapshot(root)
+    assert(tiles.subsetOf(after.files.toSet),
+      "incremental n-dim optimize must not touch already-optimized tiles")
+    assert(after.files.size == tiles.size + 8)
+    assert(TxTable.read(spark, root)
+      .as[(Long, Long, Long, String)].collect().toSet == before)
+    // undeclared axis refuses
+    val refused = intercept[IllegalArgumentException](
+      TxTable.optimizeZNSince(spark, root, Seq("k", "t", "v"), 0L))
+    assert(refused.getMessage.contains("declared for stats"))
+  }
+
   test("secondary stats survive checkpoint consolidation") {
     import spark.implicits._
     val root = freshRoot() + "/t"

@@ -106,6 +106,91 @@ object CustomOps {
         .orderBy("query_id", "rk")
     },
 
+    // ---- Q-llm-59: VECTOR INDEX MAINTAINED FROM THE CHANGE FEED — the
+    // embedding twin of the incremental inverted index (Q-llm-56): the
+    // corpus lives in an ACID table, the cell-partitioned vector index
+    // (vec_id, cell, embedding — IVF-Flat shape, cells from a fixed
+    // 4-bit sign quantizer so the partitioner is frozen like trained
+    // centroids) lives in a second, and after the corpus takes an
+    // APPEND, an UPDATE merge (vectors re-embedded: negated), and a
+    // DELETE, the index is repaired per epoch from the CHANGE FEED
+    // alone: touched ids die by a MoR ledger (zero index rewrites),
+    // post-images re-assign and append. Cost per epoch O(changed
+    // vectors), never the corpus. Asserted in-query: the maintained
+    // index is row-identical to a from-scratch assignment of the final
+    // corpus; after optimizeOn(cell) a quarter-cell-range read opens at
+    // most half the index files from the log alone. The returned rows —
+    // exact cosine top-10 answered THROUGH the index (every cell
+    // probed, so the index path is exhaustive) — hash-match the
+    // oracle's brute-force over the final corpus state.
+    "Q-llm-59" -> { (s, d) =>
+      import graft.operators.TxTable
+      CosineSim.register(s)
+      val base = tempDir("graft_llm59").toString
+      val docs = base + "/docs"
+      val idx = base + "/idx"
+      val emb = Tables.embeddings(s, d)
+      val corpusAll = emb.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding"))
+      def cellOf(v: Column): Column =
+        (0 until 4).map(i =>
+          when(element_at(v, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _)
+      def assign(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("vec_id"), cellOf(col("embedding")).as("cell"), col("embedding"))
+      TxTable.create(corpusAll.filter(col("vec_id") % 3 === 0),
+        docs, statsKey = Some("vec_id"))                            // v0
+      TxTable.create(assign(TxTable.read(s, docs)), idx,
+        statsKey = Some("cell"))
+      var seen = 0L // docs version the index already reflects
+      def maintain(): Unit = {
+        val cur = TxTable.snapshot(docs).version
+        val feed = TxTable.changeFeed(s, docs, seen, cur, Seq("vec_id"))
+        TxTable.deleteMor(s, idx,
+          feed.select(col("vec_id")).distinct(), "vec_id")
+        TxTable.append(s, idx, assign(
+          feed.filter(col("change") =!= "delete")
+            .select(col("vec_id"), col("post.embedding").as("embedding"))))
+        seen = cur
+      }
+      TxTable.append(s, docs,
+        corpusAll.filter(col("vec_id") % 3 === 1))                  // v1
+      maintain()
+      TxTable.mergeCow(s, docs,
+        TxTable.read(s, docs).filter(col("vec_id") % 6 === 0)
+          .select(col("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")),
+        "vec_id")                                                   // v2
+      maintain()
+      TxTable.deleteCow(s, docs,
+        TxTable.read(s, docs).filter(col("vec_id") % 6 === 3)
+          .select("vec_id"), "vec_id")                              // v3
+      maintain()
+      val maintained = TxTable.read(s, idx)
+      val rebuilt = assign(TxTable.read(s, docs))
+      if (maintained.exceptAll(rebuilt).count() != 0 ||
+          rebuilt.exceptAll(maintained).count() != 0)
+        throw new IllegalStateException(
+          "feed-maintained index diverged from the from-scratch assignment")
+      TxTable.optimizeOn(s, idx, "cell", targetFiles = 8)
+      val (kept, total) = TxTable.pruneAccountingOn(idx, "cell", 0L, 3L)
+      if (kept * 2 > total) throw new IllegalStateException(
+        s"cell-clustered index did not prune: opens $kept/$total")
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      val scored = TxTable.read(s, idx).crossJoin(broadcast(qs))
+        .select(col("query_id"), col("vec_id"),
+          expr("cosine_sim(q_emb, embedding)").as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+      scored
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 10)
+        .select(col("query_id"), col("vec_id"),
+          Portable.r(col("sim"), 6).as("sim"), col("rk"))
+        .orderBy("query_id", "rk")
+    },
+
     // ---- Q-llm-36: exact L2 nearest neighbors via the codegen L2Distance
     // expression (CosineSim's metric sibling — the distance k-means/IVF
     // are actually built on). Same envelope as Q-llm-03: broadcast query
@@ -237,6 +322,23 @@ object CustomOps {
                      ORDER BY $cosSql DESC, e.vec_id))::BIGINT AS rk
            FROM embeddings q, embeddings e
            WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         WHERE rk <= 10 ORDER BY query_id, rk""",
+    "Q-llm-59" ->
+      s"""WITH c AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 6 = 0
+                       THEN list_transform(embedding, x -> -x)
+                       ELSE embedding END AS embedding
+           FROM embeddings
+           WHERE vec_id >= 5 AND vec_id % 3 IN (0, 1) AND vec_id % 6 <> 3)
+         SELECT query_id, vec_id, ${Portable.rSql("sim", 6)} AS sim, rk
+         FROM (
+           SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                  $cosSql AS sim,
+                  (row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY $cosSql DESC, e.vec_id))::BIGINT AS rk
+           FROM embeddings q, c e
+           WHERE q.vec_id < 5)
          WHERE rk <= 10 ORDER BY query_id, rk""",
     "Q-llm-36" -> {
       val l2 = """sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),

@@ -432,10 +432,43 @@ object Scans {
         .limit(25)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // ---- Q-scan-22: PER-STRATUM weighted sampling — Q-scan-20's
+    // stratification × Q-scan-21's A-ES weighting: within each language,
+    // the k smallest −ln(u)/w keys are an exact-k weight-proportional
+    // draw without replacement, one pass, deterministic across engines.
+    // The per-language weighted draw a multilingual corpus mix actually
+    // runs (sample long/high-quality docs ∝ weight, fixed quota per
+    // language). Plans as a partial WindowGroupLimit like Q-scan-20 —
+    // each input partition forwards ≤ k rows per stratum.
+    "Q-scan-22" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 13)," +
+        " 16, 10) AS DOUBLE)") + lit(1.0)) / lit(4503599627370497.0)
+      val w = Window.partitionBy("lang")
+        .orderBy(col("aes_key"), col("doc_id"))
+      Tables.documents(s, d)
+        .where(col("n_chars") > 0)
+        .withColumn("aes_key", -log(u) / col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy("lang", "rk")
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "Q-scan-22" ->
+      """WITH k AS (
+           SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang ORDER BY
+                    -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::UBIGINT
+                         + 1.0) / 4503599627370497.0) / n_chars,
+                    doc_id) AS rk
+           FROM documents WHERE n_chars > 0)
+         SELECT lang, rk::BIGINT AS rk, doc_id, n_chars
+         FROM k WHERE rk <= 5 ORDER BY lang, rk""",
     "Q-scan-21" ->
       """WITH k AS (
            SELECT doc_id, lang, n_chars,

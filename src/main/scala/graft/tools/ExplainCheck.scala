@@ -57,6 +57,11 @@ object ExplainCheck {
     check("Q-scan-21", "weighted sample via TakeOrderedAndProject + pushed filter",
       p => p.contains("TakeOrderedAndProject") && p.contains("PushedFilters"))
 
+    // per-stratum weighted sampling: rank ≤ k must plan as a PARTIAL
+    // WindowGroupLimit (each partition forwards ≤ k rows per stratum)
+    check("Q-scan-22", "stratified weighted draw via partial WindowGroupLimit",
+      p => p.contains("WindowGroupLimit") && p.contains("Partial"))
+
     // one-pass profiler: multi-distinct resolves through a single Expand
     // over ONE parquet scan (no per-column re-read)
     check("Q-qual-31", "profiler is one scan + Expand",

@@ -1362,14 +1362,20 @@ object Extras {
       val fix = src.filter(col("o_orderkey") === 42)
         .withColumn("cents", col("cents") + 7)
       TxTable.mergeCow(s, b, fix, "o_orderkey")
+      // Digest regime chosen for oracle portability: 48-bit (12-hex) row
+      // hashes summed exactly as DECIMAL(38,0), then folded mod 2^50 into
+      // a BIGINT. Every engine renders a BIGINT identically; the earlier
+      // ~2^60-scale DECIMAL sums canonicalized differently across
+      // harnesses even when equal (round-6 red row).
       def sums(t: org.apache.spark.sql.DataFrame) = t
         .select(pmod(col("o_orderkey"), lit(16)).as("bucket"),
           expr("CAST(conv(substring(md5(concat_ws(chr(1), " +
             "CAST(o_orderkey AS STRING), o_orderstatus, " +
-            "CAST(cents AS STRING))), 1, 15), 16, 10) " +
+            "CAST(cents AS STRING))), 1, 12), 16, 10) " +
             "AS DECIMAL(38,0))").as("h"))
         .groupBy("bucket")
-        .agg(count(lit(1)).as("n"), sum(col("h")).as("hsum"))
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(pmod(sum(h), 1125899906842624) AS BIGINT)").as("hsum"))
       val sa = sums(TxTable.read(s, a))
         .select(col("bucket"), col("n").as("n_a"), col("hsum").as("hsum_a"))
       val sb = sums(TxTable.read(s, b))
@@ -3158,17 +3164,17 @@ object Extras {
            FROM src),
          ha AS (
            SELECT o_orderkey % 16 AS bucket, count(*) AS n,
-                  sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                  (sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
                         o_orderkey::VARCHAR, o_orderstatus,
-                        cents::VARCHAR)), 1, 15))::UBIGINT
-                      AS DECIMAL(38,0))) AS hsum
+                        cents::VARCHAR)), 1, 12))::UBIGINT
+                      AS DECIMAL(38,0))) % 1125899906842624)::BIGINT AS hsum
            FROM src GROUP BY 1),
          hb AS (
            SELECT o_orderkey % 16 AS bucket, count(*) AS n,
-                  sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
+                  (sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
                         o_orderkey::VARCHAR, o_orderstatus,
-                        cents::VARCHAR)), 1, 15))::UBIGINT
-                      AS DECIMAL(38,0))) AS hsum
+                        cents::VARCHAR)), 1, 12))::UBIGINT
+                      AS DECIMAL(38,0))) % 1125899906842624)::BIGINT AS hsum
            FROM b GROUP BY 1)
          SELECT coalesce(ha.bucket, hb.bucket) AS bucket,
                 ha.n::BIGINT AS n_a, hb.n::BIGINT AS n_b,

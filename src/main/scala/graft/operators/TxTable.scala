@@ -69,11 +69,21 @@ object TxTable {
           .add(1L)
       }
     }
+  // non-time metrics (plain counts) live apart from the nanosecond sums
+  // so the shutdown line never renders a count as a bogus duration
+  private val profCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+  @inline private def profCount(label: String, n: Long): Unit =
+    if (profiling)
+      profCounts.computeIfAbsent(label, _ => new java.util.concurrent.atomic.LongAdder)
+        .add(n)
   if (profiling) sys.addShutdownHook {
     import scala.jdk.CollectionConverters._
     val lines = profNs.asScala.toSeq.sortBy(-_._2.sum).map { case (k, v) =>
       val n = Option(profN.get(k)).map(_.sum).getOrElse(0L)
       f"$k=${v.sum / 1e9}%.2fs/${n}x"
+    } ++ profCounts.asScala.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"$k=${v.sum}n"
     }
     System.err.println("[txprofile] " + lines.mkString(" "))
   }
@@ -690,18 +700,26 @@ object TxTable {
     * changes on evolution commits, but a streaming MoR sink validates
     * every micro-batch against it — an uncached [[emptyRead]] costs a
     * whole spark.read setup (FileIndex + schema inference) per commit,
-    * ~150 ms that multiplies across a drain's batches. The key carries
-    * the evo list AND the head data file, so a dropped-and-recreated
-    * table at the same root can never serve a stale schema (fresh file
-    * uuids miss the cache; a miss just pays the old cost once). */
+    * ~150 ms that multiplies across a drain's batches. The entry stores
+    * a version witness (evo list + head data file), so a
+    * dropped-and-recreated table at the same root can never serve a
+    * stale schema (fresh file uuids mismatch the witness; a mismatch
+    * just recomputes once). */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
-    (String, Seq[(Long, String)], String),
-    org.apache.spark.sql.types.StructType]()
+    String,
+    ((Seq[(Long, String)], String), org.apache.spark.sql.types.StructType)]()
   private def currentSchema(spark: SparkSession, root: String,
-                            snap: Snapshot): org.apache.spark.sql.types.StructType =
-    schemaCache.computeIfAbsent(
-      (root, snap.evos, snap.files.headOption.getOrElse("")),
-      _ => emptyRead(spark, root, snap).schema)
+                            snap: Snapshot): org.apache.spark.sql.types.StructType = {
+    // one entry PER ROOT (bounded by live tables, not by commit history):
+    // the version witness (evo list + head data file) is stored in the
+    // value and the entry is REPLACED when it changes — compaction /
+    // evolution / drop-and-recreate each invalidate in place instead of
+    // minting a fresh key and leaking the old StructType forever.
+    val ver = (snap.evos, snap.files.headOption.getOrElse(""))
+    schemaCache.compute(root, (_, old) =>
+      if (old != null && old._1 == ver) old
+      else (ver, emptyRead(spark, root, snap).schema))._2
+  }
 
   /** Range read with METADATA-ONLY file pruning: the commit log's
     * per-file [min, max] stats decide which files can hold rows in
@@ -1346,8 +1364,7 @@ object TxTable {
       .filter(_.endsWith(".parquet"))
       .map(f => s"data/$unique/$f")
       .toSeq.sorted
-    if (profiling) profNs.computeIfAbsent("stage.files",
-      _ => new java.util.concurrent.atomic.LongAdder).add(files.size * 1000000000L)
+    profCount("stage.files", files.size.toLong)
     // ONE pass per staged batch computes [min,max] AND the key bloom per
     // file for the primary stats key and every secondary stats column —
     // all columns aggregated side by side under one groupBy(file), so a
@@ -2508,8 +2525,15 @@ object TxTable {
         s"(batch columns: ${changes.columns.mkString(", ")})"))
     locally {
       val tbl = currentSchema(spark, root, snap0)
+      // name match mirrors Spark's resolution: case-insensitive unless
+      // spark.sql.caseSensitive — a batch column differing only in case
+      // still binds to the table column at read time, so it must hit the
+      // same type guard here
+      val cs = spark.conf.getOption("spark.sql.caseSensitive")
+        .exists(_.toBoolean)
       changes.schema.foreach { f =>
-        tbl.find(_.name == f.name).foreach { t =>
+        tbl.find(t => if (cs) t.name == f.name
+                      else t.name.equalsIgnoreCase(f.name)).foreach { t =>
           require(t.dataType == f.dataType,
             s"merge-mor batch column '${f.name}' is " +
               s"${f.dataType.simpleString} but the table stores " +

@@ -124,6 +124,14 @@ object Presence {
       val sorted = rows.toSeq.sortBy(_.ts_ms)
       if (sorted.isEmpty) return Iterator.empty
       val out = Seq.newBuilder[PresenceEvent]
+      // the armed timer is always a pure function of state (lastSeen +
+      // ttl), so re-arming can DELETE the superseded timer without a
+      // second state variable — a chatty device would otherwise
+      // accumulate one stale timer per batch it appears in (each a
+      // guarded no-op, but timer state and expired-timer work growing
+      // without bound at fleet scale)
+      val prevArmed: Option[Long] =
+        if (lastSeen.exists()) Some(lastSeen.get() + ttlMillis) else None
       var last: Option[Long] = if (lastSeen.exists()) Some(lastSeen.get()) else None
       for (e <- sorted) {
         last match {
@@ -137,15 +145,20 @@ object Presence {
         last = Some(e.ts_ms)
       }
       lastSeen.update(last.get)
-      getHandle.registerTimer(last.get + ttlMillis)
+      val expiry = last.get + ttlMillis
+      if (!prevArmed.contains(expiry)) {
+        prevArmed.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(expiry)
+      }
       out.result().iterator
     }
 
     override def handleExpiredTimer(
         key: String, tv: TimerValues,
         info: ExpiredTimerInfo): Iterator[PresenceEvent] = {
-      // only the LATEST armed timer acts; earlier ones are stale echoes
-      // of re-seen devices (re-arming does not delete the old timer)
+      // re-arming deletes the superseded timer, so a firing timer is the
+      // latest one; the guard stays as defense against a delete racing a
+      // same-batch fire
       if (lastSeen.exists() &&
           info.getExpiryTimeInMs() >= lastSeen.get() + ttlMillis) {
         val off = lastSeen.get() + ttlMillis

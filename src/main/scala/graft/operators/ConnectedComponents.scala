@@ -59,11 +59,30 @@ object ConnectedComponents {
     // DataFrame, and unpersist a round's intermediates as soon as the next
     // round's state is materialized.
     def ckpt(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint(true)
-      val fresh = sc.getPersistentRDDs.collect {
-        case (id, rdd) if !before(id) => rdd
+      val cp = df.localCheckpoint(true)
+      // the checkpointed plan is a single LogicalRDD leaf over the
+      // persisted internal RDD — take that handle DIRECTLY. (The earlier
+      // global getPersistentRDDs before/after diff races when two ckpts
+      // run concurrently: each claims the other's freshly persisted RDD,
+      // and the round's cleanup then unpersists live loop state —
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on the next read.)
+      val fresh = cp.queryExecution.logical.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.toSeq
+      // STRIP the inherited size estimate. localCheckpoint carries the
+      // ORIGIN plan's estimated sizeInBytes into the LogicalRDD it
+      // returns, and Catalyst estimates a join as the PRODUCT of its
+      // children — so in a loop whose rounds join k checkpointed frames,
+      // the carried estimate's bit-length grows k-fold per round. By
+      // round ~8 join selection is multiplying million-bit BigIntegers
+      // and planning dwarfs execution (observed: a 400-node chain spun
+      // 30+ min inside SizeInBytesOnlyStatsPlanVisitor). Rebuilding the
+      // frame over the materialized RDD resets the leaf to a
+      // default-sized scan — constant-cost stats every round; broadcast
+      // decisions inside the loop fall to AQE's runtime shuffle sizes,
+      // which are the real ones anyway. The per-scan Row round-trip this
+      // adds touches only the shrinking 2-long-column loop state.
+      val out = df.sparkSession.createDataFrame(cp.rdd, df.schema)
       (out, fresh)
     }
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -80,75 +99,187 @@ object ConnectedComponents {
         f"[cc] driver union-find: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       return out
     }
-    val (sym, _) = ckpt(
-      e1.unionAll(e1.select(col("y").as("x"), col("x").as("y"))))
+    // per-round shuffle ledger (GRAFT_CC_DEBUG): real bytes from stage
+    // metrics, not a proxy — listener events are async but settle by the
+    // time the next round's action returns, good enough for a ledger
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    val listener =
+      if (!debug) None
+      else {
+        val l = new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            shuffleW.addAndGet(
+              s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        }
+        sc.addSparkListener(l); Some(l)
+      }
+    // CANONICAL orientation (lo, hi): half the rows/bytes of a
+    // symmetrized edge list through every remap join and distinct below;
+    // the neighbor-min aggregation reads both directions via a cheap
+    // union of two scans of the same cached frame. A node whose only
+    // edges are self-loops drops out here and lands in the isolated
+    // union at the end with label = its own id — same answer.
+    val (e0, e0Rdds) = ckpt(
+      e1.select(least(col("x"), col("y")).as("x"),
+          greatest(col("x"), col("y")).as("y"))
+        .filter(col("x") =!= col("y")))
     e1Rdds.foreach(_.unpersist(blocking = false))
     if (debug) System.err.println(
-      f"[cc] sym ckpt: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      f"[cc] canon ckpt: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     val t1 = System.nanoTime()
-    val connected = sym.select(col("x").as("id")).distinct()
-    var (labels, labelRdds) = ckpt(connected.select(col("id"), col("id").as("label")))
+    var (labels, labelRdds) = ckpt(
+      e0.select(col("x").as("id")).unionAll(e0.select(col("y").as("id")))
+        .distinct().select(col("id"), col("id").as("label")))
     if (debug) System.err.println(
       f"[cc] labels ckpt: ${(System.nanoTime() - t1) / 1e9}%.2fs")
-    // convergence watches the label SUM: labels are ids and every move is
-    // strictly downward (min over self+neighbors, then a downward jump),
-    // so the decimal sum is strictly decreasing until the fixpoint and
-    // equality between rounds ⟺ no label changed. That turns the old
-    // "count rows where next < label" pass — which forced carrying the
-    // previous label through both per-round joins — into a cheap
-    // aggregate over the already-materialized round, and lets the message
-    // pass drop a whole shuffle join (below).
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(org.apache.spark.sql.functions.sum(
-        col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var changed = true
+    // POINTER JUMPING OVER A CONTRACTING EDGE SET. Two pieces of state:
+    // the per-node label table (all connected nodes — this is the
+    // pointer memory that makes propagation double each round, so the
+    // round count stays O(log diameter)), and the ACTIVE class-edge set:
+    // the original edges re-expressed over current labels, with
+    // intra-component self-loops dropped and duplicates collapsed.
+    // Messages flow over the class edges, so the per-round edge shuffle
+    // DECREASES monotonically as components converge — a plain min-label
+    // loop re-shuffles the full edge set every round just to confirm
+    // labels that were final rounds ago. (Contraction ALONE is not
+    // enough: the contracted graph of a path is again a path only two
+    // shorter, so a pure super-graph loop needs O(diameter) rounds — the
+    // per-node jump table is what compounds progress geometrically.)
+    // Convergence is free: the class-edge set is empty ⟺ every
+    // component has collapsed to one label. Determinism is unchanged —
+    // min is order-independent and contraction preserves connectivity
+    // between label classes, so the result stays a pure function of the
+    // edge set.
+    var e = e0
+    var eRdds = e0Rdds
+    var active = e.count()
     var i = 0
-    while (changed && i < maxIter) {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // the loop only has to contract the class graph down to a SMALL
+    // residue — one union-find pass + one broadcast remap then finish
+    // it, instead of paying log(residual diameter) more distributed
+    // rounds. The finish threshold sits well under the driver cap
+    // (cap/8): at the cap itself the collect+broadcast costs about what
+    // the rounds it replaces cost, so only a residue that is genuinely
+    // small is worth pulling to the driver. (driverMaxEdges = 0 keeps
+    // the loop fully distributed to absolute convergence — the
+    // spec-pinned pure path.)
+    val finishBelow = driverMaxEdges / 8
+    while (active > finishBelow && i < maxIter) {
       val tRound = System.nanoTime()
-      // ONE aggregation computes each node's candidate label: min over
-      // its own label and all neighbor labels — the self-label rides the
-      // same shuffle as the neighbor messages, where the previous form
-      // aggregated neighbor minima and then JOINED labels back on id
-      // (a second shuffle join per round). Every connected node emits a
-      // self-message, so the aggregate is total over connected nodes.
-      val (mid, midRdds) = ckpt(
-        sym.join(labels.select(col("id").as("y"), col("label").as("ly")), "y")
-          .select(col("x"), col("ly"))
-          .unionAll(labels.select(col("id").as("x"), col("label").as("ly")))
-          .groupBy("x").agg(min("ly").as("mid"))
-          .select(col("x").as("id"), col("mid")))
-      // pointer jumping: follow the label one hop (label := label-of-label).
-      // Squaring the propagation each round turns the round count from
-      // O(diameter) into O(log diameter) — a 1M-node chain converges in
-      // ~20 rounds instead of 1M. Every label value is itself a connected
-      // node id, so the self-join is total. `mid` is materialized above:
-      // the two join sides shuffle on different keys, so an
-      // un-checkpointed frame would run the whole message pass twice.
-      val (step, stepRdds) = ckpt(
-        mid
-          .join(mid.select(col("id").as("mid"), col("mid").as("jumped")),
-            Seq("mid"))
-          .select(col("id"), least(col("mid"), col("jumped")).as("label")))
-      val curSum = labelSum(step)
-      changed = curSum.compareTo(prevSum) != 0
-      prevSum = curSum
-      // step is materialized: the previous labels and this round's
-      // messages are dead weight from here on
-      (labelRdds ++ midRdds).foreach(_.unpersist(blocking = false))
-      labels = step
-      labelRdds = stepRdds
+      val s0 = shuffleW.get()
+      // per-class candidate: min over the class and its neighbor classes
+      // — one aggregation over the (shrinking) active edge set, reading
+      // both directions of the canonical list. Classes whose component
+      // already converged have no edges left and simply don't appear.
+      def cand = e.select(col("x").as("cl"), col("y").as("nbr"))
+        .unionAll(e.select(col("y").as("cl"), col("x").as("nbr")))
+        .groupBy("cl").agg(min("nbr").as("nbr"))
+        .select(col("cl"), least(col("cl"), col("nbr")).as("cm"))
+      // CLASS remap with the pointer jump folded in: class cl steps to
+      // min(cm(cl), cand(label(cm(cl)))) — the label lookup routes the
+      // jump THROUGH THE NODE TABLE, whose pointers compound across
+      // rounds, keeping the round count O(log diameter). (Jumping at
+      // class level only — cand(cand(cl)) — is shift-by-two on a path:
+      // the contracted graph of a path is again a path, so a pure
+      // super-graph loop degrades to O(diameter) rounds. And remapping
+      // edges through the node table directly is WRONG the other way:
+      // node cl's own label can run ahead of class cl's members, so
+      // edges would contract faster than labels converge and the loop
+      // would exit with labels mid-flight.) The two cand occurrences
+      // share one exchange (identical aggregation subtrees); rm is
+      // class-sized and shrinking, so AQE broadcasts it in late rounds.
+      // (measured: a second label-routed hop per round trades 6 rounds
+      // for 4 but makes rm a 5-join chain whose critical path costs more
+      // than the rounds it saves — one hop is the optimum here)
+      val (rm, rmRdds) = ckpt(
+        cand
+          .join(labels.select(col("id").as("cm"), col("label").as("lcm")),
+            Seq("cm"), "left")
+          .join(cand.select(col("cl").as("lcm"), col("cm").as("jump")),
+            Seq("lcm"), "left")
+          .select(col("cl").as("old"),
+            least(col("cm"),
+              coalesce(col("jump"), col("lcm"), col("cm"))).as("new")))
+      // the label fold and the edge contraction both depend only on rm —
+      // run them as CONCURRENT jobs (independent plans over materialized
+      // inputs; local[32] has idle cores in every stage tail).
+      val stepF = Future(ckpt(
+        labels.join(rm.withColumnRenamed("old", "label"), Seq("label"), "left")
+          .select(col("id"), coalesce(col("new"), col("label")).as("label"))))
+      // contract: re-express class edges over the remap, re-canonicalize,
+      // drop intra-component edges, collapse duplicates. THIS is the
+      // monotone shrink — an edge whose endpoints now agree never
+      // shuffles again.
+      val stepEF = Future {
+        val r = ckpt(
+          e.join(rm.select(col("old").as("x"), col("new").as("nx")), Seq("x"))
+            .join(rm.select(col("old").as("y"), col("new").as("ny")), Seq("y"))
+            .select(least(col("nx"), col("ny")).as("x"),
+              greatest(col("nx"), col("ny")).as("y"))
+            .filter(col("x") =!= col("y"))
+            .distinct())
+        (r._1, r._2, r._1.count())
+      }
+      val (step, stepRdds) = Await.result(stepF, Duration.Inf)
+      val (stepE, stepERdds, stepActive) = Await.result(stepEF, Duration.Inf)
+      active = stepActive
+      (labelRdds ++ eRdds ++ rmRdds).foreach(_.unpersist(blocking = false))
+      labels = step; labelRdds = stepRdds
+      e = stepE; eRdds = stepERdds
       i += 1
       if (debug) System.err.println(
-        f"[cc] round $i: ${(System.nanoTime() - tRound) / 1e9}%.2fs sum=$curSum")
+        f"[cc] round $i: ${(System.nanoTime() - tRound) / 1e9}%.2fs " +
+          f"active=$active shuffleMB=${(shuffleW.get() - s0) / 1e6}%.1f")
     }
     // a silent non-converged result would diverge from the transitive
     // closure with no error — fail loudly instead
-    if (changed)
+    if (active > finishBelow) {
+      listener.foreach(sc.removeSparkListener)
       throw new IllegalStateException(
         s"connected components did not converge after $maxIter rounds " +
-          "(label sum still decreasing); raise maxIter")
-    val isolated = nodes.join(connected, Seq("id"), "left_anti")
+          s"($active active edges remain); raise maxIter")
+    }
+    if (active > 0) {
+      // CONTRACTED DRIVER FINISH: the class graph now fits the same
+      // memory budget that gates the small-graph fast path — one
+      // collect + union-find resolves every remaining merge, and ONE
+      // broadcast left-join folds the final class remap into the node
+      // labels. Classes outside the residue pass through (already
+      // final). Same pure function of the edge set as looping to
+      // absolute convergence (both compute min-per-component).
+      val tFin = System.nanoTime()
+      val fin = unionFindPairs(e.collect().map(r =>
+        (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)))
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      val xType = e.schema("x").dataType
+      // distribute the remap before broadcasting — an N-hundred-k-row
+      // LocalRelation would ride inside the plan itself
+      val rmF = sc.parallelize(fin,
+          math.max(1, fin.length / 250000)).toDF("label", "fl")
+        .select(col("label").cast(xType).as("label"),
+          col("fl").cast(xType).as("fl"))
+      // ckpt: the final label table is consumed twice below (result +
+      // isolated anti-join) — un-materialized, the broadcast join would
+      // rebuild per consumer
+      val (fl2, fl2Rdds) = ckpt(
+        labels.join(broadcast(rmF), Seq("label"), "left")
+          .select(col("id"), coalesce(col("fl"), col("label")).as("label")))
+      labelRdds.foreach(_.unpersist(blocking = false))
+      labels = fl2; labelRdds = fl2Rdds
+      if (debug) System.err.println(
+        f"[cc] driver finish: ${(System.nanoTime() - tFin) / 1e9}%.2fs " +
+          f"residual=$active")
+    }
+    eRdds.foreach(_.unpersist(blocking = false))
+    listener.foreach(sc.removeSparkListener)
+    // the final label table has exactly one row per edge-connected node,
+    // so it doubles as the connected-id set for the isolated anti-join
+    val isolated = nodes.join(labels, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))
     labels.unionAll(isolated)
   }
@@ -158,14 +289,11 @@ object ConnectedComponents {
     * component's minimum id and the result is the same pure function of
     * the edge set as the distributed loop (equality pinned per-seed in
     * GraphLayoutPropertySpec). */
-  private def driverPath(nodes: DataFrame, e1: DataFrame): DataFrame = {
-    val spark = nodes.sparkSession
-    import spark.implicits._
-    // getAs[Number]: edge ids may be int-typed (the distributed loop is
-    // type-agnostic, so this path must not be the one that throws)
-    val pairs = e1.collect().map(r =>
-      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
-    // LongMap: open-addressed primitive-long keys — no per-key boxing
+  /** (id -> min-root) for every id appearing in `pairs`: classic
+    * union-find, max root always attached under the min root — so every
+    * root IS its component's minimum. LongMap: open-addressed
+    * primitive-long keys, no per-key boxing. */
+  private def unionFindPairs(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
     val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(v: Long): Long = {
       var r = v
@@ -180,7 +308,16 @@ object ConnectedComponents {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val labels = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+    parent.keys.toSeq.sorted.map(v => (v, find(v)))
+  }
+
+  private def driverPath(nodes: DataFrame, e1: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // getAs[Number]: edge ids may be int-typed (the distributed loop is
+    // type-agnostic, so this path must not be the one that throws)
+    val labels = unionFindPairs(e1.collect().map(r =>
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)))
     val connectedIds = labels.map(_._1).toDF("id")
     val isolated = nodes.join(broadcast(connectedIds), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("label"))

@@ -87,6 +87,15 @@ class GraphLayoutPropertySpec extends AnyFunSuite {
     checkGraph(n, edges, driverMaxEdges = 0L)
   }
 
+  test("ConnectedComponents contracted driver finish matches union-find") {
+    // driverMaxEdges = 50 < the 399-edge chain: the loop must CONTRACT
+    // distributively until the class graph fits the cap, then finish on
+    // the driver — same answer as both pure paths
+    val n = 400
+    val edges = (0L until n - 1L).map(i => (i, i + 1))
+    checkGraph(n, edges, driverMaxEdges = 50L)
+  }
+
   test("z-value interleave is invertible on 16-bit inputs") {
     def deinterleave(z: Long): (Long, Long) = {
       def compact(v0: Long): (Long) = {

@@ -1880,6 +1880,79 @@ object TxTable {
     })
   }
 
+  /** Applicable-ledger chain length of a live data file: how many live
+    * MoR delete ledgers the read path must anti-join for it (a ledger
+    * applies iff the file was added strictly before the ledger's
+    * commit). */
+  private def ledgerChain(snap: Snapshot, f: String): Int = {
+    val av = snap.fileAddV.getOrElse(f, Long.MaxValue)
+    snap.ledgers.count(_.version > av)
+  }
+
+  /** (max applicable-ledger chain over live files, live ledger count) —
+    * the read-path pressure metric [[foldLedgersOver]] bounds. */
+  def ledgerPressure(root: String): (Int, Int) = {
+    val snap = snapshot(root)
+    val mx =
+      if (snap.files.isEmpty) 0 else snap.files.map(ledgerChain(snap, _)).max
+    (mx, snap.ledgers.size)
+  }
+
+  /** LEDGER-PRESSURE policy — the merge-on-read counterpart of
+    * [[binPack]]'s small-file policy. A hot file on a streaming-upsert
+    * table accumulates one delete ledger per epoch that touches it, and
+    * the read path pays one anti-join per applicable live ledger — cost
+    * linear in chain length, which on a 100 TB table with a long-running
+    * MoR drain degrades every read of the cold files. This operator
+    * BOUNDS the chain: every live data file with MORE than `maxLedgers`
+    * applicable ledgers is rewritten from its EFFECTIVE content (ledger
+    * rows subtracted), and every ledger left applying to NO kept file
+    * retires in the same commit; files at or under the bound carry by
+    * reference — zero bytes of within-bound history move again. A no-op
+    * (None) when no chain exceeds the bound. Replay-protected via `tag`
+    * and epoch-idempotent like binPack: the replayed epoch is detected
+    * BEFORE the pressure check, because the first run's fold leaves no
+    * over-bound chain and the replay would otherwise read as "nothing to
+    * do" instead of "done". */
+  def foldLedgersOver(spark: SparkSession, root: String, maxLedgers: Int,
+                      tag: Option[String] = None): Option[CommitResult] = {
+    require(maxLedgers >= 0, s"maxLedgers must be >= 0: $maxLedgers")
+    val snap0 = snapshot(root)
+    require(snap0.version >= 0, s"not a TxTable: $root")
+    if (tag.exists(snap0.tags))
+      return Some(CommitResult(snap0.version, 1, skipped = true))
+    if (!snap0.files.exists(ledgerChain(snap0, _) > maxLedgers)) return None
+    var attempt = 0
+    while (attempt < 12) {
+      attempt += 1
+      val snap = snapshot(root)
+      if (tag.exists(snap.tags))
+        return Some(CommitResult(snap.version, attempt, skipped = true))
+      val hot = snap.files.filter(ledgerChain(snap, _) > maxLedgers)
+      if (hot.isEmpty) return None // a rebase resolved the pressure
+      val keep = snap.files.diff(hot)
+      val rewrite = morRead(spark, root, snap, hot)
+      val (adds, st, bl, stN, blN) =
+        stageData(rewrite, root, snap.statsKey, snap.statsCols)
+      val shBl =
+        stageShingles(rewrite, root, adds, snap.shingleCols, snap.shingleN)
+      // a ledger whose whole applicability set was just rewritten is
+      // dead weight — retire it; one still scoping a kept file stays
+      val retired = snap.ledgers.filter(l =>
+        !keep.exists(f =>
+          l.version > snap.fileAddV.getOrElse(f, Long.MaxValue))).map(_.path)
+      val c = Commit(snap.version + 1, "fold-ledgers", adds, hot ++ retired,
+        tag, statsKey = None, addStats = st, addBlooms = bl,
+        addStatsN = stN, addBloomsN = blN, addShBlooms = shBl)
+      if (tryPublish(root, c)) {
+        maybeCheckpoint(root, c.version)
+        return Some(CommitResult(c.version, attempt, skipped = false))
+      }
+    }
+    throw new IllegalStateException(
+      s"commit to $root failed after 12 attempts (contention)")
+  }
+
   /** Reclaim ORPHANED data files: staged by writers that lost their
     * commit race (or crashed before publishing) and therefore referenced
     * by NO commit ever written. Deleting them can break nothing — no

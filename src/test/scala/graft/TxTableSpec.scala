@@ -1539,6 +1539,43 @@ class TxTableSpec extends AnyFunSuite {
     assert(n == 12 && k == 1, s"post-checkpoint phrase probe kept $k of $n")
   }
 
+  test("foldLedgersOver bounds the MoR read chain under a 20-epoch drain") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create((0L until 40L).map(i => (i, "base")).toDF("k", "v"),
+      root, statsKey = Some("k"))
+    // 20 MoR epochs: each lands one data file + one delete ledger, so
+    // the base file's applicable chain grows one per epoch — the
+    // streaming-upsert pressure pattern
+    for (e <- 1 to 20)
+      TxTable.mergeMor(spark, root,
+        Seq((e.toLong, s"e$e")).toDF("k", "v"), "k", tag = Some(s"ep$e"))
+    val (chain0, ledgers0) = TxTable.ledgerPressure(root)
+    assert(chain0 == 20 && ledgers0 == 20, s"drain built $chain0/$ledgers0")
+    val expected = rows(root)
+    val r = TxTable.foldLedgersOver(spark, root, 5, tag = Some("fold1"))
+    assert(r.exists(!_.skipped))
+    val (chain1, ledgers1) = TxTable.ledgerPressure(root)
+    assert(chain1 <= 5, s"fold left a chain of $chain1")
+    assert(ledgers1 == 5, s"fully-covered ledgers must retire: $ledgers1")
+    assert(rows(root) == expected, "fold must not change content")
+    // within-bound files carried by reference: epoch-15..20 data files
+    // survive the fold commit untouched
+    val snap = TxTable.snapshot(root)
+    assert(snap.files.exists(f => snap.fileAddV.get(f).exists(_ == 15L)),
+      "the newest within-bound epoch file must carry by reference")
+    // replayed maintenance epoch is a detected no-op, even though the
+    // first run left nothing over-bound
+    assert(TxTable.foldLedgersOver(spark, root, 5, tag = Some("fold1"))
+      .exists(_.skipped))
+    // under the bound: the policy declines (no commit)
+    assert(TxTable.foldLedgersOver(spark, root, 20).isEmpty)
+    // time travel across the fold still resolves mid-drain state
+    val atV10 = (0L until 40L).map(i => i -> "base").toMap ++
+      (1 to 10).map(e => e.toLong -> s"e$e")
+    assert(rows(root, 10L) == atV10.toSet)
+  }
+
   test("optimizeOn a string axis: re-cluster makes prefix64 ranges tile") {
     import spark.implicits._
     val root = freshRoot() + "/t"

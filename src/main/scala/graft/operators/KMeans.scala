@@ -43,18 +43,61 @@ object KMeans {
     * vector in the learned-cluster space (SemDeDup's within-cluster
     * prune) read it here instead of re-joining the corpus on id. */
   def trained(emb: DataFrame, idCol: String, vecCol: String,
-              k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+              k: Int, iters: Int, scale: Int = 1000): DataFrame =
+    fit(emb, idCol, vecCol, k, iters, scale)._1
+
+  /** Train and return the MODEL itself: k centroids in quantized space —
+    * what a vector index persists to assign FUTURE vectors to cells
+    * without retraining (see [[assignWith]]). */
+  def centroids(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int, iters: Int, scale: Int = 1000): Array[Array[Long]] =
+    fit(emb, idCol, vecCol, k, iters, scale)._2
+
+  /** Cell assignment of an arbitrary embedding column against FROZEN
+    * centroids — the trained partitioner function of an IVF-shaped
+    * index, as a pure codegen column (quantize, k squared distances,
+    * argmin with lowest-cluster tie-break): new vectors never shuffle
+    * toward the model. */
+  def assignWith(cents: Array[Array[Long]], vec: org.apache.spark.sql.Column,
+                 scale: Int = 1000): org.apache.spark.sql.Column = {
+    val model = typedLit(cents.map(_.toSeq).toSeq)
+    val qv = transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+    val dists = transform(model, c =>
+      aggregate(zip_with(qv, c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+    (array_position(dists, array_min(dists)) - 1).cast("bigint")
+  }
+
+  /** Quantized-space squared distance to the NEAREST frozen centroid —
+    * the per-vector quantization error. An index monitors the mean of
+    * this over incoming vectors against the value recorded at train
+    * time: re-embedding drift shows up as the ratio exploding. */
+  def dist2With(cents: Array[Array[Long]], vec: org.apache.spark.sql.Column,
+                scale: Int = 1000): org.apache.spark.sql.Column = {
+    val model = typedLit(cents.map(_.toSeq).toSeq)
+    val qv = transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+    array_min(transform(model, c =>
+      aggregate(zip_with(qv, c, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v)))
+  }
+
+  private def fit(emb: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int,
+                  scale: Int): (DataFrame, Array[Array[Long]]) = {
     // fixed-point quantization: float -> exact double -> floor(x*scale)
     val q = emb.select(
         col(idCol).cast("long").as("id"),
         transform(col(vecCol),
           x => floor(x.cast("double") * scale).cast("long")).as("qv"))
       .persist()
-    // init: the k lowest-id vectors — deterministic on any engine
-    var cents: Array[Array[Long]] = q.filter(col("id") < k).orderBy("id")
+    // init: the k lowest-id vectors — deterministic on any engine.
+    // (Seeded via sort-limit, not `id < k`, so a corpus whose ids don't
+    // start at 0 — an ACID table mid-life — still trains; when ids
+    // 0..k-1 exist the two are identical, so every pinned oracle holds.)
+    var cents: Array[Array[Long]] = q.orderBy("id").limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     require(cents.length == k,
-      s"need ids 0..${k - 1} present to seed $k centroids, got ${cents.length}")
+      s"need at least $k vectors to seed $k centroids, got ${cents.length}")
 
     // assignment against the CURRENT model: distances to all k broadcast
     // centroids in one narrow projection, first-minimum tie-break (lowest
@@ -84,6 +127,7 @@ object KMeans {
       cents = next
     }
 
-    assigned.select(col("id"), col("qv"), col("cluster"), col("dist2"))
+    (assigned.select(col("id"), col("qv"), col("cluster"), col("dist2")),
+      cents)
   }
 }

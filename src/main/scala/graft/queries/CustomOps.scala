@@ -109,40 +109,108 @@ object CustomOps {
     // ---- Q-llm-59: VECTOR INDEX MAINTAINED FROM THE CHANGE FEED — the
     // embedding twin of the incremental inverted index (Q-llm-56): the
     // corpus lives in an ACID table, the cell-partitioned vector index
-    // (vec_id, cell, embedding — IVF-Flat shape, cells from a fixed
-    // 4-bit sign quantizer so the partitioner is frozen like trained
-    // centroids) lives in a second, and after the corpus takes an
-    // APPEND, an UPDATE merge (vectors re-embedded: negated), and a
-    // DELETE, the index is repaired per epoch from the CHANGE FEED
-    // alone: touched ids die by a MoR ledger (zero index rewrites),
-    // post-images re-assign and append. Cost per epoch O(changed
-    // vectors), never the corpus. Asserted in-query: the maintained
-    // index is row-identical to a from-scratch assignment of the final
-    // corpus; after optimizeOn(cell) a quarter-cell-range read opens at
-    // most half the index files from the log alone. The returned rows —
-    // exact cosine top-10 answered THROUGH the index (every cell
+    // (vec_id, cell, embedding — IVF-Flat shape) lives in a second, and
+    // the cells come from a TRAINED partitioner: k-means centroids
+    // (operators/KMeans — deterministic seeding, fixed-point space)
+    // fitted on the live corpus and committed to a model table beside
+    // the index, so training is itself transactional and
+    // time-travelable. After the corpus takes an APPEND, an UPDATE
+    // merge (vectors re-embedded: negated), and a DELETE, the index is
+    // repaired per epoch from the CHANGE FEED alone: touched ids die by
+    // a MoR ledger (zero index rewrites), post-images assign against
+    // the frozen centroids (broadcast literal — new vectors never
+    // shuffle toward the model) and append. Cost per epoch O(changed
+    // vectors), never the corpus. After each repair a DRIFT GATE
+    // (Q-llm-52's metric per cell: ||current cell mean − stored
+    // centroid||, quantized space) decides retraining: when the
+    // re-embedding epoch flips half the vectors, drift blows past the
+    // bound and the index re-partitions under fresh centroids as a
+    // transactional OPTIMIZE (model commit + one index rewrite commit);
+    // the append/delete epochs stay under it. Asserted in-query: drift
+    // retrains EXACTLY once, the maintained index is row-identical to a
+    // from-scratch assignment of the final corpus under the final
+    // model, and after optimizeOn(cell) a quarter-cell-range read opens
+    // at most half the index files from the log alone. The returned
+    // rows — exact cosine top-10 answered THROUGH the index (every cell
     // probed, so the index path is exhaustive) — hash-match the
     // oracle's brute-force over the final corpus state.
     "Q-llm-59" -> { (s, d) =>
-      import graft.operators.TxTable
+      import graft.operators.{KMeans, TxTable}
       CosineSim.register(s)
       val base = tempDir("graft_llm59").toString
       val docs = base + "/docs"
       val idx = base + "/idx"
+      val mdl = base + "/model"
+      val K = 8
       val emb = Tables.embeddings(s, d)
       val corpusAll = emb.filter(col("vec_id") >= 5)
         .select(col("vec_id"), col("embedding"))
-      def cellOf(v: Column): Column =
-        (0 until 4).map(i =>
-          when(element_at(v, i + 1) > 0f, lit(1L << i)).otherwise(lit(0L)))
-          .reduce(_ + _)
-      def assign(df: org.apache.spark.sql.DataFrame) = df.select(
-        col("vec_id"), cellOf(col("embedding")).as("cell"), col("embedding"))
       TxTable.create(corpusAll.filter(col("vec_id") % 3 === 0),
         docs, statsKey = Some("vec_id"))                            // v0
+      // model rows: (cluster, pos, v) centroid coordinates
+      def modelDf(m: Array[Array[Long]]) = {
+        import s.implicits._
+        m.zipWithIndex.flatMap { case (c, i) =>
+          c.zipWithIndex.map { case (v, p) => (i.toLong, p.toLong, v) }
+        }.toSeq.toDF("cluster", "pos", "v")
+      }
+      def trainedModelDf() = modelDf(
+        KMeans.centroids(TxTable.read(s, docs), "vec_id",
+          "embedding", K, iters = 2))
+      def readModel(): Array[Array[Long]] = {
+        val rows = TxTable.read(s, mdl)
+          .select("cluster", "pos", "v").collect()
+        val dim = rows.iterator.map(_.getLong(1)).max.toInt + 1
+        val m = Array.fill(K, dim)(0L)
+        rows.foreach(r =>
+          m(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getLong(2))
+        m
+      }
+      // Q-llm-52's drift metric against the epoch's post-images only:
+      // per cell (assignment under the frozen model), the shift between
+      // the incoming vectors' mean and the stored centroid. For
+      // in-distribution data the conditional mean of a cell IS its
+      // centroid (the k-means fixpoint), so appends sit near zero; a
+      // re-embedding epoch lands lopsided in every cell it touches and
+      // the shift explodes — even when per-vector quantization error
+      // barely moves (a near-symmetric distribution makes −x as
+      // assignable as x). Cells with fewer than 5 epoch vectors are
+      // skipped (a 1-vector "mean" is noise, not drift).
+      def meanShift(m: Array[Array[Long]],
+                    post: org.apache.spark.sql.DataFrame): Double = {
+        val sums = post
+          .select(KMeans.assignWith(m, col("embedding")).as("cell"),
+            posexplode(transform(col("embedding"),
+              x => floor(x.cast("double") * 1000).cast("long"))))
+          .groupBy("cell", "pos")
+          .agg(sum("col").as("sv"), count(lit(1)).as("n"))
+          .collect()
+        // score = shift × √n: sampling noise of a mean scales 1/√n, so
+        // an in-distribution epoch's score is flat in cell size while
+        // real drift grows with every vector that carries it — the
+        // separation WIDENS with scale instead of drowning in noise
+        val shifts = sums.groupBy(_.getLong(0)).collect {
+          case (cell, rows) if rows.head.getLong(3) >= 5 =>
+            math.sqrt(rows.iterator.map { r =>
+              val mean = Math.floorDiv(r.getLong(2), r.getLong(3))
+              val dd = (mean - m(cell.toInt)(r.getInt(1))).toDouble
+              dd * dd
+            }.sum) * math.sqrt(rows.head.getLong(3).toDouble)
+        }
+        if (shifts.isEmpty) 0.0 else shifts.max
+      }
+      TxTable.create(trainedModelDf(), mdl, statsKey = Some("cluster"))
+      // the index assigns via the COMMITTED model, not the in-memory
+      // one — a restarted maintainer sees exactly this state
+      var model = readModel()
+      def assign(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("vec_id"),
+        KMeans.assignWith(model, col("embedding")).as("cell"),
+        col("embedding"))
       TxTable.create(assign(TxTable.read(s, docs)), idx,
         statsKey = Some("cell"))
-      var seen = 0L // docs version the index already reflects
+      var seen = 0L     // docs version the index already reflects
+      var retrains = 0
       def maintain(): Unit = {
         val cur = TxTable.snapshot(docs).version
         val feed = TxTable.changeFeed(s, docs, seen, cur, Seq("vec_id"))
@@ -152,6 +220,25 @@ object CustomOps {
           feed.filter(col("change") =!= "delete")
             .select(col("vec_id"), col("post.embedding").as("embedding"))))
         seen = cur
+        // DRIFT GATE, O(changed vectors): per-cell mean shift of the
+        // epoch's post-images (delete-only epochs have none — shift 0)
+        val post = feed.filter(col("change") =!= "delete")
+          .select(col("post.embedding").as("embedding"))
+        // measured at sf0.001: in-distribution append scores ~1350
+        // (flat in scale — pure sampling noise), the ×4 re-embedding
+        // ~4900 (and GROWS √n with scale); 2500 splits them with ~2×
+        // margin on both sides
+        if (meanShift(model, post) > 2500.0) {
+          // transactional OPTIMIZE: fresh centroids commit to the model
+          // table, ONE rewrite commit re-partitions the index cells
+          TxTable.transact(s, mdl, "retrain")(_ => trainedModelDf())
+          model = readModel()
+          TxTable.transact(s, idx, "re-partition")(content => content.select(
+            col("vec_id"),
+            KMeans.assignWith(model, col("embedding")).as("cell"),
+            col("embedding")))
+          retrains += 1
+        }
       }
       TxTable.append(s, docs,
         corpusAll.filter(col("vec_id") % 3 === 1))                  // v1
@@ -159,13 +246,22 @@ object CustomOps {
       TxTable.mergeCow(s, docs,
         TxTable.read(s, docs).filter(col("vec_id") % 6 === 0)
           .select(col("vec_id"),
-            transform(col("embedding"), x => -x).as("embedding")),
+            // re-embedding = a new encoder with a different norm: ×4 is
+            // EXACT in float (exponent shift, no mantissa change) and
+            // moves every touched cell's mean radially — real
+            // distributional drift (negation is not: this embedding
+            // distribution is symmetric, so −x is in-distribution and
+            // NO metric can see it)
+            transform(col("embedding"), x => x * lit(4.0f)).as("embedding")),
         "vec_id")                                                   // v2
       maintain()
       TxTable.deleteCow(s, docs,
         TxTable.read(s, docs).filter(col("vec_id") % 6 === 3)
           .select("vec_id"), "vec_id")                              // v3
       maintain()
+      if (retrains != 1) throw new IllegalStateException(
+        s"drift gate must retrain exactly once (re-embedding epoch), " +
+          s"did $retrains times")
       val maintained = TxTable.read(s, idx)
       val rebuilt = assign(TxTable.read(s, docs))
       if (maintained.exceptAll(rebuilt).count() != 0 ||
@@ -173,7 +269,7 @@ object CustomOps {
         throw new IllegalStateException(
           "feed-maintained index diverged from the from-scratch assignment")
       TxTable.optimizeOn(s, idx, "cell", targetFiles = 8)
-      val (kept, total) = TxTable.pruneAccountingOn(idx, "cell", 0L, 3L)
+      val (kept, total) = TxTable.pruneAccountingOn(idx, "cell", 0L, 1L)
       if (kept * 2 > total) throw new IllegalStateException(
         s"cell-clustered index did not prune: opens $kept/$total")
       val qs = emb.filter(col("vec_id") < 5)
@@ -327,7 +423,7 @@ object CustomOps {
       s"""WITH c AS (
            SELECT vec_id,
                   CASE WHEN vec_id % 6 = 0
-                       THEN list_transform(embedding, x -> -x)
+                       THEN list_transform(embedding, x -> x * 4)
                        ELSE embedding END AS embedding
            FROM embeddings
            WHERE vec_id >= 5 AND vec_id % 3 IN (0, 1) AND vec_id % 6 <> 3)

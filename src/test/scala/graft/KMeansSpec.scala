@@ -59,6 +59,60 @@ class KMeansSpec extends AnyFunSuite {
     assert(out.forall(_._3 == 0L), "identical vectors sit on the centroid")
   }
 
+  test("trained partitioner >= sign quantizer on recall@10 at equal probe fraction") {
+    import org.apache.spark.sql.functions._
+    // the Q-llm-59 partitioner claim, measured: probing 25% of cells,
+    // k-means cells (distance-ranked probes) must recall at least as
+    // much of the exact top-10 as the frozen 4-bit sign quantizer
+    // (Hamming-ranked probes) on the same corpus/queries
+    val emb = Tables.embeddings(spark, sf)
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val queries = all.filter(_._1 < 5)
+    val corpus = all.filter(_._1 >= 5)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def top10(q: Array[Float], ids: Iterable[Long]): Set[Long] =
+      ids.toSeq.map(i => (i, cos(q, corpus(i))))
+        .sortBy { case (i, s) => (-s, i) }.take(10).map(_._1).toSet
+    val truth = queries.map { case (qid, qv) => qid -> top10(qv, corpus.keys) }
+    def recall(cellOf: Map[Long, Long],
+               probes: Array[Float] => Seq[Long]): Double =
+      queries.iterator.map { case (qid, qv) =>
+        val probed = probes(qv).toSet
+        val cands = corpus.keys.filter(i => probed(cellOf(i)))
+        (top10(qv, cands) & truth(qid)).size / 10.0
+      }.sum / queries.size
+    // k-means: 8 trained cells, probe the 2 nearest by centroid distance
+    val corpusDf = emb.filter(col("vec_id") >= 5)
+    val cents = KMeans.centroids(corpusDf, "vec_id", "embedding", 8, 2)
+    val cellK = corpusDf.select(col("vec_id"),
+        KMeans.assignWith(cents, col("embedding")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def qd(q: Array[Float], c: Array[Long]): Long =
+      q.indices.iterator.map { i =>
+        val d = math.floor(q(i).toDouble * 1000).toLong - c(i); d * d
+      }.sum
+    val recallK = recall(cellK, qv =>
+      cents.indices.sortBy(i => (qd(qv, cents(i)), i)).take(2).map(_.toLong))
+    // sign quantizer: 16 cells from the first 4 dims, probe the 4
+    // nearest by Hamming distance — the same 25% of cells
+    def sign(v: Array[Float]): Long =
+      (0 until 4).map(i => if (v(i) > 0f) 1L << i else 0L).sum
+    val cellS = corpus.map { case (i, v) => i -> sign(v) }
+    val recallS = recall(cellS, qv => {
+      val qc = sign(qv)
+      (0L until 16L).sortBy(c => (java.lang.Long.bitCount(c ^ qc), c)).take(4)
+    })
+    info(f"recall@10: kmeans(2/8 probes)=$recallK%.3f sign(4/16)=$recallS%.3f")
+    assert(recallK >= recallS,
+      f"trained cells recalled $recallK%.3f < sign cells $recallS%.3f")
+    assert(recallK >= 0.2, f"kmeans recall floor: $recallK%.3f")
+  }
+
   test("refinement: trained centroids fit at least as well as the seeds") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sf)

@@ -1,0 +1,183 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{EngineSession, Tables}
+import graft.operators.{ConnectedComponents, KMeans, TxTable}
+import graft.queries.tempDir
+
+/** SCALE-CURVE evidence for the suite's top cost centers (round-6
+  * verdict #2): each operator's scalable CORE measured at 1× and ~10×
+  * input, wall-clock + real shuffle bytes from stage metrics, so
+  * "would it survive 100×" is a ledger row instead of an argument.
+  * Setup (fixture staging, table creation, training) is untimed — the
+  * claim under test is the steady-state epoch/query path:
+  *
+  *  - cc          (Q-graph-09): distributed components, input ×10
+  *  - mor-drain   (Q-str-25/27): per-epoch windowed-agg MoR upserts,
+  *                input ×8 → changed keys ×8
+  *  - mv-repair   (Q-qual-11): incremental MV maintenance from change
+  *                feeds, fact ×8 with delta fraction fixed
+  *  - vec-repair  (Q-llm-59): change-feed index repair, corpus ×10
+  *                with the SAME absolute delta — the O(changed
+  *                vectors) claim is "this row stays flat"
+  *
+  * Usage: runMain graft.tools.ScaleCurve [sfDir]   (default sf0.1)
+  * Prints one JSON line per measurement.
+  */
+object ScaleCurve {
+  def main(args: Array[String]): Unit = {
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = EngineSession.getOrCreate("graft-scale")
+    val sc = spark.sparkContext
+    val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleW.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def measure(name: String, scale: Int)(body: => Long): Unit = {
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      val s0 = shuffleW.get()
+      val t0 = System.nanoTime()
+      val rows = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mb = (shuffleW.get() - s0) / 1e6
+      println(f"""{"name":"$name","scale":$scale,"sec":$sec%.2f,""" +
+        f""""shuffleMB":$mb%.1f,"rows":$rows}""")
+    }
+
+    // ---- cc: Q-graph-09's exact fixture shape, N and blocks ×scale
+    for (m <- Seq(1, 10)) {
+      val N = 1200000L * m
+      val B = 100L
+      measure("cc", m) {
+        val nodes = spark.range(N).select(col("id"))
+        val edges = spark.range(N).filter(col("id") % B =!= (B - 1))
+          .select(col("id").as("a"), (col("id") + 1).as("b"))
+        ConnectedComponents.minLabel(nodes, edges)
+          .groupBy("label").agg(count(lit(1))).count()
+      }
+    }
+
+    // ---- mor-drain: 6 epochs of windowed-agg upserts into one table.
+    // Replicas get distinct event_type suffixes: changed keys scale ×m
+    // while the window axis stays fixed — the Q-str-25/27 commit path.
+    for (m <- Seq(1, 8)) {
+      val tmp = tempDir(s"graft_scale_mor$m").toString
+      val src = s"$tmp/src"
+      val ev = Tables.events(spark, d)
+        .crossJoin(spark.range(m).select(col("id").as("rep")))
+        .select(
+          concat(col("event_type"), lit("#"), col("rep")).as("event_type"),
+          col("ts"),
+          (col("event_id") * m + col("rep")).as("event_id"))
+      ev.withColumn("chunk", ntile(6).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("event_id"))))
+        .write.parquet(src)                             // setup, untimed
+      val root = s"$tmp/tbl"
+      def agg(df: DataFrame) = df
+        .groupBy(window(col("ts"), "10 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select((col("window.start").cast("long")).as("ws_sec"),
+          col("event_type"), col("n"))
+      TxTable.create(agg(spark.read.parquet(src)).limit(0).coalesce(1),
+        root, statsKey = Some("ws_sec"))
+      measure("mor-drain", m) {
+        for (c <- 1 to 6) {
+          TxTable.mergeMorKeys(spark, root,
+            agg(spark.read.parquet(src).filter(col("chunk") === c)),
+            Seq("ws_sec", "event_type"))
+        }
+        TxTable.read(spark, root).count()
+      }
+    }
+
+    // ---- mv-repair: 2 epochs of CDC-driven materialized-join repair,
+    // fact ×m (delta FRACTION fixed, so delta rows also ×m)
+    for (m <- Seq(1, 8)) {
+      val tmp = tempDir(s"graft_scale_mv$m").toString
+      val (fRoot, dRoot, mRoot) = (s"$tmp/fact", s"$tmp/dim", s"$tmp/mv")
+      val dim0 = Tables.customer(spark, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val fact0 = Tables.orders(spark, d)
+        .crossJoin(spark.range(m).select(col("id").as("rep")))
+        .select((col("o_orderkey") * m + col("rep")).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      TxTable.create(fact0.coalesce(4), fRoot, Some("o_orderkey"))
+      TxTable.create(dim0.coalesce(1), dRoot, Some("c_custkey"))
+      val mvCols =
+        Seq("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_acctbal")
+      TxTable.create(
+        TxTable.read(spark, fRoot)
+          .join(TxTable.read(spark, dRoot),
+            col("o_custkey") === col("c_custkey"))
+          .select(mvCols.map(col): _*).coalesce(4),
+        mRoot, Some("o_orderkey"))                      // setup, untimed
+      measure("mv-repair", m) {
+        for (e <- 1 to 2) {
+          val fm = if (e == 1) 17 else 23
+          val fDelta = TxTable.read(spark, fRoot)
+            .filter(col("o_orderkey") % fm === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + e.toDouble)
+          val fv = TxTable.snapshot(fRoot).version
+          TxTable.mergeCow(spark, fRoot, fDelta, "o_orderkey")
+          val fFeed =
+            TxTable.changeFeed(spark, fRoot, fv, fv + 1, Seq("o_orderkey"))
+          val fPost = fFeed.filter(col("change") =!= "delete")
+            .select(col("o_orderkey"), col("post.o_custkey").as("o_custkey"),
+              col("post.o_totalprice").as("o_totalprice"))
+          TxTable.mergeCow(spark, mRoot,
+            fPost.join(TxTable.read(spark, dRoot),
+                col("o_custkey") === col("c_custkey"))
+              .select(mvCols.map(col): _*),
+            "o_orderkey")
+        }
+        TxTable.read(spark, mRoot).count()
+      }
+    }
+
+    // ---- vec-repair: corpus ×m, SAME absolute delta (500 vectors
+    // re-embedded via a MoR merge) — one change-feed index repair.
+    // The O(changed vectors) claim: this row stays FLAT as the corpus
+    // grows ×10.
+    for (m <- Seq(1, 10)) {
+      val tmp = tempDir(s"graft_scale_vec$m").toString
+      val (docs, idx) = (s"$tmp/docs", s"$tmp/idx")
+      val corpus = Tables.embeddings(spark, d)
+        .crossJoin(spark.range(m).select(col("id").as("rep")))
+        .select((col("vec_id") * m + col("rep")).as("vec_id"),
+          col("embedding"))
+      TxTable.create(corpus.coalesce(4), docs, statsKey = Some("vec_id"))
+      val model = KMeans.centroids(
+        TxTable.read(spark, docs), "vec_id", "embedding", 8, iters = 1)
+      def assign(df: DataFrame) = df.select(col("vec_id"),
+        KMeans.assignWith(model, col("embedding")).as("cell"),
+        col("embedding"))
+      TxTable.create(assign(TxTable.read(spark, docs)), idx,
+        statsKey = Some("cell"))
+      val v0 = TxTable.snapshot(docs).version
+      val delta = TxTable.read(spark, docs)
+        .orderBy("vec_id").limit(500)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+      TxTable.mergeMor(spark, docs, delta, "vec_id")    // setup, untimed
+      measure("vec-repair", m) {
+        val cur = TxTable.snapshot(docs).version
+        val feed = TxTable.changeFeed(spark, docs, v0, cur, Seq("vec_id"))
+        TxTable.deleteMor(spark, idx,
+          feed.select(col("vec_id")).distinct(), "vec_id")
+        TxTable.append(spark, idx, assign(
+          feed.filter(col("change") =!= "delete")
+            .select(col("vec_id"), col("post.embedding").as("embedding"))))
+        TxTable.read(spark, idx).count()
+      }
+    }
+    spark.stop()
+  }
+}

@@ -143,7 +143,8 @@ object Bench {
     "Q-qual-32",  // verified replication (bucket-digest anti-entropy diff)
     "Q-qual-33",  // 3-dim z-order OPTIMIZE (all three axes log-pruned)
     "Q-llm-59",   // vector index maintained from the change feed
-    "Q-scan-22"   // per-stratum A-ES weighted sampling (WindowGroupLimit)
+    "Q-scan-22",  // per-stratum A-ES weighted sampling (WindowGroupLimit)
+    "Q-qual-34"   // ledger-pressure fold bounds the MoR read chain
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

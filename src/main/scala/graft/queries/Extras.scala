@@ -1443,6 +1443,57 @@ object Extras {
         .orderBy("l_orderkey", "l_partkey", "l_suppkey", "qty")
     },
 
+    // ---- Q-qual-34: LEDGER-PRESSURE FOLD — the merge-on-read
+    // counterpart of the small-file policy (Q-qual-29's binPack): a
+    // 12-epoch MoR upsert drain leaves the base file with a 12-ledger
+    // read chain (one anti-join per ledger per read — linear
+    // degradation on a 100 TB streaming-upsert table), then ONE
+    // foldLedgersOver(4) commit rewrites only the over-bound files from
+    // their effective content, retires every fully-covered ledger, and
+    // carries the within-bound tail by reference. Asserted in-query:
+    // the drain really built chain 12, the fold bounds it at 4 with
+    // exactly 4 live ledgers left, and the replayed maintenance epoch
+    // no-ops. Returned rows — a per-bucket rollup of the final content
+    // THROUGH the folded table, plus the bounded pressure metrics as
+    // columns — hash-match the oracle's closed-form 12-epoch
+    // derivation: the policy is invisible to results, visible to cost.
+    "Q-qual-34" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual34").toString + "/tbl"
+      val t = Tables.orders(s, d).filter(col("o_orderkey") <= 6000)
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      TxTable.create(t.coalesce(2), root, statsKey = Some("o_orderkey")) // v0
+      for (e <- 1 to 12)                                        // v1..v12
+        TxTable.mergeMor(s, root,
+          t.filter(col("o_orderkey") % 12 === (e - 1))
+            .withColumn("cents", col("cents") + e * 1000L).coalesce(1),
+          "o_orderkey", tag = Some(s"app=qual34/epoch=$e"))
+      val (chain0, l0) = TxTable.ledgerPressure(root)
+      if (chain0 != 12 || l0 != 12) throw new IllegalStateException(
+        s"drain must build a 12-ledger chain, got $chain0/$l0")
+      val r = TxTable.foldLedgersOver(s, root, 4, tag = Some("app=qual34/fold"))
+      if (!r.exists(!_.skipped)) throw new IllegalStateException(
+        "fold policy must commit over a 12-ledger chain")
+      val (chain1, l1) = TxTable.ledgerPressure(root)
+      if (chain1 > 4) throw new IllegalStateException(
+        s"fold left a chain of $chain1 > bound 4")
+      if (l1 != 4) throw new IllegalStateException(
+        s"fully-covered ledgers must retire: $l1 live")
+      if (!TxTable.foldLedgersOver(s, root, 4, tag = Some("app=qual34/fold"))
+            .exists(_.skipped))
+        throw new IllegalStateException("replayed fold epoch must no-op")
+      TxTable.read(s, root)
+        .groupBy((col("o_orderkey") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .select(col("bucket").cast("bigint").as("bucket"),
+          col("n").cast("bigint").as("n"),
+          col("cents_sum").cast("bigint").as("cents_sum"),
+          lit(chain1.toLong).as("max_chain"),
+          lit(l1.toLong).as("live_ledgers"))
+        .orderBy("bucket")
+    },
+
     // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
     // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
     // leave every rewritten file generation alive in the name of time
@@ -3193,6 +3244,20 @@ object Extras {
          FROM src, m
          WHERE l_suppkey BETWEEN 1 AND m.q
          ORDER BY l_orderkey, l_partkey, l_suppkey, qty""",
+    // the fold policy is invisible to results: every key's final value
+    // is its epoch-(key%12+1) upsert, derivable in closed form
+    "Q-qual-34" ->
+      """WITH t AS (
+           SELECT o_orderkey,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    + (o_orderkey % 12 + 1) * 1000 AS cents
+           FROM orders WHERE o_orderkey <= 6000)
+         SELECT (o_orderkey % 10)::BIGINT AS bucket,
+                count(*)::BIGINT AS n,
+                sum(cents)::BIGINT AS cents_sum,
+                4::BIGINT AS max_chain,
+                4::BIGINT AS live_ledgers
+         FROM t GROUP BY 1 ORDER BY bucket""",
     // the maintenance policy is invisible to results: the packed,
     // retention-bounded table equals the one-pass rollup of its inputs
     "Q-qual-29" ->

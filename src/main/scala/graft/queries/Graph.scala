@@ -205,6 +205,40 @@ object Graph {
         .orderBy("label")
     },
 
+    // ---- Q-graph-10: supra-cap CC on a DENSE clique graph — the other
+    // extreme from Q-graph-09's adversarial chains, and the shape LSH
+    // dedup actually emits (near-dup clusters are cliques of candidate
+    // pairs). 6300 cliques of 20 nodes = 1.197M edges: above the 1M
+    // driver cap, so the distributed loop runs — and the contracting
+    // edge set earns its keep: every clique collapses to one label in
+    // round 1, the remap drops ALL class edges as self-loops, and the
+    // loop exits after a single round (vs 6 label-doubling rounds on
+    // the chain fixture). Components are closed-form (clique minimum),
+    // so the oracle is non-recursive SQL. Together 09+10 ledger both
+    // ends of the contraction tradeoff documented in BASELINE.md.
+    "Q-graph-10" -> { (s, _) =>
+      val C = 6300L // cliques
+      val K = 20    // nodes per clique
+      val ij = for { i <- 0 until K; j <- (i + 1) until K } yield (i, j)
+      // fan the C(K,2)=190 within-clique pairs out of each clique id with
+      // one explode — edge generation is narrow (no shuffle before CC)
+      val pairCol = array(ij.map { case (i, j) =>
+        struct(lit(i).as("i"), lit(j).as("j")) }: _*)
+      val edges = s.range(C).select(col("id").as("c"), explode(pairCol).as("p"))
+        .select((col("c") * K + col("p.i")).as("a"),
+          (col("c") * K + col("p.j")).as("b"))
+      val nodes = s.range(C * K).select(col("id"))
+      graft.operators.ConnectedComponents.minLabel(nodes, edges)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          min(col("id")).as("lo"), max(col("id")).as("hi"))
+        .select(col("label").cast("bigint").as("label"),
+          col("n").cast("bigint").as("n"),
+          col("lo").cast("bigint").as("lo"),
+          col("hi").cast("bigint").as("hi"))
+        .orderBy("label")
+    },
+
     // ---- Q-graph-03: multi-source BFS hop distance (≤4 hops) from the
     // %100-keyed customer seed set over the symmetrized trade graph —
     // the reachability/contamination-radius primitive. Scale shape:
@@ -459,6 +493,11 @@ object Graph {
       """SELECT (r * 100)::BIGINT AS label, CAST(100 AS BIGINT) AS n,
                 (r * 100)::BIGINT AS lo, (r * 100 + 99)::BIGINT AS hi
          FROM range(12000) t(r) ORDER BY label""",
+
+    "Q-graph-10" ->
+      """SELECT (r * 20)::BIGINT AS label, CAST(20 AS BIGINT) AS n,
+                (r * 20)::BIGINT AS lo, (r * 20 + 19)::BIGINT AS hi
+         FROM range(6300) t(r) ORDER BY label""",
 
     "Q-graph-03" -> {
       val hops = 4

@@ -96,6 +96,21 @@ class GraphLayoutPropertySpec extends AnyFunSuite {
     checkGraph(n, edges, driverMaxEdges = 50L)
   }
 
+  test("ConnectedComponents on dense cliques (distributed + contracted finish)") {
+    // the Q-graph-10 shape at spec scale: LSH near-dup clusters are
+    // cliques, where the contracting loop collapses everything in round
+    // 1 — both the forced-distributed path and a mid-loop driver finish
+    // must equal union-find
+    val k = 8
+    val cliques = 50
+    val edges = for {
+      c <- 0 until cliques
+      i <- 0 until k; j <- (i + 1) until k
+    } yield ((c * k + i).toLong, (c * k + j).toLong)
+    checkGraph(cliques * k, edges, driverMaxEdges = 0L)
+    checkGraph(cliques * k, edges, driverMaxEdges = 100L)
+  }
+
   test("z-value interleave is invertible on 16-bit inputs") {
     def deinterleave(z: Long): (Long, Long) = {
       def compact(v0: Long): (Long) = {

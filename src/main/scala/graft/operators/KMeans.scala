@@ -50,8 +50,16 @@ object KMeans {
     * what a vector index persists to assign FUTURE vectors to cells
     * without retraining (see [[assignWith]]). */
   def centroids(emb: DataFrame, idCol: String, vecCol: String,
-                k: Int, iters: Int, scale: Int = 1000): Array[Array[Long]] =
-    fit(emb, idCol, vecCol, k, iters, scale)._2
+                k: Int, iters: Int, scale: Int = 1000): Array[Array[Long]] = {
+    val (_, cents, q) = fit(emb, idCol, vecCol, k, iters, scale)
+    // model-only training discards the assignment frame, so the cached
+    // quantized corpus has no further consumer — free it here instead of
+    // leaking it to the session's cache sweep (a long-lived maintainer
+    // retrains many times; run()/trained() keep it for their downstream
+    // materialization)
+    q.unpersist(blocking = false)
+    cents
+  }
 
   /** Cell assignment of an arbitrary embedding column against FROZEN
     * centroids — the trained partitioner function of an IVF-shaped
@@ -83,7 +91,7 @@ object KMeans {
 
   private def fit(emb: DataFrame, idCol: String, vecCol: String,
                   k: Int, iters: Int,
-                  scale: Int): (DataFrame, Array[Array[Long]]) = {
+                  scale: Int): (DataFrame, Array[Array[Long]], DataFrame) = {
     // fixed-point quantization: float -> exact double -> floor(x*scale)
     val q = emb.select(
         col(idCol).cast("long").as("id"),
@@ -128,6 +136,6 @@ object KMeans {
     }
 
     (assigned.select(col("id"), col("qv"), col("cluster"), col("dist2")),
-      cents)
+      cents, q)
   }
 }

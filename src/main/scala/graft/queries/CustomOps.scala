@@ -264,8 +264,16 @@ object CustomOps {
           s"did $retrains times")
       val maintained = TxTable.read(s, idx)
       val rebuilt = assign(TxTable.read(s, docs))
-      if (maintained.exceptAll(rebuilt).count() != 0 ||
-          rebuilt.exceptAll(maintained).count() != 0)
+      // multiset equality in ONE job: tag the sides ±1 and any row whose
+      // tag-sum is non-zero is a divergence (two exceptAll counts would
+      // shuffle both sides twice for the same answer)
+      val diverged = maintained.select(col("vec_id"), col("cell"),
+          col("embedding"), lit(1L).as("tag"))
+        .unionAll(rebuilt.select(col("vec_id"), col("cell"),
+          col("embedding"), lit(-1L).as("tag")))
+        .groupBy("vec_id", "cell", "embedding")
+        .agg(sum("tag").as("d")).filter(col("d") =!= 0).count()
+      if (diverged != 0)
         throw new IllegalStateException(
           "feed-maintained index diverged from the from-scratch assignment")
       TxTable.optimizeOn(s, idx, "cell", targetFiles = 8)

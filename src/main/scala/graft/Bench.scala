@@ -211,8 +211,21 @@ object Bench {
       names.map { name =>
         try {
           runOnce(spark, name, sfDir) // warm-up
-          val times = (1 to 3).map(_ => runOnce(spark, name, sfDir)).sorted
-          name -> (times.head, times(1))
+          var times = (1 to 3).map(_ => runOnce(spark, name, sfDir)).sorted
+          // NOISE-ADAPTIVE RETRY: this VM shares a host, and contention
+          // arrives in BURSTS (vmstat: 0% steal idle, spikes to 13%
+          // steal / 40-88% system time under load). A burst inside a
+          // 3-run window shows up as the two best runs disagreeing —
+          // when they do, the min is one lucky draw, so take up to two
+          // more draws to firm it up. A quiet host never triggers this
+          // (best two agree within ~5%), so the suite cost is unchanged
+          // where the extra runs aren't needed.
+          var extra = 0
+          while (extra < 2 && times(1) > times.head * 1.35) {
+            times = (times :+ runOnce(spark, name, sfDir)).sorted
+            extra += 1
+          }
+          name -> (times.head, times(times.length / 2))
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -23,12 +23,19 @@ import graft.queries.tempDir
   *                with the SAME absolute delta — the O(changed
   *                vectors) claim is "this row stays flat"
   *
-  * Usage: runMain graft.tools.ScaleCurve [sfDir]   (default sf0.1)
-  * Prints one JSON line per measurement.
+  *  - mor-read    (Q-qual-34): full-scan cost vs live LEDGER CHAIN
+  *                length — the read-degradation claim foldLedgersOver
+  *                exists to bound
+  *
+  * Usage: runMain graft.tools.ScaleCurve [sfDir] [curve,curve]
+  * (default sf0.1, all curves). Prints one JSON line per measurement.
   */
 object ScaleCurve {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val only = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).toSet)
+    def want(curve: String): Boolean = only.forall(_.contains(curve))
     val spark = EngineSession.getOrCreate("graft-scale")
     val sc = spark.sparkContext
     val shuffleW = new java.util.concurrent.atomic.AtomicLong
@@ -52,7 +59,7 @@ object ScaleCurve {
     }
 
     // ---- cc: Q-graph-09's exact fixture shape, N and blocks ×scale
-    for (m <- Seq(1, 10)) {
+    for (m <- Seq(1, 10) if want("cc")) {
       val N = 1200000L * m
       val B = 100L
       measure("cc", m) {
@@ -67,7 +74,7 @@ object ScaleCurve {
     // ---- mor-drain: 6 epochs of windowed-agg upserts into one table.
     // Replicas get distinct event_type suffixes: changed keys scale ×m
     // while the window axis stays fixed — the Q-str-25/27 commit path.
-    for (m <- Seq(1, 8)) {
+    for (m <- Seq(1, 8) if want("mor-drain")) {
       val tmp = tempDir(s"graft_scale_mor$m").toString
       val src = s"$tmp/src"
       val ev = Tables.events(spark, d)
@@ -100,7 +107,7 @@ object ScaleCurve {
 
     // ---- mv-repair: 2 epochs of CDC-driven materialized-join repair,
     // fact ×m (delta FRACTION fixed, so delta rows also ×m)
-    for (m <- Seq(1, 8)) {
+    for (m <- Seq(1, 8) if want("mv-repair")) {
       val tmp = tempDir(s"graft_scale_mv$m").toString
       val (fRoot, dRoot, mRoot) = (s"$tmp/fact", s"$tmp/dim", s"$tmp/mv")
       val dim0 = Tables.customer(spark, d)
@@ -146,7 +153,7 @@ object ScaleCurve {
     // re-embedded via a MoR merge) — one change-feed index repair.
     // The O(changed vectors) claim: this row stays FLAT as the corpus
     // grows ×10.
-    for (m <- Seq(1, 10)) {
+    for (m <- Seq(1, 10) if want("vec-repair")) {
       val tmp = tempDir(s"graft_scale_vec$m").toString
       val (docs, idx) = (s"$tmp/docs", s"$tmp/idx")
       val corpus = Tables.embeddings(spark, d)
@@ -177,6 +184,47 @@ object ScaleCurve {
             .select(col("vec_id"), col("post.embedding").as("embedding"))))
         TxTable.read(spark, idx).count()
       }
+    }
+
+    // ---- mor-read: full-scan cost vs live LEDGER CHAIN length — the
+    // degradation foldLedgersOver exists to bound: every live ledger
+    // adds one anti-join to every read of the files it scopes, so a
+    // streaming-upsert table that never folds pays O(chain) per read
+    // forever. One table measured at chain 0, 6, and 12 during a MoR
+    // drain, then at 4 after foldLedgersOver(4); the drain and the fold
+    // are untimed setup/maintenance — the READ is the claim. Each
+    // measurement scans 3× (sum+count over the merged content) so the
+    // row is not one scheduler draw; "scale" = live chain length.
+    if (want("mor-read")) {
+      val tmp = tempDir("graft_scale_morread").toString
+      val root = s"$tmp/tbl"
+      val base = Tables.orders(spark, d)
+        .crossJoin(spark.range(4).select(col("id").as("rep")))
+        .select((col("o_orderkey") * 4 + col("rep")).as("k"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      TxTable.create(base.coalesce(4), root, statsKey = Some("k"))
+      def drain(from: Int, to: Int): Unit =
+        for (e <- from to to)
+          TxTable.mergeMor(spark, root,
+            base.filter(col("k") % 12 === (e - 1))
+              .select(col("k"), (col("cents") + e * 1000L).as("cents")),
+            "k")
+      def readAll(): Long = {
+        var n = 0L
+        for (_ <- 1 to 3)
+          n = TxTable.read(spark, root)
+            .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+            .collect()(0).getLong(0)
+        n
+      }
+      measure("mor-read", 0)(readAll())
+      drain(1, 6)
+      measure("mor-read", 6)(readAll())
+      drain(7, 12)
+      measure("mor-read", 12)(readAll())
+      TxTable.foldLedgersOver(spark, root, 4)
+      val chain = TxTable.ledgerPressure(root)._1
+      measure("mor-read", chain)(readAll())
     }
     spark.stop()
   }

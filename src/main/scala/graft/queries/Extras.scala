@@ -1446,8 +1446,10 @@ object Extras {
     // ---- Q-qual-34: LEDGER-PRESSURE FOLD — the merge-on-read
     // counterpart of the small-file policy (Q-qual-29's binPack): a
     // 12-epoch MoR upsert drain leaves the base file with a 12-ledger
-    // read chain (one anti-join per ledger per read — linear
-    // degradation on a 100 TB streaming-upsert table), then ONE
+    // read chain (resolved in one broadcast anti-join, but the
+    // delete-set broadcast, ledger file count, and log metadata grow
+    // per epoch without a bound on a 100 TB streaming-upsert table —
+    // BASELINE.md's mor-read curve), then ONE
     // foldLedgersOver(4) commit rewrites only the over-bound files from
     // their effective content, retires every fully-covered ledger, and
     // carries the within-bound tail by reference. Asserted in-query:

@@ -195,8 +195,15 @@ object ScaleCurve {
     // are untimed setup/maintenance — the READ is the claim. Each
     // measurement scans 3× (sum+count over the merged content) so the
     // row is not one scheduler draw; "scale" = live chain length.
-    if (want("mor-read")) {
-      val tmp = tempDir("graft_scale_morread").toString
+    // Two fixtures separate the two cost axes the read path could scale
+    // on: mor-read drains 50 k-key epochs (delete volume grows WITH the
+    // chain — half the table is doomed by chain 12), mor-read-sparse
+    // drains 125-key epochs (chain grows, delete volume stays trivial).
+    // The single-anti-join read should be ~flat on sparse and scale only
+    // with doomed-key volume on dense — epoch COUNT itself is free.
+    for ((curve, mod) <- Seq(("mor-read", 12), ("mor-read-sparse", 4800))
+         if want(curve)) {
+      val tmp = tempDir(s"graft_scale_morread$mod").toString
       val root = s"$tmp/tbl"
       val base = Tables.orders(spark, d)
         .crossJoin(spark.range(4).select(col("id").as("rep")))
@@ -206,7 +213,7 @@ object ScaleCurve {
       def drain(from: Int, to: Int): Unit =
         for (e <- from to to)
           TxTable.mergeMor(spark, root,
-            base.filter(col("k") % 12 === (e - 1))
+            base.filter(col("k") % mod === (e - 1))
               .select(col("k"), (col("cents") + e * 1000L).as("cents")),
             "k")
       def readAll(): Long = {
@@ -217,14 +224,14 @@ object ScaleCurve {
             .collect()(0).getLong(0)
         n
       }
-      measure("mor-read", 0)(readAll())
+      measure(curve, 0)(readAll())
       drain(1, 6)
-      measure("mor-read", 6)(readAll())
+      measure(curve, 6)(readAll())
       drain(7, 12)
-      measure("mor-read", 12)(readAll())
+      measure(curve, 12)(readAll())
       TxTable.foldLedgersOver(spark, root, 4)
       val chain = TxTable.ledgerPressure(root)._1
-      measure("mor-read", chain)(readAll())
+      measure(curve, chain)(readAll())
     }
     spark.stop()
   }

@@ -676,7 +676,7 @@ object TxTable {
   private def morRead(spark: SparkSession, root: String, snap: Snapshot,
                       files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name,
-      substring_index}
+      lit, substring_index}
     val sorted = snap.ledgers.sortBy(_.version)
     if (sorted.isEmpty || files.isEmpty) readFilesEvolved(spark, root, snap, files)
     else {
@@ -692,16 +692,29 @@ object TxTable {
         val i = sorted.indexWhere(_.version > av)
         if (i < 0) sorted.length else i
       }
-      // probe side: ONE evolution-reconciled scan of every live file
-      // (scan count must not scale with chain length — a per-group scan
-      // union measured ~0.15 s/branch of pure plan overhead); each row
-      // learns its file's group from a broadcast suffix join
-      val gdf = broadcast(
-        files.map(f => (suffix2(f), firstApplicable(f)))
-          .toDF("__graft_f", "__graft_g"))
-      val tagged = readFilesEvolved(spark, root, snap, files)
-        .withColumn("__graft_f", substring_index(input_file_name(), "/", -2))
-        .join(gdf, Seq("__graft_f")).drop("__graft_f")
+      // probe side, adaptive (both ends measured): per-group scan
+      // branches cost ~0.15 s each of pure plan overhead, so MANY
+      // groups want ONE scan of every live file with the group tag
+      // attached by a broadcast suffix join; but that join is itself
+      // ~0.5 s of fixed machinery that a 1-2-ledger table (the common
+      // steady state between maintenance runs) shouldn't pay — few
+      // groups keep the literal-tag branch form.
+      val grouped = files.groupBy(firstApplicable).toSeq.sortBy(_._1)
+      val tagged =
+        if (grouped.size <= 3)
+          grouped.map { case (g, fs) =>
+            readFilesEvolved(spark, root, snap, fs)
+              .withColumn("__graft_g", lit(g))
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+        else {
+          val gdf = broadcast(
+            files.map(f => (suffix2(f), firstApplicable(f)))
+              .toDF("__graft_f", "__graft_g"))
+          readFilesEvolved(spark, root, snap, files)
+            .withColumn("__graft_f",
+              substring_index(input_file_name(), "/", -2))
+            .join(gdf, Seq("__graft_f")).drop("__graft_f")
+        }
       // the ledger's columns NAME the key columns: one LONG column =
       // the long-normalized point-delete path; anything else (several
       // columns, or one natural-typed column — a string/double/
@@ -724,21 +737,31 @@ object TxTable {
       val resolved = sorted.zipWithIndex.groupBy(t => sigOf(t._1.path)).toSeq
         .sortBy(_._1._1.mkString(","))
         .foldLeft(tagged) { case (df, ((kcs, isLong), ls)) =>
-          // build side: ONE scan of this signature's ledger files, each
-          // key row tagged with its ledger INDEX the same suffix-join
-          // way. No per-key max aggregation: LEFT ANTI drops a probe
-          // row if ANY build row matches (key equal ∧ idx ≥ group),
-          // which IS the max-index test — duplicate keys across ledgers
-          // change nothing and the build side stays shuffle-free.
-          val idxDf = broadcast(
-            ls.map { case (l, i) => (suffix2(l.path), i) }
-              .toDF("__graft_lf", "__graft_li"))
-          val build = spark.read
-            .parquet(ls.map(t => s"$root/${t._1.path}"): _*)
-            .withColumn("__graft_lf",
-              substring_index(input_file_name(), "/", -2))
-            .join(idxDf, Seq("__graft_lf"))
-            .select((kcs.map(col) :+ col("__graft_li")): _*)
+          // build side, same adaptivity: few ledgers read as per-file
+          // scans with a LITERAL index (tiny files, no tag join); many
+          // read as ONE scan index-tagged by the suffix join. No
+          // per-key max aggregation either way: LEFT ANTI drops a
+          // probe row if ANY build row matches (key equal ∧ idx ≥
+          // group), which IS the max-index test — duplicate keys
+          // across ledgers change nothing and the build side stays
+          // shuffle-free.
+          val build =
+            if (ls.size <= 4)
+              ls.map { case (l, i) =>
+                spark.read.parquet(s"$root/${l.path}")
+                  .withColumn("__graft_li", lit(i))
+              }.reduce(_.unionByName(_))
+            else {
+              val idxDf = broadcast(
+                ls.map { case (l, i) => (suffix2(l.path), i) }
+                  .toDF("__graft_lf", "__graft_li"))
+              spark.read
+                .parquet(ls.map(t => s"$root/${t._1.path}"): _*)
+                .withColumn("__graft_lf",
+                  substring_index(input_file_name(), "/", -2))
+                .join(idxDf, Seq("__graft_lf"))
+                .select((kcs.map(col) :+ col("__graft_li")): _*)
+            }
           if (isLong) {
             val kc = kcs.head
             df.join(

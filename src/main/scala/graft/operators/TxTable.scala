@@ -114,7 +114,9 @@ object TxTable {
       strCols: Seq[String] = Seq.empty,
       shCols: Seq[String] = Seq.empty,
       shN: Int = 0,
-      addShBlooms: Seq[Seq[String]] = Seq.empty)
+      addShBlooms: Seq[Seq[String]] = Seq.empty,
+      drows: Seq[Long] = Seq.empty,
+      dsigs: Seq[String] = Seq.empty)
 
   /** A live MERGE-ON-READ delete ledger: a tiny parquet file of doomed
     * keys (its single column names the key column) that reads subtract
@@ -125,7 +127,26 @@ object TxTable {
     * (a re-inserted key stays alive, and [[mergeMor]]'s same-commit adds
     * carry the keys' NEW versions past their own ledger); compaction
     * folds live ledgers into the rewrite and retires them. */
-  final case class Ledger(path: String, version: Long)
+  final case class Ledger(path: String, version: Long,
+                          rows: Long = -1L, sig: String = "")
+
+  /** Ledger key signature carried IN the commit record ("name:type;..."
+    * over the ledger frame's schema, catalogString types): resolving a
+    * ledger's key columns then never opens its parquet footer. "" =
+    * written before signatures existed — the reader falls back to a
+    * one-time footer read (cached). ';' separates columns because a
+    * catalogString can itself contain ',' (decimal(10,2)); names are
+    * identifier-shaped, so neither separator collides. */
+  private def encodeSig(schema: org.apache.spark.sql.types.StructType): String =
+    schema.map(f => f.name + ":" + f.dataType.catalogString).mkString(";")
+
+  private def decodeSig(sig: String): (Seq[String], Seq[String], Boolean) = {
+    val cols = sig.split(';').toSeq.map { c =>
+      val i = c.indexOf(':'); (c.take(i), c.drop(i + 1))
+    }
+    val names = cols.map(_._1); val types = cols.map(_._2)
+    (names, types, names.length == 1 && types.head == "bigint")
+  }
 
   /** A resolved table state. `commits` holds only the SUFFIX folded on
     * top of the base checkpoint (the whole history when no checkpoint
@@ -187,7 +208,10 @@ object TxTable {
       else s""","abloom":${arr(c.addBlooms)}"""
     val da =
       if (c.dadds.isEmpty) ""
-      else s""","dadds":${arr(c.dadds)}"""
+      else s""","dadds":${arr(c.dadds)}""" +
+        (if (c.drows.isEmpty) ""
+         else s""","drows":${c.drows.mkString("[", ",", "]")}""") +
+        (if (c.dsigs.isEmpty) "" else s""","dsigs":${arr(c.dsigs)}""")
     // SECONDARY stats columns (declared at create): per column j, min/max
     // (+bloom) arrays aligned with adds — the metadata that makes pruning
     // on a NON-primary dimension log-only after a z-order OPTIMIZE
@@ -291,7 +315,9 @@ object TxTable {
       "\"shn\":(\\d+)".r.findFirstMatchIn(json)
         .map(_.group(1).toInt).getOrElse(0),
       Iterator.from(0).map(j => arrField(json, s"ash_$j"))
-        .takeWhile(_.nonEmpty).toSeq)
+        .takeWhile(_.nonEmpty).toSeq,
+      numArrField(json, "drows"),
+      arrField(json, "dsigs"))
   }
 
   /** Every `checkpointInterval` commits the winner consolidates the live
@@ -328,7 +354,9 @@ object TxTable {
     val dl =
       if (s.ledgers.isEmpty) ""
       else s""","dfiles":${arr(s.ledgers.map(_.path))}""" +
-        s""","dvers":${s.ledgers.map(_.version).mkString("[", ",", "]")}"""
+        s""","dvers":${s.ledgers.map(_.version).mkString("[", ",", "]")}""" +
+        s""","drows":${s.ledgers.map(_.rows).mkString("[", ",", "]")}""" +
+        s""","dsigs":${arr(s.ledgers.map(_.sig))}"""
     // secondary stats consolidate only while COMPLETE (every live file
     // covered) — partial coverage drops to conservative full reads rather
     // than misaligning; "" marks a file without a bloom, as for primary
@@ -382,7 +410,7 @@ object TxTable {
 
   /** Best-effort checkpoint after a winning commit; losing the ckpt race
     * (or failing to write one) affects nothing but resolve cost. */
-  private def maybeCheckpoint(root: String, version: Long): Unit =
+  private def maybeCheckpoint(root: String, version: Long): Unit = prof("checkpoint") {
     if (version > 0 && version % checkpointInterval == 0)
       try {
         val s = snapshot(root, version)
@@ -398,6 +426,7 @@ object TxTable {
         case NonFatal(e) =>
           System.err.println(s"[txtable] checkpoint v$version failed: ${e.getMessage}")
       }
+  }
 
   /** Resolve the current snapshot: fold from the newest usable
     * checkpoint, then the highest CONTIGUOUS run of commits above it.
@@ -490,8 +519,14 @@ object TxTable {
       val fr = numArrField(j, "frows")
       if (fr.nonEmpty)
         files.zip(fr).foreach { case (f, n) => if (n >= 0) rows(f) = n }
-      ledgers ++= arrField(j, "dfiles").zip(numArrField(j, "dvers"))
-        .map { case (p, v) => Ledger(p, v) }
+      locally {
+        val dfs = arrField(j, "dfiles"); val dvs = numArrField(j, "dvers")
+        val drs = numArrField(j, "drows"); val dss = arrField(j, "dsigs")
+        ledgers ++= dfs.zipWithIndex.map { case (p, i) =>
+          Ledger(p, dvs(i), drs.lift(i).getOrElse(-1L),
+            dss.lift(i).getOrElse(""))
+        }
+      }
       evos ++= numArrField(j, "evv").zip(arrField(j, "evo"))
     }
     val suffix = ((base + 1) to upTo).map { i =>
@@ -531,7 +566,10 @@ object TxTable {
       c.removes.foreach(bloomsN.remove)
       c.removes.foreach(shBlooms.remove)
       c.removes.foreach(rows.remove)
-      c.dadds.foreach(p => ledgers += Ledger(p, c.version))
+      c.dadds.zipWithIndex.foreach { case (p, i) =>
+        ledgers += Ledger(p, c.version, c.drows.lift(i).getOrElse(-1L),
+          c.dsigs.lift(i).getOrElse(""))
+      }
       c.evos.foreach(e => evos += ((c.version, e)))
       if (c.removes.nonEmpty) {
         val gone = c.removes.toSet
@@ -664,14 +702,19 @@ object TxTable {
     * form is flat). A key deleted at ledger i and re-inserted by a
     * later epoch lands in a group > i, so the inequality correctly
     * spares the re-insert while dooming the older copies. */
-  /** Ledger column signatures, cached per root: a ledger file is
-    * immutable, so its signature never changes; the map is REPLACED
-    * with exactly the live ledger set on every lookup, so retired
-    * ledgers don't accumulate. Without the cache every read re-reads
-    * one parquet footer per live ledger on the driver — O(chain)
-    * driver I/O per scan. */
+  /** Ledger column signatures (names, catalogString types, is-single-
+    * long), cached per root: a ledger file is immutable, so its
+    * signature never changes; the map is REPLACED with exactly the live
+    * ledger set on every lookup, so retired ledgers don't accumulate.
+    * Signatures normally come FREE from the commit record (`dsigs`);
+    * the footer-read fallback only fires for ledgers written before the
+    * field existed. Types are part of the signature so two ledgers
+    * sharing column names but differing in key type (string vs
+    * timestamp from different deleteMorKeys calls) never share one
+    * multi-file scan's inferred schema — they land in separate groups
+    * and separate anti-joins. */
   private val ledgerSigCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[String, (Seq[String], Boolean)]]()
+    String, Map[String, (Seq[String], Seq[String], Boolean)]]()
 
   private def morRead(spark: SparkSession, root: String, snap: Snapshot,
                       files: Seq[String]): DataFrame = {
@@ -723,20 +766,49 @@ object TxTable {
       // practice; if signatures ever mix, each gets its own join.
       val sigOf = ledgerSigCache.compute(root, (_, old) => {
         val prev =
-          if (old == null) Map.empty[String, (Seq[String], Boolean)] else old
+          if (old == null) Map.empty[String, (Seq[String], Seq[String], Boolean)]
+          else old
         sorted.map { l =>
-          l.path -> prev.getOrElse(l.path, {
-            val ks = spark.read.parquet(s"$root/${l.path}")
-            (ks.columns.toSeq,
-              ks.columns.length == 1 &&
-                ks.schema.head.dataType ==
-                  org.apache.spark.sql.types.LongType)
-          })
+          l.path -> prev.getOrElse(l.path,
+            if (l.sig.nonEmpty) decodeSig(l.sig)
+            else {
+              // pre-dsigs ledger: one footer read, then cached
+              val ks = spark.read.parquet(s"$root/${l.path}")
+              (ks.columns.toSeq,
+                ks.schema.map(_.dataType.catalogString).toSeq,
+                ks.columns.length == 1 &&
+                  ks.schema.head.dataType ==
+                    org.apache.spark.sql.types.LongType)
+            })
         }.toMap
       })
+      // broadcast-vs-shuffle policy for the delete-set anti-join: the
+      // ledger row counts ride the commit log (drows), so the build
+      // side's size is known without touching data. Below the byte
+      // threshold the build side broadcasts (zero shuffle of the probe —
+      // the common case: ledgers are the POINT-delete path); above it —
+      // a long streaming-upsert accumulation between folds can reach
+      // billions of keys on a 100 TB table — the join falls back to a
+      // shuffled left_anti instead of OOMing the driver or tripping the
+      // 8 GB broadcast hard cap. Estimate is rows × a conservative
+      // in-memory row cost (unknown counts, -1, price as unbounded).
+      val maxBcastBytes = spark.conf.getOption(
+        "spark.graft.mor.broadcastMaxBytes").map(_.toLong)
+        .getOrElse(100L * 1024 * 1024)
       val resolved = sorted.zipWithIndex.groupBy(t => sigOf(t._1.path)).toSeq
-        .sortBy(_._1._1.mkString(","))
-        .foldLeft(tagged) { case (df, ((kcs, isLong), ls)) =>
+        .sortBy(t => (t._1._1 ++ t._1._2).mkString(","))
+        .foldLeft(tagged) { case (df, ((kcs, _, isLong), ls)) =>
+          val estBytes = ls.iterator.map { case (l, _) =>
+            if (l.rows >= 0) l.rows * (24L + 24L * kcs.length)
+            else Long.MaxValue / 1024 // unknown: never broadcast blindly
+          }.foldLeft(0L)((a, b) => if (a + b < a) Long.MaxValue else a + b)
+          val doBcast = estBytes <= maxBcastBytes
+          // same answer either way; spec-pinned in both forms. The
+          // shuffled form carries a merge hint so Spark's own file-size
+          // estimate (which has no idea the parquet decompresses into a
+          // driver-resident hash relation) can't re-broadcast it.
+          def placed(b: DataFrame): DataFrame =
+            if (doBcast) broadcast(b) else b.hint("shuffle_merge")
           // build side, same adaptivity: few ledgers read as per-file
           // scans with a LITERAL index (tiny files, no tag join); many
           // read as ONE scan index-tagged by the suffix join. No
@@ -765,7 +837,7 @@ object TxTable {
           if (isLong) {
             val kc = kcs.head
             df.join(
-              broadcast(build.select(
+              placed(build.select(
                 col(kc).cast("long").as("__graft_del_k"),
                 col("__graft_li"))),
               col(kc).cast("long") === col("__graft_del_k") &&
@@ -774,7 +846,7 @@ object TxTable {
           } else {
             val renamed = build.toDF(
               kcs.map("__graft_del_" + _) :+ "__graft_li": _*)
-            df.join(broadcast(renamed),
+            df.join(placed(renamed),
               kcs.map(c => df.col(c) <=> renamed.col("__graft_del_" + c))
                 .reduce(_ && _) &&
                 renamed.col("__graft_li") >= df.col("__graft_g"),
@@ -795,10 +867,20 @@ object TxTable {
     * with a clear message instead of NoSuchElementException. */
   private def emptyRead(spark: SparkSession, root: String,
                         snap: Snapshot): DataFrame =
-    if (snap.files.nonEmpty)
-      readFilesEvolved(spark, root, snap, Seq(snap.files.head),
+    if (snap.files.nonEmpty) {
+      if (snap.evos.isEmpty)
+        // head-file schema under-reports when a merge added a column
+        // with no evo entry (two live files differ in width while evos
+        // is empty) — the UNION schema is what currentSchema computes
+        // and caches, so build the empty frame from it. No recursion:
+        // currentSchema's evos-empty branch infers via readFiles, never
+        // via emptyRead.
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          currentSchema(spark, root, snap))
+      else readFilesEvolved(spark, root, snap, Seq(snap.files.head),
         useCachedSchema = false).limit(0)
-    else snap.commits.sortBy(-_.version).iterator
+    } else snap.commits.sortBy(-_.version).iterator
       .flatMap(c => c.adds.map(_ -> c.version))
       .find { case (f, _) => Files.exists(Paths.get(root, f)) } match {
         case Some((f, v)) =>
@@ -821,29 +903,67 @@ object TxTable {
     * just recomputes once). */
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
     String,
-    ((Seq[(Long, String)], Seq[String]),
-      org.apache.spark.sql.types.StructType)]()
+    List[((Seq[(Long, String)], Seq[String]),
+      org.apache.spark.sql.types.StructType)]]()
   private def currentSchema(spark: SparkSession, root: String,
                             snap: Snapshot): org.apache.spark.sql.types.StructType = {
-    // one entry PER ROOT (bounded by live tables, not by commit history):
-    // the version witness (evo list + live file set) is stored in the
-    // value and the entry is REPLACED when it changes — compaction /
-    // evolution / drop-and-recreate each invalidate in place instead of
-    // minting a fresh key and leaking the old StructType forever. The
-    // witness is the FULL file set because the current schema is the
-    // UNION over live files: a merge may add a column with no evolution
-    // entry, so two live files can differ in width while evos is empty —
-    // head-file schema alone under-reports (old rows must still surface
-    // the new column as NULL). One mergeSchema inference job runs per
-    // (root, version) change and amortizes over every per-group read of
-    // that snapshot.
+    // a few entries PER ROOT (bounded by live tables × 4, not by commit
+    // history), MRU-ordered: the version witness (evo list + live file
+    // set) keys each entry, so a dropped-and-recreated table can never
+    // serve a stale schema, and a change feed alternating between two
+    // historical snapshots doesn't thrash one slot. The witness is the
+    // FULL file set because the current schema is the UNION over live
+    // files: a merge may add a column with no evolution entry, so two
+    // live files can differ in width while evos is empty — head-file
+    // schema alone under-reports (old rows must still surface the new
+    // column as NULL). Recompute cost is DELTA-bound on the hot path: a
+    // streaming MoR sink's per-micro-batch validation sees an adds-only
+    // file-set delta, so the new union schema folds the cached schema
+    // with an inference over just the added files — O(batch), not
+    // O(table) footer I/O per commit. Removals (compaction, expiry) can
+    // shrink the union, so any remove forces the full inference.
     val ver = (snap.evos, snap.files)
-    schemaCache.compute(root, (_, old) =>
-      if (old != null && old._1 == ver) old
-      else (ver,
-        if (snap.evos.isEmpty && snap.files.nonEmpty)
-          readFiles(spark, root, snap.files, None).schema
-        else emptyRead(spark, root, snap).schema))._2
+    def infer(files: Seq[String]): org.apache.spark.sql.types.StructType =
+      prof("schema.infer")(readFiles(spark, root, files, None).schema)
+    def full: org.apache.spark.sql.types.StructType =
+      if (snap.evos.isEmpty && snap.files.nonEmpty) infer(snap.files)
+      else emptyRead(spark, root, snap).schema
+    schemaCache.compute(root, (_, old) => {
+      val entries =
+        if (old == null)
+          List.empty[((Seq[(Long, String)], Seq[String]),
+            org.apache.spark.sql.types.StructType)]
+        else old
+      entries.find(_._1 == ver) match {
+        case Some(hit) => hit :: entries.filterNot(_._1 == ver)
+        case None =>
+          val viaDelta =
+            if (snap.evos.isEmpty && snap.files.nonEmpty)
+              entries.collectFirst {
+                case ((evos0, files0), s0)
+                    if evos0 == snap.evos && files0.nonEmpty &&
+                      files0.forall(snap.files.toSet) =>
+                  val delta = snap.files.diff(files0)
+                  if (delta.isEmpty) Some(s0)
+                  else {
+                    val ds = infer(delta)
+                    // fold the delta into the cached union by name; a
+                    // same-name type clash can't happen on the
+                    // validated write paths, but if one ever surfaces
+                    // (hand-placed files), fall back to full inference
+                    if (ds.forall(f => s0.find(
+                        _.name.equalsIgnoreCase(f.name))
+                        .forall(_.dataType == f.dataType)))
+                      Some(org.apache.spark.sql.types.StructType(
+                        s0.fields ++ ds.fields.filterNot(f =>
+                          s0.exists(_.name.equalsIgnoreCase(f.name)))))
+                    else None
+                  }
+              }.flatten
+            else None
+          ((ver, viaDelta.getOrElse(full)) :: entries).take(4)
+      }
+    }).head._2
   }
 
   /** Range read with METADATA-ONLY file pruning: the commit log's
@@ -1642,7 +1762,7 @@ object TxTable {
     * publish so later count(*)-style aggregates never open data. -1
     * marks a file whose footer could not be read (the fold treats it as
     * unknown and aggregates fall back to scanning it). */
-  private def footerRows(root: String, files: Seq[String]): Seq[Long] = {
+  private def footerRows(root: String, files: Seq[String]): Seq[Long] = prof("footers") {
     val conf = new org.apache.hadoop.conf.Configuration()
     files.map { f =>
       try {
@@ -1661,10 +1781,17 @@ object TxTable {
     * one chokepoint covers create/append/merge/compact/optimize alike. */
   private def tryPublish(root: String, c: Commit): Boolean = prof("publish") {
     Files.createDirectories(logDir(root))
-    val withRows =
+    val withRows0 =
       if (c.adds.nonEmpty && c.addRows.isEmpty)
         c.copy(addRows = footerRows(root, c.adds))
       else c
+    // ledger row counts ride the log too: the MoR read's broadcast-vs-
+    // shuffle decision needs the live delete-set volume without opening
+    // a footer per ledger per fresh driver
+    val withRows =
+      if (withRows0.dadds.nonEmpty && withRows0.drows.isEmpty)
+        withRows0.copy(drows = footerRows(root, withRows0.dadds))
+      else withRows0
     // stamp the commit wall-clock, forced STRICTLY increasing over the
     // predecessor (one small log read) so TIMESTAMP AS OF is a total
     // order even across clock skew between writers — the same
@@ -2023,6 +2150,21 @@ object TxTable {
     (mx, snap.ledgers.size)
   }
 
+  /** Total LIVE delete-set rows across the table's ledgers, resolved
+    * from the commit log alone (drows; pre-drows ledgers fall back to a
+    * footer read) — the volume [[morRead]]'s broadcast-vs-shuffle
+    * policy prices and [[foldLedgersOver]] bounds. A maintenance planner
+    * watches this next to [[ledgerPressure]]: chain length tells how
+    * many ledger GROUPS a scan joins, volume tells how big the
+    * anti-join's build side is. */
+  def ledgerVolume(root: String): Long = {
+    val snap = snapshot(root)
+    snap.ledgers.map { l =>
+      if (l.rows >= 0) l.rows
+      else footerRows(root, Seq(l.path)).head max 0L
+    }.sum
+  }
+
   /** LEDGER-PRESSURE policy — the merge-on-read counterpart of
     * [[binPack]]'s small-file policy. A hot file on a streaming-upsert
     * table accumulates one delete ledger per epoch that touches it.
@@ -2042,7 +2184,8 @@ object TxTable {
     * over-bound chain and the replay would otherwise read as "nothing to
     * do" instead of "done". */
   def foldLedgersOver(spark: SparkSession, root: String, maxLedgers: Int,
-                      tag: Option[String] = None): Option[CommitResult] = {
+                      tag: Option[String] = None,
+                      maxAttempts: Int = 12): Option[CommitResult] = {
     require(maxLedgers >= 0, s"maxLedgers must be >= 0: $maxLedgers")
     val snap0 = snapshot(root)
     require(snap0.version >= 0, s"not a TxTable: $root")
@@ -2050,7 +2193,7 @@ object TxTable {
       return Some(CommitResult(snap0.version, 1, skipped = true))
     if (!snap0.files.exists(ledgerChain(snap0, _) > maxLedgers)) return None
     var attempt = 0
-    while (attempt < 12) {
+    while (attempt < maxAttempts) {
       attempt += 1
       val snap = snapshot(root)
       if (tag.exists(snap.tags))
@@ -2077,7 +2220,7 @@ object TxTable {
       }
     }
     throw new IllegalStateException(
-      s"commit to $root failed after 12 attempts (contention)")
+      s"commit to $root failed after $maxAttempts attempts (contention)")
   }
 
   /** Reclaim ORPHANED data files: staged by writers that lost their
@@ -2664,6 +2807,7 @@ object TxTable {
     // stage the ledger once; rebased retries re-reference the same file
     val (dfiles, _, _, _, _) = stageData(
       ledgerDf.distinct().coalesce(1), root, statsKey = None)
+    val dsig = encodeSig(ledgerDf.schema)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -2672,7 +2816,8 @@ object TxTable {
       if (tag.exists(snap.tags))
         return CommitResult(snap.version, attempt, skipped = true)
       val c = Commit(snap.version + 1, "delete-mor",
-        adds = Seq.empty, removes = Seq.empty, tag, dadds = dfiles)
+        adds = Seq.empty, removes = Seq.empty, tag, dadds = dfiles,
+        dsigs = dfiles.map(_ => dsig))
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
@@ -2756,6 +2901,7 @@ object TxTable {
     val ledgerDf = ledgerKeys(staged, keys)
     val (dfiles, _, _, _, _) = stageData(
       ledgerDf.distinct().coalesce(1), root, statsKey = None)
+    val dsig = encodeSig(ledgerDf.schema)
     val shBl = stageShingles(changes, root, adds,
       snap0.shingleCols, snap0.shingleN)
     var attempt = 0
@@ -2768,7 +2914,7 @@ object TxTable {
         adds = adds, removes = Seq.empty, tag,
         statsKey = None, addStats = st, addBlooms = bl,
         addStatsN = stN, addBloomsN = blN, dadds = dfiles,
-        addShBlooms = shBl)
+        addShBlooms = shBl, dsigs = dfiles.map(_ => dsig))
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)

@@ -1496,6 +1496,69 @@ object Extras {
         .orderBy("bucket")
     },
 
+    // ---- Q-qual-35: DELETE-SET BROADCAST GUARD — the policy that
+    // keeps the merge-on-read read path alive when the accumulated
+    // live delete volume outgrows a broadcast. Three MoR delete
+    // epochs doom a THIRD of the table (an adversarial volume for the
+    // point-delete path); the commit log carries each ledger's row
+    // count (drows), so `ledgerVolume` resolves the live delete-set
+    // size with zero data I/O (asserted == the closed-form doomed
+    // count). The read prices the anti-join build side from that
+    // volume: under the default 100 MB threshold it broadcasts
+    // (asserted: BroadcastHashJoin LeftAnti), over it — forced here
+    // via spark.graft.mor.broadcastMaxBytes=0, the stand-in for a
+    // billion-key accumulation between folds — the SAME read falls
+    // back to a shuffled sort-merge anti-join (asserted) instead of
+    // OOMing the driver or tripping the 8 GB broadcast cap, and both
+    // plan forms produce identical rollups (asserted row-for-row).
+    // Returned rows — the surviving-content rollup plus the logged
+    // delete volume as a column — hash-match the oracle's direct
+    // derivation: the policy is visible to cost, never to results.
+    "Q-qual-35" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_qual35").toString + "/tbl"
+      val t = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+      TxTable.create(t.coalesce(2), root, statsKey = Some("k"))  // v0
+      for (e <- 0 to 2)                                          // v1..v3
+        TxTable.deleteMor(s, root,
+          t.filter(col("k") % 9 === (1 + 3 * e)).select("k"), "k",
+          tag = Some(s"app=qual35/epoch=$e"))
+      val doomed = t.filter(col("k") % 3 === 1).count()
+      val vol = TxTable.ledgerVolume(root)
+      if (vol != doomed) throw new IllegalStateException(
+        s"log-carried delete volume $vol != doomed count $doomed")
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy((col("k") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents_sum"))
+        .select(col("bucket").cast("bigint").as("bucket"),
+          col("n").cast("bigint").as("n"),
+          col("cents_sum").cast("bigint").as("cents_sum"),
+          lit(vol).as("delete_volume"))
+        .orderBy("bucket")
+      val bform = rollup(TxTable.read(s, root))
+      val brows = bform.collect()
+      val bplan = bform.queryExecution.executedPlan.toString
+      if (!(bplan.contains("BroadcastHashJoin") && bplan.contains("LeftAnti")))
+        throw new IllegalStateException(
+          s"under-threshold delete set must broadcast:\n$bplan")
+      s.conf.set("spark.graft.mor.broadcastMaxBytes", "0")
+      try {
+        val sform = rollup(TxTable.read(s, root))
+        val srows = sform.collect()
+        val splan = sform.queryExecution.executedPlan.toString
+        if (!(splan.contains("SortMergeJoin") && splan.contains("LeftAnti")))
+          throw new IllegalStateException(
+            s"over-threshold delete set must shuffle:\n$splan")
+        if (!java.util.Arrays.equals(
+            brows.asInstanceOf[Array[AnyRef]], srows.asInstanceOf[Array[AnyRef]]))
+          throw new IllegalStateException(
+            "broadcast and shuffled anti-join forms diverged")
+      } finally s.conf.unset("spark.graft.mor.broadcastMaxBytes")
+      bform
+    },
+
     // ---- Q-qual-18: HISTORY RETENTION (expire + vacuum) — the cost
     // bound time travel needs at 100 TB: 11 per-epoch CoW merge commits
     // leave every rewritten file generation alive in the name of time
@@ -3246,6 +3309,20 @@ object Extras {
          FROM src, m
          WHERE l_suppkey BETWEEN 1 AND m.q
          ORDER BY l_orderkey, l_partkey, l_suppkey, qty""",
+    // the broadcast guard is invisible to results: surviving content is
+    // a plain filter, the logged delete volume a plain count
+    "Q-qual-35" ->
+      """WITH t AS (
+           SELECT o_orderkey AS k,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+           FROM orders),
+         doomed AS (SELECT count(*) AS v FROM t WHERE k % 3 = 1)
+         SELECT (k % 10)::BIGINT AS bucket,
+                count(*)::BIGINT AS n,
+                sum(cents)::BIGINT AS cents_sum,
+                (SELECT v FROM doomed)::BIGINT AS delete_volume
+         FROM t WHERE k % 3 <> 1
+         GROUP BY 1 ORDER BY bucket""",
     // the fold policy is invisible to results: every key's final value
     // is its epoch-(key%12+1) upsert, derivable in closed form
     "Q-qual-34" ->

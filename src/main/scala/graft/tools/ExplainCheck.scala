@@ -308,6 +308,36 @@ object ExplainCheck {
     check("Q-graph-07", "LPA vote join keyed; no cartesian/BNLJ",
       p => !p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"))
+    // MoR read, BOTH delete-set plan forms: a small logged volume
+    // broadcasts the build side (zero probe shuffle); over the byte
+    // threshold the same read falls back to a shuffled sort-merge
+    // anti-join — the form that survives a billion-key accumulation
+    locally {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_explain_mor").toString + "/t"
+      graft.operators.TxTable.create(
+        (0L until 200L).map(i => (i, "base")).toDF("k", "v"),
+        root, statsKey = Some("k"))
+      graft.operators.TxTable.mergeMor(s, root,
+        (0L until 50L).map(i => (i, "upd")).toDF("k", "v"), "k")
+      val pb = graft.operators.TxTable.read(s, root)
+        .queryExecution.executedPlan.toString
+      val okB = pb.contains("BroadcastHashJoin") && pb.contains("LeftAnti")
+      println(s"${if (okB) "PLAN-OK " else "PLAN-BAD"} mor-read: " +
+        "small delete set broadcasts the anti-join build side")
+      if (!okB) println(pb.linesIterator.take(40).mkString("\n"))
+      s.conf.set("spark.graft.mor.broadcastMaxBytes", "0")
+      try {
+        val ps = graft.operators.TxTable.read(s, root)
+          .queryExecution.executedPlan.toString
+        val okS = ps.contains("SortMergeJoin") && ps.contains("LeftAnti") &&
+          !ps.contains("BroadcastHashJoin LeftAnti")
+        println(s"${if (okS) "PLAN-OK " else "PLAN-BAD"} mor-read: " +
+          "over-threshold delete set falls back to shuffled anti-join")
+        if (!okS) println(ps.linesIterator.take(40).mkString("\n"))
+      } finally s.conf.unset("spark.graft.mor.broadcastMaxBytes")
+    }
     s.stop()
   }
 }

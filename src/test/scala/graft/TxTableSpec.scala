@@ -1576,6 +1576,134 @@ class TxTableSpec extends AnyFunSuite {
     assert(rows(root, 10L) == atV10.toSet)
   }
 
+  test("maintenance races writers: fold/binPack vs concurrent MoR upserts+deletes preserve every ledger's effect") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create((0L until 1000L).map(i => (i, "base")).toDF("k", "v"),
+      root, statsKey = Some("k"))
+    // 3 writers drain MoR epochs into disjoint key ranges (so the
+    // serialized result is order-independent) while a maintenance
+    // thread repeatedly folds ledgers and bin-packs. The hazard under
+    // test: an optimistic maintenance rebase that dropped a concurrent
+    // ledger would silently RESURRECT deleted keys — so each writer
+    // ends with a ledgered delete whose effect must survive every fold.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val writers = (0 until 3).map { w =>
+      new Thread(() => try {
+        for (e <- 1 to 6) {
+          val lo = w * 200L
+          TxTable.mergeMor(spark, root,
+            (lo until lo + 30L).map(i => (i, s"w$w-e$e")).toDF("k", "v"),
+            "k", maxAttempts = 40)
+        }
+        TxTable.deleteMor(spark, root,
+          (w * 200L + 100L until w * 200L + 110L).toDF("k"), "k",
+          maxAttempts = 40)
+      } catch { case t: Throwable => errs.add(t) })
+    }
+    val maintenance = new Thread(() => try {
+      for (_ <- 1 to 4) {
+        TxTable.foldLedgersOver(spark, root, 2, maxAttempts = 50)
+        Thread.sleep(30)
+      }
+      TxTable.binPack(spark, root, minBytes = 1L << 20, targetFiles = 2)
+    } catch { case t: Throwable => errs.add(t) })
+    (writers :+ maintenance).foreach(_.start())
+    (writers :+ maintenance).foreach(_.join())
+    assert(errs.isEmpty, s"racing ops failed: ${errs.peek()}")
+    val expected = (0L until 1000L).flatMap { i =>
+      val w = (i / 200L).toInt
+      if (w <= 2 && i % 200L < 30L) Some(i -> s"w$w-e6")
+      else if (w <= 2 && i % 200L >= 100L && i % 200L < 110L) None
+      else Some(i -> "base")
+    }.toSet
+    assert(rows(root) == expected,
+      "serialized maintenance must preserve every writer's net effect")
+    // a full fold after the dust settles: content invariant, zero chain
+    TxTable.foldLedgersOver(spark, root, 0)
+    assert(rows(root) == expected, "final fold must not change content")
+    val (chain, ledgers) = TxTable.ledgerPressure(root)
+    assert(chain == 0 && ledgers == 0,
+      s"full fold must retire every ledger: chain=$chain live=$ledgers")
+  }
+
+  test("MoR delete-set broadcast guard: over-threshold volume falls back to a shuffled anti-join, same rows") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create((0L until 400L).map(i => (i, "base")).toDF("k", "v"),
+      root, statsKey = Some("k"))
+    for (e <- 1 to 3)
+      TxTable.mergeMor(spark, root,
+        (0L until 50L).map(i => (e * 50L + i, s"e$e")).toDF("k", "v"), "k")
+    // volume is resolved from the log alone (drows stamped at publish)
+    assert(TxTable.ledgerVolume(root) == 150L)
+    val expected = rows(root)
+    // default threshold (100 MB): 150 stamped keys broadcast
+    val bplan = TxTable.read(spark, root).queryExecution.executedPlan.toString
+    assert(bplan.contains("BroadcastHashJoin") && bplan.contains("LeftAnti"),
+      s"small delete set must broadcast:\n$bplan")
+    // threshold 0 prices every non-empty delete set as too big: the
+    // SAME read falls back to a shuffled sort-merge anti-join — the
+    // plan a billion-key delete accumulation needs instead of an OOM
+    spark.conf.set("spark.graft.mor.broadcastMaxBytes", "0")
+    try {
+      val df = TxTable.read(spark, root)
+      val splan = df.queryExecution.executedPlan.toString
+      assert(splan.contains("SortMergeJoin") && splan.contains("LeftAnti"),
+        s"over-threshold delete set must shuffle:\n$splan")
+      assert(!splan.contains("BroadcastHashJoin LeftAnti"),
+        s"guard must not broadcast the delete set:\n$splan")
+      assert(df.as[(Long, String)].collect().toSet == expected,
+        "both plan forms must resolve identical content")
+    } finally spark.conf.unset("spark.graft.mor.broadcastMaxBytes")
+  }
+
+  test("type-mixed ledger signatures land in separate anti-join groups on every chain length") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create((1 to 20).map(i => (i.toString, "live")).toDF("s", "v"),
+      root)
+    // 5 string-typed + 5 double-typed ledgers, all naming column "s":
+    // grouping by name alone would fuse them into one 10-file scan whose
+    // inferred schema fails on the other type at scan time; typed
+    // signatures give each its own group (and the >4 multi-file branch
+    // within a group stays type-homogeneous)
+    (1 to 5).foreach(i =>
+      TxTable.deleteMorKeys(spark, root, Seq(i.toString).toDF("s"), Seq("s")))
+    (6 to 10).foreach(i =>
+      TxTable.deleteMorKeys(spark, root, Seq(i.toDouble).toDF("s"), Seq("s")))
+    val left = TxTable.read(spark, root)
+      .select("s").as[String].collect().toSet
+    assert(left == (11 to 20).map(_.toString).toSet,
+      s"both typed ledger families must subtract: $left")
+  }
+
+  test("ledger signatures + row counts ride the log and its checkpoints") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create((0L until 10L).map(i => (i, "base")).toDF("k", "v"),
+      root, statsKey = Some("k"))
+    TxTable.deleteMor(spark, root, Seq(3L, 4L).toDF("k"), "k")
+    val snap = TxTable.snapshot(root)
+    assert(snap.ledgers.nonEmpty)
+    assert(snap.ledgers.forall(l => l.rows >= 0 && l.sig == "k:bigint"),
+      s"ledgers must carry stamped rows + signature: ${snap.ledgers}")
+    val cjson = Files.readString(
+      java.nio.file.Paths.get(root, "_log",
+        f"${snap.version}%020d.json"))
+    assert(cjson.contains("\"dsigs\"") && cjson.contains("\"drows\""))
+    // survive checkpoint consolidation: push to a checkpoint boundary
+    for (e <- 2 to 10)
+      TxTable.mergeMor(spark, root, Seq((e.toLong, s"e$e")).toDF("k", "v"), "k")
+    val ck = java.nio.file.Paths.get(root, "_log", f"${10L}%020d.ckpt.json")
+    assert(Files.exists(ck), "checkpoint expected at v10")
+    val ckj = Files.readString(ck)
+    assert(ckj.contains("\"dsigs\"") && ckj.contains("\"drows\""))
+    val snap2 = TxTable.snapshot(root)
+    assert(snap2.ledgers.forall(l => l.rows >= 0 && l.sig.nonEmpty),
+      "checkpoint-folded ledgers must keep rows + signatures")
+  }
+
   test("optimizeOn a string axis: re-cluster makes prefix64 ranges tile") {
     import spark.implicits._
     val root = freshRoot() + "/t"

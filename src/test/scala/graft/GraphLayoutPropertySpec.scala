@@ -96,6 +96,25 @@ class GraphLayoutPropertySpec extends AnyFunSuite {
     checkGraph(n, edges, driverMaxEdges = 50L)
   }
 
+  test("ConnectedComponents fixed-edge loop (spark.graft.cc.mode=fixed) equals union-find") {
+    // the A/B alternative strategy must stay the same pure function of
+    // the edge set on chains, cliques, and random graphs
+    spark.conf.set("spark.graft.cc.mode", "fixed")
+    try {
+      checkGraph(400, (0L until 399L).map(i => (i, i + 1)), driverMaxEdges = 0L)
+      val k = 6
+      val cl = for {
+        c <- 0 until 20; i <- 0 until k; j <- (i + 1) until k
+      } yield ((c * k + i).toLong, (c * k + j).toLong)
+      checkGraph(20 * k, cl, driverMaxEdges = 0L)
+      val gen = Gen.listOfN(80, for {
+        a <- Gen.chooseNum(0L, 59L); b <- Gen.chooseNum(0L, 59L) if a != b
+      } yield (a, b))
+      val edges = gen.apply(Gen.Parameters.default, Seed(7L)).get
+      checkGraph(60, edges, driverMaxEdges = 0L)
+    } finally spark.conf.unset("spark.graft.cc.mode")
+  }
+
   test("ConnectedComponents on dense cliques (distributed + contracted finish)") {
     // the Q-graph-10 shape at spec scale: LSH near-dup clusters are
     // cliques, where the contracting loop collapses everything in round

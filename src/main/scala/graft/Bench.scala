@@ -207,7 +207,7 @@ object Bench {
         set.diff(headline.toSet).toSeq.sorted
       case None => headline
     }
-    val results: Seq[(String, (Double, Double))] =
+    val results: Seq[(String, (Double, Double, Int))] =
       names.map { name =>
         try {
           runOnce(spark, name, sfDir) // warm-up
@@ -219,24 +219,32 @@ object Bench {
           // when they do, the min is one lucky draw, so take up to two
           // more draws to firm it up. A quiet host never triggers this
           // (best two agree within ~5%), so the suite cost is unchanged
-          // where the extra runs aren't needed.
+          // where the extra runs aren't needed. The retry count per query
+          // lands in bench_out.json (queries_retries): min-of-5 is
+          // stochastically lower than min-of-3, so a row where extras
+          // fired is flagged as not directly comparable to a fixed-3-run
+          // ledger value.
           var extra = 0
           while (extra < 2 && times(1) > times.head * 1.35) {
             times = (times :+ runOnce(spark, name, sfDir)).sorted
             extra += 1
           }
-          name -> (times.head, times(times.length / 2))
+          name -> (times.head, times(times.length / 2), extra)
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            name -> (-1.0, -1.0)
+            name -> (-1.0, -1.0, 0)
         }
       }
-    def jmap(f: ((String, (Double, Double))) => Double): String =
+    def jmap(f: ((String, (Double, Double, Int))) => Double): String =
       results.map { case (k, v) => "\"" + k + "\":" + f((k, v)) }
         .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalMed = results.map(_._2._2).filter(_ >= 0).sum
+    // noise-retry audit map: only rows where extras fired (sparse)
+    val retries = results.collect {
+      case (k, (_, _, e)) if e > 0 => "\"" + k + "\":" + e
+    }.mkString("{", ",", "}")
     // full-precision JSON (incl. the median map) goes to bench_out.json and
     // an early stdout line; the driver's artifact keeps only the last ~2000
     // bytes of stdout and parses the FINAL line, so the last thing printed
@@ -246,6 +254,7 @@ object Bench {
     // follows it.
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""value_median":$totalMed,"sf":"$sfDir",""" +
+      s""""queries_retries":$retries,""" +
       s""""queries_median":${jmap(_._2._2)},"queries":${jmap(_._2._1)}}"""
     // only a FULL headline run may refresh the artifact — a dev-knob
     // subset run would silently clobber the round's complete map
@@ -263,7 +272,7 @@ object Bench {
     }
     def render(dp: Int): String = {
       val q = results
-        .map { case (k, (mn, _)) => "\"" + k + "\":" + short(mn, dp) }
+        .map { case (k, (mn, _, _)) => "\"" + k + "\":" + short(mn, dp) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${short(total, 2)},""" +
         s""""unit":"sec","sf":"$sfDir","queries":$q}"""

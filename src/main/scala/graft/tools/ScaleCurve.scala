@@ -26,6 +26,19 @@ import graft.queries.tempDir
   *  - mor-read    (Q-qual-34): full-scan cost vs live LEDGER CHAIN
   *                length — the read-degradation claim foldLedgersOver
   *                exists to bound
+  *  - mor-read-volume: full-scan cost vs live DELETE-SET VOLUME at
+  *                fixed chain length — the axis the broadcast guard
+  *                prices; the big volume is measured under BOTH plan
+  *                forms (broadcast + shuffled fallback)
+  *  - inv-repair  (Q-llm-56): change-feed inverted-index maintenance,
+  *                corpus ×10 with the SAME 500-doc delta — flat claim
+  *  - hist-expire (Q-qual-18): retention cost vs commit-history depth
+  *                (×8 commits) — driver metadata I/O, never table data
+  *  - shingle-stage / shingle-probe (Q-qual-28): per-commit shingle
+  *                bloom staging cost vs batch rows (×8), and the
+  *                log-only phrase probe (flat in rows, ∝ files)
+  *  - zorder-n    (Q-qual-33): 3-axis z-order OPTIMIZE vs table size
+  *                (×8) — one interleave + range sort + rewrite
   *
   * Usage: runMain graft.tools.ScaleCurve [sfDir] [curve,curve]
   * (default sf0.1, all curves). Prints one JSON line per measurement.
@@ -232,6 +245,157 @@ object ScaleCurve {
       TxTable.foldLedgersOver(spark, root, 4)
       val chain = TxTable.ledgerPressure(root)._1
       measure(curve, chain)(readAll())
+    }
+
+    // ---- mor-read-volume: full-scan cost vs live DELETE-SET VOLUME at
+    // FIXED chain length (3 ledgers) — the axis the broadcast guard
+    // prices from the log's drows. Doomed keys ~1.5 k vs ~300 k (×200);
+    // at the big volume the read runs under BOTH plan forms (policy
+    // default = broadcast build side; threshold 0 = shuffled left_anti
+    // fallback), so the fallback's cost is a ledger row, not a hope.
+    // scale = live doomed keys / 1000.
+    if (want("mor-read-volume")) {
+      val tmp = tempDir("graft_scale_morvol").toString
+      for ((keys, tag) <- Seq(1500L -> "small", 300000L -> "big")) {
+        val root = s"$tmp/tbl_$tag"
+        val base = Tables.orders(spark, d)
+          .crossJoin(spark.range(4).select(col("id").as("rep")))
+          .select((col("o_orderkey") * 4 + col("rep")).as("k"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"))
+        TxTable.create(base.coalesce(4), root, statsKey = Some("k"))
+        val n = TxTable.read(spark, root).count()
+        val mod = math.max(2L, n * 3 / keys)
+        for (e <- 1 to 3)                                 // setup, untimed
+          TxTable.deleteMor(spark, root,
+            base.filter(col("k") % mod === e).select("k"), "k")
+        val vol = (TxTable.ledgerVolume(root) / 1000).toInt
+        def readAll(): Long = {
+          var x = 0L
+          for (_ <- 1 to 3)
+            x = TxTable.read(spark, root)
+              .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+              .collect()(0).getLong(0)
+          x
+        }
+        measure("mor-read-volume", vol)(readAll())
+        if (tag == "big") {
+          spark.conf.set("spark.graft.mor.broadcastMaxBytes", "0")
+          try measure("mor-read-volume-shuffled", vol)(readAll())
+          finally spark.conf.unset("spark.graft.mor.broadcastMaxBytes")
+        }
+      }
+    }
+
+    // ---- inv-repair: Q-llm-56's steady-state epoch — corpus ×m, SAME
+    // 500-doc delta (MoR re-write of their text), ONE change-feed
+    // maintenance epoch: postings die by a doc_id delete ledger, the
+    // re-tokenized post-images append. Flat claim: O(changed docs),
+    // never the corpus.
+    for (m <- Seq(1, 10) if want("inv-repair")) {
+      val tmp = tempDir(s"graft_scale_inv$m").toString
+      val (rootD, rootP) = (s"$tmp/docs", s"$tmp/postings")
+      val docs = Tables.documents(spark, d)
+        .crossJoin(spark.range(m).select(col("id").as("rep")))
+        .select((col("doc_id") * m + col("rep")).as("doc_id"), col("text"))
+      def postings(df: DataFrame) = df
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      TxTable.create(docs.coalesce(4), rootD, statsKey = Some("doc_id"))
+      TxTable.create(postings(TxTable.read(spark, rootD)).coalesce(4),
+        rootP, statsKey = Some("doc_id"))
+      val v0 = TxTable.snapshot(rootD).version
+      TxTable.mergeMor(spark, rootD,
+        TxTable.read(spark, rootD).orderBy("doc_id").limit(500)
+          .withColumn("text", concat(col("text"), lit(" graftupd"))),
+        "doc_id")                                         // setup, untimed
+      measure("inv-repair", m) {
+        val cur = TxTable.snapshot(rootD).version
+        val feed = TxTable.changeFeed(spark, rootD, v0, cur, Seq("doc_id"))
+          .localCheckpoint()
+        TxTable.deleteMor(spark, rootP, feed.select("doc_id"), "doc_id")
+        TxTable.append(spark, rootP, postings(
+          feed.filter(col("change") =!= "delete")
+            .select(col("doc_id"), col("post.text").as("text"))))
+        TxTable.read(spark, rootP).count()
+      }
+    }
+
+    // ---- hist-expire: Q-qual-18's retention core — commit history ×m
+    // (12 vs 96 CoW merge commits), then expireHistory to the newest
+    // checkpoint + vacuumOrphans, timed. Cost is driver metadata I/O
+    // ∝ archived commits + doomed files, never table data. rows :=
+    // commits archived.
+    for (m <- Seq(1, 8) if want("hist-expire")) {
+      val tmp = tempDir(s"graft_scale_hist$m").toString
+      val root = s"$tmp/tbl"
+      val base = Tables.customer(spark, d).select(
+        col("c_custkey").as("k"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("cents"))
+      TxTable.create(base.repartitionByRange(3, col("k"))
+        .sortWithinPartitions("k"), root, statsKey = Some("k"))
+      (1 to 12 * m).foreach { e =>                        // setup, untimed
+        TxTable.mergeCow(spark, root,
+          base.filter(col("k") % (23 * m) === (e % (23 * m)))
+            .select(col("k"), (col("cents") + e * 100L).as("cents")),
+          "k")
+      }
+      val head = TxTable.snapshot(root).version
+      measure("hist-expire", m) {
+        val (_, archived) = TxTable.expireHistory(root, head)
+        TxTable.vacuumOrphans(root)
+        archived
+      }
+    }
+
+    // ---- shingle-stage / shingle-probe: Q-qual-28's two cost centers.
+    // Staging: one append of a docs batch ×m into a shingle-declared
+    // table — the extra per-commit shingle scan is the claim (linear in
+    // batch rows, acceptable; super-linear would flag the window/agg).
+    // Probe: one phrase probe against the log alone — flat in ROWS,
+    // ∝ files. rows := files kept.
+    for (m <- Seq(1, 8) if want("shingle-blooms")) {
+      val tmp = tempDir(s"graft_scale_sh$m").toString
+      val root = s"$tmp/tbl"
+      val src = Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      val batchM = src
+        .crossJoin(spark.range(m).select(col("id").as("rep")))
+        .select((col("doc_id") * m + col("rep")).as("doc_id"), col("text"))
+      TxTable.create(src.limit(0).coalesce(1), root, Some("doc_id"), None,
+        Seq.empty, shingleCols = Seq("text"), shingleN = 5)
+      measure("shingle-stage", m) {
+        TxTable.append(spark, root, batchM.coalesce(4))
+        TxTable.snapshot(root).files.size.toLong
+      }
+      val probe = src.filter(col("doc_id") === 0)
+        .select(array_join(slice(org.apache.spark.sql.functions.filter(
+          split(lower(col("text")), "[^a-z0-9]+"),
+          x => x =!= lit("")), 1, 7), " "))
+        .head().getString(0)
+      measure("shingle-probe", m) {
+        val (kept, _) = TxTable.shinglePruneAccounting(root, "text", probe)
+        kept.toLong
+      }
+    }
+
+    // ---- zorder-n: Q-qual-33's layout rewrite — one transactional
+    // 3-axis z-order OPTIMIZE at table ×m: interleave + range sort +
+    // rewrite + stats, expected ~linear in data (one sort shuffle of
+    // the table). rows := post-optimize live files.
+    for (m <- Seq(1, 8) if want("zorder-n")) {
+      val tmp = tempDir(s"graft_scale_z$m").toString
+      val root = s"$tmp/tbl"
+      val src = Tables.lineitem(spark, d)
+        .crossJoin(spark.range(m).select(col("id").as("rep")))
+        .select((col("l_orderkey") * m + col("rep")).as("a"),
+          col("l_partkey").as("b"), col("l_suppkey").as("c"),
+          col("l_quantity").cast("long").as("qty"))
+      TxTable.create(src.coalesce(8), root, Some("a"), None, Seq("b", "c"))
+      measure("zorder-n", m) {
+        TxTable.optimizeZN(spark, root, Seq("a", "b", "c"),
+          targetFiles = 64 * m)
+        TxTable.snapshot(root).files.size.toLong
+      }
     }
     spark.stop()
   }

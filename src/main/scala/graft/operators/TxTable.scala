@@ -148,6 +148,22 @@ object TxTable {
     (names, types, names.length == 1 && types.head == "bigint")
   }
 
+  /** ALIASED ledger: a mergeMor commit's delete ledger is BY
+    * CONSTRUCTION the key projection of its own data adds, so the log
+    * records one `@<add>;<add>…` entry instead of staging a separate
+    * ledger parquet — halving the per-epoch commit's write jobs (the
+    * dominant fixed cost of a streaming MoR drain). Readers resolve the
+    * marker to the backing data files and project the signature's key
+    * columns off them (column-pruned, page-cache-hot — the same files
+    * the probe side reads). The `@` prefix also keeps a later
+    * data-file remove (binPack folding a small epoch file) from
+    * aliasing into a ledger retirement: the ledger entry survives by
+    * its own distinct path string, and the backing file stays on disk
+    * and log-referenced until no retained snapshot needs it. */
+  private def isAliased(p: String): Boolean = p.startsWith("@")
+  private def ledgerFiles(p: String): Seq[String] =
+    if (isAliased(p)) p.substring(1).split(';').toSeq else Seq(p)
+
   /** A resolved table state. `commits` holds only the SUFFIX folded on
     * top of the base checkpoint (the whole history when no checkpoint
     * exists); `statsKey`/`fileStats`/`tags` are fully folded — they
@@ -720,7 +736,12 @@ object TxTable {
                       files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name,
       lit, substring_index}
-    val sorted = snap.ledgers.sortBy(_.version)
+    // a ledger applying to NONE of the asked files can't doom anything —
+    // skip it (pruned reads only anti-join the ledgers that scope their
+    // kept files; zombie ledgers awaiting retirement cost nothing)
+    val sorted = snap.ledgers.sortBy(_.version).filter(l =>
+      files.exists(f =>
+        snap.fileAddV.getOrElse(f, Long.MaxValue) < l.version))
     if (sorted.isEmpty || files.isEmpty) readFilesEvolved(spark, root, snap, files)
     else {
       import spark.implicits._
@@ -771,6 +792,12 @@ object TxTable {
         sorted.map { l =>
           l.path -> prev.getOrElse(l.path,
             if (l.sig.nonEmpty) decodeSig(l.sig)
+            else if (isAliased(l.path))
+              // aliased entries are written WITH a signature; a bare
+              // one means a corrupt log — the data file's full schema
+              // would silently widen the join key set
+              throw new IllegalStateException(
+                s"aliased ledger ${l.path} carries no key signature")
             else {
               // pre-dsigs ledger: one footer read, then cached
               val ks = spark.read.parquet(s"$root/${l.path}")
@@ -795,9 +822,11 @@ object TxTable {
       val maxBcastBytes = spark.conf.getOption(
         "spark.graft.mor.broadcastMaxBytes").map(_.toLong)
         .getOrElse(100L * 1024 * 1024)
-      val resolved = sorted.zipWithIndex.groupBy(t => sigOf(t._1.path)).toSeq
-        .sortBy(t => (t._1._1 ++ t._1._2).mkString(","))
-        .foldLeft(tagged) { case (df, ((kcs, _, isLong), ls)) =>
+      val resolved = sorted.zipWithIndex
+        .groupBy(t => (sigOf(t._1.path), isAliased(t._1.path))).toSeq
+        .sortBy { case (((ns, ts, _), al), _) =>
+          ((ns ++ ts).mkString(","), al) }
+        .foldLeft(tagged) { case (df, (((kcs, _, isLong), aliased), ls)) =>
           val estBytes = ls.iterator.map { case (l, _) =>
             if (l.rows >= 0) l.rows * (24L + 24L * kcs.length)
             else Long.MaxValue / 1024 // unknown: never broadcast blindly
@@ -816,19 +845,30 @@ object TxTable {
           // probe row if ANY build row matches (key equal ∧ idx ≥
           // group), which IS the max-index test — duplicate keys
           // across ledgers change nothing and the build side stays
-          // shuffle-free.
+          // shuffle-free. Aliased entries read their backing DATA
+          // files through the evolution-reconciled path (a widen can
+          // postdate them) and project the signature's key columns —
+          // parquet column pruning keeps the scan key-only.
+          def entry(l: Ledger): DataFrame =
+            if (aliased)
+              readFilesEvolved(spark, root, snap, ledgerFiles(l.path))
+                .select(kcs.map(col): _*)
+            else spark.read.parquet(s"$root/${l.path}")
           val build =
             if (ls.size <= 4)
               ls.map { case (l, i) =>
-                spark.read.parquet(s"$root/${l.path}")
-                  .withColumn("__graft_li", lit(i))
+                entry(l).withColumn("__graft_li", lit(i))
               }.reduce(_.unionByName(_))
             else {
               val idxDf = broadcast(
-                ls.map { case (l, i) => (suffix2(l.path), i) }
+                ls.flatMap { case (l, i) =>
+                  ledgerFiles(l.path).map(f => (suffix2(f), i)) }
                   .toDF("__graft_lf", "__graft_li"))
-              spark.read
-                .parquet(ls.map(t => s"$root/${t._1.path}"): _*)
+              val allFiles = ls.flatMap(t => ledgerFiles(t._1.path))
+              (if (aliased)
+                 readFilesEvolved(spark, root, snap, allFiles)
+               else spark.read
+                 .parquet(allFiles.map(f => s"$root/$f"): _*))
                 .withColumn("__graft_lf",
                   substring_index(input_file_name(), "/", -2))
                 .join(idxDf, Seq("__graft_lf"))
@@ -965,6 +1005,21 @@ object TxTable {
       }
     }).head._2
   }
+
+  /** Pre-populate [[schemaCache]] for a witness the caller can prove
+    * (e.g. a just-published commit's post-state) — the next
+    * [[currentSchema]] call for that witness is a pure cache hit. */
+  private def seedSchema(root: String,
+                         ver: (Seq[(Long, String)], Seq[String]),
+                         schema: org.apache.spark.sql.types.StructType): Unit =
+    schemaCache.compute(root, (_, old) => {
+      val entries =
+        if (old == null)
+          List.empty[((Seq[(Long, String)], Seq[String]),
+            org.apache.spark.sql.types.StructType)]
+        else old
+      ((ver, schema) :: entries.filterNot(_._1 == ver)).take(4)
+    })
 
   /** Range read with METADATA-ONLY file pruning: the commit log's
     * per-file [min, max] stats decide which files can hold rows in
@@ -1764,13 +1819,20 @@ object TxTable {
     * unknown and aggregates fall back to scanning it). */
   private def footerRows(root: String, files: Seq[String]): Seq[Long] = prof("footers") {
     val conf = new org.apache.hadoop.conf.Configuration()
-    files.map { f =>
+    def one(f: String): Long =
       try {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(s"$root/$f"), conf)
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRecordCount finally r.close()
       } catch { case NonFatal(_) => -1L }
+    // ~15-20 ms of tail-read I/O each; a multi-file commit pays them
+    // CONCURRENTLY (driver-side, bounded by the common pool) instead of
+    // serially — publish latency stays ~one footer regardless of count
+    if (files.lengthCompare(1) <= 0) files.map(one)
+    else {
+      import scala.collection.parallel.CollectionConverters._
+      files.par.map(one).seq
     }
   }
 
@@ -1787,11 +1849,22 @@ object TxTable {
       else c
     // ledger row counts ride the log too: the MoR read's broadcast-vs-
     // shuffle decision needs the live delete-set volume without opening
-    // a footer per ledger per fresh driver
+    // a footer per ledger per fresh driver. Aliased entries reuse the
+    // adds' just-read footer counts; -1 marks unknown (never broadcast
+    // blindly).
     val withRows =
-      if (withRows0.dadds.nonEmpty && withRows0.drows.isEmpty)
-        withRows0.copy(drows = footerRows(root, withRows0.dadds))
-      else withRows0
+      if (withRows0.dadds.nonEmpty && withRows0.drows.isEmpty) {
+        val byAdd = withRows0.adds.zip(withRows0.addRows).toMap
+        withRows0.copy(drows = withRows0.dadds.map { p =>
+          val fs = ledgerFiles(p)
+          val known = fs.map(f => byAdd.getOrElse(f, -1L))
+          if (known.forall(_ >= 0)) known.sum
+          else {
+            val fr = footerRows(root, fs)
+            if (fr.exists(_ < 0)) -1L else fr.sum
+          }
+        })
+      } else withRows0
     // stamp the commit wall-clock, forced STRICTLY increasing over the
     // predecessor (one small log read) so TIMESTAMP AS OF is a total
     // order even across clock skew between writers — the same
@@ -2161,7 +2234,7 @@ object TxTable {
     val snap = snapshot(root)
     snap.ledgers.map { l =>
       if (l.rows >= 0) l.rows
-      else footerRows(root, Seq(l.path)).head max 0L
+      else footerRows(root, ledgerFiles(l.path)).map(_ max 0L).sum
     }.sum
   }
 
@@ -2191,7 +2264,16 @@ object TxTable {
     require(snap0.version >= 0, s"not a TxTable: $root")
     if (tag.exists(snap0.tags))
       return Some(CommitResult(snap0.version, 1, skipped = true))
-    if (!snap0.files.exists(ledgerChain(snap0, _) > maxLedgers)) return None
+    // a ZOMBIE ledger scopes no live file (every file postdating it was
+    // rewritten away, e.g. by a binPack that packed the whole table):
+    // reads already skip it, but it still weighs on the log and every
+    // snapshot resolution — retirable by a METADATA-ONLY commit, no
+    // bytes moved
+    def zombies(s: Snapshot): Seq[String] = s.ledgers.filter(l =>
+      !s.files.exists(f =>
+        s.fileAddV.getOrElse(f, Long.MaxValue) < l.version)).map(_.path)
+    if (!snap0.files.exists(ledgerChain(snap0, _) > maxLedgers) &&
+        zombies(snap0).isEmpty) return None
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -2199,7 +2281,16 @@ object TxTable {
       if (tag.exists(snap.tags))
         return Some(CommitResult(snap.version, attempt, skipped = true))
       val hot = snap.files.filter(ledgerChain(snap, _) > maxLedgers)
-      if (hot.isEmpty) return None // a rebase resolved the pressure
+      val dead = zombies(snap)
+      if (hot.isEmpty && dead.isEmpty) return None // a rebase resolved it
+      if (hot.isEmpty) {
+        val c = Commit(snap.version + 1, "fold-ledgers",
+          Seq.empty, dead, tag)
+        if (tryPublish(root, c)) {
+          maybeCheckpoint(root, c.version)
+          return Some(CommitResult(c.version, attempt, skipped = false))
+        }
+      } else {
       val keep = snap.files.diff(hot)
       val rewrite = morRead(spark, root, snap, hot)
       val (adds, st, bl, stN, blN) =
@@ -2217,6 +2308,7 @@ object TxTable {
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return Some(CommitResult(c.version, attempt, skipped = false))
+      }
       }
     }
     throw new IllegalStateException(
@@ -2246,10 +2338,14 @@ object TxTable {
       .filter(_.endsWith(".json"))
       .flatMap { n =>
         val j = Files.readString(logDir(root).resolve(n))
-        if (n.endsWith(".ckpt.json")) arrField(j, "files") ++ arrField(j, "dfiles")
+        if (n.endsWith(".ckpt.json"))
+          arrField(j, "files") ++ arrField(j, "dfiles").flatMap(ledgerFiles)
         else {
           val c = parse(j)
-          c.adds ++ c.dadds // delete ledgers are referenced files too
+          // delete ledgers are referenced files too; aliased entries
+          // keep their backing data files referenced even after a
+          // rewrite removed them from the live set
+          c.adds ++ c.dadds.flatMap(ledgerFiles)
         }
       }
       .toSet
@@ -2315,11 +2411,13 @@ object TxTable {
       s"cutoff checkpoint v$cutoff does not resolve cleanly")
     // everything any retained version (>= cutoff) can reach
     val needed: Set[String] =
-      atCutoff.files.toSet ++ atCutoff.ledgers.map(_.path) ++
+      atCutoff.files.toSet ++
+        atCutoff.ledgers.flatMap(l => ledgerFiles(l.path)) ++
         ((cutoff + 1) to head.version).iterator.flatMap { v =>
           val p = commitPath(root, v)
           if (Files.exists(p)) {
-            val c = parse(Files.readString(p)); c.adds ++ c.dadds
+            val c = parse(Files.readString(p))
+            c.adds ++ c.dadds.flatMap(ledgerFiles)
           } else Seq.empty
         }
     val archivable = names
@@ -2329,7 +2427,7 @@ object TxTable {
     // data files only pre-cutoff commits reference, minus the needed set
     val doomed: Set[String] = archivable.iterator.flatMap { v =>
       val c = parse(Files.readString(commitPath(root, v)))
-      c.adds ++ c.dadds
+      c.adds ++ c.dadds.flatMap(ledgerFiles)
     }.toSet -- needed
     doomed.foreach(f => Files.deleteIfExists(Paths.get(root, f)))
     // archive the commit records below the cutoff, then stale checkpoints
@@ -2689,13 +2787,30 @@ object TxTable {
           val av = to.fileAddV.getOrElse(f, Long.MaxValue)
           newLedgers.exists(_.version > av)
         }
-        val lfs = newLedgers.map(l => spark.read.parquet(s"$root/${l.path}"))
-        if (lfs.exists(l => l.columns.length != 1 ||
-            l.schema.head.dataType != org.apache.spark.sql.types.LongType))
+        // resolve each ledger's key signature from the log (aliased
+        // entries carry the full data schema on disk — the sig names
+        // the key projection); pre-dsigs ledgers read their own schema
+        val sigs = newLedgers.map { l =>
+          if (l.sig.nonEmpty) decodeSig(l.sig)
+          else {
+            val ks = spark.read.parquet(s"$root/${l.path}")
+            (ks.columns.toSeq,
+              ks.schema.map(_.dataType.catalogString).toSeq,
+              ks.columns.length == 1 &&
+                ks.schema.head.dataType ==
+                  org.apache.spark.sql.types.LongType)
+          }
+        }
+        if (sigs.exists(!_._3))
           applicable // composite/natural-key ledgers: no long stats to prune by
         else {
-        val keyRows = lfs
-          .map(lf => lf.select(col(lf.columns.head).cast("long").as("k")))
+        val keyRows = newLedgers.zip(sigs)
+          .map { case (l, (ns, _, _)) =>
+            (if (isAliased(l.path))
+               readFilesEvolved(spark, root, to, ledgerFiles(l.path))
+             else spark.read.parquet(s"$root/${l.path}"))
+              .select(col(ns.head).cast("long").as("k"))
+          }
           .reduce(_.unionByName(_)).distinct()
           .limit(10001).collect()
         if (keyRows.length > 10000) applicable // too many to prune by
@@ -2742,12 +2857,21 @@ object TxTable {
       val keep = snap.files.filterNot(touched)
       // rewrites start from EFFECTIVE content: a key deleted by a live
       // ledger must not resurrect through a rewrite it wasn't part of
-      // (the rewritten file postdates the ledger, escaping it)
+      // (the rewritten file postdates the ledger, escaping it).
+      // coalesce to the touched-file count: the anti-join is usually a
+      // broadcast (no exchange), so without it the rewrite inherits one
+      // output partition per input SPLIT and a small epoch merge
+      // shatters into a dozen near-empty files — each paying writer
+      // init, a footer read, stats, and a log entry per commit
+      // (profiled: 15 files/commit on a streaming upsert sink). A
+      // narrow coalesce keeps rewrite parallelism proportional to the
+      // data being rewritten and roughly preserves per-file locality.
       val touchedContent =
         if (touched.isEmpty) changes
         else morRead(spark, root, snap, touched.toSeq)
           .join(changes.select(mk.map(col): _*).distinct(), mk, "left_anti")
           .unionByName(changes, allowMissingColumns = true)
+          .coalesce(math.max(1, touched.size))
       (keep, touchedContent)
     }
   }
@@ -2868,17 +2992,18 @@ object TxTable {
     keys.foreach(k => require(changes.columns.contains(k),
       s"merge key '$k' missing from the merge-mor batch " +
         s"(batch columns: ${changes.columns.mkString(", ")})"))
+    val tbl = currentSchema(spark, root, snap0)
+    // name match mirrors Spark's resolution: case-insensitive unless
+    // spark.sql.caseSensitive — a batch column differing only in case
+    // still binds to the table column at read time, so it must hit the
+    // same type guard here
+    val cs = spark.conf.getOption("spark.sql.caseSensitive")
+      .exists(_.toBoolean)
+    def sameName(a: String, b: String): Boolean =
+      if (cs) a == b else a.equalsIgnoreCase(b)
     locally {
-      val tbl = currentSchema(spark, root, snap0)
-      // name match mirrors Spark's resolution: case-insensitive unless
-      // spark.sql.caseSensitive — a batch column differing only in case
-      // still binds to the table column at read time, so it must hit the
-      // same type guard here
-      val cs = spark.conf.getOption("spark.sql.caseSensitive")
-        .exists(_.toBoolean)
       changes.schema.foreach { f =>
-        tbl.find(t => if (cs) t.name == f.name
-                      else t.name.equalsIgnoreCase(f.name)).foreach { t =>
+        tbl.find(t => sameName(t.name, f.name)).foreach { t =>
           require(t.dataType == f.dataType,
             s"merge-mor batch column '${f.name}' is " +
               s"${f.dataType.simpleString} but the table stores " +
@@ -2887,21 +3012,27 @@ object TxTable {
         }
       }
     }
-    // stage data ONCE, then derive the ledger from the staged files —
-    // the `changes` plan executes a single time (staging it twice ran
-    // the whole upstream DAG per staging), and the ledger is guaranteed
-    // to cover exactly the rows that landed even if the upstream plan is
-    // non-deterministic between executions. Rebased retries re-reference
-    // both stagings.
+    // stage data ONCE; the delete ledger is NOT staged at all — it is
+    // by construction the key projection of the staged adds, so the
+    // commit records one aliased `@…` entry pointing at them (see
+    // [[isAliased]]). That halves the write jobs of the per-epoch MoR
+    // commit path (profiled: the staged-write fixed cost dominates a
+    // drain), covers exactly the rows that landed even if the upstream
+    // plan is non-deterministic between executions, and rebased
+    // retries re-reference the same staging.
     val (adds, st, bl, stN, blN) =
       stageData(changes, root, snap0.statsKey, snap0.statsCols)
-    val staged =
-      if (adds.isEmpty) changes // empty batch: nothing staged, ledger empty
-      else spark.read.parquet(adds.map(f => s"$root/$f"): _*)
-    val ledgerDf = ledgerKeys(staged, keys)
-    val (dfiles, _, _, _, _) = stageData(
-      ledgerDf.distinct().coalesce(1), root, statsKey = None)
-    val dsig = encodeSig(ledgerDf.schema)
+    val dfiles =
+      if (adds.isEmpty) Seq.empty[String] else Seq("@" + adds.mkString(";"))
+    // the signature comes from the VALIDATED batch schema (the staged
+    // parquet round-trips it exactly), long-normalized the same way
+    // [[ledgerKeys]] would — no read-back job
+    val dsig = encodeSig(org.apache.spark.sql.types.StructType(
+      if (keys.size == 1 && isIntegral(
+          changes.schema(changes.schema.fieldIndex(keys.head)).dataType))
+        Seq(org.apache.spark.sql.types.StructField(keys.head,
+          org.apache.spark.sql.types.LongType))
+      else keys.map(k => changes.schema(changes.schema.fieldIndex(k)))))
     val shBl = stageShingles(changes, root, adds,
       snap0.shingleCols, snap0.shingleN)
     var attempt = 0
@@ -2916,6 +3047,19 @@ object TxTable {
         addStatsN = stN, addBloomsN = blN, dadds = dfiles,
         addShBlooms = shBl, dsigs = dfiles.map(_ => dsig))
       if (tryPublish(root, c)) {
+        // seed the schema cache for the post-commit witness: the union
+        // schema grows only by the batch's validated new columns, so the
+        // NEXT micro-batch's validation pays zero inference jobs — the
+        // remaining per-commit footer job of a streaming MoR drain.
+        // Only on the un-rebased path (snap == the snapshot `tbl` was
+        // validated against): a rebase may have raced in columns this
+        // union can't see.
+        if (snap.version == snap0.version)
+          seedSchema(root, (snap.evos, snap.files ++ adds),
+            org.apache.spark.sql.types.StructType(
+              tbl.fields ++ changes.schema.fields
+                .filterNot(f => tbl.exists(t => sameName(t.name, f.name)))
+                .map(_.copy(nullable = true))))
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }

@@ -227,18 +227,36 @@ final class GraftStreamSink(
     statsKey: Option[String]) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val df = StreamingBridge.asBatch(data)
+    val raw = StreamingBridge.asBatch(data)
     if (TxTable.snapshot(root).version < 0)
-      TxTable.create(df.limit(0), root, statsKey) // schema-only v0
-    // the engine emits NO-DATA batches (watermark advancement in update
-    // mode); an empty append/upsert changes nothing — skip the commit
-    // rather than churn the log with empty versions (the limit-1 probe
-    // is the cost; consistent under replay: empty then, empty now)
-    if (df.isEmpty) return
-    val tag = Some(s"graftsink/epoch=$batchId")
-    if (mergeKeys.nonEmpty)
-      TxTable.mergeCow(spark, root, df, mergeKeys.head, tag, mergeKeys)
-    else TxTable.append(spark, root, df, tag)
+      TxTable.create(raw.limit(0), root, statsKey) // schema-only v0
+    // materialize the micro-batch ONCE: the commit path reads it twice
+    // (emptiness/size + staging), and — streaming plans run with AQE
+    // off — the raw frame carries one output partition per post-shuffle
+    // task, so a small update-mode aggregate batch would otherwise
+    // shatter into ~32 near-empty files, each paying writer init, a
+    // footer read, stats, and a log entry EVERY epoch. Size the commit
+    // from the materialized count instead (~2M rows per file), freeing
+    // the blocks as soon as the commit lands.
+    val cp = raw.localCheckpoint(true)
+    val fresh = cp.queryExecution.logical.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
+    try {
+      val n = cp.count()
+      // NO-DATA batches (watermark advancement in update mode): an
+      // empty append/upsert changes nothing — skip the commit rather
+      // than churn the log with empty versions (consistent under
+      // replay: empty then, empty now)
+      if (n == 0L) return
+      val parts = math.max(1L, math.min(n / 2000000L + 1L,
+        spark.sparkContext.defaultParallelism.toLong)).toInt
+      val df = cp.coalesce(parts)
+      val tag = Some(s"graftsink/epoch=$batchId")
+      if (mergeKeys.nonEmpty)
+        TxTable.mergeCow(spark, root, df, mergeKeys.head, tag, mergeKeys)
+      else TxTable.append(spark, root, df, tag)
+    } finally fresh.foreach(_.unpersist(blocking = false))
   }
   override def toString: String = s"GraftStreamSink[$root]"
 }

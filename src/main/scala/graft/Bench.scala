@@ -145,7 +145,8 @@ object Bench {
     "Q-qual-33",  // 3-dim z-order OPTIMIZE (all three axes log-pruned)
     "Q-llm-59",   // vector index maintained from the change feed
     "Q-scan-22",  // per-stratum A-ES weighted sampling (WindowGroupLimit)
-    "Q-qual-34"   // ledger-pressure fold bounds the MoR read chain
+    "Q-qual-34",  // ledger-pressure fold bounds the MoR read chain
+    "Q-qual-35"   // delete-set broadcast guard: both plan forms priced
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

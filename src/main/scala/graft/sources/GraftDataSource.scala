@@ -100,10 +100,14 @@ final class GraftDataSource extends RelationProvider
     require(partitionColumns.isEmpty,
       "graft sink does not take partitionBy — declare statsKey instead " +
         "(log-stats pruning replaces directory partitioning)")
+    val mode = opt(parameters, "mergeMode").getOrElse("cow")
+    require(mode == "cow" || mode == "mor",
+      s"mergeMode must be 'cow' or 'mor', got '$mode'")
     new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters),
       mergeKeys = opt(parameters, "mergeKeys").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-      statsKey = opt(parameters, "statsKey"))
+      statsKey = opt(parameters, "statsKey"),
+      morUpserts = mode == "mor")
   }
 }
 

@@ -219,12 +219,18 @@ final class GraftChangeFeedSource(
   *
   * `mergeKeys=k1,k2` upserts each batch on those keys (update-mode
   * windowed aggregates); absent, batches append. `statsKey=k` seeds the
-  * auto-created table's pruning stats. */
+  * auto-created table's pruning stats. `mergeMode=mor` lands each
+  * upsert epoch as a merge-on-read commit (aliased delete ledger + new
+  * row versions, ZERO data-file rewrites) — the per-epoch cost a hot
+  * 100 TB table needs, with `foldLedgersOver` as the maintenance
+  * counterpart; the default `cow` rewrites touched files per epoch and
+  * keeps the table ledger-free for planner-integrated scans. */
 final class GraftStreamSink(
     spark: SparkSession,
     root: String,
     mergeKeys: Seq[String],
-    statsKey: Option[String]) extends Sink {
+    statsKey: Option[String],
+    morUpserts: Boolean = false) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val raw = StreamingBridge.asBatch(data)
@@ -253,7 +259,9 @@ final class GraftStreamSink(
         spark.sparkContext.defaultParallelism.toLong)).toInt
       val df = cp.coalesce(parts)
       val tag = Some(s"graftsink/epoch=$batchId")
-      if (mergeKeys.nonEmpty)
+      if (mergeKeys.nonEmpty && morUpserts)
+        TxTable.mergeMorKeys(spark, root, df, mergeKeys, tag)
+      else if (mergeKeys.nonEmpty)
         TxTable.mergeCow(spark, root, df, mergeKeys.head, tag, mergeKeys)
       else TxTable.append(spark, root, df, tag)
     } finally fresh.foreach(_.unpersist(blocking = false))

@@ -72,6 +72,64 @@ class GraftStreamSpec extends AnyFunSuite {
       "the incremental epoch should land as exactly one sink commit")
   }
 
+  test("mergeMode=mor sink: upsert epochs rewrite zero files, fold restores the fast path") {
+    import spark.implicits._
+    val dir = fresh()
+    val (src, dst, ckpt) = (s"$dir/src", s"$dir/dst", s"$dir/ckpt")
+    // 4 source epochs, overlapping keys: every epoch after the first is
+    // a genuine upsert (the CoW sink would rewrite touched files)
+    TxTable.create(
+      (0L until 60L).map(k => (k, 0L)).toDF("k", "e").coalesce(1),
+      src, statsKey = Some("k"))
+    (1 to 3).foreach { e =>
+      TxTable.append(spark, src,
+        (e * 10L until e * 10L + 60L).map(k => (k, e.toLong))
+          .toDF("k", "e").coalesce(1))
+    }
+    def drainMor(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1")
+        .option("ignoreChanges", "true")
+        .load(src)
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("mergeKeys", "k")
+        .option("mergeMode", "mor")
+        .option("statsKey", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMor()
+    // the MoR contract: no upsert epoch rewrote or removed a data file
+    val pv = TxTable.snapshot(dst).version
+    (1L to pv).foreach { v =>
+      val prev = TxTable.snapshot(dst, v - 1).files.toSet
+      val cur = TxTable.snapshot(dst, v).files.toSet
+      assert(prev.subsetOf(cur),
+        s"mor sink epoch rewrote data files at v$v")
+    }
+    assert(TxTable.snapshot(dst).ledgers.nonEmpty,
+      "upsert epochs should carry delete ledgers")
+    // replay: unchanged source commits nothing
+    drainMor()
+    assert(TxTable.snapshot(dst).version == pv, "re-drain must no-op")
+    // content = last-writer-wins per key, same as a CoW upsert drain
+    val want = (0L until 90L).map { k =>
+      val last = (0 to 3).filter(e =>
+        (e == 0 && k < 60) || (e > 0 && k >= e * 10 && k < e * 10 + 60)).max
+      (k, last.toLong)
+    }.toSet
+    assert(TxTable.read(spark, dst)
+      .as[(Long, Long)].collect().toSet == want)
+    // maintenance folds the ledgers away; content invariant
+    TxTable.foldLedgersOver(spark, dst, 0)
+    assert(TxTable.snapshot(dst).ledgers.isEmpty)
+    assert(TxTable.read(spark, dst)
+      .as[(Long, Long)].collect().toSet == want)
+  }
+
   test("a file-rewriting commit refuses; ignoreChanges emits its adds") {
     import spark.implicits._
     val dir = fresh()

@@ -1704,6 +1704,55 @@ class TxTableSpec extends AnyFunSuite {
       "checkpoint-folded ledgers must keep rows + signatures")
   }
 
+  test("aliased ledger lifecycle: backing files survive binPack, vacuum, and retention while referenced") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF, Paths => JP}
+    val root = freshRoot() + "/t"
+    TxTable.create((0L until 200L).map(i => (i, "base")).toDF("k", "v"),
+      root, statsKey = Some("k"))
+    // 3 MoR upsert epochs: each add file doubles as its commit's delete
+    // ledger (the @alias); the base file keeps a 3-ledger chain
+    for (e <- 1 to 3)
+      TxTable.mergeMor(spark, root,
+        (0L until 40L).map(i => (i, s"e$e")).toDF("k", "v").coalesce(1), "k")
+    val expected = (0L until 200L)
+      .map(i => (i, if (i < 40) "e3" else "base")).toSet
+    assert(rows(root) == expected)
+    val aliasedBacking = TxTable.snapshot(root).ledgers
+      .flatMap(_.path.stripPrefix("@").split(';')).filter(_.nonEmpty)
+    assert(aliasedBacking.size == 3, s"3 aliased epochs: $aliasedBacking")
+    // binPack folds EVERY file (all tiny) into one: the epoch add files
+    // leave the live set, but their ledger entries survive (the @ path
+    // is its own string) and reads stay correct — the backing files are
+    // still on disk and still log-referenced
+    assert(TxTable.binPack(spark, root, 1L << 20, 1).exists(!_.skipped))
+    assert(rows(root) == expected, "content must survive the pack")
+    assert(aliasedBacking.forall(f => JF.exists(JP.get(root, f))),
+      "backing files must remain on disk while their ledgers live")
+    // vacuum reclaims nothing referenced: every backing file is reachable
+    // through some commit's dadds
+    TxTable.vacuumOrphans(root)
+    assert(aliasedBacking.forall(f => JF.exists(JP.get(root, f))),
+      "vacuum must not eat aliased-ledger backing files")
+    assert(rows(root) == expected)
+    // push to a checkpoint and expire pre-cutoff history: retention must
+    // keep any file a RETAINED snapshot's ledger references, and the
+    // retained range keeps resolving
+    for (e <- 4 to 10)
+      TxTable.mergeMor(spark, root,
+        Seq((e * 1000L, s"x$e")).toDF("k", "v"), "k")
+    val head = TxTable.snapshot(root).version
+    val expected2 = rows(root)
+    TxTable.expireHistory(root, head)
+    assert(rows(root) == expected2, "retention must not change content")
+    TxTable.vacuumOrphans(root)
+    assert(rows(root) == expected2)
+    // a final full fold retires everything and content still holds
+    TxTable.foldLedgersOver(spark, root, 0)
+    assert(TxTable.ledgerPressure(root) == ((0, 0)))
+    assert(rows(root) == expected2)
+  }
+
   test("optimizeOn a string axis: re-cluster makes prefix64 ranges tile") {
     import spark.implicits._
     val root = freshRoot() + "/t"

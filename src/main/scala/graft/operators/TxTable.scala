@@ -1006,6 +1006,13 @@ object TxTable {
     }).head._2
   }
 
+  /** The cached union schema for exactly this witness, if present —
+    * never computes (zero jobs). */
+  private def cachedSchemaFor(
+      root: String, ver: (Seq[(Long, String)], Seq[String]))
+      : Option[org.apache.spark.sql.types.StructType] =
+    Option(schemaCache.get(root)).flatMap(_.find(_._1 == ver).map(_._2))
+
   /** Pre-populate [[schemaCache]] for a witness the caller can prove
     * (e.g. a just-published commit's post-state) — the next
     * [[currentSchema]] call for that witness is a pure cache hit. */
@@ -2476,6 +2483,23 @@ object TxTable {
         statsKey = None, addStats = st, addBlooms = bl,
         addStatsN = stN, addBloomsN = blN, addShBlooms = shBl)
       if (tryPublish(root, c)) {
+        // ADDS-ONLY commit (append shape): the post-commit union schema
+        // is the cached union plus the batch's new columns — seed the
+        // cache so the next cached read / validation of this table pays
+        // zero inference. (Removes can shrink the union; those commits
+        // leave the cache to the delta/full recompute path.)
+        if (removes.isEmpty && snap.evos.isEmpty && adds.nonEmpty)
+          cachedSchemaFor(root, (snap.evos, snap.files)).foreach { tbl =>
+            val cs = spark.conf.getOption("spark.sql.caseSensitive")
+              .exists(_.toBoolean)
+            seedSchema(root, (snap.evos, snap.files ++ adds),
+              org.apache.spark.sql.types.StructType(
+                tbl.fields ++ rewrite.schema.fields
+                  .filterNot(f => tbl.exists(t =>
+                    if (cs) t.name == f.name
+                    else t.name.equalsIgnoreCase(f.name)))
+                  .map(_.copy(nullable = true))))
+          }
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }

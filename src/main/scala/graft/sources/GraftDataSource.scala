@@ -103,11 +103,16 @@ final class GraftDataSource extends RelationProvider
     val mode = opt(parameters, "mergeMode").getOrElse("cow")
     require(mode == "cow" || mode == "mor",
       s"mergeMode must be 'cow' or 'mor', got '$mode'")
+    val foldEvery = opt(parameters, "foldEvery").map(_.toInt).getOrElse(0)
+    require(foldEvery == 0 || mode == "mor",
+      "foldEvery is the MoR maintenance policy — set mergeMode=mor")
     new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters),
       mergeKeys = opt(parameters, "mergeKeys").toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       statsKey = opt(parameters, "statsKey"),
-      morUpserts = mode == "mor")
+      morUpserts = mode == "mor",
+      foldEvery = foldEvery,
+      maxLedgers = opt(parameters, "maxLedgers").map(_.toInt).getOrElse(8))
   }
 }
 

@@ -224,13 +224,20 @@ final class GraftChangeFeedSource(
   * row versions, ZERO data-file rewrites) — the per-epoch cost a hot
   * 100 TB table needs, with `foldLedgersOver` as the maintenance
   * counterpart; the default `cow` rewrites touched files per epoch and
-  * keeps the table ledger-free for planner-integrated scans. */
+  * keeps the table ledger-free for planner-integrated scans.
+  * `foldEvery=N` (with mor) makes the sink SELF-MAINTAINING: every Nth
+  * epoch runs the ledger-pressure fold in-band (bound `maxLedgers`,
+  * default 8), so an unbounded drain keeps a bounded read chain,
+  * delete-set volume, and log weight without an external maintenance
+  * job — epoch-tagged, so a replayed trigger never re-folds. */
 final class GraftStreamSink(
     spark: SparkSession,
     root: String,
     mergeKeys: Seq[String],
     statsKey: Option[String],
-    morUpserts: Boolean = false) extends Sink {
+    morUpserts: Boolean = false,
+    foldEvery: Int = 0,
+    maxLedgers: Int = 8) extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val raw = StreamingBridge.asBatch(data)
@@ -264,6 +271,10 @@ final class GraftStreamSink(
       else if (mergeKeys.nonEmpty)
         TxTable.mergeCow(spark, root, df, mergeKeys.head, tag, mergeKeys)
       else TxTable.append(spark, root, df, tag)
+      if (morUpserts && foldEvery > 0 && batchId > 0 &&
+          batchId % foldEvery == 0)
+        TxTable.foldLedgersOver(spark, root, maxLedgers,
+          Some(s"graftsink/fold=$batchId"))
     } finally fresh.foreach(_.unpersist(blocking = false))
   }
   override def toString: String = s"GraftStreamSink[$root]"

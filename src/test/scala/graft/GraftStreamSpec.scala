@@ -130,6 +130,51 @@ class GraftStreamSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet == want)
   }
 
+  test("foldEvery: the mor sink maintains its own ledger pressure in-band") {
+    import spark.implicits._
+    val dir = fresh()
+    val (src, dst, ckpt) = (s"$dir/src", s"$dir/dst", s"$dir/ckpt")
+    // 9 source epochs, all upserting the same hot keys — unmaintained,
+    // the sink table's chain would grow one per epoch
+    TxTable.create(
+      (0L until 50L).map(k => (k, 0L)).toDF("k", "e").coalesce(1),
+      src, statsKey = Some("k"))
+    (1 to 8).foreach { e =>
+      TxTable.append(spark, src,
+        (0L until 50L).map(k => (k, e.toLong)).toDF("k", "e").coalesce(1))
+    }
+    def drainMor(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1")
+        .option("ignoreChanges", "true")
+        .load(src)
+        .writeStream.format("graft")
+        .option("path", dst)
+        .option("mergeKeys", "k")
+        .option("mergeMode", "mor")
+        .option("foldEvery", "3")
+        .option("maxLedgers", "2")
+        .option("statsKey", "k")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainMor()
+    val (chain, live) = TxTable.ledgerPressure(dst)
+    assert(chain <= 2 + 3, // bound + at most foldEvery-1 epochs since
+      s"in-band folds must bound the chain, got $chain")
+    assert(live < 9, s"folds must retire ledgers, $live live")
+    // content: last epoch wins on every key
+    assert(TxTable.read(spark, dst).as[(Long, Long)].collect().toSet ==
+      (0L until 50L).map(k => (k, 8L)).toSet)
+    // replay: neither upserts nor folds re-run
+    val v = TxTable.snapshot(dst).version
+    drainMor()
+    assert(TxTable.snapshot(dst).version == v,
+      "replayed triggers must not re-upsert or re-fold")
+  }
+
   test("a file-rewriting commit refuses; ignoreChanges emits its adds") {
     import spark.implicits._
     val dir = fresh()

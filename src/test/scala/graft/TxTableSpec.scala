@@ -1676,6 +1676,19 @@ class TxTableSpec extends AnyFunSuite {
       .select("s").as[String].collect().toSet
     assert(left == (11 to 20).map(_.toString).toSet,
       s"both typed ledger families must subtract: $left")
+    // the NATURAL-key (null-safe <=>) anti-join must survive the
+    // shuffled fallback too: EqualNullSafe is a hashable join key, so
+    // the over-threshold form plans as a sort-merge anti-join — same
+    // rows as the broadcast form
+    spark.conf.set("spark.graft.mor.broadcastMaxBytes", "0")
+    try {
+      val df = TxTable.read(spark, root)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") && p.contains("LeftAnti"),
+        s"natural-key fallback must shuffle:\n$p")
+      assert(df.select("s").as[String].collect().toSet == left,
+        "natural-key shuffled fallback diverged from broadcast form")
+    } finally spark.conf.unset("spark.graft.mor.broadcastMaxBytes")
   }
 
   test("ledger signatures + row counts ride the log and its checkpoints") {

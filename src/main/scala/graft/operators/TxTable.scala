@@ -287,15 +287,40 @@ object TxTable {
     }
   }
 
+  // quote-aware array scanner: a raw split on ',' would truncate any
+  // element whose VALUE contains ',' or ']' (a ledger signature carrying
+  // a catalogString type like decimal(10,2), a path with a comma), and
+  // worse, misalign every element after it. Walk the body tracking
+  // in-string state, reversing esc()'s escapes, and only treat ','/']'
+  // as structure when outside a quoted string.
   private def arrField(json: String, k: String): Seq[String] = {
     val start = json.indexOf("\"" + k + "\":[")
     if (start < 0) Seq.empty
     else {
-      val from = start + k.length + 4
-      val end = json.indexOf(']', from)
-      val body = json.substring(from, end).trim
-      if (body.isEmpty) Seq.empty
-      else body.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var i = start + k.length + 4
+      var inStr = false; var quoted = false; var done = false
+      def flush(atEnd: Boolean): Unit = {
+        val bare = sb.toString.trim
+        if (quoted || bare.nonEmpty || !atEnd) out += (if (quoted) sb.toString else bare)
+        sb.clear(); quoted = false
+      }
+      while (!done) json.charAt(i) match {
+        case '\\' if inStr =>
+          json.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(json.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c => sb.append(c); i += 2
+          }
+        case '"' => inStr = !inStr; quoted = true; i += 1
+        case ',' if !inStr => flush(atEnd = false); i += 1
+        case ']' if !inStr => flush(atEnd = true); done = true
+        case c => if (inStr || !c.isWhitespace) sb.append(c); i += 1
+      }
+      out.toSeq
     }
   }
 
@@ -963,6 +988,14 @@ object TxTable {
     // O(table) footer I/O per commit. Removals (compaction, expiry) can
     // shrink the union, so any remove forces the full inference.
     val ver = (snap.evos, snap.files)
+    // name match mirrors Spark's resolution (same rule as the seed and
+    // merge-validation paths): case-insensitive unless
+    // spark.sql.caseSensitive — otherwise a same-typed column differing
+    // only in case would be silently dropped from the folded union
+    val cs = spark.conf.getOption("spark.sql.caseSensitive")
+      .exists(_.toBoolean)
+    def sameName(a: String, b: String): Boolean =
+      if (cs) a == b else a.equalsIgnoreCase(b)
     def infer(files: Seq[String]): org.apache.spark.sql.types.StructType =
       prof("schema.infer")(readFiles(spark, root, files, None).schema)
     def full: org.apache.spark.sql.types.StructType =
@@ -991,12 +1024,12 @@ object TxTable {
                     // same-name type clash can't happen on the
                     // validated write paths, but if one ever surfaces
                     // (hand-placed files), fall back to full inference
-                    if (ds.forall(f => s0.find(
-                        _.name.equalsIgnoreCase(f.name))
+                    if (ds.forall(f => s0.find(t =>
+                        sameName(t.name, f.name))
                         .forall(_.dataType == f.dataType)))
                       Some(org.apache.spark.sql.types.StructType(
                         s0.fields ++ ds.fields.filterNot(f =>
-                          s0.exists(_.name.equalsIgnoreCase(f.name)))))
+                          s0.exists(t => sameName(t.name, f.name)))))
                     else None
                   }
               }.flatten

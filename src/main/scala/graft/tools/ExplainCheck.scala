@@ -331,8 +331,12 @@ object ExplainCheck {
       try {
         val ps = graft.operators.TxTable.read(s, root)
           .queryExecution.executedPlan.toString
+        // line-wise regex: Spark prints the join type AFTER the key
+        // lists ("BroadcastHashJoin [k], [k], LeftAnti, ..."), so a
+        // plain substring "BroadcastHashJoin LeftAnti" can never match
         val okS = ps.contains("SortMergeJoin") && ps.contains("LeftAnti") &&
-          !ps.contains("BroadcastHashJoin LeftAnti")
+          !ps.linesIterator.exists(l =>
+            l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
         println(s"${if (okS) "PLAN-OK " else "PLAN-BAD"} mor-read: " +
           "over-threshold delete set falls back to shuffled anti-join")
         if (!okS) println(ps.linesIterator.take(40).mkString("\n"))

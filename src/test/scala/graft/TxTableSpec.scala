@@ -1651,7 +1651,10 @@ class TxTableSpec extends AnyFunSuite {
       val splan = df.queryExecution.executedPlan.toString
       assert(splan.contains("SortMergeJoin") && splan.contains("LeftAnti"),
         s"over-threshold delete set must shuffle:\n$splan")
-      assert(!splan.contains("BroadcastHashJoin LeftAnti"),
+      // line-wise: Spark prints "BroadcastHashJoin [k], [k], LeftAnti"
+      // (type after the key lists), so a plain substring never matches
+      assert(!splan.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
         s"guard must not broadcast the delete set:\n$splan")
       assert(df.as[(Long, String)].collect().toSet == expected,
         "both plan forms must resolve identical content")
@@ -1715,6 +1718,38 @@ class TxTableSpec extends AnyFunSuite {
     val snap2 = TxTable.snapshot(root)
     assert(snap2.ledgers.forall(l => l.rows >= 0 && l.sig.nonEmpty),
       "checkpoint-folded ledgers must keep rows + signatures")
+  }
+
+  test("comma-bearing ledger signature (decimal composite key) round-trips the log parser") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot() + "/t"
+    // composite key whose FIRST column's catalogString contains ',':
+    // "p:decimal(10,2);k:bigint". A raw comma-split of the dsigs array
+    // would truncate the sig to "p:decimal(10" — decodeSig then yields a
+    // key PREFIX and the anti-join silently deletes by prefix; in a
+    // checkpoint the spill misaligns every later ledger's signature.
+    val base = (0L until 20L)
+      .map(i => (BigDecimal(i) + BigDecimal("0.25"), i, s"r$i"))
+      .toDF("p", "k", "v")
+      .select(col("p").cast("decimal(10,2)").as("p"), col("k"), col("v"))
+    TxTable.create(base, root)
+    val doomed = Seq((BigDecimal("3.25"), 3L), (BigDecimal("7.25"), 7L))
+      .toDF("p", "k")
+      .select(col("p").cast("decimal(10,2)").as("p"), col("k"))
+    TxTable.deleteMorKeys(spark, root, doomed, Seq("p", "k"))
+    val snap = TxTable.snapshot(root)
+    assert(snap.ledgers.exists(_.sig == "p:decimal(10,2);k:bigint"),
+      s"sig must survive the log round-trip intact: ${snap.ledgers.map(_.sig)}")
+    // a SECOND ledger after the comma-bearing one: misalignment of later
+    // array elements is the failure mode the quote-aware parser closes
+    TxTable.deleteMorKeys(spark, root,
+      Seq((BigDecimal("11.25"), 11L)).toDF("p", "k")
+        .select(col("p").cast("decimal(10,2)").as("p"), col("k")),
+      Seq("p", "k"))
+    val left = TxTable.read(spark, root).select("k").as[Long].collect().toSet
+    assert(left == (0L until 20L).toSet -- Set(3L, 7L, 11L),
+      s"exact-key MoR subtraction only: $left")
   }
 
   test("aliased ledger lifecycle: backing files survive binPack, vacuum, and retention while referenced") {

@@ -69,7 +69,61 @@ object Graph {
             FROM edeg e JOIN $prev r ON e.src = r.id
             GROUP BY e.dst) c ON n.id = c.id)"""
 
+  /** Deterministic POWER-LAW (hub-skewed) graph fixture — the shape
+    * real web/link graphs have at 100 TB, and the one shape the graph
+    * family's other fixtures (uniform trade graph, chains, cliques)
+    * never exercise. Three parts, all SQL-replicable so the DuckDB
+    * oracle generates the identical edge set with `range()`:
+    *
+    *  - Zipf hub fan-out: hub h ∈ [0, 400m) carries ⌊2000m/(h+1)⌋
+    *    spoke edges — degree ~1/(h+1) with max degree 2000m (the ~10³
+    *    target at m=1), the classic power-law profile;
+    *  - shared spokes: spoke ids stride a prime ring (20011m, step 13)
+    *    offset per hub, so hubs overlap on spokes and hub–spoke–hub
+    *    wedges exist;
+    *  - a celebrity clique over the top ⌊120·∛m⌋ hubs — the adversary
+    *    for oriented triangle counting: its lowest-ordered member keeps
+    *    outdeg ≈ clique size AFTER orientation, so the u-keyed wedge
+    *    join emits k² rows from one key unless hubs are split
+    *    ([[graft.operators.TriangleCount]]'s cap/chunk re-key).
+    *
+    * Scale m multiplies hubs/degrees/spokes (edges ≈ linear in m, the
+    * clique grows ∛m so its wedge output also grows ~m) — ScaleCurve's
+    * `triangles` rows pin the near-linear claim at m=1 vs 8. */
+  def powerLawEdges(s: org.apache.spark.sql.SparkSession, m: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val hubs = 400L * m; val dmax = 2000L * m
+    val spokes = 20011L * m; val soff = 1000000L
+    val t = (120.0 * math.cbrt(m.toDouble)).round
+    val hubSpoke = s.range(hubs)
+      .select(col("id").as("h"),
+        explode(sequence(lit(0L),
+          expr(s"$dmax div (id + 1)") - 1)).as("j"))
+      .select(col("h").as("a"),
+        (lit(soff) + (col("h") * 37 + col("j") * 13) % spokes).as("b"))
+    val tops = s.range(t)
+    val clique = tops.as("x").join(tops.as("y"),
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    hubSpoke.unionAll(clique)
+  }
+
   val queries: Map[String, Q] = Map(
+    // ---- Q-graph-11: exact triangle census on the POWER-LAW fixture —
+    // closes the round-8 verdict's top gap (every prior graph scale
+    // claim was pinned on uniform/chain/clique shapes only). The
+    // operator is Q-graph-02's degree orientation PLUS high-degree
+    // vertex splitting: the celebrity clique leaves one vertex with
+    // outdeg ≈ 120 post-orientation, and the chunked (u, cl, cr) re-key
+    // caps any single join key's output at cap² — the mega-hub
+    // mitigation a single straggler key needs at 100 TB. Exact (not
+    // sampled), so the oracle is plain SQL over the same generated
+    // edges. Fixture is synthetic (sfDir-independent) like Q-graph-09/10
+    // because its POINT is the degree distribution.
+    "Q-graph-11" -> { (s, _) =>
+      graft.operators.TriangleCount.run(powerLawEdges(s, 1), cap = 64)
+    },
+
     // ---- Q-graph-01: PageRank over the symmetrized customer–supplier
     // trade graph, 8 fixed iterations, scaled form (rank mass = |V|).
     // Plan shape: one setup shuffle attaches out-degrees and partitions
@@ -434,6 +488,42 @@ object Graph {
           SELECT id::BIGINT AS id, ${Portable.rSql("rank", 9)} AS rank
           FROM r$ITERS ORDER BY id"""
     },
+
+    // the oracle regenerates the power-law fixture with range() (same
+    // arithmetic: Zipf fan ⌊2000/(h+1)⌋, prime spoke ring, top-120
+    // clique) and counts wedges/triangles with the plain oriented join
+    // — no hub splitting, so a split-path bug shows as a hash mismatch
+    "Q-graph-11" ->
+      """WITH hs AS (
+           SELECT h.r AS a, 1000000 + ((h.r * 37 + j.r * 13) % 20011) AS b
+           FROM range(400) h(r) JOIN range(2000) j(r)
+             ON j.r < 2000 // (h.r + 1)),
+         cl AS (
+           SELECT x.r AS a, y.r AS b
+           FROM range(120) x(r) JOIN range(120) y(r) ON x.r < y.r),
+         edges AS (SELECT a, b FROM hs UNION ALL SELECT a, b FROM cl),
+         deg AS (
+           SELECT v, count(*) AS d, count(*) * 100000000 + v AS ord
+           FROM (SELECT a AS v FROM edges UNION ALL SELECT b FROM edges)
+           GROUP BY v),
+         o AS (
+           SELECT CASE WHEN da.ord < db.ord THEN e.a ELSE e.b END AS u,
+                  CASE WHEN da.ord < db.ord THEN e.b ELSE e.a END AS v,
+                  greatest(da.ord, db.ord) AS ordv
+           FROM edges e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v),
+         w AS (
+           SELECT o1.v AS x, o2.v AS y
+           FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.ordv < o2.ordv),
+         t AS (
+           SELECT w.x, w.y FROM w
+           WHERE EXISTS (SELECT 1 FROM o WHERE o.u = w.x AND o.v = w.y)),
+         od AS (SELECT u, count(*) AS od FROM o GROUP BY u)
+         SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                (SELECT count(*) FROM edges)::BIGINT AS n_edges,
+                (SELECT count(*) FROM w)::BIGINT AS n_wedges,
+                (SELECT count(*) FROM t)::BIGINT AS n_triangles,
+                (SELECT max(d) FROM deg)::BIGINT AS max_deg,
+                (SELECT max(od) FROM od)::BIGINT AS max_outdeg""",
 
     "Q-graph-02" ->
       """WITH pairs AS (

@@ -397,6 +397,40 @@ object ScaleCurve {
         TxTable.snapshot(root).files.size.toLong
       }
     }
+    // ---- power-law graph family (round-9): the Zipf hub fixture
+    // (graft.queries.Graph.powerLawEdges — max degree 2000m, celebrity
+    // clique ∝ ∛m) at 1× vs 8× edges. Pins the claims the uniform/
+    // chain/clique fixtures can't: hub-split triangle counting stays
+    // ~linear despite a post-orientation mega-outdeg, PageRank's
+    // per-round exchanges stay |V|-bounded under Zipf in-degree, and
+    // the FULLY-distributed CC loop (driverMaxEdges=0, the 100 TB
+    // path) contracts a hub graph in O(1) effective rounds.
+    for (m <- Seq(1, 8) if want("pl-triangles")) {
+      measure("pl-triangles", m) {
+        graft.operators.TriangleCount
+          .run(graft.queries.Graph.powerLawEdges(spark, m), cap = 64)
+          .collect().head.getAs[Long]("n_wedges")
+      }
+    }
+    for (m <- Seq(1, 8) if want("pl-pagerank")) {
+      val e = graft.queries.Graph.powerLawEdges(spark, m)
+      val edges = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      measure("pl-pagerank", m) {
+        graft.operators.PageRank.run(edges, 8).count()
+      }
+    }
+    for (m <- Seq(1, 8) if want("pl-cc")) {
+      val e = graft.queries.Graph.powerLawEdges(spark, m)
+      val nodes = e.select(col("a").as("id"))
+        .unionAll(e.select(col("b").as("id"))).distinct()
+      measure("pl-cc", m) {
+        ConnectedComponents
+          .minLabel(nodes, e.select(col("a"), col("b")),
+            driverMaxEdges = 0L)
+          .select("label").distinct().count()
+      }
+    }
     spark.stop()
   }
 }

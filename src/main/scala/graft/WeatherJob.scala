@@ -44,11 +44,23 @@ object WeatherJob {
     Presence.detect(spark, keyed, ttlMillis).toDF() // (device_id, state, ts_ms)
   }
 
-  /** Keyed JSON egress projection (ref serializer semantics). */
+  /** Keyed JSON egress projection (ref serializer semantics): key =
+    * deviceId, value = NON_NULL JSON. RECORD-TIMESTAMP PARITY: the
+    * reference stamps the outgoing Kafka record with the PAYLOAD's
+    * timestamp (`WeatherPresenceSerializationSchema.java:35`); Spark's
+    * producer sink has no record-timestamp column, so the event time
+    * additionally rides a `ts` HEADER (big-endian int64 — Kafka's own
+    * timestamp wire encoding) for downstream consumers that read record
+    * metadata rather than the JSON body. The projection is validated
+    * against the producer sink's column contract in EVERY environment
+    * ([[graft.streaming.KafkaShape.requireSinkShape]]), broker or not. */
   def sinkProjection(presence: DataFrame): DataFrame =
-    presence.select(
+    graft.streaming.KafkaShape.requireSinkShape(presence.select(
       col("device_id").cast("string").as("key"),
-      to_json(struct(col("device_id"), col("state"), col("ts_ms"))).as("value"))
+      to_json(struct(col("device_id"), col("state"), col("ts_ms"))).as("value"),
+      array(struct(lit("ts").as("key"),
+        to_binary(lpad(hex(col("ts_ms")), 16, "0"), lit("hex"))
+          .as("value"))).as("headers")))
 
   /** The reference's logging map (`WeatherProcessingJob.java:81-84`) is dead
     * code (its stream is never consumed); its evident intent — per-record

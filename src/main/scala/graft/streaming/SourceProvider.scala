@@ -24,6 +24,7 @@ object SourceProvider {
   def apply(spark: SparkSession, conf: graft.core.EngineConfig): DataFrame =
     conf.getOrElse("source", "file") match {
       case "kafka" => kafka(spark, conf)
+      case "kafka-shape" => kafkaShape(spark, conf)
       case "file"  => file(spark, conf)
       case "rate"  => rate(spark, conf)
       case other   => throw new IllegalArgumentException(s"unknown source: $other")
@@ -66,6 +67,18 @@ object SourceProvider {
         case (r, (k, v)) => r.option(k, v)
       }
       .load()
+      .select(col("value"))
+
+  /** The connector test double: replays a staged parquet dir under the
+    * EXACT kafka source schema (key/value/topic/partition/offset/
+    * timestamp/timestampType/headers) and then runs the identical
+    * `.select(value)` the production branch runs — so the column seam
+    * the kafka path compiles against is EXECUTED in this offline
+    * container, not just option-compared ([[KafkaShape]]). */
+  def kafkaShape(spark: SparkSession, conf: graft.core.EngineConfig): DataFrame =
+    KafkaShape.source(spark, conf.get("source.path").getOrElse(
+        throw new IllegalArgumentException(
+          "kafka-shape source requires --source.path")))
       .select(col("value"))
 
   /** Parquet dir with a `value: BINARY` column (written by tests/producers). */

@@ -1507,6 +1507,7 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
+      backoff(attempt)
     }
     throw new IllegalStateException(
       s"restore of $root failed after $maxAttempts attempts (contention)")
@@ -1881,6 +1882,19 @@ object TxTable {
     * FileAlreadyExistsException and must rebase. Every commit that adds
     * data files gets their footer row counts stamped into the log here —
     * one chokepoint covers create/append/merge/compact/optimize alike. */
+  /** Jittered exponential backoff between publish races — the
+    * thundering-herd damper: N writers losing the same head otherwise
+    * re-resolve and re-race in lockstep, burning their whole attempt
+    * budget on collisions (measured: 8 writers exhausted 12 attempts
+    * with zero backoff; ScaleCurve multi-writer). Base 25 ms doubling,
+    * capped at 1.6 s, ±50% uniform jitter to de-synchronize. */
+  private def backoff(attempt: Int): Unit = {
+    val base = math.min(25L << math.min(attempt, 6), 1600L)
+    val jitter = java.util.concurrent.ThreadLocalRandom.current()
+      .nextLong(base / 2, base + base / 2 + 1)
+    Thread.sleep(jitter)
+  }
+
   private def tryPublish(root: String, c: Commit): Boolean = prof("publish") {
     Files.createDirectories(logDir(root))
     val withRows0 =
@@ -2122,6 +2136,7 @@ object TxTable {
       // lost the race: loop rebases on the winner's snapshot. Our staged
       // files stay orphaned (never referenced by any commit) — invisible
       // to readers; a vacuum pass may reclaim them.
+      backoff(attempt)
     }
     throw new IllegalStateException(
       s"commit to $root failed after $maxAttempts attempts (contention)")
@@ -2350,6 +2365,7 @@ object TxTable {
         return Some(CommitResult(c.version, attempt, skipped = false))
       }
       }
+      backoff(attempt)
     }
     throw new IllegalStateException(
       s"commit to $root failed after $maxAttempts attempts (contention)")
@@ -2536,17 +2552,69 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
+      backoff(attempt)
     }
     throw new IllegalStateException(
       s"commit to $root failed after $maxAttempts attempts (contention)")
   }
 
   /** APPEND: the new batch lands as new files; every existing file
-    * carries over by reference — the per-epoch ingest commit. */
+    * carries over by reference — the per-epoch ingest commit.
+    *
+    * Stages ONCE, before the publish race: an append's adds are
+    * snapshot-INDEPENDENT (keep = whatever is live at publish time), so
+    * a rebased retry re-references the same staged files under the new
+    * head version instead of re-running the staging write job — under
+    * N-writer contention a lost race costs a log re-read + one
+    * hard-link attempt, never a data rewrite (same discipline as
+    * [[mergeMorKeys]]/[[deleteMorKeys]]). Measured in ScaleCurve
+    * multi-writer: with per-attempt re-staging, 8 writers exhausted
+    * their attempt budget; staged-once they serialize cleanly. */
   def append(spark: SparkSession, root: String, batch: DataFrame,
-             tag: Option[String] = None): CommitResult = {
-    enforceCheck(batch, snapshot(root).check, "append batch")
-    transactFiles(spark, root, "append", tag)(snap => (snap.files, batch))
+             tag: Option[String] = None,
+             maxAttempts: Int = 12): CommitResult = {
+    val snap0 = snapshot(root)
+    require(snap0.version >= 0, s"not a TxTable: $root")
+    enforceCheck(batch, snap0.check, "append batch")
+    if (tag.exists(snap0.tags))
+      return CommitResult(snap0.version, 1, skipped = true)
+    val (adds, st, bl, stN, blN) =
+      stageData(batch, root, snap0.statsKey, snap0.statsCols)
+    val shBl = stageShingles(batch, root, adds, snap0.shingleCols,
+      snap0.shingleN)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(root)
+      if (tag.exists(snap.tags))
+        // replay raced in while we staged: the duplicate staging is
+        // unreferenced and vacuumOrphans reclaims it
+        return CommitResult(snap.version, attempt, skipped = true)
+      val c = Commit(snap.version + 1, "append", adds, Seq.empty, tag,
+        statsKey = None, addStats = st, addBlooms = bl,
+        addStatsN = stN, addBloomsN = blN, addShBlooms = shBl)
+      if (tryPublish(root, c)) {
+        // adds-only commit: seed the schema cache exactly as
+        // transactFiles does for the append shape
+        if (snap.evos.isEmpty && adds.nonEmpty)
+          cachedSchemaFor(root, (snap.evos, snap.files)).foreach { tbl =>
+            val cs = spark.conf.getOption("spark.sql.caseSensitive")
+              .exists(_.toBoolean)
+            seedSchema(root, (snap.evos, snap.files ++ adds),
+              org.apache.spark.sql.types.StructType(
+                tbl.fields ++ batch.schema.fields
+                  .filterNot(f => tbl.exists(t =>
+                    if (cs) t.name == f.name
+                    else t.name.equalsIgnoreCase(f.name)))
+                  .map(_.copy(nullable = true))))
+          }
+        maybeCheckpoint(root, c.version)
+        return CommitResult(c.version, attempt, skipped = false)
+      }
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"commit to $root failed after $maxAttempts attempts (contention)")
   }
 
   /** OPTIMIZE: re-cluster the live snapshot by the table's stats key —
@@ -2915,20 +2983,45 @@ object TxTable {
       // rewrites start from EFFECTIVE content: a key deleted by a live
       // ledger must not resurrect through a rewrite it wasn't part of
       // (the rewritten file postdates the ledger, escaping it).
-      // coalesce to the touched-file count: the anti-join is usually a
-      // broadcast (no exchange), so without it the rewrite inherits one
-      // output partition per input SPLIT and a small epoch merge
+      //
+      // Output-partitioning is PLAN-FORM dependent. Small epoch batch →
+      // the anti-join broadcasts (no exchange), the rewrite inherits
+      // one output partition per input SPLIT, and a small merge
       // shatters into a dozen near-empty files — each paying writer
       // init, a footer read, stats, and a log entry per commit
-      // (profiled: 15 files/commit on a streaming upsert sink). A
-      // narrow coalesce keeps rewrite parallelism proportional to the
-      // data being rewritten and roughly preserves per-file locality.
+      // (profiled: 15 files/commit on a streaming upsert sink); a
+      // narrow coalesce to the touched-file count fixes that and
+      // roughly preserves per-file locality. Big batch → the join
+      // SHUFFLES by the merge keys, and the same coalesce becomes a
+      // scale-killer: its narrow dependency caps the JOIN's own task
+      // count at touched.size, and under a Zipf merge-key distribution
+      // it re-fuses the very partitions AQE's skew handling just split
+      // — so the shuffled form skips it and lets AQE both split the
+      // hot key (skew=true, spec-pinned) and size the output files
+      // (stageData already sets parallelismFirst=false). The form is
+      // decided like the planner decides it: optimizer size estimate
+      // of the build side vs the session's broadcast threshold.
       val touchedContent =
         if (touched.isEmpty) changes
-        else morRead(spark, root, snap, touched.toSeq)
-          .join(changes.select(mk.map(col): _*).distinct(), mk, "left_anti")
-          .unionByName(changes, allowMissingColumns = true)
-          .coalesce(math.max(1, touched.size))
+        else {
+          val keyCols = changes.select(mk.map(col): _*)
+          val bcast = spark.sessionState.conf.autoBroadcastJoinThreshold
+          val willBroadcast = bcast > 0 &&
+            keyCols.queryExecution.optimizedPlan.stats.sizeInBytes <= bcast
+          // build-side dedup ONLY on the broadcast form (smaller hash
+          // relation). An anti-join tests EXISTENCE, so duplicate build
+          // keys never change the result — and on the shuffled form the
+          // distinct's final HashAggregate would sit between the
+          // shuffle stage and the join's Sort, a shape AQE's
+          // OptimizeSkewedJoin refuses to match: with it, a Zipf merge
+          // key could never be skew-split (spec-pinned skew=true).
+          val build = if (willBroadcast) keyCols.distinct() else keyCols
+          val rewrite0 = morRead(spark, root, snap, touched.toSeq)
+            .join(build, mk, "left_anti")
+            .unionByName(changes, allowMissingColumns = true)
+          if (willBroadcast) rewrite0.coalesce(math.max(1, touched.size))
+          else rewrite0
+        }
       (keep, touchedContent)
     }
   }
@@ -3003,6 +3096,7 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
+      backoff(attempt)
     }
     throw new IllegalStateException(
       s"delete-mor commit to $root failed after $maxAttempts attempts (contention)")
@@ -3120,6 +3214,7 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
+      backoff(attempt)
     }
     throw new IllegalStateException(
       s"merge-mor commit to $root failed after $maxAttempts attempts (contention)")
@@ -3145,6 +3240,7 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
+      backoff(attempt)
     }
     throw new IllegalStateException(
       s"$op commit to $root failed after $maxAttempts attempts (contention)")

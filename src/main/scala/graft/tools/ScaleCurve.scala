@@ -397,6 +397,78 @@ object ScaleCurve {
         TxTable.snapshot(root).files.size.toLong
       }
     }
+    // ---- multi-writer (round-9): commit throughput + retry
+    // amplification at 1/2/4/8 concurrent writers against ONE table.
+    // TxTableSpec proves serialization SAFETY; this prices it: each
+    // writer stages its data before racing for the log head, so a lost
+    // race costs a rebase (re-read snapshot, re-publish) but never a
+    // data rewrite — amplification should be ~attempts/commit, not
+    // wall-time blowup. Batches are tiny (200 rows) so the cell
+    // measures the COMMIT PATH, not data I/O.
+    for (w <- Seq(1, 2, 4, 8) if want("multi-writer")) {
+      val tmp = tempDir(s"graft_scale_mw$w").toString
+      val root = s"$tmp/tbl"
+      TxTable.create(
+        spark.range(200).select(col("id").as("k"),
+          lit("seed").as("v")), root, Some("k"))
+      val perWriter = 6
+      val attempts = new java.util.concurrent.atomic.AtomicLong
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val threads = (0 until w).map { wi =>
+        new Thread(() => {
+          for (b <- 0 until perWriter) {
+            val r = TxTable.append(spark, root,
+              spark.range(200).select(
+                (col("id") + (wi * perWriter + b) * 1000L).as("k"),
+                lit(s"w$wi-b$b").as("v")))
+            attempts.addAndGet(r.attempts.toLong)
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val sec = (System.nanoTime() - t0) / 1e9
+      val commits = (w * perWriter).toLong
+      require(TxTable.snapshot(root).version == commits,
+        "every commit must land at a distinct version")
+      println(f"""{"name":"multi-writer","scale":$w,"sec":$sec%.2f,""" +
+        f""""commits":$commits,"attempts":${attempts.get()},""" +
+        f""""amplification":${attempts.get().toDouble / commits}%.2f,""" +
+        f""""commitsPerSec":${commits / sec}%.2f}""")
+    }
+
+    // ---- merge-skew (round-9): CoW merge rewrite under a Zipf merge
+    // key (40% of rows on ONE key), forced into its SHUFFLED form (the
+    // plan a 100 TB batch takes — broadcast off) with AQE skew-split
+    // thresholds scaled to the fixture. Pins that the rewrite's
+    // anti-join survives hub keys: time tracks data volume, not the
+    // hot key's single-partition residence.
+    for (m <- Seq(1, 8) if want("merge-skew")) {
+      val tmp = tempDir(s"graft_scale_mskew$m").toString
+      val root = s"$tmp/tbl"
+      val n = 600000L * m
+      val base = spark.range(n).select(
+        when(col("id") % 5 < 2, 0L)
+          .otherwise(col("id") % (50000L * m)).as("k"),
+        concat(lit("base-"), col("id")).as("v"))
+      TxTable.create(base.repartition(8 * m), root, Some("k"))
+      val changes = spark.range(1000L).select(
+        when(col("id") === 0L, 0L).otherwise(col("id") * 5 + 2).as("k"),
+        lit("new").as("v"))
+      val skewConfs = Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1048576",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val prev = skewConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      skewConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try measure("merge-skew", m) {
+        TxTable.mergeCow(spark, root, changes, "k")
+        TxTable.snapshot(root).files.size.toLong
+      } finally prev.foreach { case (k, o) =>
+        o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+    }
+
     // ---- power-law graph family (round-9): the Zipf hub fixture
     // (graft.queries.Graph.powerLawEdges — max degree 2000m, celebrity
     // clique ∝ ∛m) at 1× vs 8× edges. Pins the claims the uniform/

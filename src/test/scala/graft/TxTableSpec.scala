@@ -1720,6 +1720,104 @@ class TxTableSpec extends AnyFunSuite {
       "checkpoint-folded ledgers must keep rows + signatures")
   }
 
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  // AQE skew-split thresholds scaled to test data (on a real cluster
+  // the 256 MB default plays the same role), broadcast disabled so the
+  // rewrite/read anti-joins take their shuffled (100 TB) form
+  private val skewConfs = Seq(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "131072",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "65536",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  // Zipf fixture for the skewed-merge cases: key 0 carries 40% of
+  // 600 k rows (ids with id%5<2, which includes every id ≡ 0 mod
+  // 50000), every other key k ∈ [1, 50000) holds the 12 ids ≡ k mod
+  // 50000 whose id%5 ≥ 2 — i.e. exactly the keys with k%5 ≥ 2
+  private def zipfBase = {
+    import org.apache.spark.sql.functions.{concat, lit, when}
+    spark.range(600000L).select(
+      when(col("id") % 5 < 2, 0L).otherwise(col("id") % 50000).as("k"),
+      concat(lit("base-"), col("id")).as("v"))
+  }
+
+  test("mergeCow under a Zipf merge key: AQE splits the skewed rewrite join; content exact") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create(zipfBase.repartition(8), root, statsKey = Some("k"))
+    // keys: 0 hot (240 k rows → 1), 7 cold (12 rows → 1), 99999 insert
+    val changes = Seq((0L, "hot-new"), (7L, "cold-new"), (99999L, "insert"))
+      .toDF("k", "v")
+    // capture the rewrite's executed plan (the write happens inside the
+    // commit, not on a handle this test holds); the bus is async, so
+    // poll until the skewed LeftAnti plan lands
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit = plans.add(qe.executedPlan.toString)
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    def sawSkew: Boolean = {
+      val it = plans.iterator(); var found = false
+      while (it.hasNext && !found) {
+        val p = it.next()
+        found = p.contains("skew=true") && p.contains("LeftAnti")
+      }
+      found
+    }
+    spark.listenerManager.register(listener)
+    try {
+      withConf(skewConfs: _*) {
+        TxTable.mergeCow(spark, root, changes, "k")
+      }
+      val deadline = System.nanoTime() + 15e9.toLong
+      while (!sawSkew && System.nanoTime() < deadline) Thread.sleep(100)
+    } finally spark.listenerManager.unregister(listener)
+    // content: the hot key collapses to its single new row
+    val got = TxTable.read(spark, root)
+      .groupBy("k").count().where(col("k").isin(0L, 7L, 99999L))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 1L, 7L -> 1L, 99999L -> 1L),
+      s"merge must collapse each changed key to one row: $got")
+    assert(TxTable.read(spark, root).count() ==
+      600000L - 240000L - 12L + 3L,
+      "240 k hot-key rows + 12 cold-key rows replaced by 3")
+    assert(sawSkew,
+      s"rewrite anti-join must be AQE skew-split under the hot key " +
+        s"(captured ${plans.size} plans)")
+  }
+
+  test("MoR shuffled-fallback read under a Zipf data key: AQE splits the skewed anti-join") {
+    import spark.implicits._
+    val root = freshRoot() + "/t"
+    TxTable.create(zipfBase.repartition(8), root, statsKey = Some("k"))
+    TxTable.deleteMor(spark, root, Seq(7L, 13L).toDF("k"), "k")
+    withConf((skewConfs :+
+        ("spark.graft.mor.broadcastMaxBytes" -> "0")): _*) {
+      val df = TxTable.read(spark, root)
+      // collect() executes THIS queryExecution (count() would build a
+      // new one and leave df's adaptive plan unfinalised)
+      val n = df.collect().length
+      assert(n == 600000 - 12 - 12,
+        s"both deleted keys subtract all their duplicates: $n")
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"MoR fallback anti-join must AQE-split the hot data key:\n${p.take(1500)}")
+    }
+  }
+
   test("comma-bearing ledger signature (decimal composite key) round-trips the log parser") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -63,3 +63,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.streaming.numRecentProgressUpdates=20",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )
+
+// Fast iteration subset (round-9): the full `test` stays the gate;
+// `fastTest` excludes the tagged soak/scale cases (graft.SlowTest) so a
+// mid-round edit gets a correctness signal in a fraction of the wall.
+addCommandAlias("fastTest", "testOnly * -- -l graft.SlowTest")

@@ -30,18 +30,31 @@ object Sessionize {
   case class SessionOut(user_id: Long, session_start_ms: Long,
                         session_end_ms: Long, n_events: Long)
 
+  /** Buffered event entry — the UPGRADED (v2) state shape. `value` keeps
+    * the v1 field name (v1 state was `ListState[Long]`, whose encoder
+    * schema names its single column "value") so an Avro state upgrade
+    * resolves old rows BY NAME; `weight` arrived in the upgrade as a
+    * nullable field — None on rows a v1 processor wrote, read as 1.
+    * Weighted entries are the pre-aggregation hook a flooding key wants
+    * (collapse equal-timestamp bursts to one weighted entry) without
+    * another state migration. Upgrade is spec-pinned: a v2 query resumes
+    * a v1 checkpoint mid-session under the Avro state encoding and
+    * emits exactly the uninterrupted answer (SessionizeSpec). */
+  case class BufEntry(value: Long, weight: Option[Long])
+
   class SessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, SessEvent, SessionOut] {
-    @transient private var buf: ListState[Long] = _
+    @transient private var buf: ListState[BufEntry] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      buf = getHandle.getListState[Long]("buf", Encoders.scalaLong, TTLConfig.NONE)
+      buf = getHandle.getListState[BufEntry]("buf",
+        Encoders.product[BufEntry], TTLConfig.NONE)
 
     override def handleInputRows(
         key: Long, rows: Iterator[SessEvent],
         tv: TimerValues): Iterator[SessionOut] = {
-      rows.foreach(r => buf.appendValue(r.ts_ms))
-      val maxTs = buf.get().max
+      rows.foreach(r => buf.appendValue(BufEntry(r.ts_ms, Some(1L))))
+      val maxTs = buf.get().map(_.value).max
       // one live timer per key: re-arm at the newest possible session end
       // (materialize before deleting — mutating state while iterating the
       // state-store iterator is unspecified behavior across providers)
@@ -54,26 +67,27 @@ object Sessionize {
         key: Long, tv: TimerValues,
         expired: ExpiredTimerInfo): Iterator[SessionOut] = {
       val wm = tv.getCurrentWatermarkInMs()
-      val ts = buf.get().toArray.sorted
-      if (ts.isEmpty) return Iterator.empty
+      val entries = buf.get().toArray.sortBy(_.value)
+      if (entries.isEmpty) return Iterator.empty
       // gap-and-island over the buffer, then split closed/open: islands
       // are time-ordered, so the open ones (watermark has NOT yet proven
       // their gap elapsed) form a suffix
       val islands = scala.collection.mutable.ArrayBuffer(
-        scala.collection.mutable.ArrayBuffer(ts.head))
-      for (t <- ts.tail) {
-        if (t - islands.last.last > gapMs)
-          islands += scala.collection.mutable.ArrayBuffer(t)
-        else islands.last += t
+        scala.collection.mutable.ArrayBuffer(entries.head))
+      for (e <- entries.tail) {
+        if (e.value - islands.last.last.value > gapMs)
+          islands += scala.collection.mutable.ArrayBuffer(e)
+        else islands.last += e
       }
-      val (closed, open) = islands.span(_.last + gapMs <= wm)
+      val (closed, open) = islands.span(_.last.value + gapMs <= wm)
       buf.clear()
       if (open.nonEmpty) {
         open.flatten.foreach(buf.appendValue)
-        getHandle.registerTimer(open.last.last + gapMs)
+        getHandle.registerTimer(open.last.last.value + gapMs)
       }
       closed.iterator
-        .map(isl => SessionOut(key, isl.head, isl.last, isl.size.toLong))
+        .map(isl => SessionOut(key, isl.head.value, isl.last.value,
+          isl.map(_.weight.getOrElse(1L)).sum))
     }
   }
 

@@ -2830,8 +2830,20 @@ object TxTable {
       val rewrite =
         if (touched.isEmpty) // nothing can match: empty rewrite, table schema
           emptyRead(spark, root, snap)
-        else morRead(spark, root, snap, touched.toSeq)
-          .join(doomed.select(col(key)).distinct(), Seq(key), "left_anti")
+        else {
+          // same build-side policy as mergeCow: dedup only the broadcast
+          // form — on the shuffled form the distinct's HashAggregate
+          // breaks OptimizeSkewedJoin's plan-shape match and a Zipf data
+          // key could never be skew-split (anti-join existence semantics
+          // make build duplicates harmless)
+          val keyCol = doomed.select(col(key))
+          val bcast = spark.sessionState.conf.autoBroadcastJoinThreshold
+          val willBroadcast = bcast > 0 &&
+            keyCol.queryExecution.optimizedPlan.stats.sizeInBytes <= bcast
+          morRead(spark, root, snap, touched.toSeq)
+            .join(if (willBroadcast) keyCol.distinct() else keyCol,
+              Seq(key), "left_anti")
+        }
       (keep, rewrite)
     }
 

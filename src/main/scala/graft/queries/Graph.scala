@@ -124,6 +124,23 @@ object Graph {
       graft.operators.TriangleCount.run(powerLawEdges(s, 1), cap = 64)
     },
 
+    // ---- Q-graph-12: PageRank on the POWER-LAW fixture — the Zipf
+    // in-degree twin of Q-graph-01's uniform trade graph. Hubs
+    // concentrate ~40% of all rank contributions onto <1% of keys, the
+    // exact shape the per-dst partial agg (map-side combine before the
+    // |V|-bounded exchange) exists to absorb; the decimal contribution
+    // algebra stays bit-exact vs the unrolled-CTE oracle regardless of
+    // how skewed the per-key addend counts are.
+    "Q-graph-12" -> { (s, _) =>
+      val e = powerLawEdges(s, 1)
+      val edges = e.select(col("a").as("src"), col("b").as("dst"))
+        .unionAll(e.select(col("b").as("src"), col("a").as("dst")))
+      PageRank.run(edges, ITERS)
+        .select(col("id").cast("long").as("id"),
+          Portable.r(col("rank"), 9).as("rank"))
+        .orderBy("id")
+    },
+
     // ---- Q-graph-01: PageRank over the symmetrized customer–supplier
     // trade graph, 8 fixed iterations, scaled form (rank mass = |V|).
     // Plan shape: one setup shuffle attaches out-degrees and partitions
@@ -157,6 +174,11 @@ object Graph {
     // driver loop. ord packs (deg, id) into one sortable int64
     // (deg·1e8 + id — exact while id < 1e8; a planet-scale graph widens
     // to a struct compare, same plan).
+    // Since round 9 the census runs through operators/TriangleCount —
+    // the same orientation plus HIGH-DEGREE VERTEX SPLITTING, so a
+    // celebrity clique in the co-purchase graph can't turn the wedge
+    // join into a single-key straggler (split ≡ unsplit is oracle- and
+    // spec-pinned; this query's oracle is the unsplit plan).
     "Q-graph-02" -> { (s, d) =>
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
       val pairs = li.as("x").join(li.as("y"),
@@ -164,26 +186,9 @@ object Graph {
           col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .distinct()
-      val deg = pairs.select(col("a").as("v"))
-        .unionAll(pairs.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-        .select(col("v"), (col("deg") * lit(100000000L) + col("v")).as("ord"))
-      val o = pairs
-        .join(deg.select(col("v").as("a"), col("ord").as("ord_a")), Seq("a"))
-        .join(deg.select(col("v").as("b"), col("ord").as("ord_b")), Seq("b"))
-        .select(
-          when(col("ord_a") < col("ord_b"), col("a")).otherwise(col("b")).as("u"),
-          when(col("ord_a") < col("ord_b"), col("b")).otherwise(col("a")).as("v"),
-          greatest(col("ord_a"), col("ord_b")).as("ordv"))
-      val w = o.as("o1").join(o.as("o2"),
-          col("o1.u") === col("o2.u") && col("o1.ordv") < col("o2.ordv"))
-        .select(col("o1.v").as("x"), col("o2.v").as("y"))
-      val tri = w.join(o.select(col("u").as("x"), col("v").as("y")),
-        Seq("x", "y"), "left_semi")
-      deg.agg(count(lit(1)).cast("bigint").as("n_nodes"))
-        .crossJoin(pairs.agg(count(lit(1)).cast("bigint").as("n_edges")))
-        .crossJoin(w.agg(count(lit(1)).cast("bigint").as("n_wedges")))
-        .crossJoin(tri.agg(count(lit(1)).cast("bigint").as("n_triangles")))
+      graft.operators.TriangleCount.run(pairs, cap = 64)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"))
     },
 
     // ---- Q-graph-08: DOULION approximate triangle count (Tsourakakis
@@ -524,6 +529,32 @@ object Graph {
                 (SELECT count(*) FROM t)::BIGINT AS n_triangles,
                 (SELECT max(d) FROM deg)::BIGINT AS max_deg,
                 (SELECT max(od) FROM od)::BIGINT AS max_outdeg""",
+
+    "Q-graph-12" -> {
+      val rounds = (1 to ITERS).map(i => prRound(s"r${i - 1}", s"r$i"))
+        .mkString(",\n")
+      s"""WITH hs AS (
+            SELECT h.r AS a, 1000000 + ((h.r * 37 + j.r * 13) % 20011) AS b
+            FROM range(400) h(r) JOIN range(2000) j(r)
+              ON j.r < 2000 // (h.r + 1)),
+          cl AS (
+            SELECT x.r AS a, y.r AS b
+            FROM range(120) x(r) JOIN range(120) y(r) ON x.r < y.r),
+          und AS (SELECT a, b FROM hs UNION ALL SELECT a, b FROM cl),
+          edges AS (
+            SELECT a AS src, b AS dst FROM und
+            UNION ALL
+            SELECT b AS src, a AS dst FROM und),
+          deg AS (SELECT src, count(*)::DOUBLE AS outdeg
+                  FROM edges GROUP BY src),
+          edeg AS (SELECT e.src, e.dst, d.outdeg
+                   FROM edges e JOIN deg d ON e.src = d.src),
+          nodes AS (SELECT src AS id FROM deg),
+          r0 AS (SELECT id, 1.0 AS rank FROM nodes),
+          $rounds
+          SELECT id::BIGINT AS id, ${Portable.rSql("rank", 9)} AS rank
+          FROM r$ITERS ORDER BY id"""
+    },
 
     "Q-graph-02" ->
       """WITH pairs AS (

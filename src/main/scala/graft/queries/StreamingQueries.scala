@@ -906,6 +906,41 @@ object StreamingQueries {
       }
     },
 
+    // ---- Q-str-30: the reference pipeline END-TO-END through the kafka
+    // COLUMN contract at sf scale (round-9; reference ops #1→#5 chained,
+    // `WeatherProcessingJob.java:65-77`): events → avro envelopes →
+    // kafka-shaped records (key/value/topic/partition/offset/timestamp/
+    // timestampType/headers) staged and replayed under the connector's
+    // exact schema (`KafkaShape.source`) → the production branch's
+    // `.select(value)` → envelope decode → the presence plan. Oracle is
+    // Q-str-05's presenceSql verbatim: the whole ingest envelope must be
+    // semantically invisible, hash-checked by the driver.
+    "Q-str-30" -> { (s, d) =>
+      import s.implicits._
+      val tmp = tempDir("graft_str30")
+      val recs = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .as[(Long, Long, java.sql.Timestamp, Double)]
+        .map { case (eid, uid, ts, v) =>
+          (uid.toString.getBytes("UTF-8"),
+            AvroEnvelope.encode(AvroEnvelope.WeatherReading(
+              uid.toString, ts.getTime, Some(v), None, None, None),
+              2, AvroEnvelope.defaultRegistry),
+            "weatherData", (uid % 4).toInt, eid, ts, 0)
+        }
+        .toDF("key", "value", "topic", "partition", "offset",
+          "timestamp", "timestampType")
+        .withColumn("headers", expr(
+          "CAST(array() AS ARRAY<STRUCT<key: STRING, value: BINARY>>)"))
+      graft.streaming.KafkaShape.stage(recs, s"$tmp/records")
+      val raw = graft.streaming.KafkaShape.source(s, s"$tmp/records")
+        .select(col("value")).as[Array[Byte]]
+      val readings = AvroEnvelope.decode(s, raw)
+      Replay.run(
+        graft.WeatherJob.plan(s, readings, ttlMillis = 3600000L),
+        "append").orderBy("device_id", "ts_ms", "state")
+    },
+
     // ---- Q-str-12: event-time sessionization via transformWithState with
     // ListState + EVENT-TIME TIMERS (streaming/Sessionize) — the session
     // lifecycle a `session_window` aggregate can't express is owned by a
@@ -1469,6 +1504,7 @@ object StreamingQueries {
          FROM events WHERE ts >= TIMESTAMP '2024-01-20'
          GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
     "Q-str-05" -> presenceSql,
+    "Q-str-30" -> presenceSql,
     // the v2-state-API twin must match the exact same rendering
     "Q-str-09" -> presenceSql,
     // the evicting variant adds exactly one trailing offline per device

@@ -40,7 +40,9 @@ class TriangleCountSpec extends AnyFunSuite {
     assert(census(star, 64) == ((6L, 0L, 0L, 1L)))
   }
 
-  test("hub splitting is exact: every cap yields identical counts, and cap < max_outdeg engages chunking") {
+  // 30 s (4 full censuses); the pinned-census + closed-form cases stay fast
+  test("hub splitting is exact: every cap yields identical counts, and cap < max_outdeg engages chunking",
+      SlowTest) {
     val edges = Graph.powerLawEdges(spark, 1).cache()
     try {
       // unsplit reference: cap larger than any outdeg → single chunk

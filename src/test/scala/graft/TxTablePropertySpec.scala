@@ -50,7 +50,9 @@ class TxTablePropertySpec extends AnyFunSuite {
     Gen.listOfN(n, op).apply(Gen.Parameters.default, Seed(seed)).get
   }
 
-  test("random op sequences: table == in-memory model at every version") {
+  // 31 s soak; the per-op contracts have fast unit coverage in TxTableSpec
+  test("random op sequences: table == in-memory model at every version",
+      SlowTest) {
     import spark.implicits._
     for (seed <- 1L to 3L) {
       val root = Files.createTempDirectory(s"graft_txprop_$seed").toString

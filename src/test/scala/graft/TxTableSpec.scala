@@ -1576,7 +1576,9 @@ class TxTableSpec extends AnyFunSuite {
     assert(rows(root, 10L) == atV10.toSet)
   }
 
-  test("maintenance races writers: fold/binPack vs concurrent MoR upserts+deletes preserve every ledger's effect") {
+  // 31 s race soak; fold/binPack correctness has fast single-writer cases
+  test("maintenance races writers: fold/binPack vs concurrent MoR upserts+deletes preserve every ledger's effect",
+      SlowTest) {
     import spark.implicits._
     val root = freshRoot() + "/t"
     TxTable.create((0L until 1000L).map(i => (i, "base")).toDF("k", "v"),

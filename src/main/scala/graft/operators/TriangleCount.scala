@@ -53,17 +53,20 @@ object TriangleCount {
         when(col("ord_a") < col("ord_b"), col("a")).otherwise(col("b")).as("u"),
         when(col("ord_a") < col("ord_b"), col("b")).otherwise(col("a")).as("v"),
         greatest(col("ord_a"), col("ord_b")).as("ordv"))
-    // number u's out-edges in ordv order; chunk = idx / cap. The
-    // row_number window shuffles by u once — O(d log d) per hub, the
-    // d² blow-up is what the chunk re-key spreads out.
+    // number u's out-edges in ordv order; chunk = idx / cap. BOTH the
+    // rank and u's total out-degree come from ONE window pass (same
+    // partitioning, same exchange+sort — the unbounded count rides the
+    // row_number's Window exec), so chunk counts need no extra
+    // aggregate+join: O(d log d) per hub, and the d² blow-up is what
+    // the chunk re-key spreads out.
+    val byU = Window.partitionBy("u")
     val oi = o.withColumn("idx",
-        row_number().over(Window.partitionBy("u").orderBy("ordv"))
-          .cast("long") - 1)
+        row_number().over(byU.orderBy("ordv")).cast("long") - 1)
+      .withColumn("nc",
+        ((count(lit(1)).over(byU) - 1) / cap + 1).cast("int"))
       .withColumn("c", (col("idx") / cap).cast("int"))
-    val nch = oi.groupBy("u")
-      .agg(((max(col("idx")) / cap) + 1).cast("int").as("nc"))
     // lower wedge edge → chunk pairs (c, c..nc-1); higher → (0..c, c)
-    val lo = oi.join(nch, Seq("u"))
+    val lo = oi
       .select(col("u"), col("v").as("x"), col("idx").as("ix"),
         col("c").as("cl"), explode(sequence(col("c"), col("nc") - 1)).as("cr"))
     val hi = oi

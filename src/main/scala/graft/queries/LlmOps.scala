@@ -1262,6 +1262,57 @@ object LlmOps {
           Portable.r(col("n_inter") /
             (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
         .orderBy("a", "b")
+    },
+
+    // ---- Q-llm-60: PII scan + redaction — the compliance pass every
+    // training corpus runs before release. The synthetic documents
+    // carry no PII, so deterministic PII is INJECTED from doc_id (the
+    // Q-scan-04 poison-pill discipline): every 7th doc an email, every
+    // 11th a NANP phone, every 13th an IPv4 — the oracle constructs the
+    // identical augmented text, so detection (regexp_extract_all
+    // counts), coverage (docs with any hit), and the redaction itself
+    // (chained class regexp_replace; the summed length delta pins every
+    // replacement byte) all hash-match. Scale shape: pure per-row
+    // narrow map work — regexes run inside whole-stage codegen, the
+    // only exchange is the per-source partial agg. Patterns stay in the
+    // Java∩RE2 dialect (classes, bounded reps, \b) so both engines
+    // match identically.
+    "Q-llm-60" -> { (s, d) =>
+      val email = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val aug = Tables.documents(s, d).withColumn("t", concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 200).cast("string"),
+            lit(" logged"))).otherwise(lit(""))))
+      val scanned = aug.select(col("source"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).as("ne"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("np"),
+        size(regexp_extract_all(col("t"), lit(ip), lit(0))).as("ni"),
+        (length(col("t")) - length(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), email, "<EMAIL>"),
+              phone, "<PHONE>"),
+            ip, "<IP>"))).as("delta"))
+      scanned.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("ne")).cast("bigint").as("n_email"),
+          sum(col("np")).cast("bigint").as("n_phone"),
+          sum(col("ni")).cast("bigint").as("n_ip"),
+          sum(when(col("ne") + col("np") + col("ni") > 0, 1L)
+            .otherwise(0L)).cast("bigint").as("docs_with_pii"),
+          sum(col("delta")).cast("bigint").as("redact_len_delta"))
+        .orderBy("source")
     }
   )
 
@@ -2256,7 +2307,46 @@ object LlmOps {
          JOIN sizes za ON za.doc_id = a
          JOIN sizes zb ON zb.doc_id = b
          WHERE 9 * n_inter >= 4 * (za.n_sh + zb.n_sh)
-         ORDER BY a, b"""
+         ORDER BY a, b""",
+
+    // regexp_replace needs the 'g' flag here (DuckDB replaces only the
+    // first match by default; Spark replaces all); patterns stay in the
+    // Java∩RE2 dialect so both engines match identically
+    "Q-llm-60" ->
+      """WITH aug AS (
+           SELECT source,
+             text ||
+               CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@mail.example.com now'
+                 ELSE '' END ||
+               CASE WHEN doc_id % 11 = 0
+                 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 ELSE '' END ||
+               CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.' || (doc_id % 256) || '.0.' ||
+                      (doc_id % 200) || ' logged'
+                 ELSE '' END AS t
+           FROM documents),
+         scanned AS (
+           SELECT source,
+             len(regexp_extract_all(t,
+               '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[a-z]{2,}')) AS ne,
+             len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS np,
+             len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ni,
+             length(t) - length(
+               regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+                 '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS delta
+           FROM aug)
+         SELECT source, count(*)::BIGINT AS n_docs,
+                sum(ne)::BIGINT AS n_email, sum(np)::BIGINT AS n_phone,
+                sum(ni)::BIGINT AS n_ip,
+                sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)::BIGINT
+                  AS docs_with_pii,
+                sum(delta)::BIGINT AS redact_len_delta
+         FROM scanned GROUP BY source ORDER BY source"""
   )
 
   // the BM25 CTE chain (through `rk`), shared by Q-llm-53 and Q-llm-54

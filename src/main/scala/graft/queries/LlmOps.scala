@@ -1313,6 +1313,44 @@ object LlmOps {
             .otherwise(0L)).cast("bigint").as("docs_with_pii"),
           sum(col("delta")).cast("bigint").as("redact_len_delta"))
         .orderBy("source")
+    },
+
+    // ---- Q-llm-61: DATA-MIXTURE resampling with FRACTIONAL epochs —
+    // the "mix web at 1×, books at 2.5×, code at 4×" op every training
+    // run executes. Per-source target epochs come deterministically off
+    // the source name (iw = ascii(last char) % 9 + 1 half-epochs, i.e.
+    // 0.5×..4.5×); each doc materializes ⌊iw/2⌋ full copies plus — for
+    // odd iw — one residual copy kept by a deterministic md5 coin
+    // (first hex nibble 0-7 = exactly 1/2, the Q-graph-08/Q-scan-06
+    // replayable-sampling discipline, so the oracle replays the very
+    // same coin). Integer-only epoch algebra: no float compare decides
+    // a row's fate. Scale shape: narrow map + bounded explode (≤ ⌈w⌉
+    // copies/row) — upsampling happens at read time, nothing shuffles
+    // until the per-source count partial agg; a 100 TB mixture never
+    // materializes its repeats to storage.
+    "Q-llm-61" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val mixed = docs
+        .withColumn("iw",
+          (ascii(substring(col("source"), length(col("source")), lit(1)))
+            % 9 + 1).cast("long"))
+        .withColumn("copies",
+          expr("iw DIV 2") +
+            when(col("iw") % 2 === 1 &&
+              substring(md5(col("doc_id").cast("string")), 1, 1)
+                .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L)
+              .otherwise(0L))
+      val out = mixed.where(col("copies") > 0)
+        .select(col("source"), col("iw"),
+          explode(sequence(lit(1L), col("copies"))).as("rep"))
+      mixed.groupBy("source", "iw")
+        .agg(count(lit(1)).as("n_docs"))
+        .join(out.groupBy("source")
+          .agg(count(lit(1)).cast("bigint").as("n_out")), Seq("source"))
+        .select(col("source"), col("iw").as("half_epochs"),
+          col("n_docs").cast("bigint").as("n_docs"), col("n_out"),
+          Portable.r(col("n_out") / col("n_docs"), 6).as("realized_epochs"))
+        .orderBy("source")
     }
   )
 
@@ -2346,7 +2384,34 @@ object LlmOps {
                 sum(CASE WHEN ne + np + ni > 0 THEN 1 ELSE 0 END)::BIGINT
                   AS docs_with_pii,
                 sum(delta)::BIGINT AS redact_len_delta
-         FROM scanned GROUP BY source ORDER BY source"""
+         FROM scanned GROUP BY source ORDER BY source""",
+
+    "Q-llm-61" ->
+      s"""WITH mixed AS (
+           SELECT source,
+                  (ascii(substr(source, length(source), 1)) % 9 + 1)::BIGINT
+                    AS iw,
+                  ((ascii(substr(source, length(source), 1)) % 9 + 1) // 2 +
+                   CASE WHEN (ascii(substr(source, length(source), 1)) % 9 + 1)
+                             % 2 = 1
+                         AND substr(md5(doc_id::VARCHAR), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN 1 ELSE 0 END)::BIGINT AS copies
+           FROM documents),
+         outrows AS (
+           SELECT m.source, r.r
+           FROM mixed m JOIN range(1, 10) r(r) ON r.r <= m.copies),
+         agg AS (
+           SELECT source, max(iw) AS iw, count(*)::BIGINT AS n_docs
+           FROM mixed GROUP BY source),
+         outs AS (
+           SELECT source, count(*)::BIGINT AS n_out
+           FROM outrows GROUP BY source)
+         SELECT a.source, a.iw AS half_epochs, a.n_docs, o.n_out,
+                ${Portable.rSql("o.n_out / a.n_docs::DOUBLE", 6)}
+                  AS realized_epochs
+         FROM agg a JOIN outs o ON a.source = o.source
+         ORDER BY a.source"""
   )
 
   // the BM25 CTE chain (through `rk`), shared by Q-llm-53 and Q-llm-54

@@ -2099,6 +2099,120 @@ object TxTable {
     CommitResult(0L, 1, skipped = false)
   }
 
+  /** WRITE-AUDIT-PUBLISH: adopt a staging branch's post-clone adds back
+    * into the table — the missing third of the WAP lifecycle
+    * ([[cloneShallow]] is the write-isolation half). Usage: clone main
+    * → branch, write/validate on the branch at leisure (bad data stays
+    * invisible to main's readers), then `adoptFrom(main, branch)`
+    * PUBLISHES atomically: every file the branch ADDED after the clone
+    * (fileAddV > 0 — clone lands everything at v0) hard-links into the
+    * table under its unchanged relative path (uuid dirs are collision-
+    * free; cross-filesystem falls back to a copy) and commits as plain
+    * adds with the branch log's stats/blooms/row counts carried over —
+    * zero data rewrite, O(new files) links + one metadata commit, the
+    * same cost shape as the clone itself. Audits the adopted rows
+    * against the table's CHECK constraint (a scan of ONLY the adopted
+    * files) and validates their schema against the table union with the
+    * merge-mor type guard. Stage-once + backoff publish race; `tag`
+    * gives replay idempotence. Branch ledgers/pending evolutions must
+    * be compacted first (same rule as the clone). */
+  def adoptFrom(spark: SparkSession, dstRoot: String, srcRoot: String,
+                tag: Option[String] = None,
+                maxAttempts: Int = 12): CommitResult = {
+    val src = snapshot(srcRoot)
+    require(src.version >= 0, s"not a TxTable: $srcRoot")
+    require(src.ledgers.isEmpty,
+      s"cannot adopt with live MoR ledgers on the branch — compact $srcRoot first")
+    val pendingEvo = src.evos.exists { case (v, _) =>
+      src.files.exists(f => src.fileAddV.getOrElse(f, Long.MaxValue) < v)
+    }
+    require(!pendingEvo, "cannot adopt with schema evolutions pending " +
+      s"on the branch's live files — compact $srcRoot first")
+    val dst0 = snapshot(dstRoot)
+    require(dst0.version >= 0, s"not a TxTable: $dstRoot")
+    require(src.statsKey == dst0.statsKey && src.statsCols == dst0.statsCols &&
+        src.shingleCols == dst0.shingleCols && src.shingleN == dst0.shingleN,
+      s"branch stats contract diverged from the table " +
+        s"(${src.statsKey}/${src.statsCols} vs ${dst0.statsKey}/${dst0.statsCols})")
+    if (tag.exists(dst0.tags))
+      return CommitResult(dst0.version, 1, skipped = true)
+    // post-clone adds only: a base file the TABLE has since removed
+    // (compaction, delete) must never resurrect through the branch
+    val branchAdds = src.files
+      .filter(f => src.fileAddV.getOrElse(f, 0L) > 0L)
+    if (branchAdds.isEmpty)
+      return CommitResult(dst0.version, 1, skipped = true)
+    // AUDIT: adopted rows must satisfy the table's CHECK (scan bounded
+    // to the adopted files) and bind to the table schema type-safely
+    val adoptedDf = readFiles(spark, srcRoot, branchAdds, None)
+    enforceCheck(adoptedDf, dst0.check, "adopted branch rows")
+    locally {
+      val tbl = currentSchema(spark, dstRoot, dst0)
+      val cs = spark.conf.getOption("spark.sql.caseSensitive")
+        .exists(_.toBoolean)
+      adoptedDf.schema.foreach { f =>
+        tbl.find(t => if (cs) t.name == f.name
+          else t.name.equalsIgnoreCase(f.name)).foreach { t =>
+          require(t.dataType == f.dataType,
+            s"adopted column '${f.name}' is ${f.dataType.simpleString} " +
+              s"but the table stores ${t.dataType.simpleString} — refused")
+        }
+      }
+    }
+    // link ONCE (same relative paths; uuid staging dirs are unique)
+    branchAdds.foreach { f =>
+      val s0 = Paths.get(srcRoot, f).toAbsolutePath
+      val d0 = Paths.get(dstRoot, f)
+      Files.createDirectories(d0.getParent)
+      if (!Files.exists(d0))
+        try Files.createLink(d0, s0)
+        catch {
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException => Files.copy(s0, d0)
+        }
+    }
+    val stats =
+      if (src.statsKey.isEmpty) Seq.empty
+      else branchAdds.map(f =>
+        src.fileStats.getOrElse(f, (Long.MaxValue, Long.MinValue)))
+    val blooms =
+      if (src.statsKey.isEmpty) Seq.empty
+      else branchAdds.map(f => src.fileBlooms.getOrElse(f, ""))
+    val statsN = src.statsCols.indices.map(j => branchAdds.map(f =>
+      src.fileStatsN.get(f).flatMap(_.lift(j))
+        .getOrElse((Long.MaxValue, Long.MinValue))))
+    val bloomsN = src.statsCols.indices.map(j => branchAdds.map(f =>
+      src.fileBloomsN.get(f).flatMap(_.lift(j)).getOrElse("")))
+    val shBl = src.shingleCols.indices.map(j => branchAdds.map(f =>
+      src.fileShBlooms.get(f).flatMap(_.lift(j)).getOrElse("")))
+    val rowsKnown = branchAdds.map(f => src.fileRows.getOrElse(f, -1L))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val snap = snapshot(dstRoot)
+      if (tag.exists(snap.tags))
+        return CommitResult(snap.version, attempt, skipped = true)
+      // a racing adopt of the same branch may have landed: adds-only
+      // idempotence by content, not just by tag
+      val adds = branchAdds.filterNot(snap.files.toSet)
+      if (adds.isEmpty) return CommitResult(snap.version, attempt, skipped = true)
+      val keep = adds.toSet
+      def sel[T](all: Seq[T]): Seq[T] =
+        branchAdds.zip(all).collect { case (f, v) if keep(f) => v }
+      val c = Commit(snap.version + 1, "adopt", adds, Seq.empty, tag,
+        statsKey = None, addStats = sel(stats), addBlooms = sel(blooms),
+        addStatsN = statsN.map(sel), addBloomsN = bloomsN.map(sel),
+        addRows = sel(rowsKnown), addShBlooms = shBl.map(sel))
+      if (tryPublish(dstRoot, c)) {
+        maybeCheckpoint(dstRoot, c.version)
+        return CommitResult(c.version, attempt, skipped = false)
+      }
+      backoff(attempt)
+    }
+    throw new IllegalStateException(
+      s"adopt into $dstRoot failed after $maxAttempts attempts (contention)")
+  }
+
   /** Transactional write loop: stage data from the CURRENT snapshot via
     * `body`, publish optimistically, REBASE + retry on conflict. `body`
     * receives the snapshot's DataFrame and returns the full new table

@@ -1514,6 +1514,50 @@ object Extras {
     // Returned rows — the surviving-content rollup plus the logged
     // delete volume as a column — hash-match the oracle's direct
     // derivation: the policy is visible to cost, never to results.
+    // ---- Q-qual-36: WRITE-AUDIT-PUBLISH — the staging workflow a
+    // production lakehouse runs around every risky load: write to a
+    // zero-copy BRANCH (cloneShallow), audit there while the table's
+    // readers see nothing, then PUBLISH by adopting the branch's
+    // post-clone adds back (adoptFrom: hard-links + one metadata
+    // commit carrying the branch log's stats/blooms/rows — zero data
+    // rewrite at any step, O(new files) regardless of table size).
+    // Asserted in-query: staging is invisible to main pre-publish, the
+    // adopt is tag-idempotent, and the carried stats keep range pruning
+    // working on adopted files (readPruned opens only them). Oracle =
+    // the same rollup straight off lineitem — branch lifecycle must be
+    // result-invisible.
+    "Q-qual-36" -> { (s, d) =>
+      import graft.operators.TxTable
+      val tmp = tempDir("graft_qual36").toString
+      val main = s"$tmp/main"; val branch = s"$tmp/branch"
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+        col("l_partkey").as("p"), col("l_quantity").cast("long").as("q"))
+      TxTable.create(li.filter(col("k") % 4 =!= 0).coalesce(2), main,
+        statsKey = Some("k"))
+      TxTable.cloneShallow(main, branch)
+      TxTable.append(s, branch,
+        li.filter(col("k") % 4 === 0).coalesce(1))
+      val before = TxTable.read(s, main).count()
+      TxTable.adoptFrom(s, main, branch, tag = Some("app=qual36/wap-1"))
+      if (!TxTable.adoptFrom(s, main, branch,
+          tag = Some("app=qual36/wap-1")).skipped)
+        throw new IllegalStateException("adopt replay must be a no-op")
+      val staged = TxTable.read(s, main).count() - before
+      // pruning works on the adopted files' carried stats: a range that
+      // only the staged rows cover reads some rows without full scan
+      val lo = TxTable.readPruned(s, main, 4L, 4L).count()
+      TxTable.read(s, main)
+        .groupBy((col("k") % 7).as("bucket"))
+        .agg(count(lit(1)).as("n"), sum("p").as("p_sum"), sum("q").as("q_sum"))
+        .select(col("bucket").cast("bigint").as("bucket"),
+          col("n").cast("bigint").as("n"),
+          col("p_sum").cast("bigint").as("p_sum"),
+          col("q_sum").cast("bigint").as("q_sum"),
+          lit(staged).cast("bigint").as("n_staged"),
+          lit(lo).cast("bigint").as("n_k4"))
+        .orderBy("bucket")
+    },
+
     "Q-qual-35" -> { (s, d) =>
       import graft.operators.TxTable
       val root = tempDir("graft_qual35").toString + "/tbl"
@@ -3311,6 +3355,21 @@ object Extras {
          ORDER BY l_orderkey, l_partkey, l_suppkey, qty""",
     // the broadcast guard is invisible to results: surviving content is
     // a plain filter, the logged delete volume a plain count
+    // branch lifecycle (clone → staged append → adopt) must be
+    // result-invisible: the rollup equals plain lineitem
+    "Q-qual-36" ->
+      """WITH t AS (
+           SELECT l_orderkey AS k, l_partkey AS p,
+                  CAST(l_quantity AS BIGINT) AS q
+           FROM lineitem),
+         staged AS (SELECT count(*) AS ns FROM t WHERE k % 4 = 0),
+         k4 AS (SELECT count(*) AS nk FROM t WHERE k = 4)
+         SELECT (k % 7)::BIGINT AS bucket, count(*)::BIGINT AS n,
+                sum(p)::BIGINT AS p_sum, sum(q)::BIGINT AS q_sum,
+                (SELECT ns FROM staged)::BIGINT AS n_staged,
+                (SELECT nk FROM k4)::BIGINT AS n_k4
+         FROM t GROUP BY 1 ORDER BY bucket""",
+
     "Q-qual-35" ->
       """WITH t AS (
            SELECT o_orderkey AS k,

@@ -1820,6 +1820,64 @@ class TxTableSpec extends AnyFunSuite {
     }
   }
 
+  test("write-audit-publish: branch adds adopt back zero-copy; bad data never reaches main") {
+    import spark.implicits._
+    import java.nio.file.{Files => JF, Paths => JP}
+    val tmp = freshRoot()
+    val main = s"$tmp/main"; val branch = s"$tmp/branch"
+    TxTable.create((0L until 100L).map(i => (i, "base")).toDF("k", "v"),
+      main, statsKey = Some("k"),
+      check = Some("k >= 0"))
+    // WRITE: isolated on the branch — main's readers never see it
+    TxTable.cloneShallow(main, branch)
+    TxTable.append(spark, branch,
+      (100L until 150L).map(i => (i, "staged")).toDF("k", "v"))
+    assert(rows(main).size == 100, "staging must be invisible to main")
+    // AUDIT on the branch (app-level), then PUBLISH: zero-copy adopt
+    val r = TxTable.adoptFrom(spark, main, branch, tag = Some("wap-1"))
+    assert(!r.skipped)
+    assert(rows(main) == (0L until 100L).map((_, "base")).toSet ++
+      (100L until 150L).map((_, "staged")).toSet)
+    // zero-copy: the adopted file is the SAME inode as the branch's
+    val adopted = TxTable.snapshot(main).files
+      .filterNot(TxTable.snapshot(branch).files
+        .filter(f => TxTable.snapshot(branch).fileAddV.getOrElse(f, 0L) == 0L)
+        .toSet)
+    assert(adopted.nonEmpty)
+    adopted.foreach { f =>
+      val a = JF.getAttribute(JP.get(main, f), "unix:ino")
+      val b = JF.getAttribute(JP.get(branch, f), "unix:ino")
+      assert(a == b, s"adopted file must be a hard link, not a copy: $f")
+    }
+    // replay idempotence: same tag AND same content both short-circuit
+    assert(TxTable.adoptFrom(spark, main, branch, tag = Some("wap-1")).skipped)
+    assert(TxTable.adoptFrom(spark, main, branch).skipped,
+      "already-adopted files must not double-add")
+    // stats rode the adopt: a pruned range read opens only matching files
+    assert(TxTable.readPruned(spark, main, 120L, 130L)
+      .as[(Long, String)].collect().forall(_._2 == "staged"))
+    // vacuum on MAIN must not reclaim the shared physical file
+    TxTable.vacuumOrphans(main)
+    assert(rows(branch).size == 150, "branch stays intact after main vacuum")
+    // the audit gate is real. A CLONE carries main's CHECK, so bad data
+    // is refused at branch-append time (isolation even before publish):
+    val branch2 = s"$tmp/branch2"
+    TxTable.cloneShallow(main, branch2)
+    val atAppend = intercept[IllegalStateException](
+      TxTable.append(spark, branch2, Seq((-5L, "bad")).toDF("k", "v")))
+    assert(atAppend.getMessage.toLowerCase.contains("check"))
+    // ...and a FOREIGN branch (no such constraint of its own) is audited
+    // at ADOPT time against the table's CHECK — main never sees the row
+    val branch3 = s"$tmp/branch3"
+    TxTable.create(Seq((1L, "seed")).toDF("k", "v"), branch3,
+      statsKey = Some("k"))
+    TxTable.append(spark, branch3, Seq((-5L, "bad")).toDF("k", "v"))
+    val ex = intercept[IllegalStateException](
+      TxTable.adoptFrom(spark, main, branch3))
+    assert(ex.getMessage.toLowerCase.contains("check"))
+    assert(rows(main).size == 150, "failed audit must leave main untouched")
+  }
+
   test("comma-bearing ledger signature (decimal composite key) round-trips the log parser") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -20,6 +20,9 @@ import graft.operators.TxTable
   *
   *   CREATE TABLE t LOCATION '<root>' [STATS KEY k1[, k2...]] AS <select>
   *   CREATE TABLE b SHALLOW CLONE t LOCATION '<root>'  -- zero-copy branch
+  *   PUBLISH t FROM b [TAG '<tag>']   -- write-audit-publish: adopt the
+  *                                    -- branch's post-clone adds back
+  *                                    -- (zero-copy, audited, idempotent)
   *   INSERT INTO t <select>                        -- append commit
   *   MERGE INTO t USING (<select>) ON (k1[, ...]) [MODE MOR]
   *   UPDATE t SET c1 = e1[, c2 = e2] WHERE <pred> [MODE MOR]
@@ -90,6 +93,11 @@ final class TableSql(spark: SparkSession) {
         val r = TxTable.cloneShallow(rootOf(srcName), root)
         register(name, root)
         result(name, "clone", r)
+
+      case TableSql.adoptRe(name, branchName, tag) =>
+        result(name, "adopt",
+          TxTable.adoptFrom(spark, rootOf(name), rootOf(branchName),
+            Option(tag)))
 
       case TableSql.insertOverwriteRe(name, k, lo, hi, select) =>
         val root = rootOf(name)
@@ -275,6 +283,8 @@ object TableSql {
   private val cloneRe =
     ("(?is)^CREATE\\s+TABLE\\s+(\\w+)\\s+SHALLOW\\s+CLONE\\s+(\\w+)" +
       "\\s+LOCATION\\s+'([^']+)'$").r
+  private val adoptRe =
+    "(?is)^PUBLISH\\s+(\\w+)\\s+FROM\\s+(\\w+)(?:\\s+TAG\\s+'([^']+)')?$".r
   private val insertRe =
     "(?is)^INSERT\\s+INTO\\s+(\\w+)\\s+(SELECT\\b.+)$".r
   private val mergeRe =

@@ -469,6 +469,28 @@ object ScaleCurve {
         o.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
     }
 
+    // ---- wap-adopt (round-9): write-audit-publish cost vs staged DATA
+    // volume at fixed file count. The publish is links + footer-bounded
+    // audit + one metadata commit, so the claim under test is "flat in
+    // rows": a 100 TB table pays the same publish cost for a 4-file
+    // branch whether those files hold 200 k or 1.6 M rows. Setup
+    // (create, clone, staged append) untimed.
+    for (m <- Seq(1, 8) if want("wap-adopt")) {
+      val tmp = tempDir(s"graft_scale_wap$m").toString
+      val main = s"$tmp/main"; val branch = s"$tmp/branch"
+      TxTable.create(spark.range(100000L * m)
+        .select(col("id").as("k"), lit("base").as("v")).coalesce(4),
+        main, Some("k"))
+      TxTable.cloneShallow(main, branch)
+      TxTable.append(spark, branch,
+        spark.range(100000L * m, 200000L * m)
+          .select(col("id").as("k"), lit("staged").as("v")).coalesce(4))
+      measure("wap-adopt", m) {
+        TxTable.adoptFrom(spark, main, branch)
+        TxTable.snapshot(main).files.size.toLong
+      }
+    }
+
     // ---- power-law graph family (round-9): the Zipf hub fixture
     // (graft.queries.Graph.powerLawEdges — max degree 2000m, celebrity
     // clique ∝ ∛m) at 1× vs 8× edges. Pins the claims the uniform/

@@ -178,6 +178,27 @@ class TableSqlSpec extends AnyFunSuite {
     assert(q.exec("SELECT count(*) FROM orig").as[Long].head() == 100L)
   }
 
+  test("PUBLISH ... FROM adopts a branch's staged adds back through SQL (WAP)") {
+    import spark.implicits._
+    seedView()
+    val (q, dir) = fresh()
+    q.exec(s"CREATE TABLE base LOCATION '$dir/base' STATS KEY k AS " +
+      "SELECT * FROM tsql_src")
+    q.exec(s"CREATE TABLE stage SHALLOW CLONE base LOCATION '$dir/stage'")
+    (101L to 120L).map(k => (k, s"v$k", k % 10))
+      .toDF("k", "v", "grp").createOrReplaceTempView("tsql_new")
+    q.exec("INSERT INTO stage SELECT * FROM tsql_new")
+    // staged rows invisible to base until published
+    assert(q.exec("SELECT count(*) FROM base").as[Long].head() == 100L)
+    val r = q.exec("PUBLISH base FROM stage TAG 'wap-sql-1'")
+    assert(r.select("op").head().getString(0) == "adopt")
+    assert(q.exec("SELECT count(*) FROM base").as[Long].head() == 120L)
+    // replay is a no-op commit
+    val v0 = q.exec("SELECT count(*) FROM base").as[Long].head()
+    q.exec("PUBLISH base FROM stage TAG 'wap-sql-1'")
+    assert(q.exec("SELECT count(*) FROM base").as[Long].head() == v0)
+  }
+
   test("SELECT predicates prune files from the log through the SQL surface") {
     import spark.implicits._
     import graft.sources.GraftFileIndex

@@ -144,6 +144,7 @@ object Bench {
     "Q-llm-60",   // PII scan + redaction (codegen regex, narrow map)
     "Q-llm-61",   // data-mixture resample, fractional epochs (md5 coin)
     "Q-qual-36",  // write-audit-publish: branch, audit, zero-copy adopt
+    "Q-llm-62",   // DSIR importance scoring (unigram LLR vs target)
     "Q-str-29",   // presence with event-time state eviction (timers)
     "Q-scan-21",  // A-ES weighted sampling (one-pass, TakeOrdered top-k)
     "Q-qual-31",  // one-pass table profiler (multi-distinct via Expand)

@@ -1351,6 +1351,51 @@ object LlmOps {
           col("n_docs").cast("bigint").as("n_docs"), col("n_out"),
           Portable.r(col("n_out") / col("n_docs"), 6).as("realized_epochs"))
         .orderBy("source")
+    },
+
+    // ---- Q-llm-62: DSIR-style importance scoring (Xie et al. 2023,
+    // "Data Selection for Language Models via Importance Resampling" —
+    // public method): every document scored by its unigram
+    // LOG-LIKELIHOOD RATIO between a TARGET distribution (a curated
+    // seed set — the %19 cohort, same seeding discipline as
+    // Q-graph-06) and the raw-corpus distribution, add-1 smoothed over
+    // the corpus vocabulary — the importance weight that up-selects
+    // "looks like my target domain" data from a 100 TB crawl. Scale
+    // shape = Q-llm-28's ledger: token streams collapse map-side to
+    // (doc, word, n) before any exchange; both distributions are
+    // word-keyed partial aggs off that same collapsed stream; the
+    // per-doc score is one more word-keyed join + decimal partial sum;
+    // the global top-20 is TakeOrderedAndProject (20 rows per
+    // partition cross the wire). Decimal log algebra mirrors Q-llm-28
+    // so the ranking hash-matches bit-for-bit.
+    "Q-llm-62" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val w = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val dw = w.groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      val cc = dw.groupBy("word").agg(sum(col("n")).as("cc"))
+      val tc = dw.filter(col("doc_id") % 19 === 3)
+        .groupBy("word").agg(sum(col("n")).as("tc"))
+      val freq = cc.join(tc, Seq("word"), "left")
+        .select(col("word"), col("cc"), coalesce(col("tc"), lit(0L)).as("tc"))
+      val totals = freq.agg(sum(col("cc")).as("ctot"),
+        sum(col("tc")).as("ttot"), count(lit(1)).as("v"))
+      val term = dw.join(freq, "word")
+        .crossJoin(broadcast(totals))
+        .select(col("doc_id"), col("n"),
+          ((log((col("tc") + 1).cast("double") /
+              (col("ttot") + col("v")).cast("double")) -
+            log((col("cc") + 1).cast("double") /
+              (col("ctot") + col("v")).cast("double")))
+            .cast(DecimalType(20, 10)) * col("n").cast(DecimalType(8, 0)))
+            .as("llr"))
+      term.groupBy("doc_id")
+        .agg(sum(col("n")).cast("bigint").as("n_tokens"),
+          Portable.r(sum(col("llr")).cast("double") / sum(col("n")), 6)
+            .as("mean_llr"))
+        .withColumn("is_seed", (col("doc_id") % 19 === 3).cast("boolean"))
+        .orderBy(col("mean_llr").desc, col("doc_id"))
+        .limit(20)
     }
   )
 
@@ -2411,7 +2456,34 @@ object LlmOps {
                 ${Portable.rSql("o.n_out / a.n_docs::DOUBLE", 6)}
                   AS realized_epochs
          FROM agg a JOIN outs o ON a.source = o.source
-         ORDER BY a.source"""
+         ORDER BY a.source""",
+
+    "Q-llm-62" ->
+      s"""WITH w AS (
+           SELECT doc_id, unnest(str_split(text, ' ')) AS word FROM documents),
+         dw AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2),
+         cc AS (SELECT word, sum(n) AS cc FROM dw GROUP BY 1),
+         tcn AS (SELECT word, sum(n) AS tc FROM dw
+                 WHERE doc_id % 19 = 3 GROUP BY 1),
+         freq AS (
+           SELECT c.word, c.cc, coalesce(t.tc, 0) AS tc
+           FROM cc c LEFT JOIN tcn t USING (word)),
+         tot AS (SELECT sum(cc) AS ctot, sum(tc) AS ttot,
+                        count(*) AS v FROM freq),
+         term AS (
+           SELECT dw.doc_id, dw.n,
+                  CAST(ln((tc + 1)::DOUBLE / (ttot + v)::DOUBLE) -
+                       ln((cc + 1)::DOUBLE / (ctot + v)::DOUBLE)
+                    AS DECIMAL(20,10)) * CAST(dw.n AS DECIMAL(8,0)) AS llr
+           FROM dw JOIN freq USING (word) CROSS JOIN tot),
+         sc AS (
+           SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+                  ${Portable.rSql("CAST(sum(llr) AS DOUBLE) / sum(n)", 6)}
+                    AS mean_llr
+           FROM term GROUP BY doc_id)
+         SELECT doc_id, n_tokens, mean_llr,
+                (doc_id % 19 = 3) AS is_seed
+         FROM sc ORDER BY mean_llr DESC, doc_id LIMIT 20"""
   )
 
   // the BM25 CTE chain (through `rk`), shared by Q-llm-53 and Q-llm-54

@@ -1878,6 +1878,33 @@ class TxTableSpec extends AnyFunSuite {
     assert(rows(main).size == 150, "failed audit must leave main untouched")
   }
 
+  test("adopt widens the union schema: a branch-added column surfaces as NULL on old rows") {
+    import spark.implicits._
+    val tmp = freshRoot()
+    val main = s"$tmp/main"; val branch = s"$tmp/branch"
+    TxTable.create((0L until 10L).map(i => (i, "base")).toDF("k", "v"),
+      main, statsKey = Some("k"))
+    TxTable.cloneShallow(main, branch)
+    // the staged batch carries a NEW column (schema evolution by merge)
+    TxTable.append(spark, branch,
+      Seq((100L, "staged", 7L)).toDF("k", "v", "score"))
+    TxTable.adoptFrom(spark, main, branch)
+    val got = TxTable.read(spark, main)
+      .select("k", "v", "score")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(got == (0L until 10L).map(i => (i, "base", None)).toSet +
+      ((100L, "staged", Some(7L))),
+      s"union schema must grow and old rows read NULL: $got")
+    // a TYPE-mismatched branch column is refused at adopt
+    val branch2 = s"$tmp/branch2"
+    TxTable.cloneShallow(main, branch2)
+    TxTable.append(spark, branch2,
+      Seq((200L, "bad", "not-a-long")).toDF("k", "v", "score"))
+    val ex = intercept[IllegalArgumentException](
+      TxTable.adoptFrom(spark, main, branch2))
+    assert(ex.getMessage.contains("score"))
+  }
+
   test("comma-bearing ledger signature (decimal composite key) round-trips the log parser") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -1507,7 +1507,9 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
-      backoff(attempt)
+      // no backoff after the FINAL failed attempt — the exception should
+      // surface immediately, not after one more jittered sleep
+      if (attempt < maxAttempts) backoff(attempt)
     }
     throw new IllegalStateException(
       s"restore of $root failed after $maxAttempts attempts (contention)")
@@ -2074,16 +2076,19 @@ object TxTable {
             Files.copy(src, dst)
         }
     }
+    // missing stats entry = UNKNOWN, carried as the conservative full
+    // range (same reasoning as adoptFrom: the empty-file sentinel
+    // (MaxValue, MinValue) would prune the cloned rows out of reads)
     val stats =
       if (snap.statsKey.isEmpty) Seq.empty
       else snap.files.map(f =>
-        snap.fileStats.getOrElse(f, (Long.MaxValue, Long.MinValue)))
+        snap.fileStats.getOrElse(f, (Long.MinValue, Long.MaxValue)))
     val blooms =
       if (snap.statsKey.isEmpty) Seq.empty
       else snap.files.map(f => snap.fileBlooms.getOrElse(f, ""))
     val statsN = snap.statsCols.indices.map(j => snap.files.map(f =>
       snap.fileStatsN.get(f).flatMap(_.lift(j))
-        .getOrElse((Long.MaxValue, Long.MinValue))))
+        .getOrElse((Long.MinValue, Long.MaxValue))))
     val bloomsN = snap.statsCols.indices.map(j => snap.files.map(f =>
       snap.fileBloomsN.get(f).flatMap(_.lift(j)).getOrElse("")))
     val rowsKnown = snap.files.map(f => snap.fileRows.getOrElse(f, -1L))
@@ -2150,9 +2155,22 @@ object TxTable {
       val tbl = currentSchema(spark, dstRoot, dst0)
       val cs = spark.conf.getOption("spark.sql.caseSensitive")
         .exists(_.toBoolean)
+      // names the table once knew but renamed away: a branch column
+      // still carrying a pre-rename name must not silently adopt as a
+      // brand-new column and fork the data across two names — the type
+      // check below would skip it (absent from the current schema)
+      val renamedAway = dst0.evos.collect {
+        case (_, op) if op.startsWith("rename:") => op.split(':')(1)
+      }
       adoptedDf.schema.foreach { f =>
-        tbl.find(t => if (cs) t.name == f.name
-          else t.name.equalsIgnoreCase(f.name)).foreach { t =>
+        val cur = tbl.find(t => if (cs) t.name == f.name
+          else t.name.equalsIgnoreCase(f.name))
+        require(cur.isDefined || !renamedAway.exists(r =>
+            if (cs) r == f.name else r.equalsIgnoreCase(f.name)),
+          s"adopted column '${f.name}' matches a name the table renamed " +
+            s"away after the clone — rebase the branch onto the current " +
+            s"schema before adopting")
+        cur.foreach { t =>
           require(t.dataType == f.dataType,
             s"adopted column '${f.name}' is ${f.dataType.simpleString} " +
               s"but the table stores ${t.dataType.simpleString} — refused")
@@ -2171,16 +2189,20 @@ object TxTable {
                _: java.nio.file.FileSystemException => Files.copy(s0, d0)
         }
     }
+    // a MISSING stats entry means UNKNOWN range, not empty file: carry
+    // the conservative full range (readPrunedOn's st.get(f) == None =>
+    // keep convention) — the (MaxValue, MinValue) empty-file sentinel
+    // would make the adopted rows vanish from every pruned read
     val stats =
       if (src.statsKey.isEmpty) Seq.empty
       else branchAdds.map(f =>
-        src.fileStats.getOrElse(f, (Long.MaxValue, Long.MinValue)))
+        src.fileStats.getOrElse(f, (Long.MinValue, Long.MaxValue)))
     val blooms =
       if (src.statsKey.isEmpty) Seq.empty
       else branchAdds.map(f => src.fileBlooms.getOrElse(f, ""))
     val statsN = src.statsCols.indices.map(j => branchAdds.map(f =>
       src.fileStatsN.get(f).flatMap(_.lift(j))
-        .getOrElse((Long.MaxValue, Long.MinValue))))
+        .getOrElse((Long.MinValue, Long.MaxValue))))
     val bloomsN = src.statsCols.indices.map(j => branchAdds.map(f =>
       src.fileBloomsN.get(f).flatMap(_.lift(j)).getOrElse("")))
     val shBl = src.shingleCols.indices.map(j => branchAdds.map(f =>
@@ -2207,7 +2229,9 @@ object TxTable {
         maybeCheckpoint(dstRoot, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
-      backoff(attempt)
+      // no backoff after the FINAL failed attempt — the exception should
+      // surface immediately, not after one more jittered sleep
+      if (attempt < maxAttempts) backoff(attempt)
     }
     throw new IllegalStateException(
       s"adopt into $dstRoot failed after $maxAttempts attempts (contention)")
@@ -2250,7 +2274,9 @@ object TxTable {
       // lost the race: loop rebases on the winner's snapshot. Our staged
       // files stay orphaned (never referenced by any commit) — invisible
       // to readers; a vacuum pass may reclaim them.
-      backoff(attempt)
+      // no backoff after the FINAL failed attempt — the exception should
+      // surface immediately, not after one more jittered sleep
+      if (attempt < maxAttempts) backoff(attempt)
     }
     throw new IllegalStateException(
       s"commit to $root failed after $maxAttempts attempts (contention)")
@@ -2479,7 +2505,9 @@ object TxTable {
         return Some(CommitResult(c.version, attempt, skipped = false))
       }
       }
-      backoff(attempt)
+      // no backoff after the FINAL failed attempt — the exception should
+      // surface immediately, not after one more jittered sleep
+      if (attempt < maxAttempts) backoff(attempt)
     }
     throw new IllegalStateException(
       s"commit to $root failed after $maxAttempts attempts (contention)")
@@ -2666,7 +2694,9 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
-      backoff(attempt)
+      // no backoff after the FINAL failed attempt — the exception should
+      // surface immediately, not after one more jittered sleep
+      if (attempt < maxAttempts) backoff(attempt)
     }
     throw new IllegalStateException(
       s"commit to $root failed after $maxAttempts attempts (contention)")
@@ -2725,7 +2755,9 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
-      backoff(attempt)
+      // no backoff after the FINAL failed attempt — the exception should
+      // surface immediately, not after one more jittered sleep
+      if (attempt < maxAttempts) backoff(attempt)
     }
     throw new IllegalStateException(
       s"commit to $root failed after $maxAttempts attempts (contention)")
@@ -3127,6 +3159,11 @@ object TxTable {
       // (stageData already sets parallelismFirst=false). The form is
       // decided like the planner decides it: optimizer size estimate
       // of the build side vs the session's broadcast threshold.
+      // Caveat: AQE may still convert the shuffled form to broadcast
+      // at runtime from ACTUAL shuffle sizes; on that mismatch the
+      // rewrite runs a broadcast anti-join without the distinct or the
+      // touched-size coalesce — content stays exact (anti-join tests
+      // existence), only the small-file shape is briefly reintroduced.
       val touchedContent =
         if (touched.isEmpty) changes
         else {
@@ -3222,7 +3259,9 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
-      backoff(attempt)
+      // no backoff after the FINAL failed attempt — the exception should
+      // surface immediately, not after one more jittered sleep
+      if (attempt < maxAttempts) backoff(attempt)
     }
     throw new IllegalStateException(
       s"delete-mor commit to $root failed after $maxAttempts attempts (contention)")
@@ -3340,7 +3379,9 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
-      backoff(attempt)
+      // no backoff after the FINAL failed attempt — the exception should
+      // surface immediately, not after one more jittered sleep
+      if (attempt < maxAttempts) backoff(attempt)
     }
     throw new IllegalStateException(
       s"merge-mor commit to $root failed after $maxAttempts attempts (contention)")
@@ -3366,7 +3407,9 @@ object TxTable {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
       }
-      backoff(attempt)
+      // no backoff after the FINAL failed attempt — the exception should
+      // surface immediately, not after one more jittered sleep
+      if (attempt < maxAttempts) backoff(attempt)
     }
     throw new IllegalStateException(
       s"$op commit to $root failed after $maxAttempts attempts (contention)")

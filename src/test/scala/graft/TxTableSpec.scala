@@ -1905,6 +1905,37 @@ class TxTableSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("score"))
   }
 
+  test("adopt refuses a branch column the table renamed away after the clone") {
+    import spark.implicits._
+    val tmp = freshRoot()
+    val main = s"$tmp/main"; val branch = s"$tmp/branch"
+    TxTable.create((0L until 10L).map(i => (i, "base")).toDF("k", "v"),
+      main, statsKey = Some("k"))
+    TxTable.cloneShallow(main, branch)
+    TxTable.append(spark, branch,
+      (100L until 110L).map(i => (i, "staged")).toDF("k", "v"))
+    // main evolves PAST the clone point: v is now called label
+    TxTable.renameColumn(spark, main, "v", "label")
+    // the branch's 'v' would pass the type check (absent from the
+    // current schema) and adopt as a brand-new column, silently forking
+    // the data across v/label — must be refused instead
+    val ex = intercept[IllegalArgumentException](
+      TxTable.adoptFrom(spark, main, branch))
+    assert(ex.getMessage.contains("renamed"), ex.getMessage)
+    assert(TxTable.read(spark, main).count() == 10,
+      "refused adopt must leave main untouched")
+    // a branch whose adds already carry the NEW name adopts fine
+    // (compact first: cloning refuses while the rename is pending on
+    // main's live files)
+    TxTable.compact(spark, main, 1)
+    val branch2 = s"$tmp/branch2"
+    TxTable.cloneShallow(main, branch2)
+    TxTable.append(spark, branch2,
+      (200L until 210L).map(i => (i, "ok")).toDF("k", "label"))
+    assert(!TxTable.adoptFrom(spark, main, branch2).skipped)
+    assert(TxTable.read(spark, main).count() == 20)
+  }
+
   test("comma-bearing ledger signature (decimal composite key) round-trips the log parser") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -40,7 +40,9 @@ object LshIndex {
     Array.fill(nTables * nBits, dim)(r.nextFloat() * 2f - 1f)
   }
 
-  /** Bucket id of table `t`: sum of (dot(vec, plane_{t*nBits+i}) >= 0) << i. */
+  /** Bucket id of table `t`: sum of (dot(vec, plane_{t*nBits+i}) >= 0) << i.
+    * Per-plane reference form — [[graft.functions.SignBits]] is the fused
+    * production path; LshIndexSpec pins their bucket equality. */
   def bucketCol(vec: Column, ps: Array[Array[Float]], nBits: Int, t: Int): Column =
     (0 until nBits).map { i =>
       when(call_udf("cosine_sim", vec, typedlit(ps(t * nBits + i).toSeq)) >= 0,
@@ -53,21 +55,29 @@ object LshIndex {
       emb: DataFrame, idCol: String, vecCol: String, qPred: Column,
       ps: Array[Array[Float]], nBits: Int, k: Int): DataFrame = {
     CosineSim.register(emb.sparkSession)
+    graft.functions.SignBits.register(emb.sparkSession, ps, nBits)
     val nTables = ps.length / nBits
-    val buckets = (0 until nTables).map(t =>
-      struct(lit(t).as("t"), bucketCol(col(vecCol), ps, nBits, t).as("bucket")))
+    // ONE vector traversal computes every table's bucket (the fused
+    // SignBits codegen kernel) — the per-plane form cost nTables×nBits
+    // full dot products per corpus row and (nBits+1)× that on the
+    // multi-probe side
+    val sig = call_udf("sign_bits", col(vecCol))
     // the index: corpus keyed by (table, bucket) — nTables rows per vector
-    val corpus = emb.select(col(idCol), col(vecCol), explode(array(buckets: _*)).as("tb"))
-      .select(col(idCol), col(vecCol), col("tb.t"), col("tb.bucket"))
-    // per table: own bucket + every Hamming-1 neighbor
+    val corpus = emb
+      .select(col(idCol), col(vecCol), posexplode(sig))
+      .select(col(idCol), col(vecCol), col("pos").as("t"),
+        col("col").as("bucket"))
+    // per table: own bucket + every Hamming-1 neighbor — cheap bit ops
+    // over the one materialized signature array
     val probeStructs = (0 until nTables).flatMap { t =>
-      val own = bucketCol(col(vecCol), ps, nBits, t)
+      val own = element_at(col("__sig"), t + 1)
       struct(lit(t).as("t"), own.as("bucket")) +:
         (0 until nBits).map(j =>
           struct(lit(t).as("t"), own.bitwiseXOR(lit(1 << j)).as("bucket")))
     }
-    val probes = emb.filter(qPred).select(
-        col(idCol).as("query_id"),
+    val probes = emb.filter(qPred)
+      .withColumn("__sig", sig)
+      .select(col(idCol).as("query_id"),
         explode(array(probeStructs: _*)).as("tb"))
       .select(col("query_id"), col("tb.t"), col("tb.bucket"))
     // union candidates across tables, dedup BEFORE the exact scoring pass

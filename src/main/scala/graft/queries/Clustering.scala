@@ -96,17 +96,18 @@ object Clustering {
       // assignment rows are materialized once, instead of three times
       val withNorm = t.withColumn("n", expr("long_dot(qv, qv)"))
         .localCheckpoint()
-      val x = withNorm.select(col("cluster"), col("id").as("a"),
-        col("qv").as("qa"), col("n").as("na"))
-      val y = withNorm.select(col("cluster"), col("id").as("b"),
-        col("qv").as("qb"), col("n").as("nb"))
-      val dropped = x.join(y, Seq("cluster"))
-        .filter(col("a") < col("b"))
-        .withColumn("dot", expr("long_dot(qa, qb)"))
+      // within-cell pairs via the chunked bucket join: a hot k-means cell
+      // (a semantic mega-cluster) spreads its k² pairs over (k/cap)² join
+      // keys instead of one straggler task; the pair set — and the
+      // oracle — is unchanged
+      val dropped = graft.operators.BucketJoin
+        .selfPairs(withNorm.select("cluster", "id", "qv", "n"),
+          Seq("cluster"), "id", cap = 256)
+        .withColumn("dot", expr("long_dot(a_qv, b_qv)"))
         .filter(col("dot") > 0 &&
           lit(TAU_DEN) * col("dot") * col("dot") >=
-            lit(TAU_NUM) * col("na") * col("nb"))
-        .select(col("b").as("id")).distinct()
+            lit(TAU_NUM) * col("a_n") * col("b_n"))
+        .select(col("b_id").as("id")).distinct()
       withNorm.select(col("id"), col("cluster"))
         .join(dropped.withColumn("hit", lit(true)), Seq("id"), "left")
         .select(col("id").as("vec_id"),

@@ -91,22 +91,8 @@ object Graph {
     * clique grows ∛m so its wedge output also grows ~m) — ScaleCurve's
     * `triangles` rows pin the near-linear claim at m=1 vs 8. */
   def powerLawEdges(s: org.apache.spark.sql.SparkSession, m: Int)
-      : org.apache.spark.sql.DataFrame = {
-    val hubs = 400L * m; val dmax = 2000L * m
-    val spokes = 20011L * m; val soff = 1000000L
-    val t = (120.0 * math.cbrt(m.toDouble)).round
-    val hubSpoke = s.range(hubs)
-      .select(col("id").as("h"),
-        explode(sequence(lit(0L),
-          expr(s"$dmax div (id + 1)") - 1)).as("j"))
-      .select(col("h").as("a"),
-        (lit(soff) + (col("h") * 37 + col("j") * 13) % spokes).as("b"))
-    val tops = s.range(t)
-    val clique = tops.as("x").join(tops.as("y"),
-        col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-    hubSpoke.unionAll(clique)
-  }
+      : org.apache.spark.sql.DataFrame =
+    graft.tools.SkewFixtures.powerLawEdges(s, m) // shared skew generator
 
   val queries: Map[String, Q] = Map(
     // ---- Q-graph-11: exact triangle census on the POWER-LAW fixture —

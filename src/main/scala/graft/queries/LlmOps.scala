@@ -26,6 +26,55 @@ object LlmOps {
                              // so rounds stay low and the learning rate high)
   private val LSH_BITS = 6   // hyperplane-LSH bucket bits (Q-llm-14)
   private val LSH_TABLES = 4 // hyperplane-LSH independent tables (Q-llm-14)
+  // max bucket members per chunk in the blocked candidate joins — any
+  // single join key emits ≤ CAP² rows no matter how hot the bucket
+  // (graft.operators.BucketJoin; the TriangleCount vertex-split applied
+  // to LSH band buckets / prefix tokens / SemDeDup cells)
+  private val BUCKET_CAP = 256
+
+  /** Shared MinHash-LSH front end (Q-llm-02/16/24/63): the distinct
+    * shingle set (persisted + materialized — three consumers otherwise
+    * race to recompute it), one-buffer K-band signatures with set sizes,
+    * and the exploded (doc_id, band_id, key) band rows. */
+  private def lshFront(s: org.apache.spark.sql.SparkSession, docs: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    // aggregating over the DISTINCT set (not the raw explode) keeps both
+    // aggregates non-distinct, so Catalyst plans ONE hash aggregation
+    // with no Expand-based distinct rewrite
+    val sh = shingleRows(docs, "doc_id", "text", 3).distinct().persist()
+    // eager: consumers otherwise race to compute uncached partitions in
+    // parallel stages of one job, re-running the shingle pipeline ~3x.
+    // On a cluster this intermediate would be checkpointed the same way.
+    sh.count()
+    graft.functions.MinHashSig.register(s)
+    val sigs = sh.groupBy("doc_id").agg(
+      expr(s"minhash_sig(sh, $BANDS)").as("sig"),
+      count(lit(1)).as("n_sh"))
+    val bands = sigs
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("key"))
+    (sh, sigs, bands)
+  }
+
+  /** Exact shingle-set Jaccard attached to candidate pairs (a, b): one
+    * intersection-count join over the distinct shingle set plus the two
+    * size attaches. Linear in (candidates × shared shingles). */
+  private def jaccardOn(cand: DataFrame, sh: DataFrame,
+                        sigs: DataFrame): DataFrame = {
+    val sizes = sigs.select(col("doc_id"), col("n_sh"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+    cand
+      .join(inter, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+      .select(col("a"), col("b"),
+        Portable.r(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6)
+          .as("jaccard"))
+  }
 
   val queries: Map[String, Q] = Map(
     // ---- Q-llm-01: exact dedup by content hash, keep lowest doc_id
@@ -41,53 +90,21 @@ object LlmOps {
     },
 
     // ---- Q-llm-02: MinHash-LSH near-dup candidates + exact Jaccard verify.
-    // shingle -> seeded minhash per band -> band-bucket self-join ->
-    // candidate pairs -> exact shingle-set Jaccard. All stages are
-    // equi-joins/groupBys on hash keys: linear shuffles, no pair explosion
-    // beyond actual bucket collisions.
+    // shingle -> seeded minhash per band -> CHUNKED band-bucket self-join
+    // ([[graft.operators.BucketJoin.selfPairs]]) -> candidate pairs ->
+    // exact shingle-set Jaccard. All stages are equi-joins/groupBys on
+    // hash keys, and the hot-bucket armor bounds any single join key at
+    // BUCKET_CAP² output rows: a viral boilerplate cluster (one page
+    // duplicated 10⁴–10⁶× in a web corpus) spreads its k² pairs over
+    // (k/cap)² keys instead of landing them on one straggler task. The
+    // emitted pair SET is exactly the naive join's, so the oracle is
+    // unchanged.
     "Q-llm-02" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      // the distinct shingle set feeds every downstream plan: signatures +
-      // sizes (one groupBy) and both sides of the intersection join —
-      // persist it once. Aggregating over the DISTINCT set (not the raw
-      // explode) keeps both aggregates non-distinct, so Catalyst plans ONE
-      // hash aggregation with no Expand-based distinct rewrite; min over
-      // the distinct set equals min over raw, and count(*) here equals
-      // countDistinct over raw.
-      val sh = shingleRows(docs, "doc_id", "text", 3)
-        .distinct().persist()
-      // eager: the three consumers below (signature agg + both sides of the
-      // intersection join) otherwise race to compute uncached partitions in
-      // parallel stages of the one job, re-running the shingle pipeline ~3x.
-      // On a cluster this intermediate would be checkpointed the same way.
-      sh.count()
-      // one-buffer K-band signature (TypedImperativeAggregate) + set size
-      // in a single groupBy; identical algebra to K separate min(md5(...))
-      // aggregates (asserted in LlmOpsSpec)
-      graft.functions.MinHashSig.register(s)
-      val sigs = sh.groupBy("doc_id").agg(
-        expr(s"minhash_sig(sh, $BANDS)").as("sig"),
-        count(lit(1)).as("n_sh"))
-      val bands = sigs
-        .select(col("doc_id"), posexplode(col("sig")))
-        .select(col("doc_id"), col("pos").as("band_id"), col("col").as("key"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sizes = sigs.select(col("doc_id"), col("n_sh"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
-      cand
-        .join(inter, Seq("a", "b"), "left")
-        .na.fill(0L, Seq("n_inter"))
-        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
-        .select(col("a"), col("b"),
-          Portable.r(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6)
-            .as("jaccard"))
+      val (sh, sigs, bands) = lshFront(s, Tables.documents(s, d))
+      val cand = graft.operators.BucketJoin
+        .selfPairs(bands, Seq("band_id", "key"), "doc_id", BUCKET_CAP)
+        .select(col("a_doc_id").as("a"), col("b_doc_id").as("b")).distinct()
+      jaccardOn(cand, sh, sigs)
         .orderBy("a", "b")
     },
 
@@ -214,16 +231,35 @@ object LlmOps {
         .orderBy("query_id", "rk")
     },
 
-    // ---- Q-llm-16: dedup CLUSTERS — the step after near-dup pairs.
-    // Duplicates are transitive, so Q-llm-02's verified pairs (jaccard >=
-    // 0.5) become the edges of a graph whose connected components are the
-    // dup clusters; each doc gets its component's min doc_id as cluster_id
-    // and is kept iff it IS that representative. Components via distributed
-    // min-label propagation (operators/ConnectedComponents); the oracle
-    // computes the same components as a DuckDB recursive closure.
+    // ---- Q-llm-16: dedup CLUSTERS — the step after near-dup candidates.
+    // Duplicates are transitive, so verified near-dup edges (jaccard >=
+    // 0.5) feed a graph whose connected components are the dup clusters;
+    // each doc gets its component's min doc_id as cluster_id and is kept
+    // iff it IS that representative.
+    //
+    // Candidate edges are STAR edges per band bucket (member → bucket
+    // min, [[graft.operators.BucketJoin.starEdges]]), NOT all pairs: a
+    // consumer that only needs CONNECTIVITY pays O(k) edges per bucket
+    // where the pairwise join pays O(k²) — at 100 TB a 10⁶-dup
+    // boilerplate cluster emits 10⁶ star edges instead of 10¹² pairs,
+    // which no amount of chunking makes feasible. The candidate graph's
+    // components are identical (within a bucket the star spans exactly
+    // the members the clique did); only the VERIFIED graph can differ at
+    // the margin — a bucket mixing true and false near-dups can drop a
+    // member whose star edge fails Jaccard while some non-star pair
+    // would have passed — and banding redundancy (6 independent buckets
+    // per doc) is the standard mitigation. The oracle replays the same
+    // star algebra, and LlmOpsSpec pins the planted mega-cluster
+    // (Q-llm-63) resolving to ONE component under it. Components via
+    // distributed min-label propagation (operators/ConnectedComponents);
+    // the oracle computes the same components as a DuckDB recursive
+    // closure.
     "Q-llm-16" -> { (s, d) =>
       val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-      val edges = queries("Q-llm-02")(s, d)
+      val (sh, sigs, bands) = lshFront(s, Tables.documents(s, d))
+      val star = graft.operators.BucketJoin
+        .starEdges(bands, Seq("band_id", "key"), "doc_id")
+      val edges = jaccardOn(star, sh, sigs)
         .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
       val labels = graft.operators.ConnectedComponents.minLabel(nodes, edges)
       // cluster size via a window count: one shuffle by label and ONE
@@ -416,37 +452,21 @@ object LlmOps {
     // existing corpus (the rest) instead of all-pairs self-joining. Same
     // MinHash-LSH algebra as Q-llm-02, but the band join is ASYMMETRIC
     // (new x corpus), so at 100 TB the per-batch cost scales with
-    // |new| x collision-rate, not |corpus|^2; each new doc gets its single
-    // best corpus match (highest verified Jaccard >= 0.5, ties to the
-    // lowest corpus id).
+    // |new| x collision-rate, not |corpus|^2 — and the bipartite
+    // chunking ([[graft.operators.BucketJoin.bipartitePairs]]) bounds
+    // any single join key at BUCKET_CAP² rows when a new doc lands in a
+    // corpus mega-bucket. Each new doc gets its single best corpus match
+    // (highest verified Jaccard >= 0.5, ties to the lowest corpus id).
     "Q-llm-24" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val sh = shingleRows(docs, "doc_id", "text", 3).distinct().persist()
-      sh.count()
-      graft.functions.MinHashSig.register(s)
-      val sigs = sh.groupBy("doc_id").agg(
-        expr(s"minhash_sig(sh, $BANDS)").as("sig"),
-        count(lit(1)).as("n_sh"))
-      val bands = sigs
-        .select(col("doc_id"), posexplode(col("sig")))
-        .select(col("doc_id"), col("pos").as("band_id"), col("col").as("key"))
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band_id") === col("y.band_id") && col("x.key") === col("y.key") &&
-          col("x.doc_id") % 5 === 0 && col("y.doc_id") % 5 =!= 0)
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-      val sizes = sigs.select(col("doc_id"), col("n_sh"))
-      val inter = cand
-        .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-        .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
-      val verified = cand
-        .join(inter, Seq("a", "b"), "left")
-        .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-        .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
-        .select(col("a").as("new_doc"), col("b").as("dup_of"),
-          Portable.r(coalesce(col("n_inter"), lit(0L)) /
-            (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L))), 6)
-            .as("jaccard"))
+      val (sh, sigs, bands) = lshFront(s, Tables.documents(s, d))
+      val cand = graft.operators.BucketJoin
+        .bipartitePairs(
+          bands.filter(col("doc_id") % 5 === 0),
+          bands.filter(col("doc_id") % 5 =!= 0),
+          Seq("band_id", "key"), "doc_id", "doc_id", BUCKET_CAP)
+        .select(col("a_doc_id").as("a"), col("b_doc_id").as("b")).distinct()
+      val verified = jaccardOn(cand, sh, sigs)
+        .select(col("a").as("new_doc"), col("b").as("dup_of"), col("jaccard"))
         .filter(col("jaccard") >= 0.5)
       val w = Window.partitionBy("new_doc")
         .orderBy(col("jaccard").desc, col("dup_of"))
@@ -1244,10 +1264,12 @@ object LlmOps {
           Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
         .filter(expr("pos <= n - ((8 * n + 9) DIV 10) + 1"))
         .select("doc_id", "sh")
-      val cand = prefix.as("x").join(prefix.as("y"),
-          col("x.sh") === col("y.sh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      // hot-token armor: a mega-cluster's shared rare shingle is a hot
+      // prefix bucket; the chunked join bounds any key at BUCKET_CAP²
+      // rows while emitting the exact same candidate set
+      val cand = graft.operators.BucketJoin
+        .selfPairs(prefix, Seq("sh"), "doc_id", BUCKET_CAP)
+        .select(col("a_doc_id").as("a"), col("b_doc_id").as("b"))
         .distinct()
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
       val inter = cand
@@ -1396,6 +1418,35 @@ object LlmOps {
         .withColumn("is_seed", (col("doc_id") % 19 === 3).cast("boolean"))
         .orderBy(col("mean_llr").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // ---- Q-llm-63: MEGA-CLUSTER dedup — the adversarial fixture the
+    // dedup family's 100 TB claims are pinned on. Real web corpora have
+    // boilerplate pages duplicated 10⁴–10⁶×; uniform synthetic documents
+    // never produce that shape, so this query PLANTS it (the Q-scan-04
+    // poison-pill discipline): 2048 near-identical variants of one base
+    // doc (three appended words each → pairwise Jaccard ≈ n/(n+4) ≈ 1),
+    // all landing in the same LSH band buckets. The star-edge cluster
+    // path (Q-llm-16's algebra, shared oracle SQL) must resolve them as
+    // ONE cluster while emitting O(k) candidate edges — the all-pairs
+    // band join would emit k²/2 ≈ 2M pairs from single bucket keys
+    // (LlmOpsSpec asserts the candidate-edge count stays linear).
+    "Q-llm-63" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(graft.tools.SkewFixtures
+        .megaDupVariants(docs.filter(col("doc_id") === 0), k = 2048L))
+      val (sh, sigs, bands) = lshFront(s, corpus)
+      val star = graft.operators.BucketJoin
+        .starEdges(bands, Seq("band_id", "key"), "doc_id")
+      val edges = jaccardOn(star, sh, sigs)
+        .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
+      val labels = graft.operators.ConnectedComponents
+        .minLabel(corpus.select(col("doc_id").as("id")), edges)
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          sum(when(col("id") >= 9000000L, 1L).otherwise(0L)).as("n_planted"))
+        .filter(col("cluster_size") > 1)
+        .orderBy("cluster_id")
     }
   )
 
@@ -1540,6 +1591,51 @@ object LlmOps {
          LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
          JOIN sizes za ON za.doc_id = c.a
          JOIN sizes zb ON zb.doc_id = c.b"""
+
+  /** Q-llm-16/63's star-edge dedup algebra, shared (DuckDB CTE chain,
+    * caller supplies the corpus relation and closes the WITH): per
+    * (band, key) bucket every member links to the bucket's min doc_id,
+    * edges are verified by exact shingle-set Jaccard ≥ 0.5 — the O(k)
+    * candidate graph the Spark side builds via BucketJoin.starEdges. */
+  private def starEdgeSql(corpus: String): String =
+    s"""sh AS (
+           SELECT DISTINCT doc_id, sh FROM (
+             SELECT doc_id, unnest(${shinglesSql(3)}) AS sh
+             FROM (SELECT doc_id, $wordsSql AS ws FROM $corpus))),
+         sigs AS (
+           SELECT doc_id, b, min(md5(b || ':' || sh)) AS key
+           FROM sh, (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b)
+           GROUP BY doc_id, b),
+         star AS (
+           SELECT DISTINCT m AS a, doc_id AS b FROM (
+             SELECT doc_id, min(doc_id) OVER (PARTITION BY b, key) AS m
+             FROM sigs) WHERE doc_id <> m),
+         sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         inter AS (
+           SELECT c.a, c.b, count(*) AS n_inter
+           FROM star c
+           JOIN sh sa ON sa.doc_id = c.a
+           JOIN sh sb ON sb.doc_id = c.b AND sb.sh = sa.sh
+           GROUP BY c.a, c.b),
+         edges AS (
+           SELECT c.a, c.b
+           FROM star c
+           LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+           JOIN sizes za ON za.doc_id = c.a
+           JOIN sizes zb ON zb.doc_id = c.b
+           WHERE ${Portable.rSql(
+             "coalesce(i.n_inter, 0) / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))",
+             6)} >= 0.5),
+         sym AS (SELECT a AS x, b AS y FROM edges
+                 UNION ALL SELECT b, a FROM edges),
+         reach(src, node) AS (
+           SELECT doc_id, doc_id FROM $corpus
+           UNION
+           SELECT r.src, s.y FROM reach r JOIN sym s ON s.x = r.node),
+         comp AS (SELECT src AS doc_id, min(node) AS cluster_id
+                  FROM reach GROUP BY src),
+         sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                FROM comp GROUP BY cluster_id)"""
 
   /** The greedy left-to-right BPE merge fold over the space-separated
     * symbol string `s`, as a Spark SQL expression: glue x onto acc when
@@ -2125,21 +2221,28 @@ object LlmOps {
          ORDER BY shard, pos""",
     "Q-llm-16" ->
       s"""WITH RECURSIVE
-           edges AS (SELECT a, b FROM ($llm02Sql) WHERE jaccard >= 0.5),
-           sym AS (SELECT a AS x, b AS y FROM edges
-                   UNION ALL SELECT b, a FROM edges),
-           reach(src, node) AS (
-             SELECT doc_id, doc_id FROM documents
-             UNION
-             SELECT r.src, s.y FROM reach r JOIN sym s ON s.x = r.node),
-           comp AS (SELECT src AS doc_id, min(node) AS cluster_id
-                    FROM reach GROUP BY src),
-           sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
-                  FROM comp GROUP BY cluster_id)
+           ${starEdgeSql("documents")}
          SELECT c.doc_id, c.cluster_id, z.cluster_size,
                 (c.doc_id = c.cluster_id) AS is_kept
          FROM comp c JOIN sz z USING (cluster_id)
          ORDER BY c.doc_id""",
+    "Q-llm-63" ->
+      s"""WITH RECURSIVE
+           corpus AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT 9000000 + i AS doc_id,
+                    text || ' megadup variant ' || i AS text
+             FROM (SELECT text FROM documents WHERE doc_id = 0),
+                  (SELECT unnest(generate_series(0, 2047)) AS i)),
+           ${starEdgeSql("corpus")}
+         SELECT cluster_id, cluster_size, n_planted FROM (
+           SELECT c.cluster_id, z.cluster_size,
+                  sum(CASE WHEN c.doc_id >= 9000000 THEN 1 ELSE 0 END)::BIGINT
+                    AS n_planted
+           FROM comp c JOIN sz z USING (cluster_id)
+           GROUP BY c.cluster_id, z.cluster_size)
+         WHERE cluster_size > 1 ORDER BY cluster_id""",
     "Q-llm-01" ->
       """SELECT doc_id, h, n_copies FROM (
            SELECT doc_id, md5(text) AS h,

@@ -525,6 +525,88 @@ object ScaleCurve {
           .select("label").distinct().count()
       }
     }
+
+    // ---- dedup-star (round-10): the STAR-EDGE dedup-cluster path
+    // (Q-llm-16/63's algebra) on a corpus whose planted mega-cluster
+    // grows WITH the volume — corpus 2000m docs + a 2048m-variant
+    // boilerplate cluster. Claim: time tracks VOLUME (×8), not cluster
+    // size² (×64) — star candidates are O(members·bands) where the
+    // all-pairs band join is O(k²) in the hot bucket (at m=8, 16384²/2
+    // ≈ 134M pairs from single keys vs ~200k star edges total). The CC
+    // runs the fully-distributed loop (the 100 TB path).
+    def megaCorpus(m: Int) = {
+      val docs = SkewFixtures.uniqueDocs(spark, 2000L * m)
+      docs.unionByName(SkewFixtures.megaDupVariants(
+        docs.filter(col("doc_id") === 0), k = 2048L * m))
+    }
+    for (m <- Seq(1, 8) if want("dedup-star")) {
+      // stage the corpus to parquet (generation untimed; measure() clears
+      // every persisted/checkpointed block before the timed body)
+      val dir = tempDir(s"graft_scale_dedupstar$m").toString
+      megaCorpus(m).write.mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+      graft.functions.MinHashSig.register(spark)
+      measure("dedup-star", m) {
+        val sh = graft.functions.TextFunctions
+          .shingleRows(corpus, "doc_id", "text", 3).distinct().persist()
+        sh.count()
+        val sigs = sh.groupBy("doc_id").agg(
+          expr("minhash_sig(sh, 6)").as("sig"),
+          count(lit(1)).as("n_sh"))
+        val bands = sigs
+          .select(col("doc_id"), posexplode(col("sig")))
+          .select(col("doc_id"), col("pos").as("band_id"),
+            col("col").as("key"))
+        val star = graft.operators.BucketJoin
+          .starEdges(bands, Seq("band_id", "key"), "doc_id")
+        val sizes = sigs.select(col("doc_id"), col("n_sh"))
+        val inter = star
+          .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+        val edges = star
+          .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("n_inter"))
+          .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+          .filter(col("n_inter") * 2 >=
+            col("na") + col("nb") - col("n_inter")) // jaccard >= 0.5
+          .select("a", "b")
+        val n = ConnectedComponents
+          .minLabel(corpus.select(col("doc_id").as("id")), edges,
+            driverMaxEdges = 0L)
+          .filter(col("id") =!= col("label")).count()
+        sh.unpersist()
+        n
+      }
+    }
+
+    // ---- dedup-chunk (round-10): the CHUNKED pairwise band join
+    // (Q-llm-02's candidate stage, BucketJoin.selfPairs cap=256) on the
+    // same mega-cluster corpus at cluster 1024m — the pairwise OUTPUT is
+    // genuinely quadratic in cluster size (the user asked for every
+    // pair), so the claim is per-KEY boundedness: time tracks the PAIR
+    // VOLUME (×4 per cluster doubling), never a single-task straggler.
+    for (m <- Seq(1, 2) if want("dedup-chunk")) {
+      val docs = SkewFixtures.uniqueDocs(spark, 1000L)
+      val dir = tempDir(s"graft_scale_dedupchunk$m").toString
+      docs.unionByName(SkewFixtures.megaDupVariants(
+          docs.filter(col("doc_id") === 0), k = 1024L * m))
+        .write.mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+      graft.functions.MinHashSig.register(spark)
+      measure("dedup-chunk", m) {
+        val sh = graft.functions.TextFunctions
+          .shingleRows(corpus, "doc_id", "text", 3).distinct()
+        val bands = sh.groupBy("doc_id")
+          .agg(expr("minhash_sig(sh, 6)").as("sig"))
+          .select(col("doc_id"), posexplode(col("sig")))
+          .select(col("doc_id"), col("pos").as("band_id"),
+            col("col").as("key"))
+        graft.operators.BucketJoin
+          .selfPairs(bands, Seq("band_id", "key"), "doc_id", cap = 256)
+          .select(col("a_doc_id"), col("b_doc_id")).distinct().count()
+      }
+    }
     spark.stop()
   }
 }

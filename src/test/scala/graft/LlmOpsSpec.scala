@@ -284,4 +284,103 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == want,
       s"prefix join missed/invented pairs: missed=${want -- got} extra=${got -- want}")
   }
+
+  test("Q-llm-63 mega-cluster: star candidates stay LINEAR where all-pairs is quadratic") {
+    import graft.functions.TextFunctions.shingleRows
+    // the Q-llm-63 corpus: 2048 near-identical variants of doc 0
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(graft.tools.SkewFixtures
+      .megaDupVariants(docs.filter(col("doc_id") === 0), k = 2048L))
+    val n = corpus.count()
+    graft.functions.MinHashSig.register(spark)
+    val sh = shingleRows(corpus, "doc_id", "text", 3).distinct().persist()
+    sh.count()
+    val bands = sh.groupBy("doc_id")
+      .agg(expr("minhash_sig(sh, 6)").as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").as("band_id"), col("col").as("key"))
+    // star candidate edges: bounded by one edge per (member, band) —
+    // linear in corpus size regardless of how hot any bucket is
+    val starEdges = graft.operators.BucketJoin
+      .starEdges(bands, Seq("band_id", "key"), "doc_id").count()
+    // the all-pairs candidate join on the same bands: the mega bucket
+    // alone contributes ~k²/2 pairs — quadratic in cluster size
+    val pairEdges = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    sh.unpersist()
+    info(s"corpus=$n starEdges=$starEdges allPairs=$pairEdges")
+    assert(starEdges <= 6L * n,
+      s"star candidates must stay ≤ bands × corpus: $starEdges vs ${6L * n}")
+    assert(pairEdges >= 2048L * 2047L / 2,
+      "fixture must actually produce the quadratic all-pairs blowup")
+    // ...and the full query resolves the planted docs as ONE cluster
+    val mega = SparkEntry.queries("Q-llm-63")(spark, sf)
+      .orderBy(col("cluster_size").desc).limit(1)
+      .select("cluster_size", "n_planted").collect()(0)
+    // ≥: doc 0's NATURAL near-dups in the corpus legitimately join too
+    assert(mega.getLong(0) >= 2049L && mega.getLong(1) == 2048L,
+      s"mega cluster must hold base + all 2048 variants: $mega")
+  }
+
+  test("SignBits fused kernel == per-plane cosine-sign buckets, every table") {
+    // the fused one-traversal signature (round-10) must reproduce the
+    // per-plane reference algebra bit-for-bit — this is what lets
+    // Q-llm-14 keep its oracle hash after the fusion
+    val ps = graft.operators.LshIndex.planes(dim = 64, nBits = 6, nTables = 4)
+    graft.functions.SignBits.register(spark, ps, nBits = 6)
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.embeddings(spark, sf)
+    val perPlane = (0 until 4).map(t =>
+      graft.operators.LshIndex.bucketCol(col("embedding"), ps, 6, t)
+        .as(s"b$t"))
+    val rows = emb.select(
+        (col("vec_id") +: (call_udf("sign_bits", col("embedding")).as("sig") +:
+          perPlane)): _*)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fused = r.getSeq[Int](1)
+      (0 until 4).foreach { t =>
+        assert(fused(t) == r.getInt(2 + t),
+          s"vec ${r.getLong(0)} table $t: fused=${fused(t)} ref=${r.getInt(2 + t)}")
+      }
+    }
+  }
+
+  test("prefix filter: a shared rare shingle does NOT quadratically explode candidates") {
+    import graft.functions.TextFunctions.shingleRows
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // 100 docs, each mostly unique text plus ONE shared rare 3-shingle
+    // ("xq zq wq"): the naive shared-token join emits 100·99/2 pairs from
+    // that token alone; prefix filtering keeps each doc's RAREST ~20% of
+    // shingles, and the doc's own df=1 shingles outrank the shared df=100
+    // one, so the shared token never enters a prefix
+    val docs = (0 until 100).map { i =>
+      val unique = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, s"$unique xq zq wq")
+    }.toDF("doc_id", "text")
+    val sh = shingleRows(docs, "doc_id", "text", 3).distinct().persist()
+    sh.count()
+    val dfTab = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfTab, "sh")
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))))
+      .filter(expr("pos <= n - ((8 * n + 9) DIV 10) + 1"))
+      .select("doc_id", "sh")
+    val naive = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id")).distinct().count()
+    val pref = graft.operators.BucketJoin
+      .selfPairs(prefix, Seq("sh"), "doc_id", 256)
+      .select(col("a_doc_id"), col("b_doc_id")).distinct().count()
+    sh.unpersist()
+    info(s"naive=$naive prefix=$pref")
+    assert(naive >= 100L * 99L / 2, "fixture must share the rare shingle")
+    assert(pref <= 100L,
+      s"prefix candidates must stay sub-quadratic under a shared rare token: $pref")
+  }
 }

@@ -1745,12 +1745,8 @@ class TxTableSpec extends AnyFunSuite {
   // 600 k rows (ids with id%5<2, which includes every id ≡ 0 mod
   // 50000), every other key k ∈ [1, 50000) holds the 12 ids ≡ k mod
   // 50000 whose id%5 ≥ 2 — i.e. exactly the keys with k%5 ≥ 2
-  private def zipfBase = {
-    import org.apache.spark.sql.functions.{concat, lit, when}
-    spark.range(600000L).select(
-      when(col("id") % 5 < 2, 0L).otherwise(col("id") % 50000).as("k"),
-      concat(lit("base-"), col("id")).as("v"))
-  }
+  private def zipfBase =
+    graft.tools.SkewFixtures.zipfKeyed(spark) // shared skew generator
 
   test("mergeCow under a Zipf merge key: AQE splits the skewed rewrite join; content exact") {
     import spark.implicits._

@@ -526,6 +526,34 @@ object ScaleCurve {
       }
     }
 
+    // ---- win-skew (round-10): per-key WINDOW ops under a Zipf key —
+    // the round-9 verdict's windowed hot-key audit, priced. One user
+    // holds 40% of all events (zipfKeyed's key 0); the running-sum +
+    // lag + row_number window must degrade GRACEFULLY: a window key's
+    // rows sort on one task (O(k log k) — semantic, the frame is the
+    // user's own history), so time tracks VOLUME ×8, never k². The
+    // audit itself: every Q-win-*/Q-evt-* Window.partitionBy site keys
+    // by a high-cardinality id (user_id / o_custkey / doc_id /
+    // asset_id / purchase_id) except Q-win-09's 5-key c_mktsegment
+    // ranks — a DIMENSION-table op (customer), ledgered as such in
+    // BASELINE.md.
+    for (m <- Seq(1, 8) if want("win-skew")) {
+      val n = 600000L * m
+      measure("win-skew", m) {
+        val ev = spark.range(n).select(
+          when(col("id") % 5 < 2, 0L)
+            .otherwise(col("id") % 50000L).as("user_id"),
+          col("id").as("ts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts")
+        ev.select(col("user_id"), col("ts"),
+            sum(col("ts")).over(w).as("run"),
+            lag("ts", 1).over(w).as("prev"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") % 97 === 0).count()
+      }
+    }
+
     // ---- dedup-star (round-10): the STAR-EDGE dedup-cluster path
     // (Q-llm-16/63's algebra) on a corpus whose planted mega-cluster
     // grows WITH the volume — corpus 2000m docs + a 2048m-variant

@@ -132,4 +132,90 @@ class PresenceScaleSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("changelog checkpointing: steady-state upload is DELTA-sized, not a state snapshot") {
+    // Round-9 verdict #5 priced: with 150k keys of presence state and a
+    // 1k-device delta per batch, FULL-SNAPSHOT mode re-uploads the whole
+    // store every commit (recovery-time and checkpoint-bandwidth killer
+    // at fleet-sized state); CHANGELOG mode commits only the batch's
+    // delta. Both drains produce identical output; only the per-version
+    // checkpoint bytes differ — measured here from the state dir itself.
+    import spark.implicits._
+    val tmp = graft.queries.tempDir("graft_presence_clog")
+    val dir = Files.createDirectory(tmp.resolve("stream"))
+    def writeChunk(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val f = tmp.resolve(s"c$i")
+      df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+      val listing = Files.list(f)
+      val parts = try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")) finally listing.close()
+      parts.zipWithIndex.foreach { case (p, j) =>
+        val out = dir.resolve(s"c${i}_$j.parquet")
+        Files.copy(p, out)
+        Files.setLastModifiedTime(out,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+    }
+    val KEYS = 150000L
+    writeChunk(1, spark.range(KEYS).select(
+      concat(lit("d"), col("id")).as("device_id"), lit(T0).as("ts_ms")))
+    // three delta batches: the SAME 1k devices re-seen inside the TTL —
+    // state size stays ~KEYS, per-batch change is ~1k rows
+    (2 to 4).foreach { i =>
+      writeChunk(i, spark.range(1000L).select(
+        concat(lit("d"), col("id")).as("device_id"),
+        lit(T0 + (i - 1) * 10000L).as("ts_ms")))
+    }
+    val schema = spark.read.parquet(tmp.resolve("c1").toString).schema
+    def drain(clog: Boolean, ckpt: String): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set("spark.sql.streaming.stateStore.rocksdb" +
+        ".changelogCheckpointing.enabled", clog.toString)
+      try {
+        val q = Presence.detect(spark, src, TTL).toDF()
+          .writeStream.outputMode("append").format("noop")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally {
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb" +
+          ".changelogCheckpointing.enabled")
+      }
+    }
+    // per-version committed bytes under <ckpt>/state: N.zip (snapshot)
+    // vs N.changelog (delta); version 1 must build the store either way,
+    // so the claim is about the STEADY-STATE versions >= 2
+    def steadyBytes(ckpt: String): (Long, Long) = {
+      val vf = """(\d+)\.(zip|changelog)""".r
+      var v1 = 0L; var later = 0L
+      val stream = Files.walk(java.nio.file.Paths.get(ckpt, "state"))
+      try stream.forEach { p =>
+        p.getFileName.toString match {
+          case vf(v, _) =>
+            if (v.toLong <= 1L) v1 += Files.size(p) else later += Files.size(p)
+          case _ =>
+        }
+      } finally stream.close()
+      (v1, later)
+    }
+    val ckptFull = tmp.resolve("ckpt_full").toString
+    val ckptClog = tmp.resolve("ckpt_clog").toString
+    drain(clog = false, ckptFull)
+    drain(clog = true, ckptClog)
+    val (fullV1, fullLater) = steadyBytes(ckptFull)
+    val (clogV1, clogLater) = steadyBytes(ckptClog)
+    info(f"v1 bytes: full=$fullV1%,d clog=$clogV1%,d; " +
+      f"steady (v>=2): full=$fullLater%,d clog=$clogLater%,d")
+    assert(fullLater > 0 && clogLater > 0, "both modes must commit v>=2")
+    // the win the mode exists for: per-batch upload tracks the DELTA
+    // (1k keys), not the 150k-key store — demand at least 5x even with
+    // rocksdb framing overhead and any background snapshot upload
+    assert(clogLater * 5 < fullLater,
+      s"changelog steady-state bytes not delta-sized: $clogLater vs $fullLater")
+  }
 }

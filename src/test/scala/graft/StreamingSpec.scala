@@ -193,6 +193,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(presRecovered == presStraight)
   }
 
+  test("crash recovery under RocksDB CHANGELOG checkpointing matches batch truth") {
+    // Round-9 verdict #5: full-snapshot uploads are the recovery-time
+    // killer at fleet-sized state — changelog checkpointing commits each
+    // batch as a DELTA file and reconstructs state on restart by
+    // replaying changelogs over the last snapshot. The contract under
+    // test: the exact crash-restart discipline Q-str-23/24 pin (epoch
+    // replay idempotent, state restored across a fresh session) holds
+    // unchanged when the per-batch checkpoint is a changelog, including
+    // the recovery path that must REPLAY a changelog chain rather than
+    // download one zip. (PresenceScaleSpec prices the upload-size win.)
+    val d = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
+    try {
+      val recovered = SparkEntry.queries("Q-str-23")(spark, d)
+      val batch = graft.core.Tables.events(spark, d)
+        .groupBy((floor(unix_timestamp(col("ts")) / 10) * 10).cast("long")
+          .as("ws_sec"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(recovered.collect().map(_.toString).sorted.toSeq ==
+        batch.collect().map(_.toString).sorted.toSeq)
+      val presRecovered = SparkEntry.queries("Q-str-24")(spark, d)
+        .collect().map(_.toString).sorted.toSeq
+      val presStraight = SparkEntry.queries("Q-str-05")(spark, d)
+        .collect().map(_.toString).sorted.toSeq
+      assert(presRecovered == presStraight)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
   test("watermark bounds state: a 4-chunk windowed drain ends with open windows only") {
     // The Q-str-18/22 stateful shapes, drained in append mode across 4
     // time-ordered chunks with state observability on: after the final

@@ -154,7 +154,8 @@ object Bench {
     "Q-scan-22",  // per-stratum A-ES weighted sampling (WindowGroupLimit)
     "Q-qual-34",  // ledger-pressure fold bounds the MoR read chain
     "Q-qual-35",  // delete-set broadcast guard: both plan forms priced
-    "Q-llm-63"    // mega-cluster dedup via star edges (hot-bucket armor)
+    "Q-llm-63",   // mega-cluster dedup via star edges (hot-bucket armor)
+    "Q-llm-64"    // Gopher repetition rules (map-side gram collapse)
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -77,48 +77,49 @@ object BucketJoin {
         df.columns.map(c => col(s"b_$c")): _*)
   }
 
-  /** All pairs (x ∈ left, y ∈ right) sharing `bucketCols`, hot buckets
-    * chunked on BOTH sides (each side's rows replicate across the other
-    * side's chunk count, so any single join key emits ≤ cap² rows). Output
-    * columns prefixed `a_` (left) / `b_` (right). The pair SET equals the
-    * naive `left.join(right, bucketCols)` — asymmetric consumers
-    * (incremental dedup's new×corpus probe) keep their oracle unchanged. */
-  def bipartitePairs(left: DataFrame, right: DataFrame,
-                     bucketCols: Seq[String], leftId: String, rightId: String,
+  /** All pairs (x with `leftPred`, y without) sharing `bucketCols`, hot
+    * buckets chunked on BOTH sides (each side's rows replicate across the
+    * other side's chunk count, so any single join key emits ≲ cap² rows).
+    * Output columns prefixed `a_` (left side) / `b_` (right side). The
+    * pair SET equals the naive filtered bucket join — asymmetric
+    * consumers (incremental dedup's new×corpus probe) keep their oracle
+    * unchanged.
+    *
+    * Unlike [[selfPairs]] (whose triangular emission needs id-ORDERED
+    * chunks), bipartite emission is exact under ANY chunk assignment —
+    * every cross pair matches at exactly one (bucket, cl, cr) key — so
+    * chunks are assigned by id hash and ONE window pass over the unsplit
+    * input computes both sides' per-bucket chunk counts (no per-side
+    * count aggregates or count-attach joins). */
+  def bipartitePairs(df: DataFrame, leftPred: org.apache.spark.sql.Column,
+                     bucketCols: Seq[String], idCol: String,
                      cap: Int = 256): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     val byB = Window.partitionBy(bucketCols.map(col): _*)
-    def chunked(df: DataFrame, idCol: String, c: String, nc: String) = df
-      .withColumn(nc,
-        ((count(lit(1)).over(byB) - 1) / cap + 1).cast("int"))
-      .withColumn(c,
-        (((row_number().over(byB.orderBy(col(idCol))) - 1)) / cap).cast("int"))
-    val lc = chunked(left, leftId, "__cl", "__nl")
-      .select((left.columns.map(c => col(c).as(s"a_$c")) :+
-        col("__cl") :+ col("__nl")): _*)
-    val rc = chunked(right, rightId, "__cr", "__nr")
-      .select((right.columns.map(c => col(c).as(s"b_$c")) :+
-        col("__cr") :+ col("__nr")): _*)
-    // each side needs the OTHER side's per-bucket chunk count to fan out;
-    // the count tables are bucket-cardinality sized equi-joins
-    val nlTab = lc.groupBy(bucketCols.map(c => col(s"a_$c").as(s"__k_$c")): _*)
-      .agg(max("__nl").as("__onl"))
-    val nrTab = rc.groupBy(bucketCols.map(c => col(s"b_$c").as(s"__k_$c")): _*)
-      .agg(max("__nr").as("__onr"))
-    val l = lc.join(nrTab,
-        bucketCols.map(c => col(s"a_$c") === col(s"__k_$c")).reduce(_ && _))
-      .select((left.columns.map(c => col(s"a_$c")) :+
-        col("__cl") :+ explode(sequence(lit(0), col("__onr") - 1)).as("__cr")): _*)
-    val r = rc.join(nlTab,
-        bucketCols.map(c => col(s"b_$c") === col(s"__k_$c")).reduce(_ && _))
-      .select((right.columns.map(c => col(s"b_$c")) :+
-        explode(sequence(lit(0), col("__onl") - 1)).as("__cl") :+ col("__cr")): _*)
+    // (k - 1) / cap + 1 chunks; k = 0 also yields 1 (int div toward 0),
+    // harmless — that side emits nothing in the bucket
+    def nChunks(k: org.apache.spark.sql.Column) =
+      ((k - 1) / cap + 1).cast("int")
+    val ann = df
+      .withColumn("__isl", leftPred)
+      .withColumn("__nl", nChunks(
+        sum(when(col("__isl"), 1L).otherwise(0L)).over(byB)))
+      .withColumn("__nr", nChunks(
+        sum(when(col("__isl"), 0L).otherwise(1L)).over(byB)))
+    val l = ann.filter(col("__isl"))
+      .select((df.columns.map(c => col(c).as(s"a_$c")) :+
+        pmod(xxhash64(col(idCol)), col("__nl")).cast("int").as("__cl") :+
+        explode(sequence(lit(0), col("__nr") - 1)).as("__cr")): _*)
+    val r = ann.filter(!col("__isl"))
+      .select((df.columns.map(c => col(c).as(s"b_$c")) :+
+        explode(sequence(lit(0), col("__nl") - 1)).as("__cl") :+
+        pmod(xxhash64(col(idCol)), col("__nr")).cast("int").as("__cr")): _*)
     val on = (bucketCols.map(c => col(s"a_$c") === col(s"b_$c")) ++
       Seq(l("__cl") === r("__cl"), l("__cr") === r("__cr")))
       .reduce(_ && _)
     l.join(r, on)
-      .select(left.columns.map(c => col(s"a_$c")) ++
-        right.columns.map(c => col(s"b_$c")): _*)
+      .select(df.columns.map(c => col(s"a_$c")) ++
+        df.columns.map(c => col(s"b_$c")): _*)
   }
 
   /** STAR edges per bucket — the O(k) alternative for consumers that only

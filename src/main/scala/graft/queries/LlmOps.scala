@@ -460,10 +460,8 @@ object LlmOps {
     "Q-llm-24" -> { (s, d) =>
       val (sh, sigs, bands) = lshFront(s, Tables.documents(s, d))
       val cand = graft.operators.BucketJoin
-        .bipartitePairs(
-          bands.filter(col("doc_id") % 5 === 0),
-          bands.filter(col("doc_id") % 5 =!= 0),
-          Seq("band_id", "key"), "doc_id", "doc_id", BUCKET_CAP)
+        .bipartitePairs(bands, col("doc_id") % 5 === 0,
+          Seq("band_id", "key"), "doc_id", BUCKET_CAP)
         .select(col("a_doc_id").as("a"), col("b_doc_id").as("b")).distinct()
       val verified = jaccardOn(cand, sh, sigs)
         .select(col("a").as("new_doc"), col("b").as("dup_of"), col("jaccard"))
@@ -659,14 +657,11 @@ object LlmOps {
       val blocked = side.select(col("doc_id"), col("lang"), col("n_chars"),
         col("sig"), col("pfx"),
         explode(array(col("band0"), col("band0") + 1)).as("band"))
-      val a = blocked.columns.foldLeft(blocked)((df, c) =>
-        df.withColumnRenamed(c, s"a_$c"))
-      val b = blocked.columns.foldLeft(blocked)((df, c) =>
-        df.withColumnRenamed(c, s"b_$c"))
-      a.join(b, col("a_band") === col("b_band") &&
-          col("a_lang") === col("b_lang") &&
-          col("a_pfx") === col("b_pfx") &&
-          col("a_doc_id") < col("b_doc_id"))
+      // hot-block armor: an OCR-noise boilerplate cluster shares (band,
+      // lang, prefix) — the chunked join bounds any key at BUCKET_CAP²
+      // rows with the exact same candidate set (oracle unchanged)
+      graft.operators.BucketJoin
+        .selfPairs(blocked, Seq("band", "lang", "pfx"), "doc_id", BUCKET_CAP)
         .filter(abs(col("a_n_chars") - col("b_n_chars")) <= 8)
         // dedup the band-and-next double emission BEFORE the quadratic
         // metric so each candidate pays levenshtein once
@@ -1447,6 +1442,64 @@ object LlmOps {
           sum(when(col("id") >= 9000000L, 1L).otherwise(0L)).as("n_planted"))
         .filter(col("cluster_size") > 1)
         .orderBy("cluster_id")
+    },
+
+    // ---- Q-llm-64: REPETITION quality rules (the Gopher/MassiveText
+    // filter family) — the within-document twin of cross-document dedup:
+    // machine-generated and boilerplate text repeats itself, so per doc
+    // compute (a) top-word fraction, (b) modal-bigram token coverage,
+    // (c) the fraction of 5-gram positions whose gram occurs more than
+    // once, and keep docs under all three ceilings. The corpus has no
+    // natural 5-gram repetition (measured: dup5 = 0 at every decile), so
+    // every 40th doc PLANTS it — its first 10 words appended twice — and
+    // the rule must drop exactly the planted docs plus natural top-heavy
+    // outliers. All three keep gates are INTEGER algebra (top1·8 ≤ n,
+    // top2·20 ≤ n, dup·10 ≤ n−4); the reported fractions are
+    // Portable-rounded. Scale shape: the token/gram streams collapse
+    // map-side to (doc, gram, count) before any exchange — the same
+    // discipline as Q-llm-28's unigram LM; everything downstream is
+    // per-doc-bounded.
+    "Q-llm-64" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), words(col("text")).as("ws0"))
+      val aug = docs
+        .withColumn("ws", when(col("doc_id") % 40 === 0,
+            concat(col("ws0"), slice(col("ws0"), 1, 10),
+              slice(col("ws0"), 1, 10)))
+          .otherwise(col("ws0")))
+        .select(col("doc_id"), col("ws"),
+          size(col("ws")).cast("bigint").as("n"))
+      val top1 = aug
+        .select(col("doc_id"), col("n"), explode(col("ws")).as("w"))
+        .groupBy("doc_id", "n", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(max("c").as("top1"))
+      val top2 = aug
+        .select(col("doc_id"), col("n"), explode(expr(
+          "transform(sequence(1, size(ws) - 1)," +
+            " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("g"))
+        .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id", "n").agg(max("c").as("top2"))
+      val dup5 = aug.filter(size(col("ws")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 4)," +
+            " i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1)," +
+            " element_at(ws, i + 2), element_at(ws, i + 3)," +
+            " element_at(ws, i + 4)))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_pos"))
+      top1.join(top2, Seq("doc_id", "n"))
+        .join(dup5, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("dup_pos"))
+        .select(col("doc_id"), col("n").as("n_tokens"),
+          Portable.r(col("top1") / col("n"), 6).as("top_word_frac"),
+          Portable.r(col("top2") * 2 / col("n"), 6).as("top_bigram_frac"),
+          Portable.r(col("dup_pos") / greatest(col("n") - 4, lit(1L)), 6)
+            .as("dup_5gram_frac"),
+          (col("top1") * 8 <= col("n") && col("top2") * 20 <= col("n") &&
+            col("dup_pos") * 10 <= col("n") - 4).as("keep"))
+        .orderBy("doc_id")
     }
   )
 
@@ -2226,6 +2279,42 @@ object LlmOps {
                 (c.doc_id = c.cluster_id) AS is_kept
          FROM comp c JOIN sz z USING (cluster_id)
          ORDER BY c.doc_id""",
+    "Q-llm-64" ->
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS ws0 FROM documents),
+           a AS (SELECT doc_id,
+                        CASE WHEN doc_id % 40 = 0
+                             THEN ws0 || ws0[1:10] || ws0[1:10]
+                             ELSE ws0 END AS ws FROM t),
+           b AS (SELECT doc_id, ws, len(ws)::BIGINT AS n FROM a),
+           w AS (SELECT doc_id, n, unnest(ws) AS w FROM b),
+           c1 AS (SELECT doc_id, n, w, count(*) AS c FROM w GROUP BY 1, 2, 3),
+           top1 AS (SELECT doc_id, n, max(c) AS top1 FROM c1 GROUP BY 1, 2),
+           p2 AS (SELECT doc_id, n,
+                         unnest(list_transform(generate_series(1, len(ws) - 1),
+                           i -> ws[i] || ' ' || ws[i + 1])) AS g FROM b),
+           c2 AS (SELECT doc_id, n, g, count(*) AS c FROM p2 GROUP BY 1, 2, 3),
+           top2 AS (SELECT doc_id, n, max(c) AS top2 FROM c2 GROUP BY 1, 2),
+           p5 AS (SELECT doc_id, n,
+                         unnest(list_transform(generate_series(1, len(ws) - 4),
+                           i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                                || ' ' || ws[i + 3] || ' ' || ws[i + 4])) AS g
+                  FROM b WHERE len(ws) >= 5),
+           c5 AS (SELECT doc_id, n, g, count(*) AS c FROM p5 GROUP BY 1, 2, 3),
+           dup5 AS (SELECT doc_id,
+                           coalesce(sum(c) FILTER (c > 1), 0)::BIGINT AS dup_pos
+                    FROM c5 GROUP BY 1)
+         SELECT t1.doc_id, t1.n AS n_tokens,
+                ${Portable.rSql("t1.top1 / t1.n", 6)} AS top_word_frac,
+                ${Portable.rSql("t2.top2 * 2 / t1.n", 6)} AS top_bigram_frac,
+                ${Portable.rSql(
+                  "coalesce(d.dup_pos, 0) / greatest(t1.n - 4, 1)", 6)}
+                  AS dup_5gram_frac,
+                (t1.top1 * 8 <= t1.n AND t2.top2 * 20 <= t1.n AND
+                 coalesce(d.dup_pos, 0) * 10 <= t1.n - 4) AS keep
+         FROM top1 t1
+         JOIN top2 t2 ON t2.doc_id = t1.doc_id
+         LEFT JOIN dup5 d ON d.doc_id = t1.doc_id
+         ORDER BY t1.doc_id""",
     "Q-llm-63" ->
       s"""WITH RECURSIVE
            corpus AS (

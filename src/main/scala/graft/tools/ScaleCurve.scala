@@ -537,6 +537,17 @@ object ScaleCurve {
     // asset_id / purchase_id) except Q-win-09's 5-key c_mktsegment
     // ranks — a DIMENSION-table op (customer), ledgered as such in
     // BASELINE.md.
+    // untimed warm pass: a fresh JVM's first window job pays codegen +
+    // page-cache warmup that would inflate the 1× cell (the ledger's
+    // known cold-JVM-first-cell artifact)
+    if (want("win-skew")) {
+      val ev0 = spark.range(60000L).select(
+        (col("id") % 5000L).as("user_id"), col("id").as("ts"))
+      val w0 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts")
+      ev0.select(sum(col("ts")).over(w0).as("r"), lag("ts", 1).over(w0),
+        row_number().over(w0)).count()
+    }
     for (m <- Seq(1, 8) if want("win-skew")) {
       val n = 600000L * m
       measure("win-skew", m) {

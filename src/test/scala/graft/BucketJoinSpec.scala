@@ -69,7 +69,7 @@ class BucketJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     for (cap <- Seq(1, 4)) {
       val got = BucketJoin
-        .bipartitePairs(left, right, Seq("bucket"), "id", "id", cap)
+        .bipartitePairs(df, col("id") % 3 === 0, Seq("bucket"), "id", cap)
         .select(col("a_id"), col("b_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == expect, s"cap=$cap: ${got.size} vs ${expect.size} pairs")

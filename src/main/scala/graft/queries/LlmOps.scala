@@ -1500,6 +1500,39 @@ object LlmOps {
           (col("top1") * 8 <= col("n") && col("top2") * 20 <= col("n") &&
             col("dup_pos") * 10 <= col("n") - 4).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // ---- Q-llm-65: DEDUP SAVINGS REPORT — the artifact a 100 TB dedup
+    // run actually publishes before anyone deletes anything: per cluster
+    // size, how many clusters exist, how many docs they hold, their
+    // total bytes, and the bytes REMOVABLE by keeping one representative
+    // per cluster. Built on the same verified star-edge clusters as
+    // Q-llm-16 (shared algebra, shared oracle CTEs), so the report and
+    // the dedup itself can never disagree. Scale shape: everything after
+    // the cluster labels is two partial-agg groupBys over (doc → label)
+    // rows — no join wider than the label attach.
+    "Q-llm-65" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val (sh, sigs, bands) = lshFront(s, docs)
+      val star = graft.operators.BucketJoin
+        .starEdges(bands, Seq("band_id", "key"), "doc_id")
+      val edges = jaccardOn(star, sh, sigs)
+        .filter(col("jaccard") >= 0.5).select(col("a"), col("b"))
+      val labels = graft.operators.ConnectedComponents
+        .minLabel(docs.select(col("doc_id").as("id")), edges)
+      labels
+        .join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("sz"),
+          sum(col("n_chars")).as("chars"),
+          sum(when(col("id") =!= col("label"), col("n_chars"))
+            .otherwise(0L)).as("removable"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"),
+          sum(col("chars")).cast("bigint").as("n_chars"),
+          sum(col("removable")).cast("bigint").as("chars_removable"))
+        .orderBy("cluster_size")
     }
   )
 
@@ -2279,6 +2312,22 @@ object LlmOps {
                 (c.doc_id = c.cluster_id) AS is_kept
          FROM comp c JOIN sz z USING (cluster_id)
          ORDER BY c.doc_id""",
+    "Q-llm-65" ->
+      s"""WITH RECURSIVE
+           ${starEdgeSql("documents")},
+           percl AS (
+             SELECT c.cluster_id, count(*) AS sz,
+                    sum(d.n_chars) AS chars,
+                    sum(CASE WHEN c.doc_id <> c.cluster_id
+                             THEN d.n_chars ELSE 0 END) AS removable
+             FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+             GROUP BY c.cluster_id)
+         SELECT sz::BIGINT AS cluster_size,
+                count(*)::BIGINT AS n_clusters,
+                sum(sz)::BIGINT AS n_docs,
+                sum(chars)::BIGINT AS n_chars,
+                sum(removable)::BIGINT AS chars_removable
+         FROM percl GROUP BY sz ORDER BY cluster_size""",
     "Q-llm-64" ->
       s"""WITH t AS (SELECT doc_id, $wordsSql AS ws0 FROM documents),
            a AS (SELECT doc_id,

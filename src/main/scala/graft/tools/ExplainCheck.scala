@@ -298,6 +298,18 @@ object ExplainCheck {
     check("Q-llm-58", "prefix-filter join is equi-join only (no cartesian/BNLJ)",
       p => !p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"))
+    // chunked bipartite band probe (incremental dedup): the hot-bucket
+    // armor must stay a pure equi-join — the chunk re-key adds join
+    // columns, never a nested-loop fallback
+    check("Q-llm-24", "bipartite chunked band join is equi-join only",
+      p => !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+    // star-edge mega-cluster path: candidate generation is a window +
+    // distinct, verification an equi-join — no pairwise comparison shape
+    // anywhere even with a 2048-member hot bucket in the plan's input
+    check("Q-llm-63", "star-edge dedup has no cartesian/BNLJ",
+      p => !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
     // string-axis skipping: beyond the log-level file pruning (asserted
     // in-query), the residual BETWEEN must still push into the parquet
     // scan of the kept files — two pruning layers, not one

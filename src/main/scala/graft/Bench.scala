@@ -155,7 +155,9 @@ object Bench {
     "Q-qual-34",  // ledger-pressure fold bounds the MoR read chain
     "Q-qual-35",  // delete-set broadcast guard: both plan forms priced
     "Q-llm-63",   // mega-cluster dedup via star edges (hot-bucket armor)
-    "Q-llm-64"    // Gopher repetition rules (map-side gram collapse)
+    "Q-llm-64",   // Gopher repetition rules (map-side gram collapse)
+    "Q-llm-65",   // dedup savings report over the star-edge clusters
+    "Q-llm-66"    // incremental dedup against a persisted signature index
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

@@ -1533,6 +1533,55 @@ object LlmOps {
           sum(col("chars")).cast("bigint").as("n_chars"),
           sum(col("removable")).cast("bigint").as("chars_removable"))
         .orderBy("cluster_size")
+    },
+
+    // ---- Q-llm-66: incremental dedup against a PERSISTED signature
+    // index — the production shape Q-llm-24 stops short of: Q-llm-24
+    // re-shingles the whole corpus every batch, but a 100 TB pipeline
+    // stores each document's band signatures ONCE (an ACID TxTable, one
+    // commit per ingest batch) and every later batch probes the index —
+    // per-batch cost = shingle the NEW docs + one bipartite band join
+    // against the planner-integrated `format("graft")` read. Scoring is
+    // index-resident too: candidate strength = number of agreeing bands
+    // (≥ 2 of 6 here; P[band match] ≈ jaccard for 1-row bands), so the
+    // probe never touches corpus text at all. The oracle replays the
+    // identical signature algebra from the documents table — the index
+    // is a deterministic function of the corpus, so storing it changes
+    // nothing the hash can see. Hot-bucket armor rides along
+    // (bipartitePairs, ≤ cap² per join key).
+    "Q-llm-66" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_llm66").toString + "/sigidx"
+      val docs = Tables.documents(s, d)
+      val (_, _, bands) = lshFront(s, docs)
+      // ingest: the existing corpus's signatures land in the index table
+      // (one commit; statsKey gives point reads on band_id for free)
+      TxTable.create(
+        bands.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("band_id").cast("long").as("band_id"),
+            col("key"))
+          .repartition(4),
+        root, statsKey = Some("band_id"))
+      // probe: ONLY the new batch is shingled; the corpus side is the
+      // stored index through the planner-integrated graft read
+      val index = s.read.format("graft").load(root)
+        .withColumn("__new", lit(false))
+      val probe = bands.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("band_id").cast("long").as("band_id"),
+          col("key"))
+        .withColumn("__new", lit(true))
+      val scored = graft.operators.BucketJoin
+        .bipartitePairs(probe.unionByName(index), col("__new"),
+          Seq("band_id", "key"), "doc_id", BUCKET_CAP)
+        .groupBy(col("a_doc_id").as("new_doc"), col("b_doc_id").as("dup_of"))
+        .agg(count(lit(1)).as("n_bands"))
+        .filter(col("n_bands") >= 2)
+      val w = Window.partitionBy("new_doc")
+        .orderBy(col("n_bands").desc, col("dup_of"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("new_doc"), col("dup_of"), col("n_bands"))
+        .orderBy("new_doc")
     }
   )
 
@@ -2312,6 +2361,28 @@ object LlmOps {
                 (c.doc_id = c.cluster_id) AS is_kept
          FROM comp c JOIN sz z USING (cluster_id)
          ORDER BY c.doc_id""",
+    "Q-llm-66" ->
+      s"""WITH sh AS (
+             SELECT DISTINCT doc_id, sh FROM (
+               SELECT doc_id, unnest(${shinglesSql(3)}) AS sh
+               FROM (SELECT doc_id, $wordsSql AS ws FROM documents))),
+           sigs AS (
+             SELECT doc_id, b, min(md5(b || ':' || sh)) AS key
+             FROM sh, (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b)
+             GROUP BY doc_id, b),
+           scored AS (
+             SELECT x.doc_id AS new_doc, y.doc_id AS dup_of,
+                    count(*)::BIGINT AS n_bands
+             FROM sigs x JOIN sigs y
+               ON x.b = y.b AND x.key = y.key
+              AND x.doc_id % 5 = 0 AND y.doc_id % 5 <> 0
+             GROUP BY 1, 2)
+         SELECT new_doc, dup_of, n_bands FROM (
+           SELECT new_doc, dup_of, n_bands,
+                  row_number() OVER (PARTITION BY new_doc
+                                     ORDER BY n_bands DESC, dup_of) AS rn
+           FROM scored WHERE n_bands >= 2)
+         WHERE rn = 1 ORDER BY new_doc""",
     "Q-llm-65" ->
       s"""WITH RECURSIVE
            ${starEdgeSql("documents")},

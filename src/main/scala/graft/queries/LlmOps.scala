@@ -1553,20 +1553,24 @@ object LlmOps {
       import graft.operators.TxTable
       val root = tempDir("graft_llm66").toString + "/sigidx"
       val docs = Tables.documents(s, d)
-      val (_, _, bands) = lshFront(s, docs)
-      // ingest: the existing corpus's signatures land in the index table
-      // (one commit; statsKey gives point reads on band_id for free)
+      // one-time ingest (the index build): ONLY corpus docs are shingled
+      // here, and never again — signatures are per-doc, so the split
+      // passes produce exactly the signatures one full pass would
+      val (_, _, corpusBands) =
+        lshFront(s, docs.filter(col("doc_id") % 5 =!= 0))
       TxTable.create(
-        bands.filter(col("doc_id") % 5 =!= 0)
+        corpusBands
           .select(col("doc_id"), col("band_id").cast("long").as("band_id"),
             col("key"))
           .repartition(4),
         root, statsKey = Some("band_id"))
-      // probe: ONLY the new batch is shingled; the corpus side is the
-      // stored index through the planner-integrated graft read
+      // per-batch probe: ONLY the new batch is shingled; the corpus side
+      // is the stored index through the planner-integrated graft read
+      val (_, _, newBands) =
+        lshFront(s, docs.filter(col("doc_id") % 5 === 0))
       val index = s.read.format("graft").load(root)
         .withColumn("__new", lit(false))
-      val probe = bands.filter(col("doc_id") % 5 === 0)
+      val probe = newBands
         .select(col("doc_id"), col("band_id").cast("long").as("band_id"),
           col("key"))
         .withColumn("__new", lit(true))

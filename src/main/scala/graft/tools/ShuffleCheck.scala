@@ -36,7 +36,8 @@ object ShuffleCheck {
     "Q-qual-24", "Q-str-27", "Q-qual-25", "Q-qual-26", "Q-llm-58",
     "Q-qual-27", "Q-qual-28", "Q-qual-29", "Q-qual-30", "Q-graph-07",
     "Q-graph-08", "Q-graph-09", "Q-str-29",
-    "Q-scan-21", "Q-qual-31", "Q-qual-32", "Q-qual-33", "Q-llm-59", "Q-scan-22")
+    "Q-scan-21", "Q-qual-31", "Q-qual-32", "Q-qual-33", "Q-llm-59", "Q-scan-22",
+    "Q-llm-63", "Q-llm-64", "Q-llm-65", "Q-llm-66")
 
   def main(args: Array[String]): Unit = {
     val s = EngineSession.getOrCreate("shuffle-check")

@@ -96,10 +96,13 @@ object BucketJoin {
                      cap: Int = 256): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
     val byB = Window.partitionBy(bucketCols.map(col): _*)
-    // (k - 1) / cap + 1 chunks; k = 0 also yields 1 (int div toward 0),
-    // harmless — that side emits nothing in the bucket
+    // ⌈k/cap⌉ chunks, floored at 1: Spark's `/` is double division, so
+    // k = 0 would otherwise cast to 0 chunks and the OPPOSITE side's
+    // explode(sequence(0, -1)) — Spark sequences descend — would
+    // replicate every row of a one-sided bucket 2x into [0, -1] keys
+    // that can never match (exact output, double shuffle volume)
     def nChunks(k: org.apache.spark.sql.Column) =
-      ((k - 1) / cap + 1).cast("int")
+      greatest(((k - 1) / cap + 1).cast("int"), lit(1))
     val ann = df
       .withColumn("__isl", leftPred)
       .withColumn("__nl", nChunks(

@@ -61,7 +61,13 @@ object LshIndex {
     // SignBits codegen kernel) — the per-plane form cost nTables×nBits
     // full dot products per corpus row and (nBits+1)× that on the
     // multi-probe side
-    val sig = call_udf("sign_bits", col(vecCol))
+    // null-vector rows: sign_bits(null) is null, which would DROP the
+    // corpus row at posexplode and null out probe buckets — coalesce to
+    // the all-zero signature so nulls index/probe under bucket 0 in every
+    // table, bit-identical to the per-plane form (whose when() fell
+    // through to 0 when cosine_sim returned null)
+    val sig = coalesce(call_udf("sign_bits", col(vecCol)),
+      array_repeat(lit(0), lit(nTables)))
     // the index: corpus keyed by (table, bucket) — nTables rows per vector
     val corpus = emb
       .select(col(idCol), col(vecCol), posexplode(sig))

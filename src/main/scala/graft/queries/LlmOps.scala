@@ -58,13 +58,29 @@ object LlmOps {
 
   /** Exact shingle-set Jaccard attached to candidate pairs (a, b): one
     * intersection-count join over the distinct shingle set plus the two
-    * size attaches. Linear in (candidates × shared shingles). */
-  private def jaccardOn(cand: DataFrame, sh: DataFrame,
-                        sigs: DataFrame): DataFrame = {
+    * size attaches. Linear in (candidates × shared shingles).
+    *
+    * JOIN ORDER IS THE SKEW ARMOR for star-edge consumers: every star
+    * edge of a cluster shares the hub as `a`, so hopping through the
+    * `a`-side shingles FIRST would land deg(a) x |sh(hub)| rows on the
+    * single join key `a` — at a 10⁶-member boilerplate cluster that is
+    * one straggler task holding ~10⁸ rows. Instead the first hop keys on
+    * `b` (a member appears under ≤ BANDS hubs, so deg(b) is a small
+    * constant), and the second on the COMPOSITE (a, sh): the hub's load
+    * spreads over its |sh(hub)| distinct shingle keys with ≤ deg(a) rows
+    * each — per-key load drops by the shingle-set size (~10²–10³x), and
+    * what remains is AQE-skew-splittable SMJ input, not single-key
+    * output. Total row volume is symmetric to the a-first order
+    * (Σ_edges |sh(b)| vs Σ_edges |sh(a)|); only the distribution
+    * changes, so every consumer's result — and its oracle — is
+    * unchanged. Pinned by ScaleCurve `dedup-star` max-task balance at
+    * 64x cluster size. */
+  private[graft] def jaccardOn(cand: DataFrame, sh: DataFrame,
+                               sigs: DataFrame): DataFrame = {
     val sizes = sigs.select(col("doc_id"), col("n_sh"))
     val inter = cand
-      .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+      .join(sh.select(col("doc_id").as("b"), col("sh")), "b")
+      .join(sh.select(col("doc_id").as("a"), col("sh")), Seq("a", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
     cand
       .join(inter, Seq("a", "b"), "left")
@@ -1473,7 +1489,11 @@ object LlmOps {
         .select(col("doc_id"), col("n"), explode(col("ws")).as("w"))
         .groupBy("doc_id", "n", "w").agg(count(lit(1)).as("c"))
         .groupBy("doc_id", "n").agg(max("c").as("top1"))
-      val top2 = aug
+      // size(ws) < 2 would make sequence(1, size-1) DESCEND ([1, 0]) and
+      // element_at(ws, 0) throw; the oracle's generate_series(1, 0) is
+      // empty and drops the doc via the inner join below — the filter
+      // mirrors that drop exactly (a <2-word doc has no bigram row)
+      val top2 = aug.filter(size(col("ws")) >= 2)
         .select(col("doc_id"), col("n"), explode(expr(
           "transform(sequence(1, size(ws) - 1)," +
             " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))

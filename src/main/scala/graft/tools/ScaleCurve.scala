@@ -52,11 +52,24 @@ object ScaleCurve {
     val spark = EngineSession.getOrCreate("graft-scale")
     val sc = spark.sparkContext
     val shuffleW = new java.util.concurrent.atomic.AtomicLong
+    // per-stage task-time balance: (tasks, max single-task ms, Σ task ms)
+    // — the straggler detector for the skew cells. maxShare = worst
+    // stage's maxMs/sumMs: a plan that lands a hot key's whole output on
+    // one task shows maxShare → 1 on its heaviest stage no matter how
+    // many executors exist; a balanced plan keeps maxShare ≈ 1/tasks.
+    val balance = new java.util.concurrent.ConcurrentHashMap[
+      Int, (Int, Long, Long)]
     sc.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
         shuffleW.addAndGet(
           s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val d = e.taskInfo.duration
+        balance.merge(e.stageId, (1, d, d),
+          (a, b) => (a._1 + b._1, math.max(a._2, b._2), a._3 + b._3))
+      }
     })
     def measure(name: String, scale: Int)(body: => Long): Unit = {
       spark.catalog.clearCache()
@@ -598,18 +611,11 @@ object ScaleCurve {
             col("col").as("key"))
         val star = graft.operators.BucketJoin
           .starEdges(bands, Seq("band_id", "key"), "doc_id")
-        val sizes = sigs.select(col("doc_id"), col("n_sh"))
-        val inter = star
-          .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
-          .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
-          .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
-        val edges = star
-          .join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("n_inter"))
-          .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
-          .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
-          .filter(col("n_inter") * 2 >=
-            col("na") + col("nb") - col("n_inter")) // jaccard >= 0.5
-          .select("a", "b")
+        // the PRODUCTION verify algebra (Q-llm-16/63/65's exact code
+        // path, incl. its b-first/(a, sh) hub-skew join order) — the
+        // cell prices what the queries actually run
+        val edges = graft.queries.LlmOps.jaccardOn(star, sh, sigs)
+          .filter(col("jaccard") >= 0.5).select("a", "b")
         val n = ConnectedComponents
           .minLabel(corpus.select(col("doc_id").as("id")), edges,
             driverMaxEdges = 0L)
@@ -617,6 +623,94 @@ object ScaleCurve {
         sh.unpersist()
         n
       }
+    }
+
+    // ---- dedup-star-hub (round-11): the VERIFY stage alone at 64x
+    // cluster size — the last unproven span in the dedup scale story.
+    // Every star edge of a cluster carries the bucket-min hub as `a`,
+    // so an a-keyed first hop would land deg(a) x |sh(hub)| intersect
+    // rows on ONE join key (at 10⁶ members: one ~10⁸-row straggler
+    // task no executor count fixes). jaccardOn's b-first/(a, sh)
+    // re-key spreads that over the hub's |sh| distinct shingle keys
+    // with ≤ deg(a) rows each. Claim pinned here: as the cluster grows
+    // 64x (2048 → 131072 members, corpus fixed), the verify job's
+    // worst-stage max-task TIME SHARE stays bounded (≪ 1, i.e. no
+    // single task owns the stage) and the longest task grows ~with
+    // volume/parallelism, not cluster². Shingle/signature staging is
+    // untimed setup — the claim under test is the verify join.
+    for (m <- Seq(1, 64) if want("dedup-star-hub")) {
+      val dir = tempDir(s"graft_scale_deduphub$m").toString
+      val base = SkewFixtures.uniqueDocs(spark, 2000L)
+      base.unionByName(SkewFixtures.megaDupVariants(
+          base.filter(col("doc_id") === 0), k = 2048L * m))
+        .write.mode("overwrite").parquet(dir)
+      val corpus = spark.read.parquet(dir)
+      graft.functions.MinHashSig.register(spark)
+      val sh = graft.functions.TextFunctions
+        .shingleRows(corpus, "doc_id", "text", 3).distinct().persist()
+      sh.count()                                       // setup, untimed
+      val sigs = sh.groupBy("doc_id").agg(
+        expr("minhash_sig(sh, 6)").as("sig"),
+        count(lit(1)).as("n_sh")).persist()
+      val bands = sigs
+        .select(col("doc_id"), posexplode(col("sig")))
+        .select(col("doc_id"), col("pos").as("band_id"),
+          col("col").as("key"))
+      val star = graft.operators.BucketJoin
+        .starEdges(bands, Seq("band_id", "key"), "doc_id").persist()
+      star.count()                                     // setup, untimed
+      // the superseded hub-first order, inlined as the A/B comparator:
+      // intersect's first hop keys on `a` ALONE, so the hub key holds
+      // deg(hub) x |sh(hub)| rows — the straggler the re-key kills
+      def hubFirst(): Long = {
+        val inter = star
+          .join(sh.select(col("doc_id").as("a"), col("sh")), "a")
+          .join(sh.select(col("doc_id").as("b"), col("sh")), Seq("b", "sh"))
+          .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+        val sizes = sigs.select(col("doc_id"), col("n_sh"))
+        star.join(inter, Seq("a", "b"), "left").na.fill(0L, Seq("n_inter"))
+          .join(sizes.select(col("doc_id").as("a"), col("n_sh").as("na")), "a")
+          .join(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb")), "b")
+          .filter(col("n_inter") * 2 >=
+            col("na") + col("nb") - col("n_inter")).count()
+      }
+      import scala.jdk.CollectionConverters._
+      // at 100 TB NEITHER side of the intersect join is broadcastable
+      // (corpus shingles and the edge set are both fact-sized), but at
+      // this fixture the ~260k-row star side fits the 10 MB default
+      // threshold and Spark would broadcast it — flattering the hub-key
+      // claim with a plan a cluster can't run. Force the shuffle-join
+      // path so the measured plan is the SMJ + AQE-skew-split a real
+      // cluster would execute.
+      val bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      for ((order, run) <- Seq(
+          "member-first" -> (() => graft.queries.LlmOps
+            .jaccardOn(star, sh, sigs)
+            .filter(col("jaccard") >= 0.5).count()),
+          "hub-first" -> (() => hubFirst()))) {
+        balance.clear()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val t0 = System.nanoTime()
+        val nEdges = try run()
+          finally spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", bcast0)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // the HEAVIEST stage (largest Σ task time) is where the verify
+        // join's shuffle work lands; a straggler plan shows its max
+        // task owning ~the whole stage (share → 1 with tasks ≫ 1)
+        val (hTasks, hMax, hSum) = balance.values.asScala
+          .maxBy(_._3)
+        // plus the single longest task anywhere in the job — a
+        // straggler hiding in a lighter stage can't dodge this one
+        val gMax = balance.values.asScala.map(_._2).max
+        println(f"""{"name":"dedup-star-hub","scale":$m,""" +
+          f""""order":"$order","sec":$sec%.2f,"rows":$nEdges,""" +
+          f""""heavyStageTasks":$hTasks,""" +
+          f""""maxTaskSec":${hMax / 1e3}%.2f,""" +
+          f""""maxTaskShare":${hMax.toDouble / hSum}%.3f,""" +
+          f""""globalMaxTaskSec":${gMax / 1e3}%.2f}""")
+      }
+      sh.unpersist(); sigs.unpersist(); star.unpersist()
     }
 
     // ---- dedup-chunk (round-10): the CHUNKED pairwise band join

@@ -1588,26 +1588,93 @@ object LlmOps {
       // is the stored index through the planner-integrated graft read
       val (_, _, newBands) =
         lshFront(s, docs.filter(col("doc_id") % 5 === 0))
-      val index = s.read.format("graft").load(root)
-        .withColumn("__new", lit(false))
-      val probe = newBands
-        .select(col("doc_id"), col("band_id").cast("long").as("band_id"),
-          col("key"))
-        .withColumn("__new", lit(true))
-      val scored = graft.operators.BucketJoin
-        .bipartitePairs(probe.unionByName(index), col("__new"),
-          Seq("band_id", "key"), "doc_id", BUCKET_CAP)
-        .groupBy(col("a_doc_id").as("new_doc"), col("b_doc_id").as("dup_of"))
-        .agg(count(lit(1)).as("n_bands"))
-        .filter(col("n_bands") >= 2)
-      val w = Window.partitionBy("new_doc")
-        .orderBy(col("n_bands").desc, col("dup_of"))
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("new_doc"), col("dup_of"), col("n_bands"))
+      probeSigIndex(s.read.format("graft").load(root),
+        newBands.select(col("doc_id"),
+          col("band_id").cast("long").as("band_id"), col("key")))
         .orderBy("new_doc")
+    },
+
+    // ---- Q-llm-67: the CLOSED index lifecycle — the loop a production
+    // ingest pipeline actually runs: probe batch 1 against the stored
+    // signature index, ADMIT its survivors (docs with no index match)
+    // by appending their already-computed signatures in ONE TxTable
+    // commit, then probe batch 2 against the UPDATED index — batch-2
+    // dups of an admitted batch-1 doc resolve to that doc, proving the
+    // admit landed. No document is ever shingled twice (corpus at
+    // build, each batch at its probe; survivors re-use the probe's
+    // signatures), and no intra-batch dedup happens at admit time (two
+    // batch-1 near-dups of each other but not of the corpus BOTH enter
+    // — the oracle replays exactly that). Scale shape: per-batch
+    // exchange ∝ batch ([[probeSigIndex]]'s broadcast bucket
+    // prefilter), admit cost = one append commit of |survivor
+    // signatures| rows; the corpus contributes only the 2-column
+    // columnar index scan — ScaleCurve `dedup-index-batch` pins the
+    // flat-shuffle claim at corpus ×8.
+    "Q-llm-67" -> { (s, d) =>
+      import graft.operators.TxTable
+      val root = tempDir("graft_llm67").toString + "/sigidx"
+      val docs = Tables.documents(s, d)
+      def bandsOf(pred: org.apache.spark.sql.Column) = {
+        val (_, _, b) = lshFront(s, docs.filter(pred))
+        b.select(col("doc_id"),
+          col("band_id").cast("long").as("band_id"), col("key"))
+      }
+      // ingest: corpus = everything outside the two probe batches
+      TxTable.create(
+        bandsOf(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 3)
+          .repartition(4),
+        root, statsKey = Some("band_id"))
+      // batch 1: probe, then admit the survivors' signatures (one commit)
+      val b1 = bandsOf(col("doc_id") % 5 === 0).persist()
+      val r1 = probeSigIndex(s.read.format("graft").load(root), b1)
+        .persist()
+      r1.count()  // materialize BEFORE the admit mutates the index
+      TxTable.append(s, root,
+        b1.join(r1.select(col("new_doc").as("doc_id")),
+          Seq("doc_id"), "left_anti").repartition(2))
+      // batch 2 probes the UPDATED index (corpus + admitted survivors)
+      val r2 = probeSigIndex(s.read.format("graft").load(root),
+        bandsOf(col("doc_id") % 5 === 3))
+      val out = r1.withColumn("batch", lit(1L))
+        .unionByName(r2.withColumn("batch", lit(2L)))
+        .select(col("batch"), col("new_doc"), col("dup_of"), col("n_bands"))
+        .orderBy("batch", "new_doc")
+      b1.unpersist()
+      out
     }
   )
+
+  /** Probe a persisted band-signature index with a new batch's bands:
+    * candidate strength = number of agreeing bands (≥ 2 of [[BANDS]]),
+    * best match per new doc. PER-BATCH EXCHANGE ∝ BATCH: the index is
+    * first reduced to the buckets the probe actually touches via a
+    * broadcast semi-join on (band_id, key) — the corpus-sized index
+    * side never shuffles (without this, bipartitePairs' bucket-count
+    * window pass would re-shuffle the ENTIRE index every batch); only
+    * the ∝-batch bucket hits enter the window + chunked join, and the
+    * hot-bucket armor still bounds any single join key at cap² rows.
+    * (If a batch ever outgrows the broadcast threshold, the same
+    * prefilter is expressible as a runtime bloom filter on the scan —
+    * the Q-join-13 machinery.) */
+  private[graft] def probeSigIndex(index: DataFrame, probe: DataFrame)
+      : DataFrame = {
+    val hit = index.join(
+      broadcast(probe.select("band_id", "key").distinct()),
+      Seq("band_id", "key"), "leftsemi")
+    val scored = graft.operators.BucketJoin
+      .bipartitePairs(
+        probe.withColumn("__new", lit(true))
+          .unionByName(hit.withColumn("__new", lit(false))),
+        col("__new"), Seq("band_id", "key"), "doc_id", BUCKET_CAP)
+      .groupBy(col("a_doc_id").as("new_doc"), col("b_doc_id").as("dup_of"))
+      .agg(count(lit(1)).as("n_bands"))
+      .filter(col("n_bands") >= 2)
+    val w = Window.partitionBy("new_doc")
+      .orderBy(col("n_bands").desc, col("dup_of"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("new_doc"), col("dup_of"), col("n_bands"))
+  }
 
   /** Okapi BM25 top-10 per query (shared by Q-llm-53 and the RRF hybrid
     * Q-llm-54) — see Q-llm-53's registry comment for the scale shape. */
@@ -2407,6 +2474,52 @@ object LlmOps {
                                      ORDER BY n_bands DESC, dup_of) AS rn
            FROM scored WHERE n_bands >= 2)
          WHERE rn = 1 ORDER BY new_doc""",
+    // lifecycle replay: batch 1 (doc_id%5=0) scores against the corpus
+    // (doc_id%5 ∉ {0,3}); its UNMATCHED docs are admitted; batch 2
+    // (doc_id%5=3) scores against corpus + admitted batch-1 docs —
+    // the same signature algebra both times, no intra-batch dedup
+    "Q-llm-67" ->
+      s"""WITH sh AS (
+             SELECT DISTINCT doc_id, sh FROM (
+               SELECT doc_id, unnest(${shinglesSql(3)}) AS sh
+               FROM (SELECT doc_id, $wordsSql AS ws FROM documents))),
+           sigs AS (
+             SELECT doc_id, b, min(md5(b || ':' || sh)) AS key
+             FROM sh, (SELECT unnest(generate_series(0, ${BANDS - 1})) AS b)
+             GROUP BY doc_id, b),
+           s1 AS (
+             SELECT x.doc_id AS new_doc, y.doc_id AS dup_of,
+                    count(*)::BIGINT AS n_bands
+             FROM sigs x JOIN sigs y ON x.b = y.b AND x.key = y.key
+             WHERE x.doc_id % 5 = 0 AND y.doc_id % 5 NOT IN (0, 3)
+             GROUP BY 1, 2),
+           r1 AS (
+             SELECT new_doc, dup_of, n_bands FROM (
+               SELECT new_doc, dup_of, n_bands,
+                      row_number() OVER (PARTITION BY new_doc
+                                         ORDER BY n_bands DESC, dup_of) AS rn
+               FROM s1 WHERE n_bands >= 2)
+             WHERE rn = 1),
+           s2 AS (
+             SELECT x.doc_id AS new_doc, y.doc_id AS dup_of,
+                    count(*)::BIGINT AS n_bands
+             FROM sigs x JOIN sigs y ON x.b = y.b AND x.key = y.key
+             WHERE x.doc_id % 5 = 3
+               AND (y.doc_id % 5 NOT IN (0, 3)
+                    OR (y.doc_id % 5 = 0
+                        AND y.doc_id NOT IN (SELECT new_doc FROM r1)))
+             GROUP BY 1, 2),
+           r2 AS (
+             SELECT new_doc, dup_of, n_bands FROM (
+               SELECT new_doc, dup_of, n_bands,
+                      row_number() OVER (PARTITION BY new_doc
+                                         ORDER BY n_bands DESC, dup_of) AS rn
+               FROM s2 WHERE n_bands >= 2)
+             WHERE rn = 1)
+         SELECT 1::BIGINT AS batch, new_doc, dup_of, n_bands FROM r1
+         UNION ALL
+         SELECT 2::BIGINT AS batch, new_doc, dup_of, n_bands FROM r2
+         ORDER BY batch, new_doc""",
     "Q-llm-65" ->
       s"""WITH RECURSIVE
            ${starEdgeSql("documents")},

@@ -102,6 +102,17 @@ object EngineSession {
       // overhead on a local disk the OS already checksums
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
               "false")
+      // ENGINE DEFAULT (round 11): whenever a job selects the RocksDB
+      // state store (WeatherJob --state.store rocksdb, the Q-str RocksDB
+      // queries), per-batch checkpoints upload the CHANGELOG (delta)
+      // instead of a full SST snapshot — PresenceScaleSpec prices
+      // steady-state checkpoint bytes 12.3x smaller at fleet-sized
+      // state, and StreamingSpec pins crash-recovery under changelog
+      // replay. Inert under the default HDFS-backed provider, so batch
+      // sessions are unaffected; a production job no longer has to
+      // remember the flag.
+      .config("spark.sql.streaming.stateStore.rocksdb" +
+              ".changelogCheckpointing.enabled", "true")
 
   /** Shared session for tests/tools; honors an already-running session. */
   def getOrCreate(appName: String = "graft-engine"): SparkSession = {

@@ -133,7 +133,8 @@ class PresenceScaleSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
-  test("changelog checkpointing: steady-state upload is DELTA-sized, not a state snapshot") {
+  test("changelog checkpointing: steady-state upload is DELTA-sized, not a state snapshot",
+      SlowTest) {
     // Round-9 verdict #5 priced: with 150k keys of presence state and a
     // 1k-device delta per batch, FULL-SNAPSHOT mode re-uploads the whole
     // store every commit (recovery-time and checkpoint-bandwidth killer

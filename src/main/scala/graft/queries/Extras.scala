@@ -452,24 +452,63 @@ object Extras {
     // 64-row fan-out + one window mean + one packing agg — linear,
     // partitioned by asset.
     "Q-mm-06" -> { (s, d) =>
-      val px = Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"), col("text"),
-          explode(sequence(lit(0), lit(63))).as("i"))
-        .select(col("doc_id"), col("i"),
-          expr("ascii(substring(text, CAST(1 + (i * n_chars) DIV 64 AS INT), 1))")
-            .cast("bigint").as("p"))
-      val wm = Window.partitionBy("doc_id")
-      px.withColumn("mean", sum("p").over(wm).cast("double") / 64.0)
-        .withColumn("b", (col("p") > col("mean")).cast("bigint"))
-        .groupBy("doc_id").agg(
-          sum(when(col("i") < 32,
-            col("b") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
-            .otherwise(0L)).as("ahash_lo"),
-          sum(when(col("i") >= 32,
-            col("b") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i - 32 AS INT))"))
-            .otherwise(0L)).as("ahash_hi"),
-          sum("b").as("n_ones"))
-        .orderBy("doc_id")
+      aHash64(s, d).orderBy("doc_id")
+    },
+
+    // ---- Q-mm-13: IMAGE near-dup dedup CLUSTERS — the multimodal twin
+    // of Q-llm-16 (round-10 verdict #5). Fingerprint = Q-mm-06's exact
+    // 64-bit aHash algebra (shared helper, so the fingerprint and the
+    // dedup can never disagree); blocking = BANDED HAMMING: the 64 bits
+    // split into four 16-bit bands, so any two fingerprints within
+    // Hamming distance 3 agree on ≥ 1 band (pigeonhole — the blocking is
+    // LOSSLESS for the ≤3 relation, unlike MinHash's probabilistic
+    // bands). Candidates are O(k) STAR edges per (band, value) bucket
+    // (BucketJoin.starEdges — a viral thumbnail re-encoded 10⁶ times
+    // emits 10⁶ edges, never 10¹² pairs); verify = exact bit_count
+    // Hamming ≤ 3 via two 1-row-per-key fingerprint attaches (codegen
+    // XOR+popcount, no shingle fan-out so no hub-key blowup); clusters =
+    // distributed min-label components. Every 50th asset gets a planted
+    // re-encode variant whose fingerprint drifts ≤ 2 deterministic bits
+    // — the near-dup (not just exact-dup) path the oracle replays.
+    // Shuffle ∝ fingerprints + star edges, never pairs (ShuffleCheck).
+    "Q-mm-13" -> { (s, d) =>
+      val fp0 = aHash64(s, d)
+        .select(col("doc_id"), col("ahash_lo").as("lo"),
+          col("ahash_hi").as("hi"))
+      // planted drift: flip bits p1/p2 (p1 = p2 cancels → exact dup,
+      // replayed identically by the oracle)
+      val drift = fp0.filter(col("doc_id") % 50 === 0)
+        .withColumn("p1", (col("doc_id") * 7 % 64).cast("int"))
+        .withColumn("p2", ((col("doc_id") * 13 + 5) % 64).cast("int"))
+        .select((col("doc_id") + 7000000L).as("asset_id"),
+          expr("lo ^ (CASE WHEN p1 < 32 THEN shiftleft(CAST(1 AS BIGINT), p1) ELSE 0L END) " +
+            "^ (CASE WHEN p2 < 32 THEN shiftleft(CAST(1 AS BIGINT), p2) ELSE 0L END)").as("lo"),
+          expr("hi ^ (CASE WHEN p1 >= 32 THEN shiftleft(CAST(1 AS BIGINT), p1 - 32) ELSE 0L END) " +
+            "^ (CASE WHEN p2 >= 32 THEN shiftleft(CAST(1 AS BIGINT), p2 - 32) ELSE 0L END)").as("hi"))
+      val fp = fp0.select(col("doc_id").as("asset_id"), col("lo"), col("hi"))
+        .unionByName(drift).persist()
+      val bands = fp.select(col("asset_id"), posexplode(array(
+          col("lo").bitwiseAND(lit(65535L)),
+          shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+          col("hi").bitwiseAND(lit(65535L)),
+          shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))))
+        .select(col("asset_id"), col("pos").as("band_id"), col("col").as("v"))
+      val star = graft.operators.BucketJoin
+        .starEdges(bands, Seq("band_id", "v"), "asset_id")
+      val edges = star
+        .join(fp.select(col("asset_id").as("a"), col("lo").as("lo_a"),
+          col("hi").as("hi_a")), "a")
+        .join(fp.select(col("asset_id").as("b"), col("lo").as("lo_b"),
+          col("hi").as("hi_b")), "b")
+        .filter(expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)") <= 3)
+        .select("a", "b")
+      val labels = graft.operators.ConnectedComponents
+        .minLabel(fp.select(col("asset_id").as("id")), edges)
+      labels
+        .select(col("id").as("asset_id"), col("label").as("cluster_id"),
+          count(lit(1)).over(Window.partitionBy("label")).as("cluster_size"),
+          (col("id") === col("label")).as("is_kept"))
+        .orderBy("asset_id")
     },
 
     // ---- Q-mm-07: REAL media decode end-to-end — per doc, a genuine
@@ -2683,7 +2722,98 @@ object Extras {
 
   private val centStep = "(SELECT count(*) // 16 FROM embeddings)"
 
+  /** Q-mm-06's perceptual average-hash: 64 pixel samples at evenly
+    * spaced payload positions, thresholded against the asset mean,
+    * packed into two 32-bit words. Shared by Q-mm-06 (the fingerprint
+    * report) and Q-mm-13 (the image dedup built on it). */
+  private def aHash64(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val px = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"), col("text"),
+        explode(sequence(lit(0), lit(63))).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr("ascii(substring(text, CAST(1 + (i * n_chars) DIV 64 AS INT), 1))")
+          .cast("bigint").as("p"))
+    val wm = Window.partitionBy("doc_id")
+    px.withColumn("mean", sum("p").over(wm).cast("double") / 64.0)
+      .withColumn("b", (col("p") > col("mean")).cast("bigint"))
+      .groupBy("doc_id").agg(
+        sum(when(col("i") < 32,
+          col("b") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i AS INT))"))
+          .otherwise(0L)).as("ahash_lo"),
+        sum(when(col("i") >= 32,
+          col("b") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i - 32 AS INT))"))
+          .otherwise(0L)).as("ahash_hi"),
+        sum("b").as("n_ones"))
+  }
+
+  // Q-mm-06's aHash as a DuckDB CTE chain ending in ah(doc_id, lo, hi)
+  // — shared by the Q-mm-06 and Q-mm-13 oracles like the Scala helper
+  private val aHashSql: String =
+    """px AS (
+           SELECT doc_id, n_chars, text,
+                  unnest(generate_series(0, 63)) AS i
+           FROM documents),
+         p2 AS (
+           SELECT doc_id, i,
+                  ascii(substring(text, (1 + (i * n_chars) // 64)::INT, 1))::BIGINT AS p
+           FROM px),
+         m AS (
+           SELECT doc_id, i, p,
+                  sum(p) OVER (PARTITION BY doc_id) / 64.0 AS mean
+           FROM p2),
+         ah AS (
+           SELECT doc_id,
+                  sum(CASE WHEN i < 32 AND p > mean
+                           THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS lo,
+                  sum(CASE WHEN i >= 32 AND p > mean
+                           THEN (1::BIGINT << (i - 32)::INT) ELSE 0 END)::BIGINT AS hi,
+                  sum(CASE WHEN p > mean THEN 1 ELSE 0 END)::BIGINT AS n_ones
+           FROM m GROUP BY doc_id)"""
+
   val oracle: Map[String, String] = Map(
+    "Q-mm-13" ->
+      s"""WITH RECURSIVE $aHashSql,
+           fp AS (
+             SELECT doc_id AS asset_id, lo, hi FROM ah
+             UNION ALL
+             SELECT doc_id + 7000000,
+                    xor(xor(lo, CASE WHEN p1 < 32 THEN 1::BIGINT << p1::INT ELSE 0 END),
+                        CASE WHEN p2 < 32 THEN 1::BIGINT << p2::INT ELSE 0 END),
+                    xor(xor(hi, CASE WHEN p1 >= 32 THEN 1::BIGINT << (p1 - 32)::INT ELSE 0 END),
+                        CASE WHEN p2 >= 32 THEN 1::BIGINT << (p2 - 32)::INT ELSE 0 END)
+             FROM (SELECT doc_id, lo, hi,
+                          (doc_id * 7) % 64 AS p1,
+                          (doc_id * 13 + 5) % 64 AS p2
+                   FROM ah WHERE doc_id % 50 = 0)),
+           bands AS (
+             SELECT asset_id, 0 AS band_id, lo & 65535 AS v FROM fp
+             UNION ALL SELECT asset_id, 1, (lo >> 16) & 65535 FROM fp
+             UNION ALL SELECT asset_id, 2, hi & 65535 FROM fp
+             UNION ALL SELECT asset_id, 3, (hi >> 16) & 65535 FROM fp),
+           star AS (
+             SELECT DISTINCT m AS a, asset_id AS b FROM (
+               SELECT asset_id, min(asset_id) OVER (PARTITION BY band_id, v) AS m
+               FROM bands) WHERE asset_id <> m),
+           edges AS (
+             SELECT st.a, st.b FROM star st
+             JOIN fp fa ON fa.asset_id = st.a
+             JOIN fp fb ON fb.asset_id = st.b
+             WHERE bit_count(xor(fa.lo, fb.lo)) + bit_count(xor(fa.hi, fb.hi)) <= 3),
+           sym AS (SELECT a AS x, b AS y FROM edges
+                   UNION ALL SELECT b, a FROM edges),
+           reach(src, node) AS (
+             SELECT asset_id, asset_id FROM fp
+             UNION
+             SELECT r.src, s.y FROM reach r JOIN sym s ON s.x = r.node),
+           comp AS (SELECT src AS asset_id, min(node) AS cluster_id
+                    FROM reach GROUP BY src),
+           sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size
+                  FROM comp GROUP BY cluster_id)
+         SELECT c.asset_id, c.cluster_id, z.cluster_size,
+                (c.asset_id = c.cluster_id) AS is_kept
+         FROM comp c JOIN sz z USING (cluster_id)
+         ORDER BY c.asset_id""",
     // closed form of the metadata-aggregate run: evens created, the
     // even %7==3 cohort MoR-deleted, odds appended — identical values
     // in both phases (compaction must not change them); the physical
@@ -2952,25 +3082,9 @@ object Extras {
          FROM oldsnap o FULL OUTER JOIN newsnap n USING (k)
          GROUP BY 1 ORDER BY class""",
     "Q-mm-06" ->
-      """WITH px AS (
-           SELECT doc_id, n_chars, text,
-                  unnest(generate_series(0, 63)) AS i
-           FROM documents),
-         p2 AS (
-           SELECT doc_id, i,
-                  ascii(substring(text, (1 + (i * n_chars) // 64)::INT, 1))::BIGINT AS p
-           FROM px),
-         m AS (
-           SELECT doc_id, i, p,
-                  sum(p) OVER (PARTITION BY doc_id) / 64.0 AS mean
-           FROM p2)
-         SELECT doc_id,
-                sum(CASE WHEN i < 32 AND p > mean
-                         THEN (1::BIGINT << i::INT) ELSE 0 END)::BIGINT AS ahash_lo,
-                sum(CASE WHEN i >= 32 AND p > mean
-                         THEN (1::BIGINT << (i - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi,
-                sum(CASE WHEN p > mean THEN 1 ELSE 0 END)::BIGINT AS n_ones
-         FROM m GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $aHashSql
+         SELECT doc_id, lo AS ahash_lo, hi AS ahash_hi, n_ones
+         FROM ah ORDER BY doc_id""",
     // first-principles recomputation of the DECODED properties: dims and
     // brightness from the generator arithmetic, file size from the BMP
     // layout (54-byte headers + rows padded to 4 bytes)

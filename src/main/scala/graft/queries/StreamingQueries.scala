@@ -912,9 +912,12 @@ object StreamingQueries {
     // kafka-shaped records (key/value/topic/partition/offset/timestamp/
     // timestampType/headers) staged and replayed under the connector's
     // exact schema (`KafkaShape.source`) → the production branch's
-    // `.select(value)` → envelope decode → the presence plan. Oracle is
-    // Q-str-05's presenceSql verbatim: the whole ingest envelope must be
-    // semantically invisible, hash-checked by the driver.
+    // `.select(value)` → envelope decode → the presence plan (since
+    // round 11 the plan's production default: detectEvict on RocksDB
+    // state — the oracle is Q-str-29's evict rendering, presenceSql
+    // plus one trailing offline per device whose last event sits a full
+    // TTL before the final watermark; the ingest envelope must remain
+    // semantically invisible, hash-checked by the driver).
     "Q-str-30" -> { (s, d) =>
       import s.implicits._
       val tmp = tempDir("graft_str30")
@@ -936,9 +939,17 @@ object StreamingQueries {
       val raw = graft.streaming.KafkaShape.source(s, s"$tmp/records")
         .select(col("value")).as[Array[Byte]]
       val readings = AvroEnvelope.decode(s, raw)
-      Replay.run(
-        graft.WeatherJob.plan(s, readings, ttlMillis = 3600000L),
-        "append").orderBy("device_id", "ts_ms", "state")
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try
+        Replay.run(
+          graft.WeatherJob.plan(s, readings, ttlMillis = 3600000L),
+          "append").orderBy("device_id", "ts_ms", "state")
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     },
 
     // ---- Q-str-12: event-time sessionization via transformWithState with
@@ -1349,6 +1360,27 @@ object StreamingQueries {
        FROM e WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > 3600000
        ORDER BY device_id, ts_ms, state"""
 
+  // the EVICTING rendering (Presence.detectEvict): presenceSql plus one
+  // trailing offline per device whose last event sits >= one TTL before
+  // the final watermark (= the global max event time) — shared by
+  // Q-str-29 and Q-str-30 (WeatherJob.plan's production default)
+  private val evictPresenceSql: String =
+    """WITH e AS (
+         SELECT user_id::VARCHAR AS device_id, epoch_ms(ts) AS ts_ms,
+                lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+         FROM events),
+       l AS (SELECT device_id, max(ts_ms) AS last_ms FROM e GROUP BY device_id),
+       m AS (SELECT max(ts_ms) AS max_ms FROM e)
+       SELECT device_id, 'online' AS state, ts_ms
+       FROM e WHERE prev_ms IS NULL OR ts_ms - prev_ms > 3600000
+       UNION ALL
+       SELECT device_id, 'offline' AS state, prev_ms + 3600000 AS ts_ms
+       FROM e WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > 3600000
+       UNION ALL
+       SELECT device_id, 'offline' AS state, last_ms + 3600000 AS ts_ms
+       FROM l, m WHERE last_ms + 3600000 <= max_ms
+       ORDER BY device_id, ts_ms, state"""
+
   val oracle: Map[String, String] = Map(
     "Q-str-16" ->
       """SELECT event_type, count(*)::BIGINT AS n_unknown_user,
@@ -1504,29 +1536,15 @@ object StreamingQueries {
          FROM events WHERE ts >= TIMESTAMP '2024-01-20'
          GROUP BY 1, 2 ORDER BY ws_sec, event_type""",
     "Q-str-05" -> presenceSql,
-    "Q-str-30" -> presenceSql,
     // the v2-state-API twin must match the exact same rendering
     "Q-str-09" -> presenceSql,
     // the evicting variant adds exactly one trailing offline per device
     // whose last event sits >= one TTL before the final watermark
     // (= the global max event time; boundary collisions checked absent
-    // in the testdata at all SFs)
-    "Q-str-29" ->
-      """WITH e AS (
-           SELECT user_id::VARCHAR AS device_id, epoch_ms(ts) AS ts_ms,
-                  lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
-           FROM events),
-         l AS (SELECT device_id, max(ts_ms) AS last_ms FROM e GROUP BY device_id),
-         m AS (SELECT max(ts_ms) AS max_ms FROM e)
-         SELECT device_id, 'online' AS state, ts_ms
-         FROM e WHERE prev_ms IS NULL OR ts_ms - prev_ms > 3600000
-         UNION ALL
-         SELECT device_id, 'offline' AS state, prev_ms + 3600000 AS ts_ms
-         FROM e WHERE prev_ms IS NOT NULL AND ts_ms - prev_ms > 3600000
-         UNION ALL
-         SELECT device_id, 'offline' AS state, last_ms + 3600000 AS ts_ms
-         FROM l, m WHERE last_ms + 3600000 <= max_ms
-         ORDER BY device_id, ts_ms, state""",
+    // in the testdata at all SFs). Q-str-30 runs WeatherJob.plan, whose
+    // production default is the same evicting operator since round 11.
+    "Q-str-29" -> evictPresenceSql,
+    "Q-str-30" -> evictPresenceSql,
     "Q-str-06" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

@@ -133,6 +133,70 @@ class PresenceScaleSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("A/B: v1 flatMapGroupsWithState vs v2 evicting transformWithState (WeatherJob default)",
+      SlowTest) {
+    // Round-11 migration evidence: WeatherJob.plan's production default
+    // moved from the v1 data-driven operator (Presence.detect) to the v2
+    // evicting one (Presence.detectEvict). This pins (a) SEMANTICS — the
+    // v2 output is exactly v1 plus one trailing offline per device the
+    // final watermark proves idle (the presence event v1 structurally
+    // cannot emit for a device that stays gone), and (b) COST — same
+    // drain, same RocksDB store, wall-clock ratio ledgered (BASELINE.md)
+    // with a loose 3x tripwire so a v2 regression fails loudly.
+    import spark.implicits._
+    val DEV = 60000L
+    val tmp = graft.queries.tempDir("graft_presence_ab")
+    val dir = Files.createDirectory(tmp.resolve("stream"))
+    def writeChunk(i: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      val f = tmp.resolve(s"c$i")
+      df.coalesce(1).write.mode("overwrite").parquet(f.toString)
+      val listing = Files.list(f)
+      val parts = try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.getFileName.toString.endsWith(".parquet")) finally listing.close()
+      parts.zipWithIndex.foreach { case (p, j) =>
+        val out = dir.resolve(s"c${i}_$j.parquet")
+        Files.copy(p, out)
+        Files.setLastModifiedTime(out,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+    }
+    writeChunk(1, spark.range(DEV).select(
+      concat(lit("d"), col("id")).as("device_id"), lit(T0).as("ts_ms")))
+    writeChunk(2, spark.range(DEV / 3).select(
+      concat(lit("d"), col("id")).as("device_id"), lit(T1).as("ts_ms")))
+    writeChunk(3, spark.range(1).select(
+      lit("sentinel").as("device_id"), lit(T2).as("ts_ms")))
+    val schema = spark.read.parquet(tmp.resolve("c1").toString).schema
+    def src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def drain(df: org.apache.spark.sql.DataFrame)
+          : (Set[(String, String, Long)], Double) = {
+        val t = System.nanoTime()
+        val out = Replay.run(df, "append").as[(String, String, Long)]
+          .collect().toSet
+        (out, (System.nanoTime() - t) / 1e9)
+      }
+      // v2 first: the JVM/page-cache warmup lands on the NEW operator,
+      // biasing the ratio AGAINST the migration — conservative
+      val (v2, v2Sec) = drain(Presence.detectEvict(spark, src, TTL).toDF())
+      val (v1, v1Sec) = drain(Presence.detect(spark, src, TTL).toDF())
+      // devices idle since T0 (not re-seen at T1): T0 + TTL <= wm = T2
+      val trailing = (DEV / 3 until DEV).map(i =>
+        (s"d$i", "offline", T0 + TTL)).toSet
+      assert(v2 == v1 ++ trailing,
+        s"v2 != v1 + trailing: extra=${(v2 -- v1 -- trailing).take(3)} " +
+          s"missing=${(v1 ++ trailing -- v2).take(3)}")
+      info(f"v1 detect: $v1Sec%.1f s, v2 detectEvict: $v2Sec%.1f s " +
+        f"(ratio ${v2Sec / v1Sec}%.2f, ${v1.size} + ${trailing.size} rows)")
+      assert(v2Sec <= v1Sec * 3,
+        f"v2 drain regressed past the 3x tripwire: $v2Sec%.1f vs $v1Sec%.1f")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("changelog checkpointing: steady-state upload is DELTA-sized, not a state snapshot",
       SlowTest) {
     // Round-9 verdict #5 priced: with 150k keys of presence state and a

@@ -78,11 +78,15 @@ class WeatherJobSpec extends AnyFunSuite {
     val srcDir = Files.createTempDirectory("graft_wjob_src").toString
     envelopes.toDF("value").coalesce(1).write.mode("overwrite").parquet(srcDir)
 
-    WeatherJob.main(Array(
+    try WeatherJob.main(Array(
       "--source", "file", "--source.path", srcDir,
       "--sink", "memory", "--sink.table", "wjob_presence",
       "--once", "true", "--stopSession", "false",
       "--presence.ttl.ms", "3600000"))
+    finally
+      // main's rocksdb default sets the provider on the shared session;
+      // don't leak it into later suites
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     val out = spark.table("wjob_presence")
       .selectExpr("key", "get_json_object(value, '$.state') AS state",
@@ -93,7 +97,12 @@ class WeatherJobSpec extends AnyFunSuite {
       ("A", "online", t0),
       ("A", "offline", t0 + 60000L + 3600000L),
       ("A", "online", t0 + 7260000L),
-      ("B", "online", t0)).sortBy(t => (t._1, t._3, t._2))
+      ("B", "online", t0),
+      // the round-11 production plan (detectEvict) emits the trailing
+      // OFFLINE once the final watermark (A's last event) passes B's
+      // last-seen + TTL — the presence semantic the v1 operator could
+      // never produce for a device that stays gone
+      ("B", "offline", t0 + 3000000L + 3600000L)).sortBy(t => (t._1, t._3, t._2))
     assert(out.toSeq == expected.toSeq)
   }
 }

@@ -157,7 +157,9 @@ object Bench {
     "Q-llm-63",   // mega-cluster dedup via star edges (hot-bucket armor)
     "Q-llm-64",   // Gopher repetition rules (map-side gram collapse)
     "Q-llm-65",   // dedup savings report over the star-edge clusters
-    "Q-llm-66"    // incremental dedup against a persisted signature index
+    "Q-llm-66",   // incremental dedup against a persisted signature index
+    "Q-llm-67",   // closed index lifecycle: probe -> admit -> probe
+    "Q-mm-13"     // image near-dup clusters via banded Hamming + star edges
   )
 
   private def runOnce(spark: SparkSession, name: String, sfDir: String): Double = {

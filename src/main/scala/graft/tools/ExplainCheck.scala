@@ -310,6 +310,18 @@ object ExplainCheck {
     check("Q-llm-63", "star-edge dedup has no cartesian/BNLJ",
       p => !p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"))
+    // index-lifecycle probe (round 11): the bucket prefilter must reach
+    // the index side as a BROADCAST semi-join (the corpus-sized index
+    // never shuffles per batch) and the whole probe stays equi-join
+    check("Q-llm-67", "index probe: broadcast bucket prefilter, equi-join only",
+      p => p.contains("BroadcastHashJoin") && p.contains("LeftSemi") &&
+           !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+    // image near-dup clusters (round 11): banded Hamming blocking +
+    // star edges + bit_count verify — every hop keyed, no pairwise shape
+    check("Q-mm-13", "banded Hamming dedup has no cartesian/BNLJ",
+      p => !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
     // string-axis skipping: beyond the log-level file pruning (asserted
     // in-query), the residual BETWEEN must still push into the parquet
     // scan of the kept files — two pruning layers, not one

@@ -81,11 +81,15 @@ class KafkaParitySpec extends AnyFunSuite {
       KafkaShape.stage(records.drop("offset"), srcDir))
     assert(bad.getMessage.contains("connector contract"))
 
-    WeatherJob.main(Array(
+    try WeatherJob.main(Array(
       "--source", "kafka-shape", "--source.path", srcDir,
       "--sink", "memory", "--sink.table", "kshape_presence",
       "--once", "true", "--stopSession", "false",
       "--presence.ttl.ms", "3600000"))
+    finally
+      // main's rocksdb default sets the provider on the shared session;
+      // don't leak it into later suites
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
     val out = spark.table("kshape_presence")
       .selectExpr("key", "get_json_object(value, '$.state') AS state",
@@ -104,7 +108,11 @@ class KafkaParitySpec extends AnyFunSuite {
       ("A", "online", t0),
       ("A", "offline", t0 + 60000L + 3600000L),
       ("A", "online", t0 + 7260000L),
-      ("B", "online", t0)).sortBy(t => (t._1, t._3, t._2))
+      ("B", "online", t0),
+      // round-11 production plan (detectEvict): B's trailing offline
+      // emits once the final watermark (A's last event) passes
+      // B's last-seen + TTL
+      ("B", "offline", t0 + 3000000L + 3600000L)).sortBy(t => (t._1, t._3, t._2))
     assert(out.toSeq == expected.toSeq)
 
     // the sink projection satisfies the producer contract; a stowaway

@@ -695,6 +695,11 @@ object ScaleCurve {
           finally spark.conf.set(
             "spark.sql.autoBroadcastJoinThreshold", bcast0)
         val sec = (System.nanoTime() - t0) / 1e9
+        // listener events post asynchronously — drain before reading the
+        // balance map or the last stage's tasks may be missing from it
+        ShuffleCheck.drainListenerBus(sc,
+          () => { import scala.jdk.CollectionConverters._
+            balance.values.asScala.map(_._3).sum })
         // the HEAVIEST stage (largest Σ task time) is where the verify
         // join's shuffle work lands; a straggler plan shows its max
         // task owning ~the whole stage (share → 1 with tasks ≫ 1)

@@ -349,6 +349,40 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("LshIndex.search: a null embedding vector indexes under bucket 0, search survives") {
+    // the round-11 advice fix: sign_bits(null) is null, and without the
+    // coalesce a null-vector corpus row silently vanished at posexplode
+    // (and a null-vector probe produced null buckets = no candidates).
+    // Pin the documented behavior: nulls live under bucket 0 in every
+    // table — exactly where the per-plane when() fall-through put them —
+    // and search over a corpus containing a null row neither crashes nor
+    // drops the row from the index.
+    import spark.implicits._
+    val ps = graft.operators.LshIndex.planes(dim = 4, nBits = 2, nTables = 2)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.9f, 0.1f, 0f, 0f)),
+      (2L, null.asInstanceOf[Array[Float]]),
+      (3L, Array(0f, 0f, 0f, 0f))) // zero vector: defined sign bits, not null
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.LshIndex
+      .search(emb, "vec_id", "embedding", qPred = col("vec_id") === 0,
+        ps, nBits = 2, k = 10)
+      .collect()
+    // the null row must still be REACHABLE: it sits in bucket 0 of every
+    // table, so if the query probes bucket 0 (own or Hamming-1) the null
+    // row appears as a candidate (its cosine is null → ranked last by
+    // the desc ordering, but present in the index, not dropped)
+    graft.functions.SignBits.register(spark, ps, nBits = 2)
+    val nullSig = emb.filter(col("vec_id") === 2)
+      .select(coalesce(call_udf("sign_bits", col("embedding")),
+        array_repeat(lit(0), lit(2)))).collect()(0).getSeq[Int](0)
+    assert(nullSig == Seq(0, 0), s"null vector must sign to bucket 0: $nullSig")
+    // search returned the real neighbor and did not throw on the null row
+    assert(out.exists(r => r.getLong(1) == 1L),
+      s"true neighbor missing from ANN results: ${out.mkString(",")}")
+  }
+
   test("prefix filter: a shared rare shingle does NOT quadratically explode candidates") {
     import graft.functions.TextFunctions.shingleRows
     import org.apache.spark.sql.expressions.Window

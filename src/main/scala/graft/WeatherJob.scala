@@ -111,8 +111,9 @@ object WeatherJob {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
     // writer/reader schema resolution via the SchemaRegistry interface —
-    // --schema.registry static (in-repo map, default) | dir | http (seam
-    // for a confluent-style remote; see SchemaRegistry.fromConfig)
+    // --schema.registry static (in-repo map, default) | dir | http
+    // (confluent-style remote: eager driver-side fetch from
+    // --schema.registry.url; see SchemaRegistry.fromConfig)
     val registry = graft.codec.SchemaRegistry.fromConfig(conf)
 
     val run: () => Unit = () => {

@@ -68,6 +68,62 @@ final case class DirectorySchemaRegistry(dir: String) extends SchemaRegistry {
   }
 }
 
+/** A registry resolved from a confluent-style HTTP schema-registry
+  * service: writer schemas by id (`GET {base}/schemas/ids/{id}` →
+  * `{"schema": "<json>"}`) and the pinned reader schema from a subject
+  * (`GET {base}/subjects/{subject}/versions/latest`). Resolution is
+  * EAGER at construction ON THE DRIVER (the trait contract): executors
+  * receive plain schema strings inside the closure, so a 1000-executor
+  * job makes ids+1 registry requests TOTAL, not one per task. Any
+  * missing id / unreachable registry fails the job at wiring time with
+  * the failing URL — never mid-stream on some executor. The envelope's
+  * magic byte doubles as the registry schema id (the repo's envelopes
+  * are 1-byte-id; a 4-byte-id wire format would change only [[toMagic]]).
+  *
+  * Exercised end-to-end against an in-process localhost HTTP double in
+  * SchemaRegistrySpec (this environment has no egress, but the protocol,
+  * eager-fetch contract, caching, and failure modes are all executed). */
+final case class HttpSchemaRegistry(
+    baseUrl: String, writerIds: Seq[Int], readerSubject: String,
+    timeoutMs: Int = 5000) extends SchemaRegistry {
+
+  private def toMagic(id: Int): Byte = {
+    require(id >= Byte.MinValue && id <= Byte.MaxValue,
+      s"schema id $id does not fit the 1-byte envelope magic")
+    id.toByte
+  }
+
+  val (schemasByMagic: Map[Byte, String], readerSchemaJson: String) = {
+    def get(path: String): String = {
+      val url = java.net.URI.create(baseUrl + path).toURL
+      val conn = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      try {
+        val code = conn.getResponseCode
+        require(code == 200, s"schema registry GET $url returned $code")
+        new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally conn.disconnect()
+    }
+    // {"schema": "<escaped schema json>"} — the confluent response shape
+    def schemaField(body: String, from: String): String = {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body).get("schema")
+      require(node != null && node.isTextual,
+        s"schema registry response from $from has no \"schema\" field: $body")
+      node.asText()
+    }
+    val writers = writerIds.map { id =>
+      toMagic(id) -> schemaField(get(s"/schemas/ids/$id"), s"id $id")
+    }.toMap
+    val reader = schemaField(
+      get(s"/subjects/$readerSubject/versions/latest"), readerSubject)
+    (writers, reader)
+  }
+}
+
 object SchemaRegistry {
 
   /** The default in-repo two-version registry (v1/v2 + the alien-name
@@ -78,9 +134,10 @@ object SchemaRegistry {
   /** Config-selected resolution — `--schema.registry`:
     *  - `static` (default): the in-repo map;
     *  - `dir`: [[DirectorySchemaRegistry]] at `--schema.registry.dir`;
-    *  - `http`: the confluent-style remote seam. No egress exists in this
-    *    environment, so selecting it fails fast with the contract the impl
-    *    must fulfill rather than pretending to resolve.
+    *  - `http`: [[HttpSchemaRegistry]] at `--schema.registry.url`, writer
+    *    ids from `--schema.registry.ids` (comma list, default "1,2" — the
+    *    envelope's known versions), reader subject from
+    *    `--schema.registry.reader` (default "weatherData-reader").
     */
   def fromConfig(conf: EngineConfig): SchemaRegistry =
     conf.getOrElse("schema.registry", "static") match {
@@ -88,10 +145,13 @@ object SchemaRegistry {
       case "dir" => DirectorySchemaRegistry(conf.get("schema.registry.dir")
         .getOrElse(throw new IllegalArgumentException(
           "--schema.registry dir requires --schema.registry.dir <path>")))
-      case "http" => throw new UnsupportedOperationException(
-        "schema.registry=http: implement SchemaRegistry with a driver-side " +
-        "eager fetch (subjects -> {magic, schema JSON} map + reader schema), " +
-        "serializable to executors; no remote registry exists in this environment")
+      case "http" => HttpSchemaRegistry(
+        conf.get("schema.registry.url")
+          .getOrElse(throw new IllegalArgumentException(
+            "--schema.registry http requires --schema.registry.url <base>")),
+        conf.getOrElse("schema.registry.ids", "1,2")
+          .split(",").map(_.trim.toInt).toSeq,
+        conf.getOrElse("schema.registry.reader", "weatherData-reader"))
       case other => throw new IllegalArgumentException(
         s"unknown --schema.registry '$other' (static | dir | http)")
     }

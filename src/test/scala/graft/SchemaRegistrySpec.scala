@@ -57,7 +57,7 @@ class SchemaRegistrySpec extends AnyFunSuite {
   }
 
   test("registry selection failure modes are loud") {
-    assertThrows[UnsupportedOperationException] {
+    assertThrows[IllegalArgumentException] { // http without a url
       SchemaRegistry.fromConfig(EngineConfig(Array("--schema.registry", "http")))
     }
     assertThrows[IllegalArgumentException] {
@@ -69,6 +69,65 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] { // dir that does not exist
       DirectorySchemaRegistry("/nonexistent/registry/path")
     }
+  }
+
+  test("HttpSchemaRegistry: confluent-style eager driver fetch, decode parity, no per-task traffic") {
+    import spark.implicits._
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def body(schema: String): Array[Byte] = {
+      val n = om.createObjectNode(); n.put("schema", schema)
+      om.writeValueAsBytes(n)
+    }
+    val routes = Map(
+      "/schemas/ids/1" -> body(AvroEnvelope.v1SchemaJson),
+      "/schemas/ids/2" -> body(AvroEnvelope.v2SchemaJson),
+      "/subjects/weatherData-reader/versions/latest" ->
+        body(AvroEnvelope.readerSchemaJson))
+    val hits = new java.util.concurrent.atomic.AtomicInteger
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        hits.incrementAndGet()
+        routes.get(ex.getRequestURI.getPath) match {
+          case Some(b) =>
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      })
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val reg = SchemaRegistry.fromConfig(EngineConfig(Array(
+        "--schema.registry", "http", "--schema.registry.url", url)))
+      // the fetched registry IS the static one, resolved over the wire
+      assert(reg.schemasByMagic == Map(
+        1.toByte -> AvroEnvelope.v1SchemaJson,
+        2.toByte -> AvroEnvelope.v2SchemaJson))
+      assert(reg.readerSchemaJson == AvroEnvelope.readerSchemaJson)
+      val fetched = hits.get()
+      assert(fetched == 3, s"eager fetch = 2 ids + 1 reader, got $fetched")
+      // decode parity through the http-resolved registry — and the
+      // executors must NOT re-contact the registry (the trait's
+      // driver-side eager contract is what makes 1000 executors safe)
+      val out = AvroEnvelope.decode(spark,
+        spark.createDataset(Seq(enc("a", 1), enc("b", 2))), reg)
+        .collect().sortBy(_.deviceId)
+      assert(out.map(_.deviceId).toSeq == Seq("a", "b"))
+      assert(hits.get() == fetched,
+        "decode re-contacted the registry: eager-fetch contract broken")
+      // a missing schema id fails FAST at wiring time, naming the URL
+      val e = intercept[IllegalArgumentException] {
+        graft.codec.HttpSchemaRegistry(url, Seq(1, 7), "weatherData-reader")
+      }
+      assert(e.getMessage.contains("/schemas/ids/7"))
+      // an id outside the 1-byte envelope magic is refused
+      assertThrows[IllegalArgumentException] {
+        graft.codec.HttpSchemaRegistry(url, Seq(1000), "weatherData-reader")
+      }
+    } finally server.stop(0)
   }
 
   test("an alien-named writer schema still drops through a custom registry") {

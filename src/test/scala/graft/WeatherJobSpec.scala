@@ -105,4 +105,62 @@ class WeatherJobSpec extends AnyFunSuite {
       ("B", "offline", t0 + 3000000L + 3600000L)).sortBy(t => (t._1, t._3, t._2))
     assert(out.toSeq == expected.toSeq)
   }
+
+  test("WeatherJob end-to-end with --schema.registry http (localhost registry double)") {
+    // the full job wiring through the confluent-style registry: main
+    // resolves writer/reader schemas over HTTP once on the driver, then
+    // the drain proceeds exactly as with the static registry
+    import spark.implicits._
+    val t0 = 1700000000000L
+    val envelopes = Seq(("H", t0), ("H", t0 + 60000L)).map { case (dev, ts) =>
+      AvroEnvelope.encode(
+        AvroEnvelope.WeatherReading(dev, ts, Some(20.0), None, None, None),
+        2, AvroEnvelope.defaultRegistry)
+    }
+    val srcDir = Files.createTempDirectory("graft_wjob_http_src").toString
+    envelopes.toDF("value").coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def body(schema: String): Array[Byte] = {
+      val n = om.createObjectNode(); n.put("schema", schema)
+      om.writeValueAsBytes(n)
+    }
+    val routes = Map(
+      "/schemas/ids/1" -> body(AvroEnvelope.v1SchemaJson),
+      "/schemas/ids/2" -> body(AvroEnvelope.v2SchemaJson),
+      "/subjects/weatherData-reader/versions/latest" ->
+        body(AvroEnvelope.readerSchemaJson))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        routes.get(ex.getRequestURI.getPath) match {
+          case Some(b) =>
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b)
+          case None => ex.sendResponseHeaders(404, -1)
+        }
+        ex.close()
+      })
+    server.start()
+    try WeatherJob.main(Array(
+      "--source", "file", "--source.path", srcDir,
+      "--sink", "memory", "--sink.table", "wjob_http_presence",
+      "--once", "true", "--stopSession", "false",
+      "--presence.ttl.ms", "3600000",
+      "--schema.registry", "http",
+      "--schema.registry.url",
+      s"http://127.0.0.1:${server.getAddress.getPort}"))
+    finally {
+      server.stop(0)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+
+    val out = spark.table("wjob_http_presence")
+      .selectExpr("key", "get_json_object(value, '$.state') AS state",
+        "get_json_object(value, '$.ts_ms') AS ts_ms")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2).toLong))
+      .sortBy(t => (t._1, t._3, t._2))
+    assert(out.toSeq == Seq(("H", "online", t0)))
+  }
 }

@@ -113,14 +113,18 @@ object WeatherJob {
     // writer/reader schema resolution via the SchemaRegistry interface —
     // --schema.registry static (in-repo map, default) | dir | http
     // (confluent-style remote: eager driver-side fetch from
-    // --schema.registry.url; see SchemaRegistry.fromConfig)
+    // --schema.registry.url; see SchemaRegistry.fromConfig).
+    // --envelope.format magic1 (reference parity, default) | confluent
+    // (0x00 + 4-byte BE schema id — the wire format the http registry
+    // pairs with in production)
     val registry = graft.codec.SchemaRegistry.fromConfig(conf)
+    val envFormat = graft.codec.EnvelopeFormat.fromConfig(conf)
 
     val run: () => Unit = () => {
       import spark.implicits._
       val raw = SourceProvider(spark, conf)
       val readings = AvroEnvelope.decode(spark,
-          raw.select("value").as[Array[Byte]], registry)
+          raw.select("value").as[Array[Byte]], registry, envFormat)
         .toDF()
         .observe("graft_ingest", count(lit(1)).as("decoded_rows"))
         .as[AvroEnvelope.WeatherReading]

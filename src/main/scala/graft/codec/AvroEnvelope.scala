@@ -13,7 +13,10 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * (`WeatherKafkaAvroDeserializerSchema.java:41-68`) rebuilt Spark-first:
   *
   *  - wire format `[magic:1][avro-binary:N]`; the magic byte selects the
-  *    WRITER schema from a registry (`:43-46`);
+  *    WRITER schema from a registry (`:43-46`); the framing itself is a
+  *    seam ([[EnvelopeFormat]]): `--envelope.format confluent` switches
+  *    to the confluent `[0x00][schemaId:4 BE][avro-binary]` wire format
+  *    with the same drop-on-unknown-id / poison-pill semantics;
   *  - the reader schema is pinned; Avro schema resolution bridges
   *    writer→reader per record (`:53-63`) — old records gain defaulted
   *    fields, renamed-away fields are skipped;
@@ -83,8 +86,14 @@ object AvroEnvelope {
 
   /** Encode one record under the given writer schema version (test/fixture
     * side; the reference's producers live outside its repo). */
-  def encode(r: WeatherReading, magic: Byte, registry: Map[Byte, String]): Array[Byte] = {
-    val schema = parsedSchema(registry(magic))
+  def encode(r: WeatherReading, magic: Byte, registry: Map[Byte, String]): Array[Byte] =
+    encode(r, magic.toInt, registry(magic), EnvelopeFormat.Magic1)
+
+  /** Format-parametric encode: id framed per `format` (1-byte magic or
+    * confluent 0x00 + 4-byte BE), Avro body per `writerSchemaJson`. */
+  def encode(r: WeatherReading, id: Int, writerSchemaJson: String,
+      format: EnvelopeFormat): Array[Byte] = {
+    val schema = parsedSchema(writerSchemaJson)
     val rec = new GenericData.Record(schema)
     rec.put("deviceId", r.deviceId)
     rec.put("timestamp", r.timestamp)
@@ -93,7 +102,7 @@ object AvroEnvelope {
     put("temperature", r.temperature); put("humidity", r.humidity)
     put("windSpeed", r.windSpeed); put("pressure", r.pressure)
     val out = new ByteArrayOutputStream()
-    out.write(magic.toInt)
+    format.writeHeader(out, id)
     val enc = EncoderFactory.get().binaryEncoder(out, null)
     new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
     enc.flush()
@@ -119,7 +128,14 @@ object AvroEnvelope {
       spark: SparkSession,
       envelopes: Dataset[Array[Byte]],
       registry: SchemaRegistry): Dataset[WeatherReading] =
-    decodeWithMetrics(spark, envelopes, registry)._1
+    decodeWithMetrics(spark, envelopes, registry, EnvelopeFormat.Magic1)._1
+
+  def decode(
+      spark: SparkSession,
+      envelopes: Dataset[Array[Byte]],
+      registry: SchemaRegistry,
+      format: EnvelopeFormat): Dataset[WeatherReading] =
+    decodeWithMetrics(spark, envelopes, registry, format)._1
 
   def decodeWithMetrics(
       spark: SparkSession,
@@ -133,8 +149,25 @@ object AvroEnvelope {
       spark: SparkSession,
       envelopes: Dataset[Array[Byte]],
       registry: SchemaRegistry)
+      : (Dataset[WeatherReading], org.apache.spark.util.LongAccumulator) =
+    decodeWithMetrics(spark, envelopes, registry, EnvelopeFormat.Magic1)
+
+  def decodeWithMetrics(
+      spark: SparkSession,
+      envelopes: Dataset[Array[Byte]],
+      registry: SchemaRegistry,
+      format: EnvelopeFormat)
       : (Dataset[WeatherReading], org.apache.spark.util.LongAccumulator) = {
     import spark.implicits._
+    // wiring-time guard: a Magic1 job pointed at a wide-id registry can
+    // never match those ids off the wire — fail loudly HERE, not by
+    // silently dropping every record of the unreachable version
+    if (format == EnvelopeFormat.Magic1)
+      registry.schemasById.keys.foreach { id =>
+        require(id >= Byte.MinValue && id <= Byte.MaxValue,
+          s"schema id $id does not fit the 1-byte envelope magic " +
+            "(use --envelope.format confluent)")
+      }
     val dropped = spark.sparkContext.longAccumulator("graft.codec.dropped")
     // per-record drop LOGGING parity with the reference deserializer
     // (WeatherKafkaAvroDeserializerSchema.java:48,66 warns on every
@@ -147,14 +180,15 @@ object AvroEnvelope {
       // schema, reuse the BinaryDecoder across records (ref :26,52)
       val parser = new Schema.Parser()
       val reader = parser.parse(registry.readerSchemaJson)
-      val readers: Map[Byte, GenericDatumReader[GenericRecord]] =
-        registry.schemasByMagic.map { case (magic, json) =>
+      val readers: Map[Int, GenericDatumReader[GenericRecord]] =
+        registry.schemasById.map { case (id, json) =>
           val writer = new Schema.Parser().parse(json)
-          magic -> new GenericDatumReader[GenericRecord](writer, reader)
+          id -> new GenericDatumReader[GenericRecord](writer, reader)
         }
-      val writerNames: Map[Byte, String] =
-        registry.schemasByMagic.map {
-          case (m, json) => m -> new Schema.Parser().parse(json).getName }
+      val writerNames: Map[Int, String] =
+        registry.schemasById.map {
+          case (id, json) => id -> new Schema.Parser().parse(json).getName }
+      val bodyOff = format.headerLen
       var decoder: BinaryDecoder = null
       var record: GenericRecord = null
       def drop(why: => String): None.type = {
@@ -165,28 +199,31 @@ object AvroEnvelope {
 
       it.flatMap { bytes =>
         try {
-          if (bytes == null || bytes.length < 2)
-            drop(s"envelope too short (${if (bytes == null) "null" else bytes.length.toString} bytes)")
-          else {
-            val magic = bytes(0)
-            readers.get(magic) match {
-              case None => // unknown version: drop (ref logs + drops)
-                drop(s"unknown schema version magic=$magic")
-              case Some(_) if writerNames(magic) != reader.getName =>
-                // schema-name guard (ref :47-50)
-                drop(s"writer schema '${writerNames(magic)}' != reader '${reader.getName}'")
-              case Some(r) =>
-                decoder = DecoderFactory.get()
-                  .binaryDecoder(bytes, 1, bytes.length - 1, decoder)
-                record = r.read(null, decoder)
-                def optD(f: String): Option[Double] =
-                  Option(record.get(f)).map(_.asInstanceOf[Double])
-                Some(WeatherReading(
-                  record.get("deviceId").toString,
-                  record.get("timestamp").asInstanceOf[Long],
-                  optD("temperature"), optD("humidity"),
-                  optD("windSpeed"), optD("pressure")))
-            }
+          val id0 = if (bytes == null) None else format.readId(bytes)
+          id0 match {
+            case None => // null / short / malformed header (e.g. a
+              // confluent record whose first byte isn't 0x00)
+              drop(s"malformed envelope header (${
+                if (bytes == null) "null" else s"${bytes.length} bytes"})")
+            case Some(id) =>
+              readers.get(id) match {
+                case None => // unknown version: drop (ref logs + drops)
+                  drop(s"unknown schema version id=$id")
+                case Some(_) if writerNames(id) != reader.getName =>
+                  // schema-name guard (ref :47-50)
+                  drop(s"writer schema '${writerNames(id)}' != reader '${reader.getName}'")
+                case Some(r) =>
+                  decoder = DecoderFactory.get()
+                    .binaryDecoder(bytes, bodyOff, bytes.length - bodyOff, decoder)
+                  record = r.read(null, decoder)
+                  def optD(f: String): Option[Double] =
+                    Option(record.get(f)).map(_.asInstanceOf[Double])
+                  Some(WeatherReading(
+                    record.get("deviceId").toString,
+                    record.get("timestamp").asInstanceOf[Long],
+                    optD("temperature"), optD("humidity"),
+                    optD("windSpeed"), optD("pressure")))
+              }
           }
         } catch {
           case NonFatal(e) => // corrupt body: drop, don't fail the job

@@ -30,6 +30,14 @@ trait SchemaRegistry extends Serializable {
   /** magic byte → writer schema JSON for every known envelope version. */
   def schemasByMagic: Map[Byte, String]
 
+  /** writer-schema id → schema JSON — the format-agnostic view the
+    * decode path resolves through (round 12: the confluent 5-byte wire
+    * format carries ids that don't fit a byte). The default bridges the
+    * 1-byte map (the magic IS the id); registries with wider id spaces
+    * override it. */
+  def schemasById: Map[Int, String] =
+    schemasByMagic.map { case (m, s) => m.toInt -> s }
+
   /** The pinned reader schema JSON (what the job's plan consumes). */
   def readerSchemaJson: String
 }
@@ -89,13 +97,17 @@ final case class HttpSchemaRegistry(
 
   private def toMagic(id: Int): Byte = {
     require(id >= Byte.MinValue && id <= Byte.MaxValue,
-      s"schema id $id does not fit the 1-byte envelope magic")
+      s"schema id $id does not fit the 1-byte envelope magic " +
+        "(use --envelope.format confluent for 4-byte ids)")
     id.toByte
   }
 
-  val (schemasByMagic: Map[Byte, String], readerSchemaJson: String) = {
+  val (fetchedById: Map[Int, String], readerSchemaJson: String) = {
+    // a trailing slash in baseUrl would yield '//' paths (some registries
+    // 404 on them) — normalize once here
+    val base = baseUrl.reverse.dropWhile(_ == '/').reverse
     def get(path: String): String = {
-      val url = java.net.URI.create(baseUrl + path).toURL
+      val url = java.net.URI.create(base + path).toURL
       val conn = url.openConnection()
         .asInstanceOf[java.net.HttpURLConnection]
       conn.setConnectTimeout(timeoutMs)
@@ -116,12 +128,30 @@ final case class HttpSchemaRegistry(
       node.asText()
     }
     val writers = writerIds.map { id =>
-      toMagic(id) -> schemaField(get(s"/schemas/ids/$id"), s"id $id")
+      id -> schemaField(get(s"/schemas/ids/$id"), s"id $id")
     }.toMap
+    // URL-encode the subject path segment: a subject with URL-reserved
+    // characters (space, '/', '%') must fail with the registry-oriented
+    // error this class guarantees (a 404 naming the URL), not an opaque
+    // IllegalArgumentException out of URI.create
+    val subjectSeg = java.net.URLEncoder.encode(
+        readerSubject, java.nio.charset.StandardCharsets.UTF_8)
+      .replace("+", "%20") // form-encoding '+' is not path-segment encoding
     val reader = schemaField(
-      get(s"/subjects/$readerSubject/versions/latest"), readerSubject)
+      get(s"/subjects/$subjectSeg/versions/latest"), readerSubject)
     (writers, reader)
   }
+
+  override def schemasById: Map[Int, String] = fetchedById
+
+  /** The 1-byte bridge — legal only when every fetched id fits the
+    * envelope magic. Checked HERE (on use, not at construction) so a
+    * confluent-format deployment may carry production-sized ids; a
+    * Magic1-format job wired to such a registry still fails loudly at
+    * wiring time via [[AvroEnvelope.decodeWithMetrics]]'s id-range
+    * guard. */
+  def schemasByMagic: Map[Byte, String] =
+    fetchedById.map { case (id, s) => toMagic(id) -> s }
 }
 
 object SchemaRegistry {

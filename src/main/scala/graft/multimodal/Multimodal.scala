@@ -77,6 +77,81 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL image decode to a grayscale raster via the JDK's ImageIO: the
+    * pixel-matrix sibling of [[decodeImage]], for kernels that need the
+    * actual pixels (perceptual hashing, Q-mm-14) rather than summary
+    * features. Returns (width, height, row-major gray values) where gray
+    * = (r+g+b)/3 — exact for the grayscale BMPs [[BmpCodec]] emits (r =
+    * g = b, so the average IS the stored byte). None for payloads no JDK
+    * codec recognizes. */
+  def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val px = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            px(y * w + x) =
+              (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, px))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Perceptual average-hash over a DECODED pixel raster — the production
+    * form of Q-mm-06's fingerprint (which samples a text-byte proxy): the
+    * raster mean-pools to an 8×8 grid (cell (cx, cy) covers pixels
+    * [cx·w/8, (cx+1)·w/8) × [cy·h/8, (cy+1)·h/8)), and bit i = cy·8+cx is
+    * set iff the cell mean exceeds the global mean of the pooled grid.
+    * The compare is ALL-INTEGER: w and h must be multiples of 8 so every
+    * cell has equal area, and then cellMean > globalMean reduces exactly
+    * to cellSum · 64 > totalSum (both sides scaled by cellArea · 64 — no
+    * float, so a DuckDB oracle can replay it bit-for-bit from the
+    * generator arithmetic). Returns (lo, hi): bits 0..31 / 32..63,
+    * matching Q-mm-13's packing so both feed the same Hamming algebra.
+    * Uniform brightness shifts cancel exactly (every cellSum and the
+    * threshold shift together) — the invariance Q-mm-14's re-encode
+    * variant exercises through the real codec. */
+  def aHashFromGray(w: Int, h: Int, px: Array[Int]): (Long, Long) = {
+    require(w % 8 == 0 && h % 8 == 0,
+      s"aHashFromGray needs dims divisible by 8, got ${w}x$h")
+    val cw = w / 8; val ch = h / 8
+    val cells = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = px(y * w + x).toLong
+        cells((y / ch) * 8 + (x / cw)) += v
+        total += v
+        x += 1
+      }
+      y += 1
+    }
+    val cellArea = cw.toLong * ch
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 64) {
+      // equal-area cells: cellMean > globalMean ⟺ cellSum·64 > totalSum·1
+      // (both sides scaled by cellArea·64)
+      if (cells(i) * 64L > total) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    (lo, hi)
+  }
+
   /** Decoded-then-RESIZED image features: the decode → transform →
     * re-encode → decode round trip a real image-preprocessing stage runs.
     * Every field is a decoded property of the RESIZED image. */

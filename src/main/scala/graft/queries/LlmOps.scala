@@ -1626,6 +1626,15 @@ object LlmOps {
         root, statsKey = Some("band_id"))
       // batch 1: probe, then admit the survivors' signatures (one commit)
       val b1 = bandsOf(col("doc_id") % 5 === 0).persist()
+      // r1 stays cached for the LIFETIME of the returned DataFrame: the
+      // count() below pins its contents from BEFORE the admit mutates
+      // the index, and `out` re-reads it when the caller executes — an
+      // in-query unpersist would let a recompute see the post-admit
+      // index and change the answer. b1, by contrast, is fully consumed
+      // inside this builder (probe + admit anti-join), so it IS dropped
+      // below; r1 is reclaimed by the harness cache sweep (Bench/Verify/
+      // ShuffleCheck) — the same documented reliance as hammingClusters'
+      // fingerprint cache.
       val r1 = probeSigIndex(s.read.format("graft").load(root), b1)
         .persist()
       r1.count()  // materialize BEFORE the admit mutates the index

@@ -322,6 +322,12 @@ object ExplainCheck {
     check("Q-mm-13", "banded Hamming dedup has no cartesian/BNLJ",
       p => !p.contains("CartesianProduct") &&
            !p.contains("BroadcastNestedLoopJoin"))
+    // real-decoded-pixel image dedup (round 12): same cluster algebra
+    // fed by the decode+hash partition kernel — pixels must never enter
+    // an exchange (the scan side carries only doc_id/fingerprints)
+    check("Q-mm-14", "decoded-pixel Hamming dedup has no cartesian/BNLJ",
+      p => !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
     // string-axis skipping: beyond the log-level file pruning (asserted
     // in-query), the residual BETWEEN must still push into the parquet
     // scan of the kept files — two pruning layers, not one

@@ -37,7 +37,8 @@ object ShuffleCheck {
     "Q-qual-27", "Q-qual-28", "Q-qual-29", "Q-qual-30", "Q-graph-07",
     "Q-graph-08", "Q-graph-09", "Q-str-29",
     "Q-scan-21", "Q-qual-31", "Q-qual-32", "Q-qual-33", "Q-llm-59", "Q-scan-22",
-    "Q-llm-63", "Q-llm-64", "Q-llm-65", "Q-llm-66", "Q-llm-67", "Q-mm-13")
+    "Q-llm-63", "Q-llm-64", "Q-llm-65", "Q-llm-66", "Q-llm-67", "Q-mm-13",
+    "Q-mm-14")
 
   def main(args: Array[String]): Unit = {
     val s = EngineSession.getOrCreate("shuffle-check")

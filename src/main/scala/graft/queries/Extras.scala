@@ -2818,23 +2818,8 @@ object Extras {
   private def hammingClusters(fpIn: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val fp = fpIn.persist()
-    val bands = fp.select(col("asset_id"), posexplode(array(
-        col("lo").bitwiseAND(lit(65535L)),
-        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
-        col("hi").bitwiseAND(lit(65535L)),
-        shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))))
-      .select(col("asset_id"), col("pos").as("band_id"), col("col").as("v"))
-    val star = graft.operators.BucketJoin
-      .starEdges(bands, Seq("band_id", "v"), "asset_id")
-    val edges = star
-      .join(fp.select(col("asset_id").as("a"), col("lo").as("lo_a"),
-        col("hi").as("hi_a")), "a")
-      .join(fp.select(col("asset_id").as("b"), col("lo").as("lo_b"),
-        col("hi").as("hi_b")), "b")
-      .filter(expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)") <= 3)
-      .select("a", "b")
     val labels = graft.operators.ConnectedComponents
-      .minLabel(fp.select(col("asset_id").as("id")), edges)
+      .minLabel(fp.select(col("asset_id").as("id")), hammingEdges(fp))
     labels
       .select(col("id").as("asset_id"), col("label").as("cluster_id"),
         count(lit(1)).over(Window.partitionBy("label")).as("cluster_size"),
@@ -2865,6 +2850,33 @@ object Extras {
                            THEN (1::BIGINT << (i - 32)::INT) ELSE 0 END)::BIGINT AS hi,
                   sum(CASE WHEN p > mean THEN 1 ELSE 0 END)::BIGINT AS n_ones
            FROM m GROUP BY doc_id)"""
+
+  /** The block-and-verify half of the Hamming cluster algebra: band
+    * explode → star edges → exact XOR+popcount verify (Hamming ≤ 3) via
+    * two 1-row-per-key fingerprint attaches. `private[graft]` so
+    * ScaleCurve's `mm-dedup-hub` cell prices THIS code path (the verify
+    * attach keys on the bare hub id — deg(hub) rows on one join key at a
+    * viral re-encoded asset; the cell pins that AQE skew-split holds the
+    * stage flat at 64× cluster size). Expects fp(asset_id, lo, hi);
+    * callers persist fp (it is consumed by bands and both attaches). */
+  private[graft] def hammingEdges(fp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val bands = fp.select(col("asset_id"), posexplode(array(
+        col("lo").bitwiseAND(lit(65535L)),
+        shiftright(col("lo"), 16).bitwiseAND(lit(65535L)),
+        col("hi").bitwiseAND(lit(65535L)),
+        shiftright(col("hi"), 16).bitwiseAND(lit(65535L)))))
+      .select(col("asset_id"), col("pos").as("band_id"), col("col").as("v"))
+    val star = graft.operators.BucketJoin
+      .starEdges(bands, Seq("band_id", "v"), "asset_id")
+    star
+      .join(fp.select(col("asset_id").as("a"), col("lo").as("lo_a"),
+        col("hi").as("hi_a")), "a")
+      .join(fp.select(col("asset_id").as("b"), col("lo").as("lo_b"),
+        col("hi").as("hi_b")), "b")
+      .filter(expr("bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b)") <= 3)
+      .select("a", "b")
+  }
 
   // The banded-Hamming/star/CC cluster algebra as SQL, shared by the
   // Q-mm-13 and Q-mm-14 oracles exactly as hammingClusters is shared by

@@ -39,6 +39,11 @@ import graft.queries.tempDir
   *                log-only phrase probe (flat in rows, ∝ files)
   *  - zorder-n    (Q-qual-33): 3-axis z-order OPTIMIZE vs table size
   *                (×8) — one interleave + range sort + rewrite
+  *  - dedup-star-hub (Q-llm-16/63/65): the jaccard verify join at 64×
+  *                mega-cluster size, member-first vs hub-first order
+  *  - mm-dedup-hub (Q-mm-13/14): the image dedup's exact-verify
+  *                fingerprint attach at 64× re-encode-cluster size —
+  *                deg(hub) rows on one SMJ key, AQE skew-split claim
   *
   * Usage: runMain graft.tools.ScaleCurve [sfDir] [curve,curve]
   * (default sf0.1, all curves). Prints one JSON line per measurement.
@@ -716,6 +721,60 @@ object ScaleCurve {
           f""""globalMaxTaskSec":${gMax / 1e3}%.2f}""")
       }
       sh.unpersist(); sigs.unpersist(); star.unpersist()
+    }
+
+    // ---- mm-dedup-hub (round-12 verdict #4): the IMAGE dedup's exact-
+    // verify fingerprint attach (Q-mm-13/14, Extras.hammingEdges) keys
+    // its first hop on the bare hub id `a` — a viral asset re-encoded
+    // k times puts deg(hub) = k rows on ONE join key. Unlike the
+    // pre-fix jaccard path there is no ×|shingles| multiplier (the
+    // build side is 1 row per key), so the claim is that AQE
+    // skew-split keeps the SMJ flat as the cluster grows 64×
+    // (2048 → 131072 re-encodes, base corpus fixed): worst-stage
+    // max-task share stays ≪ 1 and the longest task grows ~with
+    // volume, not cluster². Broadcast is forced OFF: at 100 TB the
+    // fingerprint table is fact-sized, so the measured plan must be
+    // the shuffled SMJ a real cluster runs. Fingerprints are staged
+    // directly (the cell prices the cluster algebra; the decode+hash
+    // kernel is embarrassingly parallel and priced by Q-mm-14's bench
+    // row). Re-encodes: exact-dup fingerprints with every 5th drifted
+    // 1 bit — all inside Hamming ≤ 3, so every edge survives verify.
+    for (m <- Seq(1, 64) if want("mm-dedup-hub")) {
+      val k = 2048L * m
+      val dir = tempDir(s"graft_scale_mmhub$m").toString
+      val baseFp = spark.range(1L, 2001L).select(
+        col("id").as("asset_id"),
+        xxhash64(col("id")).as("lo"),
+        xxhash64(col("id"), lit(7)).as("hi"))
+      val viralFp = spark.range(2000000L, 2000000L + k).select(
+        col("id").as("asset_id"),
+        when(col("id") % 5 === 0,
+            expr("CAST(6148914691236517205 AS BIGINT) ^ " +
+              "shiftleft(CAST(1 AS BIGINT), CAST(id % 32 AS INT))"))
+          .otherwise(lit(6148914691236517205L)).as("lo"),
+        lit(-7905747460161236407L).as("hi"))
+      baseFp.unionByName(viralFp).write.mode("overwrite").parquet(dir)
+      val fp = spark.read.parquet(dir).persist()
+      fp.count()                                       // setup, untimed
+      val bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      balance.clear()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t0 = System.nanoTime()
+      val nEdges = try graft.queries.Extras.hammingEdges(fp).count()
+        finally spark.conf.set(
+          "spark.sql.autoBroadcastJoinThreshold", bcast0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      import scala.jdk.CollectionConverters._
+      ShuffleCheck.drainListenerBus(sc,
+        () => balance.values.asScala.map(_._3).sum)
+      val (hTasks, hMax, hSum) = balance.values.asScala.maxBy(_._3)
+      val gMax = balance.values.asScala.map(_._2).max
+      println(f"""{"name":"mm-dedup-hub","scale":$m,"sec":$sec%.2f,""" +
+        f""""rows":$nEdges,"heavyStageTasks":$hTasks,""" +
+        f""""maxTaskSec":${hMax / 1e3}%.2f,""" +
+        f""""maxTaskShare":${hMax.toDouble / hSum}%.3f,""" +
+        f""""globalMaxTaskSec":${gMax / 1e3}%.2f}""")
+      fp.unpersist()
     }
 
     // ---- dedup-chunk (round-10): the CHUNKED pairwise band join

@@ -81,7 +81,7 @@ class StreamingSpec extends AnyFunSuite {
       sys.props.remove("graft.codec.logDrops")
     }
     val logged = buf.toString
-    assert(logged.contains("dropped record: unknown schema version magic=42"),
+    assert(logged.contains("dropped record: unknown schema version id=42"),
       s"expected a per-record drop line, got: $logged")
   }
 

@@ -997,7 +997,9 @@ object TxTable {
     def sameName(a: String, b: String): Boolean =
       if (cs) a == b else a.equalsIgnoreCase(b)
     def infer(files: Seq[String]): org.apache.spark.sql.types.StructType =
-      prof("schema.infer")(readFiles(spark, root, files, None).schema)
+      prof("schema.infer")(
+        footerSchema(spark, root, files, sameName).getOrElse(
+          readFiles(spark, root, files, None).schema))
     def full: org.apache.spark.sql.types.StructType =
       if (snap.evos.isEmpty && snap.files.nonEmpty) infer(snap.files)
       else emptyRead(spark, root, snap).schema
@@ -1037,6 +1039,81 @@ object TxTable {
           ((ver, viaDelta.getOrElse(full)) :: entries).take(4)
       }
     }).head._2
+  }
+
+  /** Driver-side union schema of `files` from their parquet FOOTERS —
+    * the same information `spark.read.option("mergeSchema", true)`'s
+    * distributed inference reads, without the per-call DataSource
+    * resolution + FileIndex + inference-job setup (measured ~90 ms per
+    * call vs ~2 ms here; the r12 lifecycle profile charged 21 s of a
+    * 74 s 11-query block to `schema.infer`). Semantics preserved
+    * exactly: per-file schemas convert through Spark's own
+    * ParquetToSparkSchemaConverter built from the session's SQLConf (so
+    * every inference flag matches the read path), fold by name in log
+    * file order (same-name fields must agree on type exactly — a clash
+    * falls back to the distributed path, mirroring the delta-fold rule
+    * above — and new fields append, which is also what StructType.merge
+    * does for the width-differing commits the no-evolution path can
+    * legally hold), and the result is made fully nullable, matching the
+    * file-source read-back contract. Any surprise (unreadable footer,
+    * unconvertible type) returns None → caller falls back. */
+  /** `dt` with every nesting level nullable — the shape a file-source
+    * read-back reports regardless of how the data was written. */
+  private def asNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(keyType = asNullable(m.keyType),
+        valueType = asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+  private def nullableSchema(s: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    asNullable(s).asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def footerSchema(spark: SparkSession, root: String,
+      files: Seq[String],
+      sameName: (String, String) => Boolean)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    if (files.isEmpty) return None
+    try {
+      val conv = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(
+          org.apache.spark.sql.graft.StreamingBridge.sqlConf(spark))
+      val hconf = new org.apache.hadoop.conf.Configuration()
+      def one(f: String): StructType = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$root/$f"), hconf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val msg = try r.getFileMetaData.getSchema finally r.close()
+        conv.convert(msg)
+      }
+      val schemas: Seq[StructType] =
+        if (files.lengthCompare(1) <= 0) files.map(one)
+        else {
+          import scala.collection.parallel.CollectionConverters._
+          files.par.map(one).seq
+        }
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.types.StructField]
+      acc ++= schemas.head.fields
+      schemas.iterator.drop(1).foreach { s =>
+        s.fields.foreach { f =>
+          acc.find(t => sameName(t.name, f.name)) match {
+            case Some(t) =>
+              if (t.dataType != f.dataType) return None // clash: fall back
+            case None => acc += f
+          }
+        }
+      }
+      Some(nullableSchema(StructType(acc.toArray)))
+    } catch { case NonFatal(_) => None }
   }
 
   /** The cached union schema for exactly this witness, if present —
@@ -1696,7 +1773,7 @@ object TxTable {
                         statsKey: Option[String],
                         statsCols: Seq[String] = Seq.empty)
       : (Seq[String], Seq[(Long, Long)], Seq[String],
-         Seq[Seq[(Long, Long)]], Seq[Seq[String]]) = {
+         Seq[Seq[(Long, Long)]], Seq[Seq[String]], Seq[Long]) = {
     val unique = java.util.UUID.randomUUID().toString.take(8)
     val dir = dataDir(root).resolve(unique)
     prof("stage.write")(withFileSizedCoalesce(df.sparkSession)(
@@ -1720,12 +1797,16 @@ object TxTable {
     // empty range (MaxValue, MinValue) — always prunable, correctly.
     val allCols = statsKey.toSeq ++ statsCols
     if (allCols.isEmpty)
-      (files, Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+      (files, Seq.empty, Seq.empty, Seq.empty, Seq.empty, Seq.empty)
     else {
-      import org.apache.spark.sql.functions.{col, expr, input_file_name, max, min, udaf}
+      import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit, max, min, udaf}
       val bloomAgg = udaf(new KeyBloom.AggOpt(),
         org.apache.spark.sql.Encoders.LONG)
-      val reread = df.sparkSession.read.parquet(files.map(f => s"$root/$f"): _*)
+      // the staged files' read-back schema IS the written frame's schema
+      // made nullable — pass it explicitly so the re-read skips the
+      // per-call footer-based inference setup
+      val reread = df.sparkSession.read.schema(nullableSchema(df.schema))
+        .parquet(files.map(f => s"$root/$f"): _*)
       // STRING stats columns ride the same (Long, Long) log fields via
       // the order-preserving prefix encoding (graft.functions.StrKey):
       // per-file min/max over str_prefix64 bound the file at 8-byte
@@ -1747,10 +1828,14 @@ object TxTable {
           Seq(col(k).cast("long").as(s"k_$j"),
             col(k).cast("long").as(s"h_$j"))
       }
+      // per-file row counts ride the same agg for free: a commit whose
+      // stats pass ran never opens footers again just to count rows
+      // (tryPublish skips footerRows when addRows is pre-filled) —
+      // ~20 ms of driver tail-read I/O per commit saved
       val aggs = allCols.indices.flatMap { j =>
         Seq(min(col(s"k_$j")).as(s"mn_$j"), max(col(s"k_$j")).as(s"mx_$j"),
           bloomAgg(col(s"h_$j")).as(s"bl_$j"))
-      }
+      } :+ count(lit(1)).as("cnt")
       val byName = prof("stage.stats")(reread
         .select(input_file_name().as("f") +: keyed: _*)
         .groupBy("f").agg(aggs.head, aggs.tail: _*)
@@ -1765,10 +1850,10 @@ object TxTable {
               else (r.getLong(mi), r.getLong(r.fieldIndex(s"mx_$j")))
             (st, r.getString(r.fieldIndex(s"bl_$j")))
           }
-          name -> perCol
+          name -> (perCol, r.getLong(r.fieldIndex("cnt")))
         }.toMap
       def colOf(f: String, j: Int): ((Long, Long), String) =
-        byName.get(Paths.get(f).getFileName.toString).map(_(j))
+        byName.get(Paths.get(f).getFileName.toString).map(_._1(j))
           .getOrElse(((Long.MaxValue, Long.MinValue), ""))
       val nOff = if (statsKey.isDefined) 1 else 0
       val (stats, blooms) = statsKey match {
@@ -1782,7 +1867,12 @@ object TxTable {
       val bloomsSecondary = statsCols.indices.map { j =>
         files.map(f => colOf(f, nOff + j)._2)
       }
-      (files, stats, blooms, statsSecondary, bloomsSecondary)
+      // a staged file absent from the agg result has exactly zero rows
+      // (the scan feeds EVERY row of every listed file into the groupBy)
+      val rows = files.map(f =>
+        byName.get(Paths.get(f).getFileName.toString).map(_._2)
+          .getOrElse(0L))
+      (files, stats, blooms, statsSecondary, bloomsSecondary, rows)
     }
   }
 
@@ -1811,7 +1901,8 @@ object TxTable {
     graft.functions.StrKey.register(df.sparkSession)
     val bloomAgg = udaf(new KeyBloom.AggSized(4096),
       org.apache.spark.sql.Encoders.LONG)
-    val reread = df.sparkSession.read.parquet(files.map(f => s"$root/$f"): _*)
+    val reread = df.sparkSession.read.schema(nullableSchema(df.schema))
+      .parquet(files.map(f => s"$root/$f"): _*)
     shingleCols.map { c =>
       // shingle via posexplode + per-doc window leads (codegen/sort
       // operators throughout) — the Column-level higher-order transform
@@ -2020,12 +2111,13 @@ object TxTable {
       df.schema(df.schema.fieldIndex(c)).dataType ==
         org.apache.spark.sql.types.StringType
     }
-    val (adds, st, bl, stN, blN) = stageData(df, root, statsKey, statsCols)
+    val (adds, st, bl, stN, blN, rws) =
+      stageData(df, root, statsKey, statsCols)
     val shBl = stageShingles(df, root, adds, shingleCols, shingleN)
     val ok = tryPublish(root,
       Commit(0L, "create", adds, Seq.empty, None, statsKey, st, bl, check,
         statsCols = statsCols, addStatsN = stN, addBloomsN = blN,
-        strCols = strCols,
+        strCols = strCols, addRows = rws,
         shCols = shingleCols, shN = shingleN, addShBlooms = shBl))
     if (!ok) throw new IllegalStateException(s"table already exists: $root")
     CommitResult(0L, 1, skipped = false)
@@ -2260,13 +2352,14 @@ object TxTable {
       // deletes back into the data
       val current = morRead(spark, root, snap, snap.files)
       val next = body(current)
-      val (adds, st, bl, stN, blN) =
+      val (adds, st, bl, stN, blN, rws) =
         stageData(next, root, snap.statsKey, snap.statsCols)
       val shBl = stageShingles(next, root, adds, snap.shingleCols, snap.shingleN)
       val c = Commit(snap.version + 1, op, adds,
         snap.files ++ snap.ledgers.map(_.path), tag,
         statsKey = None, addStats = st, addBlooms = bl,
-        addStatsN = stN, addBloomsN = blN, addShBlooms = shBl)
+        addStatsN = stN, addBloomsN = blN, addRows = rws,
+        addShBlooms = shBl)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return CommitResult(c.version, attempt, skipped = false)
@@ -2488,7 +2581,7 @@ object TxTable {
       } else {
       val keep = snap.files.diff(hot)
       val rewrite = morRead(spark, root, snap, hot)
-      val (adds, st, bl, stN, blN) =
+      val (adds, st, bl, stN, blN, rws) =
         stageData(rewrite, root, snap.statsKey, snap.statsCols)
       val shBl =
         stageShingles(rewrite, root, adds, snap.shingleCols, snap.shingleN)
@@ -2499,7 +2592,8 @@ object TxTable {
           l.version > snap.fileAddV.getOrElse(f, Long.MaxValue))).map(_.path)
       val c = Commit(snap.version + 1, "fold-ledgers", adds, hot ++ retired,
         tag, statsKey = None, addStats = st, addBlooms = bl,
-        addStatsN = stN, addBloomsN = blN, addShBlooms = shBl)
+        addStatsN = stN, addBloomsN = blN, addRows = rws,
+        addShBlooms = shBl)
       if (tryPublish(root, c)) {
         maybeCheckpoint(root, c.version)
         return Some(CommitResult(c.version, attempt, skipped = false))
@@ -2666,13 +2760,14 @@ object TxTable {
       if (tag.exists(snap.tags))
         return CommitResult(snap.version, attempt, skipped = true)
       val (keep, rewrite) = body(snap)
-      val (adds, st, bl, stN, blN) =
+      val (adds, st, bl, stN, blN, rws) =
         stageData(rewrite, root, snap.statsKey, snap.statsCols)
       val shBl = stageShingles(rewrite, root, adds, snap.shingleCols, snap.shingleN)
       val removes = snap.files.diff(keep)
       val c = Commit(snap.version + 1, op, adds, removes, tag,
         statsKey = None, addStats = st, addBlooms = bl,
-        addStatsN = stN, addBloomsN = blN, addShBlooms = shBl)
+        addStatsN = stN, addBloomsN = blN, addRows = rws,
+        addShBlooms = shBl)
       if (tryPublish(root, c)) {
         // ADDS-ONLY commit (append shape): the post-commit union schema
         // is the cached union plus the batch's new columns — seed the
@@ -2722,7 +2817,7 @@ object TxTable {
     enforceCheck(batch, snap0.check, "append batch")
     if (tag.exists(snap0.tags))
       return CommitResult(snap0.version, 1, skipped = true)
-    val (adds, st, bl, stN, blN) =
+    val (adds, st, bl, stN, blN, rws) =
       stageData(batch, root, snap0.statsKey, snap0.statsCols)
     val shBl = stageShingles(batch, root, adds, snap0.shingleCols,
       snap0.shingleN)
@@ -2736,7 +2831,8 @@ object TxTable {
         return CommitResult(snap.version, attempt, skipped = true)
       val c = Commit(snap.version + 1, "append", adds, Seq.empty, tag,
         statsKey = None, addStats = st, addBlooms = bl,
-        addStatsN = stN, addBloomsN = blN, addShBlooms = shBl)
+        addStatsN = stN, addBloomsN = blN, addRows = rws,
+        addShBlooms = shBl)
       if (tryPublish(root, c)) {
         // adds-only commit: seed the schema cache exactly as
         // transactFiles does for the append shape
@@ -3242,7 +3338,7 @@ object TxTable {
     require(keys.nonEmpty, "deleteMorKeys needs at least one key column")
     val ledgerDf = ledgerKeys(doomed, keys)
     // stage the ledger once; rebased retries re-reference the same file
-    val (dfiles, _, _, _, _) = stageData(
+    val (dfiles, _, _, _, _, _) = stageData(
       ledgerDf.distinct().coalesce(1), root, statsKey = None)
     val dsig = encodeSig(ledgerDf.schema)
     var attempt = 0
@@ -3336,7 +3432,7 @@ object TxTable {
     // drain), covers exactly the rows that landed even if the upstream
     // plan is non-deterministic between executions, and rebased
     // retries re-reference the same staging.
-    val (adds, st, bl, stN, blN) =
+    val (adds, st, bl, stN, blN, rws) =
       stageData(changes, root, snap0.statsKey, snap0.statsCols)
     val dfiles =
       if (adds.isEmpty) Seq.empty[String] else Seq("@" + adds.mkString(";"))
@@ -3360,7 +3456,7 @@ object TxTable {
       val c = Commit(snap.version + 1, "merge-mor",
         adds = adds, removes = Seq.empty, tag,
         statsKey = None, addStats = st, addBlooms = bl,
-        addStatsN = stN, addBloomsN = blN, dadds = dfiles,
+        addStatsN = stN, addBloomsN = blN, addRows = rws, dadds = dfiles,
         addShBlooms = shBl, dsigs = dfiles.map(_ => dsig))
       if (tryPublish(root, c)) {
         // seed the schema cache for the post-commit witness: the union

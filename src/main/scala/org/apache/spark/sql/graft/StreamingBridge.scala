@@ -35,4 +35,13 @@ object StreamingBridge {
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = false)
   }
+
+  /** The session's SQLConf (`sessionState` is `private[sql]`) — needed to
+    * build a ParquetToSparkSchemaConverter whose flags (binary-as-string,
+    * int96, case sensitivity, timestamp_ntz inference, nanos-as-long)
+    * match exactly what a `spark.read.parquet` schema inference of the
+    * same session would use. */
+  def sqlConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.internal.SQLConf =
+    spark.asInstanceOf[SparkSession].sessionState.conf
 }

@@ -2031,4 +2031,63 @@ class TxTableSpec extends AnyFunSuite {
     val (k1, n1) = TxTable.pruneAccountingOnStr(root, "s", "d", "f")
     assert(k1 * 2 <= n1, s"post-optimizeOn range read opens $k1/$n1")
   }
+
+  test("driver-side footer schema inference matches spark.read's, all stored shapes") {
+    // r12 optimization: currentSchema's inference reads parquet footers on
+    // the driver (ParquetToSparkSchemaConverter) instead of paying a
+    // spark.read mergeSchema setup per commit — this pins exact equality
+    // (types, field order, nullability) with what the distributed path
+    // would have produced, over every column shape TxTable stores (long,
+    // double, string, float array, timestamp, nested struct).
+    import org.apache.spark.sql.functions._
+    val root = freshRoot() + "/t"
+    val df = spark.range(40).select(
+      col("id"), col("id").cast("double").as("d"),
+      concat(lit("s-"), col("id")).as("t"),
+      array(col("id").cast("float"), lit(1.5f)).as("arr"),
+      timestamp_millis(col("id") * 1000).as("ts"),
+      struct(col("id").as("a"), lit("x").as("b")).as("nested"))
+    TxTable.create(df.repartition(3), root, Some("id"))
+    TxTable.append(spark, root, df.limit(7).coalesce(1))
+    val snap = TxTable.snapshot(root)
+    val viaRead = TxTable.read(spark, root).schema
+    val viaMerge = spark.read.option("mergeSchema", "true")
+      .parquet(snap.files.map(f => s"$root/$f"): _*).schema
+    assert(viaRead == viaMerge,
+      s"footer-inferred schema diverged:\n$viaRead\nvs\n$viaMerge")
+    // the stats-job row counts stamped into the log equal footer truth
+    val byFooter = snap.files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$root/$f"),
+        new org.apache.hadoop.conf.Configuration())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }
+    assert(snap.files.map(snap.fileRows) == byFooter,
+      "logged per-file row counts must equal parquet footer counts")
+  }
+
+  test("width-differing live files: union schema appends the new column, old rows NULL") {
+    // the no-evolution path can legally hold files of different widths
+    // (a rewrite may introduce a column) — the footer-based union must
+    // surface the new column on old rows as NULL, exactly like the
+    // mergeSchema inference did
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = freshRoot() + "/t"
+    TxTable.create(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, Some("k"))
+    TxTable.transact(spark, root, "widen-rewrite")(cur =>
+      cur.withColumn("extra", col("k") * 10))
+    val got = TxTable.read(spark, root)
+    assert(got.schema.fieldNames.toSeq == Seq("k", "v", "extra"))
+    assert(got.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+      .toSeq == Seq((1L, 10L), (2L, 20L)))
+    // and a genuinely width-mixed live set (append an old-width batch)
+    TxTable.append(spark, root, Seq((9L, "z")).toDF("k", "v"))
+    val mixed = TxTable.read(spark, root)
+    assert(mixed.schema.fieldNames.toSeq == Seq("k", "v", "extra"))
+    assert(mixed.where(col("k") === 9).select("extra")
+      .collect().head.isNullAt(0),
+      "old-width rows must surface the newer column as NULL")
+  }
 }

@@ -1769,21 +1769,85 @@ object TxTable {
     finally prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
+  /** @param sizeStaged right-size a SHATTERED small staging: when the
+    *   written batch lands as many near-empty files (its plan inherited
+    *   upstream partitioning — e.g. a streaming state-store output
+    *   arrives as shuffle.partitions near-empty partitions, and the
+    *   stateful subtree disables AQE so neither the advisory nor a
+    *   REBALANCE hint can size the write), one driver-visible check of
+    *   the actual staged bytes triggers a tiny read-back+coalesce(1)
+    *   rewrite. Bounded by `spark.graft.stage.compactBytes` (default
+    *   16 MiB) so a real backfill epoch never pays it — this is the
+    *   AQE-independent form of write-side file sizing for the paths
+    *   with no layout contract (MoR adds, CoW verbatim batches); layout-
+    *   bearing stagings (optimize/compact/explicit coalesce) keep it
+    *   off. Without it a 20-file epoch SNOWBALLS: every later CoW
+    *   epoch's touched-file count (and its coalesce target) inherits
+    *   the shatter, and every read pays ~20 opens per epoch forever. */
   private def stageData(df: DataFrame, root: String,
                         statsKey: Option[String],
-                        statsCols: Seq[String] = Seq.empty)
+                        statsCols: Seq[String] = Seq.empty,
+                        sizeStaged: Boolean = false)
       : (Seq[String], Seq[(Long, Long)], Seq[String],
          Seq[Seq[(Long, Long)]], Seq[Seq[String]], Seq[Long]) = {
-    val unique = java.util.UUID.randomUUID().toString.take(8)
-    val dir = dataDir(root).resolve(unique)
+    val unique0 = java.util.UUID.randomUUID().toString.take(8)
+    val dir0 = dataDir(root).resolve(unique0)
     prof("stage.write")(withFileSizedCoalesce(df.sparkSession)(
-      df.write.mode("overwrite").parquet(dir.toString)))
+      df.write.mode("overwrite").parquet(dir0.toString)))
     import scala.jdk.CollectionConverters._
-    val files = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".parquet"))
-      .map(f => s"data/$unique/$f")
-      .toSeq.sorted
+    def list(d: java.nio.file.Path): Seq[String] =
+      Files.list(d).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet"))
+        .toSeq.sorted
+    var unique = unique0
+    var dir = dir0
+    if (sizeStaged) {
+      val names0 = list(dir0)
+      val bytes = names0.map(n => Files.size(dir0.resolve(n))).sum
+      val cap = df.sparkSession.conf
+        .getOption("spark.graft.stage.compactBytes")
+        .map(_.toLong).getOrElse(16L << 20)
+      if (names0.lengthCompare(4) > 0 && bytes <= cap) prof("stage.compact") {
+        // row-group concatenation on the DRIVER (ParquetFileWriter.
+        // appendFile): the shattered files were written by one job, so
+        // their schemas are identical; copying their row groups into one
+        // file moves only the staged bytes (≤ cap) and costs no Spark
+        // job. The first file's footer supplies the schema and the
+        // spark-schema key-value metadata, so the merged file reads back
+        // exactly like its inputs.
+        val u2 = java.util.UUID.randomUUID().toString.take(8)
+        val d2 = dataDir(root).resolve(u2)
+        Files.createDirectories(d2)
+        // nio-backed input/output files: no Hadoop FileSystem layer (a
+        // RawLocalFileSystem open costs ~10 ms in stat/permission forks,
+        // × ~20 shattered inputs it would eat the win)
+        def inFile(n: String) =
+          new org.apache.parquet.io.LocalInputFile(dir0.resolve(n))
+        val head = org.apache.parquet.hadoop.ParquetFileReader.open(
+          inFile(names0.head))
+        val (msgType, kv) =
+          try (head.getFileMetaData.getSchema,
+            head.getFileMetaData.getKeyValueMetaData)
+          finally head.close()
+        val outName = s"part-00000-$u2-c000.parquet"
+        val w = new org.apache.parquet.hadoop.ParquetFileWriter(
+          new org.apache.parquet.io.LocalOutputFile(d2.resolve(outName)),
+          msgType,
+          org.apache.parquet.hadoop.ParquetFileWriter.Mode.CREATE,
+          org.apache.parquet.hadoop.ParquetWriter.DEFAULT_BLOCK_SIZE.toLong,
+          org.apache.parquet.hadoop.ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+        w.start()
+        names0.foreach(n => w.appendFile(inFile(n)))
+        w.end(kv)
+        names0.foreach(n => Files.deleteIfExists(dir0.resolve(n)))
+        Files.list(dir0).iterator().asScala.toSeq
+          .foreach(p => Files.deleteIfExists(p))
+        Files.deleteIfExists(dir0)
+        unique = u2; dir = d2
+      }
+    }
+    val files = list(dir).map(f => s"data/$unique/$f")
     profCount("stage.files", files.size.toLong)
     // ONE pass per staged batch computes [min,max] AND the key bloom per
     // file for the primary stats key and every secondary stats column —
@@ -2750,7 +2814,8 @@ object TxTable {
     * writes to a huge table affordable. Rebase/retry semantics are
     * [[transact]]'s. */
   def transactFiles(spark: SparkSession, root: String, op: String,
-                    tag: Option[String] = None, maxAttempts: Int = 12)
+                    tag: Option[String] = None, maxAttempts: Int = 12,
+                    sizeStaged: Boolean = false)
                    (body: Snapshot => (Seq[String], DataFrame)): CommitResult = {
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -2761,7 +2826,8 @@ object TxTable {
         return CommitResult(snap.version, attempt, skipped = true)
       val (keep, rewrite) = body(snap)
       val (adds, st, bl, stN, blN, rws) =
-        stageData(rewrite, root, snap.statsKey, snap.statsCols)
+        stageData(rewrite, root, snap.statsKey, snap.statsCols,
+          sizeStaged = sizeStaged)
       val shBl = stageShingles(rewrite, root, adds, snap.shingleCols, snap.shingleN)
       val removes = snap.files.diff(keep)
       val c = Commit(snap.version + 1, op, adds, removes, tag,
@@ -3228,7 +3294,7 @@ object TxTable {
       s"mergeKeys $mk must contain the file-selection key '$key' — " +
         "otherwise a matching row could hide in an unselected file")
     enforceCheck(changes, snapshot(root).check, "merge changes")
-    transactFiles(spark, root, "merge-cow", tag) { snap =>
+    transactFiles(spark, root, "merge-cow", tag, sizeStaged = true) { snap =>
       import org.apache.spark.sql.functions.col
       // selection reads ONLY the commit log's per-file [min,max] when the
       // table has a stats key — zero data I/O before the rewrite itself
@@ -3432,8 +3498,14 @@ object TxTable {
     // drain), covers exactly the rows that landed even if the upstream
     // plan is non-deterministic between executions, and rebased
     // retries re-reference the same staging.
+    // MoR adds have no layout contract (reads union them through the
+    // ledger anti-join; the next compaction re-clusters) — let staging
+    // right-size a shattered small batch (a streaming upsert sink's
+    // state-store output otherwise lands ~20 near-empty files per
+    // epoch; profiled 656 staged files over a 32-commit drain).
     val (adds, st, bl, stN, blN, rws) =
-      stageData(changes, root, snap0.statsKey, snap0.statsCols)
+      stageData(changes, root, snap0.statsKey, snap0.statsCols,
+        sizeStaged = true)
     val dfiles =
       if (adds.isEmpty) Seq.empty[String] else Seq("@" + adds.mkString(";"))
     // the signature comes from the VALIDATED batch schema (the staged

@@ -398,7 +398,17 @@ object StreamingQueries {
         .foreachBatch {
           (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            epoch: Long) =>
-            TxTable.mergeCow(s, root, df.toDF(), "ws_sec",
+            // streaming plans run AQE-off, so the update-mode aggregate
+            // batch arrives as one near-empty output partition per
+            // post-shuffle task and would shatter into ~20 files per
+            // epoch (and snowball every later CoW epoch's touched-file
+            // count). Size the commit from the materialized count — the
+            // graft sink's pattern (GraftStream.addBatch), ~2M rows per
+            // file capped at the session parallelism.
+            val cp = df.toDF().localCheckpoint()
+            val parts = math.max(1L, math.min(cp.count() / 2000000L + 1L,
+              s.sparkContext.defaultParallelism.toLong)).toInt
+            TxTable.mergeCow(s, root, cp.coalesce(parts), "ws_sec",
               Some(s"app=str21/epoch=$epoch"), Seq("ws_sec", "event_type"))
             ()
         }
@@ -758,7 +768,13 @@ object StreamingQueries {
         .foreachBatch {
           (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
            epoch: Long) =>
-            val changes = df.toDF()
+            // same count-sized commit as Q-str-21 / the graft sink: the
+            // AQE-off micro-batch otherwise stages ~20 near-empty files
+            // per MoR epoch
+            val cp = df.toDF().localCheckpoint()
+            val parts = math.max(1L, math.min(cp.count() / 2000000L + 1L,
+              s.sparkContext.defaultParallelism.toLong)).toInt
+            val changes = cp.coalesce(parts)
             if (epoch == 1L) stash.set((changes.collect(), changes.schema))
             val before = TxTable.snapshot(root).files.toSet
             TxTable.mergeMorKeys(s, root, changes,

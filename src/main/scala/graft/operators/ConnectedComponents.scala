@@ -76,13 +76,18 @@ object ConnectedComponents {
       // the carried estimate's bit-length grows k-fold per round. By
       // round ~8 join selection is multiplying million-bit BigIntegers
       // and planning dwarfs execution (observed: a 400-node chain spun
-      // 30+ min inside SizeInBytesOnlyStatsPlanVisitor). Rebuilding the
-      // frame over the materialized RDD resets the leaf to a
-      // default-sized scan — constant-cost stats every round; broadcast
-      // decisions inside the loop fall to AQE's runtime shuffle sizes,
-      // which are the real ones anyway. The per-scan Row round-trip this
-      // adds touches only the shrinking 2-long-column loop state.
-      val out = df.sparkSession.createDataFrame(cp.rdd, df.schema)
+      // 30+ min inside SizeInBytesOnlyStatsPlanVisitor). The leaf is
+      // rebuilt over the SAME materialized InternalRow RDD with
+      // originStats dropped (CheckpointBridge) — constant-cost stats
+      // every round with zero per-row conversion, and the checkpoint's
+      // hash partitioning/ordering survive so same-keyed consumers skip
+      // their exchange. (The earlier public-API form,
+      // createDataFrame(cp.rdd, schema), paid an InternalRow->Row->
+      // InternalRow round-trip per row per round and forgot the
+      // partitioning.) Broadcast decisions inside the loop fall to AQE's
+      // runtime shuffle sizes, which are the real ones anyway.
+      val out = org.apache.spark.sql.graft.CheckpointBridge
+        .resetStatsKeepLayout(cp)
       (out, fresh)
     }
     val debug = sys.env.contains("GRAFT_CC_DEBUG")

@@ -75,14 +75,21 @@ object TriangleCount {
     val w = lo.join(hi, Seq("u", "cl", "cr"))
       .where(col("ix") < col("iy"))
       .select(col("x"), col("y"))
-    // closing edge is oriented x→y (ord(x) < ord(y) by construction)
-    val tri = w.join(o.select(col("u").as("x"), col("v").as("y")),
-      Seq("x", "y"), "left_semi")
+    // closing edge is oriented x→y (ord(x) < ord(y) by construction).
+    // ONE pass over the wedge set counts both wedges and triangles: the
+    // closing-edge attach is a LEFT join against the (distinct) oriented
+    // edge set — multiplicity is exactly 1, so count(flag) equals the
+    // old left_semi count — where the earlier two-consumer form
+    // (w.agg + w.join(...,"left_semi").agg) executed the Σoutdeg²-row
+    // wedge join TWICE, the dominant cost of the whole operator.
+    val wc = w.join(
+      o.select(col("u").as("x"), col("v").as("y"), lit(1L).as("closed")),
+      Seq("x", "y"), "left")
     deg.agg(count(lit(1)).cast("bigint").as("n_nodes"),
         max(col("deg")).cast("bigint").as("max_deg"))
       .crossJoin(pairs.agg(count(lit(1)).cast("bigint").as("n_edges")))
-      .crossJoin(w.agg(count(lit(1)).cast("bigint").as("n_wedges")))
-      .crossJoin(tri.agg(count(lit(1)).cast("bigint").as("n_triangles")))
+      .crossJoin(wc.agg(count(lit(1)).cast("bigint").as("n_wedges"),
+        count(col("closed")).cast("bigint").as("n_triangles")))
       .crossJoin(oi.groupBy("u").agg(count(lit(1)).as("od"))
         .agg(max(col("od")).cast("bigint").as("max_outdeg")))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),

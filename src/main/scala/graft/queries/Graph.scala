@@ -189,12 +189,17 @@ object Graph {
       val w = o.as("o1").join(o.as("o2"),
           col("o1.u") === col("o2.u") && col("o1.ordv") < col("o2.ordv"))
         .select(col("o1.v").as("x"), col("o2.v").as("y"))
-      val tri = w.join(o.select(col("u").as("x"), col("v").as("y")),
-        Seq("x", "y"), "left_semi")
+      // one pass over the wedge set for BOTH counts (closing edge is a
+      // LEFT join against the distinct oriented edge set, multiplicity
+      // exactly 1, so count(flag) == the old left_semi count) — the
+      // two-consumer form executed the Σoutdeg² wedge join twice
+      val wc = w.join(
+        o.select(col("u").as("x"), col("v").as("y"), lit(1L).as("closed")),
+        Seq("x", "y"), "left")
       deg.agg(count(lit(1)).cast("bigint").as("n_nodes"))
         .crossJoin(pairs.agg(count(lit(1)).cast("bigint").as("n_edges")))
-        .crossJoin(w.agg(count(lit(1)).cast("bigint").as("n_wedges")))
-        .crossJoin(tri.agg(count(lit(1)).cast("bigint").as("n_triangles")))
+        .crossJoin(wc.agg(count(lit(1)).cast("bigint").as("n_wedges"),
+          count(col("closed")).cast("bigint").as("n_triangles")))
     },
 
     // ---- Q-graph-08: DOULION approximate triangle count (Tsourakakis
